@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""Local self-check mimicking the driver's correctness gate:
+run graft.Verify at a given SF dir, then run each oracle SQL in DuckDB over
+the same parquet tables and compare multisets (columns sorted by name,
+rows sorted). Usage: check.py <sfDir> <outDir> [--skip-verify] [names...]
+"""
+import json, math, subprocess, sys, glob, os
+
+import duckdb
+import pandas as pd
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir, out_dir = args[0], args[1]
+    names_filter = set(args[2:])
+    if "--skip-verify" not in sys.argv:
+        env = dict(os.environ, SPARK_GRAFT_CPUS="8")
+        r = subprocess.run(
+            ["sbt", "-batch", f'runMain graft.Verify {sf_dir} {out_dir}'],
+            cwd="/root/repo", env=env, capture_output=True, text=True)
+        tail = "\n".join((r.stdout + r.stderr).splitlines()[-30:])
+        if r.returncode != 0:
+            print(tail); sys.exit(1)
+        for line in (r.stdout + r.stderr).splitlines():
+            if "[verify]" in line:
+                print(line)
+
+    con = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        if names_filter and name not in names_filter:
+            continue
+        pq = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not pq:
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        try:
+            got = con.sql(f"SELECT * FROM '{pq[0]}'").df()
+            exp = con.sql(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}"); n_fail += 1; continue
+        ok, msg = compare(got, exp)
+        if ok:
+            print(f"PASS {name} ({len(got)} rows)"); n_pass += 1
+        else:
+            print(f"FAIL {name}: {msg}"); n_fail += 1
+    print(f"== {n_pass} pass / {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+def norm(df):
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), kind="mergesort")\
+             .reset_index(drop=True)
+
+def compare(got, exp):
+    if sorted(got.columns) != sorted(exp.columns):
+        return False, f"columns differ: spark={sorted(got.columns)} duckdb={sorted(exp.columns)}"
+    if len(got) != len(exp):
+        return False, f"row count: spark={len(got)} duckdb={len(exp)}"
+    g, e = norm(got), norm(exp)
+    for c in g.columns:
+        gc, ec = g[c], e[c]
+        if str(gc.dtype).startswith("float") or str(ec.dtype).startswith("float"):
+            diff = (gc.astype(float) - ec.astype(float)).abs()
+            bad = diff[diff > 0]
+            if len(bad):
+                return False, (f"col {c}: {len(bad)} float diffs, "
+                               f"max={bad.max():.3e} at row {bad.idxmax()} "
+                               f"(spark={gc[bad.idxmax()]}, duckdb={ec[bad.idxmax()]})")
+        else:
+            neq = gc.astype(str) != ec.astype(str)
+            if neq.any():
+                i = neq.idxmax()
+                return False, (f"col {c}: {int(neq.sum())} diffs, first at row {i}: "
+                               f"spark={gc[i]!r} duckdb={ec[i]!r}")
+    return True, ""
+
+if __name__ == "__main__":
+    main()
