@@ -14,7 +14,10 @@ import graft.operators._
 object SparkEntry {
 
   private def all: Map[String, Q] =
-    ProxyQueries.queries
+    ProxyQueries.queries ++
+      MetricsRollup.queries ++
+      DlqQueries.queries ++
+      GelfQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's core operation: keyed concat/count aggregation over the

@@ -90,8 +90,8 @@ object ProxyFunctions {
                short: Column, full: Column): Column = {
     def js(s: Column): Column = // minimal JSON string escape for our inputs
       concat(lit("\""),
-        regexp_replace(regexp_replace(regexp_replace(s,
-          "\\\\", "\\\\\\\\"), "\"", "\\\\\""), "\n", "\\\\n"),
+        replace(replace(replace(s,
+          lit("\\"), lit("\\\\")), lit("\""), lit("\\\"")), lit("\n"), lit("\\n")),
         lit("\""))
     concat(
       lit("{\"version\":\"1.1\",\"host\":"), js(host),
