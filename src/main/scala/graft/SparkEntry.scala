@@ -17,7 +17,8 @@ object SparkEntry {
     ProxyQueries.queries ++
       MetricsRollup.queries ++
       DlqQueries.queries ++
-      GelfQueries.queries
+      GelfQueries.queries ++
+      Analytics.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's core operation: keyed concat/count aggregation over the

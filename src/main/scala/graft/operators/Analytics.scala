@@ -1,0 +1,368 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.model.Tables
+
+/** Extension analytics operators (SURVEY.md §7 step 6): the reference has no
+  * SQL surface, so these make the engine a usable analytics engine over the
+  * same data — joins (broadcast + shuffle, semi/anti/outer), windows,
+  * ROLLUP/grouping sets, set operations, sessionization, pivot-style
+  * conditional aggregation, JSON extraction.
+  *
+  * Scale notes (100 TB target): filters/projections sit directly on the
+  * parquet scan (pushdown + pruning); small dims (region/nation/customer at
+  * dim-like cardinality) are broadcast explicitly; fact-fact joins shuffle
+  * on their join key; windows partition by high-cardinality keys only.
+  */
+object Analytics {
+
+  // ---- TPC-H Q1: scan-heavy aggregation ------------------------------------
+
+  def q1Pricing(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  ROUND(SUM(l_quantity), 2) AS sum_qty,
+      |  ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+      |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |  ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+      |  ROUND(AVG(l_quantity), 4) AS avg_qty,
+      |  ROUND(AVG(l_extendedprice), 4) AS avg_price,
+      |  ROUND(AVG(l_discount), 4) AS avg_disc,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---- TPC-H Q3: broadcast dim join + top-k ---------------------------------
+
+  /** customer (dim, broadcast) ⋈ orders ⋈ lineitem; deterministic top-10 by
+    * rounded revenue with orderkey tiebreak. */
+  def q3Shipping(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") < to_timestamp(lit("1998-03-15")))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val l = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") > to_timestamp(lit("1998-03-15")))
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    l.join(broadcast(o.join(broadcast(c), o("o_custkey") === c("c_custkey"))),
+        l("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .select(col("l_orderkey"), to_date(col("o_orderdate")).as("order_date"),
+        col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3Sql: String =
+    """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+      |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |  JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  // ---- TPC-H Q5-style: multi-way join to dims -------------------------------
+
+  def q5NationRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey")
+    val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val n = Tables.nation(spark, sfDir)
+    val r = Tables.region(spark, sfDir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q5Sql: String =
+    """SELECT r_name, n_name,
+      |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name""".stripMargin
+
+  // ---- semi / anti joins -----------------------------------------------------
+
+  /** Customers with vs without 1995 orders, by segment (left_semi /
+    * left_anti — EXISTS / NOT EXISTS without row duplication). */
+  def semiAnti(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir).select("c_custkey", "c_mktsegment")
+    val o95 = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1995-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1996-01-01")))
+      .select(col("o_custkey"))
+    val withO = c.join(o95, c("c_custkey") === o95("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("cnt"))
+      .withColumn("kind", lit("with_1995_orders"))
+    val without = c.join(o95, c("c_custkey") === o95("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("cnt"))
+      .withColumn("kind", lit("without_1995_orders"))
+    withO.unionByName(without).select("kind", "c_mktsegment", "cnt")
+  }
+
+  val semiAntiSql: String =
+    """WITH o95 AS (
+      |  SELECT DISTINCT o_custkey FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+      |)
+      |SELECT 'with_1995_orders' AS kind, c_mktsegment, COUNT(*) AS cnt
+      |FROM customer WHERE c_custkey IN (SELECT o_custkey FROM o95)
+      |GROUP BY c_mktsegment
+      |UNION ALL
+      |SELECT 'without_1995_orders' AS kind, c_mktsegment, COUNT(*) AS cnt
+      |FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM o95)
+      |GROUP BY c_mktsegment""".stripMargin
+
+  // ---- outer join ------------------------------------------------------------
+
+  /** Orders left-joined to lineitem; histogram of items-per-order (0 kept —
+    * that's the outer part). */
+  def outerCount(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir).select("o_orderkey")
+    val l = Tables.lineitem(spark, sfDir).select("l_orderkey")
+    o.join(l, o("o_orderkey") === l("l_orderkey"), "left_outer")
+      .groupBy(col("o_orderkey"))
+      .agg(count(col("l_orderkey")).as("n_items"))
+      .groupBy(col("n_items")).agg(count(lit(1)).as("n_orders"))
+  }
+
+  val outerCountSql: String =
+    """WITH per_order AS (
+      |  SELECT o_orderkey, COUNT(l_orderkey) AS n_items
+      |  FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+      |  GROUP BY o_orderkey
+      |)
+      |SELECT n_items, COUNT(*) AS n_orders FROM per_order GROUP BY n_items""".stripMargin
+
+  // ---- window functions ------------------------------------------------------
+
+  /** Top-3 lineitems per supplier by price (deterministic tiebreak). */
+  def windowTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+        col("l_linenumber"))
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+  }
+
+  val windowTopKSql: String =
+    """SELECT * FROM (
+      |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+      |    CAST(row_number() OVER (PARTITION BY l_suppkey
+      |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS INT) AS rk
+      |  FROM lineitem
+      |) WHERE rk <= 3""".stripMargin
+
+  /** Running revenue per customer over order history. */
+  def windowRunning(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"))
+      .withColumn("running_total", round(sum(col("o_totalprice")).over(w), 2))
+      .drop("o_totalprice", "o_orderdate")
+  }
+
+  val windowRunningSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+      |FROM orders""".stripMargin
+
+  // ---- ROLLUP with grouping markers -------------------------------------------
+
+  def rollupSales(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("cnt"),
+        grouping(col("l_returnflag")).cast("int").as("g_flag"),
+        grouping(col("l_linestatus")).cast("int").as("g_status"))
+
+  val rollupSalesSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  ROUND(SUM(l_quantity), 2) AS sum_qty,
+      |  COUNT(*) AS cnt,
+      |  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+      |  CAST(GROUPING(l_linestatus) AS INT) AS g_status
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
+  // ---- set operations ----------------------------------------------------------
+
+  /** UNION / INTERSECT / EXCEPT over yearly active customer sets. */
+  def setOps(spark: SparkSession, sfDir: String): DataFrame = {
+    def active(year: Int) = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= to_timestamp(lit(f"$year-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit(f"${year + 1}-01-01")))
+      .select(col("o_custkey")).distinct()
+    val a = active(1995); val b = active(1996)
+    def tag(df: DataFrame, kind: String) =
+      df.agg(count(lit(1)).as("cnt")).withColumn("kind", lit(kind))
+    tag(a.except(b), "only_1995")
+      .unionByName(tag(b.except(a), "only_1996"))
+      .unionByName(tag(a.intersect(b), "both"))
+      .unionByName(tag(a.union(b).distinct(), "either"))
+      .select("kind", "cnt")
+  }
+
+  val setOpsSql: String =
+    """WITH a AS (SELECT DISTINCT o_custkey FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'),
+      |b AS (SELECT DISTINCT o_custkey FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00')
+      |SELECT 'only_1995' AS kind, COUNT(*) AS cnt FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+      |UNION ALL
+      |SELECT 'only_1996' AS kind, COUNT(*) AS cnt FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
+      |UNION ALL
+      |SELECT 'both' AS kind, COUNT(*) AS cnt FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+      |UNION ALL
+      |SELECT 'either' AS kind, COUNT(*) AS cnt FROM (SELECT * FROM a UNION SELECT * FROM b)""".stripMargin
+
+  // ---- sessionization (gap-based, batch form) -----------------------------------
+
+  /** 30-minute-gap sessionization over the event stream: lag → new-session
+    * flag → running sum = session id; then per-session stats. Partitioned by
+    * user (high-cardinality at scale) — no global window. `ts` arrives as
+    * nanos-since-epoch LONG (Tables loader). */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000000").as("ms"))
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms"), col("event_id"))
+    val flagged = ev
+      .withColumn("prev_ms", lag(col("ms"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ms").isNull || col("ms") - col("prev_ms") > 1800000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged.groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ms")).as("start_ms"),
+        (max(col("ms")) - min(col("ms"))).as("duration_ms"))
+  }
+
+  val sessionizeSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events
+      |),
+      |flagged AS (
+      |  SELECT user_id, event_id, ms,
+      |    CASE WHEN lag(ms) OVER w IS NULL
+      |           OR ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)
+      |),
+      |sess AS (
+      |  SELECT user_id, ms,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ms, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged
+      |)
+      |SELECT user_id, session_id, COUNT(*) AS n_events,
+      |  MIN(ms) AS start_ms, MAX(ms) - MIN(ms) AS duration_ms
+      |FROM sess GROUP BY user_id, session_id""".stripMargin
+
+  // ---- pivot-style conditional aggregation ----------------------------------------
+
+  /** Event counts per hour-of-day, one column per event type (map-side
+    * conditional agg — single scan, single shuffle on 24 keys). */
+  def pivotHourly(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select((expr("ts div 1000000") / 3600000L).cast("long").mod(24)
+        .as("hour_of_day"), col("event_type"))
+    def cnt(t: String) =
+      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t")
+    ev.groupBy(col("hour_of_day"))
+      .agg(cnt("click"), cnt("view"), cnt("purchase"), cnt("signup"),
+        cnt("error"))
+  }
+
+  val pivotHourlySql: String =
+    """SELECT (epoch_ms(ts) // 3600000) % 24 AS hour_of_day,
+      |  SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+      |  SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+      |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+      |  SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+      |  SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+      |FROM events GROUP BY 1""".stripMargin
+
+  // ---- JSON extraction --------------------------------------------------------------
+
+  /** Typed extraction from the `props` JSON column. */
+  def jsonProps(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"),
+        countDistinct(col("k")).as("distinct_k"),
+        count(lit(1)).as("cnt"))
+
+  val jsonPropsSql: String =
+    """SELECT event_type,
+      |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS distinct_k,
+      |  COUNT(*) AS cnt
+      |FROM events GROUP BY event_type""".stripMargin
+
+  def queries: Map[String, Q] = Map(
+    "q1_pricing_summary"  -> Q(q1Sql)(q1Pricing),
+    "q3_shipping_priority"-> Q(q3Sql)(q3Shipping),
+    "q5_nation_revenue"   -> Q(q5Sql)(q5NationRevenue),
+    "q_semi_anti_join"    -> Q(semiAntiSql)(semiAnti),
+    "q_outer_join_hist"   -> Q(outerCountSql)(outerCount),
+    "q_window_topk"       -> Q(windowTopKSql)(windowTopK),
+    "q_window_running"    -> Q(windowRunningSql)(windowRunning),
+    "q_rollup_sales"      -> Q(rollupSalesSql)(rollupSales),
+    "q_setops"            -> Q(setOpsSql)(setOps),
+    "q_sessionize"        -> Q(sessionizeSql)(sessionize),
+    "q_pivot_hourly"      -> Q(pivotHourlySql)(pivotHourly),
+    "q_json_props"        -> Q(jsonPropsSql)(jsonProps))
+}

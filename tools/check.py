@@ -37,7 +37,7 @@ def main():
     for name, sql in sorted(oracle.items()):
         if names_filter and name not in names_filter:
             continue
-        pq = glob.glob(f"{out_dir}/{name}/*.parquet")
+        pq = glob.glob(f"{out_dir}/{name}.parquet/*.parquet")
         if not pq:
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
         try:
