@@ -1,0 +1,76 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.util.zip.Inflater
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sinks.{Gelf, Graphite}
+
+/** Golden-output tests for the GELF/Graphite sink plumbing, mirroring the
+  * reference's byte-exact graylog_test.go (zlib round-trip + short-message
+  * truncation cases) and metric.go's derived-ratio flush. */
+class GelfSpec extends AnyFunSuite {
+
+  private def inflate(bytes: Array[Byte]): String = {
+    val inf = new Inflater()
+    inf.setInput(bytes)
+    val buf = new Array[Byte](1 << 16)
+    val n = inf.inflate(buf)
+    inf.end()
+    new String(buf, 0, n, StandardCharsets.UTF_8)
+  }
+
+  test("packMessage golden JSON with fixed field order") {
+    // under 128 chars the short message is the FULL text, newline included
+    // (the newline cut only applies to long messages, graylog.go:130-139)
+    val json = Gelf.packMessage("host1", 1700000000L, "main.go", Gelf.Error,
+      "boom \"quoted\"\nline2")
+    assert(json ==
+      """{"version":"1.1","host":"host1","timestamp":1700000000,""" +
+      """"file":"main.go","level":3,"short_message":"boom \"quoted\"\nline2",""" +
+      """"full_message":"boom \"quoted\"\nline2"}""")
+    val long = "head\n" + "x" * 150
+    val json2 = Gelf.packMessage("h", 1L, "f", Gelf.Info, long)
+    assert(json2.contains(""""short_message":"head","""))
+  }
+
+  test("zlib round-trip preserves the packed message") {
+    val json = Gelf.packMessage("h", 1L, "f", Gelf.Info, "x" * 300)
+    val packed = Gelf.compress(json.getBytes(StandardCharsets.UTF_8))
+    assert(packed.length < json.length) // actually compressed
+    assert(inflate(packed) == json)
+  }
+
+  test("payloads within 8 KiB are a single unchunked datagram") {
+    val payload = Array.fill[Byte](8192)(1)
+    val cs = Gelf.chunks(payload, Gelf.messageId(payload))
+    assert(cs.length == 1 && (cs.head sameElements payload))
+  }
+
+  test("oversize payloads chunk with 12-byte GELF headers") {
+    val payload = Array.tabulate[Byte](20000)(i => (i % 251).toByte)
+    val id = Gelf.messageId(payload)
+    val cs = Gelf.chunks(payload, id)
+    assert(cs.length == 3) // ceil(20000 / 8192)
+    cs.zipWithIndex.foreach { case (c, i) =>
+      assert(c(0) == 0x1e.toByte && c(1) == 0x0f.toByte)
+      assert(c.slice(2, 10) sameElements id)
+      assert(c(10) == i.toByte && c(11) == 3.toByte)
+    }
+    // chunks reassemble to the original payload
+    val body = cs.flatMap(_.drop(12)).toArray
+    assert(body sameElements payload)
+  }
+
+  test("graphite lines derive speed = bytesSent / sendDuration (metric.go:26-38)") {
+    val lines = Graphite.renderLines(
+      Map("requests" -> 10L, "bytesSent" -> 1000L, "sendDuration" -> 4L),
+      "proxyhouse")
+    assert(lines == Seq("proxyhouse.requests 10", "proxyhouse.speed 250"))
+  }
+
+  test("graphite zero-duration guard drops the pair") {
+    val lines = Graphite.renderLines(
+      Map("bytesSent" -> 1000L, "sendDuration" -> 0L), "p")
+    assert(lines.isEmpty)
+  }
+}

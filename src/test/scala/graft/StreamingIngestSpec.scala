@@ -1,0 +1,123 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.ConcurrentLinkedQueue
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.IngestPipeline
+import graft.streaming.IngestPipeline.BatchSink
+
+/** End-to-end streaming semantics (SURVEY.md §2.5, §5): the reference's
+  * Test_Base invariant (10k concurrent inserts all buffered and flushed,
+  * main_test.go:26-61) and the DLQ escalation ladder 1→10→tombstone
+  * (README.md:93-96). */
+class StreamingIngestSpec extends SparkSuite {
+
+  /** In-memory sink recording sends; optionally failing. */
+  private class RecordingSink(failUris: String => Boolean = _ => false)
+      extends BatchSink {
+    val sent = new ConcurrentLinkedQueue[(String, String, Long)]()
+    override def send(uri: String, body: String, rows: Long): Boolean =
+      if (failUris(uri)) false
+      else { sent.add((uri, body, rows)); true }
+  }
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("10k inserts flush through micro-batches; all rows accounted for") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val stream = MemoryStream[(String, String)]
+    val sink = new RecordingSink()
+    val q = IngestPipeline.start(
+      stream.toDF().toDF("uri", "body"),
+      tmp("dlq"), tmp("ckpt"), sink, syncSec = 1)
+    try {
+      val tables = Seq("a", "b", "c")
+      val data = (1 to 10000).map { i =>
+        (s"/?query=INSERT%20INTO%20${tables(i % 3)}%20VALUES", s"($i)")
+      }
+      // two waves to exercise >1 micro-batch
+      stream.addData(data.take(5000))
+      q.processAllAvailable()
+      stream.addData(data.drop(5000))
+      q.processAllAvailable()
+    } finally q.stop()
+    val sent = sink.sent.asScala.toSeq
+    // each (wave × key) flushes once: per-batch agg, no cross-batch state
+    assert(sent.map(_._3).sum == 10000L)
+    assert(sent.map(_._1).distinct.sorted ==
+      Seq("/?query=INSERT%20INTO%20a%20VALUES",
+        "/?query=INSERT%20INTO%20b%20VALUES",
+        "/?query=INSERT%20INTO%20c%20VALUES"))
+    // multiset of rows survives concat (order within a batch is
+    // nondeterministic — SURVEY.md §1.3)
+    val rows = sent.flatMap(_._2.split(",")).sorted
+    assert(rows == (1 to 10000).map(i => s"($i)").sorted)
+  }
+
+  test("DLQ: failed batches spill at level 1 and escalate to tombstone at 10") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val dlqDir = tmp("dlq")
+    val stream = MemoryStream[(String, String)]
+    val failing = new RecordingSink(failUris = _ => true)
+    val q = IngestPipeline.start(
+      stream.toDF().toDF("uri", "body"),
+      dlqDir, tmp("ckpt"), failing, syncSec = 1)
+    try {
+      stream.addData(Seq(("/?query=INSERT%20INTO%20t%20VALUES", "(1),(2)")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val spilled = s.read.parquet(dlqDir)
+    assert(spilled.count() == 1)
+    assert(spilled.select("level").head().getInt(0) == 1)
+    assert(spilled.select("rows").head().getLong(0) == 2L)
+
+    // replay against a still-failing sink: level escalates each pass
+    (2 to 10).foreach { expected =>
+      val (sentN, respilled) = IngestPipeline.replayOnce(s, dlqDir, failing)
+      assert((sentN, respilled) == ((0L, 1L)))
+      assert(s.read.parquet(dlqDir).select("level").head().getInt(0) == expected)
+    }
+    // at level 10 the entry is a tombstone: replay no longer touches it
+    val (sentN, respilled) = IngestPipeline.replayOnce(s, dlqDir, failing)
+    assert((sentN, respilled) == ((0L, 0L)))
+    assert(s.read.parquet(dlqDir).select("level").head().getInt(0) == 10)
+    assert(IngestPipeline.dlqStatus(s, dlqDir) == 200) // tombstones don't count
+
+    // recovery: a now-healthy sink drains nothing (tombstoned forever),
+    // matching the reference's give-up-after-10 (README.md:93-96)
+    val healthy = new RecordingSink()
+    assert(IngestPipeline.replayOnce(s, dlqDir, healthy) == ((0L, 0L)))
+  }
+
+  test("DLQ replay order: lowest level first, then oldest (O-34)") {
+    val s = spark
+    val dlqDir = tmp("dlq")
+    IngestPipeline.spill(s, Seq(("/u3", "(3)", 1L, 3)), dlqDir)
+    Thread.sleep(2)
+    IngestPipeline.spill(s, Seq(("/u1b", "(1b)", 1L, 1)), dlqDir)
+    Thread.sleep(2)
+    IngestPipeline.spill(s, Seq(("/u1a", "(1a)", 1L, 1)), dlqDir)
+    val sink = new RecordingSink()
+    val (sent, _) = IngestPipeline.replayOnce(s, dlqDir, sink)
+    assert(sent == 3L)
+    val order = sink.sent.asScala.toSeq.map(_._1)
+    assert(order == Seq("/u1b", "/u1a", "/u3")) // level 1 (older first), then 3
+  }
+
+  test("dlqStatus thresholds against backlog size") {
+    val s = spark
+    val dlqDir = tmp("dlq")
+    assert(IngestPipeline.dlqStatus(s, dlqDir) == 200)
+    IngestPipeline.spill(s, (1 to 450).map(i => (s"/u$i", "(1)", 1L, 1)), dlqDir)
+    assert(IngestPipeline.dlqStatus(s, dlqDir) == 400)
+    IngestPipeline.spill(s, (1 to 60).map(i => (s"/v$i", "(1)", 1L, 1)), dlqDir)
+    assert(IngestPipeline.dlqStatus(s, dlqDir) == 500)
+  }
+}
