@@ -6,14 +6,17 @@ import org.apache.spark.sql.functions._
 import graft.Q
 import graft.model.Tables
 import graft.functions.TextFunctions._
+import graft.plans.GraftFunctions.cosineSim
 
 /** Similarity search over the `embeddings` table (Array[Float], dim 64):
   * brute-force cosine top-k as the exact baseline, sign-LSH bucketed ANN as
   * the scale path, and LSH-blocked embedding near-dup.
   *
-  * All cosine math is DOUBLE with explicit left folds (zip_with +
-  * aggregate) so results are deterministic and match the DuckDB oracle to
-  * ~1 ulp; outputs round to 6 decimals.
+  * All cosine math runs through the codegen'd
+  * [[graft.expressions.CosineSimilarity]] expression — one fused
+  * dot+norms loop per pair, DOUBLE accumulation in index order
+  * (bit-identical to the explicit zip_with/aggregate fold it replaced, so
+  * the DuckDB oracles are unaffected); outputs round to 6 decimals.
   *
   * Scale design (100 TB): brute-force is O(queries × corpus) — kept for a
   * small query set where it is a broadcast join (queries broadcast, corpus
@@ -53,8 +56,7 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .withColumn("cosine",
-        dotExpr("embedding", "q_emb") / (col("nrm") * col("q_nrm")))
+      .withColumn("cosine", cosineSim(col("embedding"), col("q_emb")))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(round(col("cosine"), 6).desc, col("vec_id"))
     scored.withColumn("rk", row_number().over(w))
@@ -95,8 +97,7 @@ object Similarity {
         col("nrm").as("q_nrm"), col("bucket"))
     val scored = e.join(q, Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cosine",
-        dotExpr("embedding", "q_emb") / (col("nrm") * col("q_nrm")))
+      .withColumn("cosine", cosineSim(col("embedding"), col("q_emb")))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(round(col("cosine"), 6).desc, col("vec_id"))
     scored.withColumn("rk", row_number().over(w))
@@ -144,8 +145,7 @@ object Similarity {
         col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        (dotExpr("a.embedding", "b.embedding") /
-          (col("a.nrm") * col("b.nrm"))).as("cosine"))
+        cosineSim(col("a.embedding"), col("b.embedding")).as("cosine"))
     pairs.filter(col("cosine") >= 0.3)
       .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))
   }

@@ -1,0 +1,30 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.graft.{CosineSimilarity, ReplaceFirst, Shim}
+
+/** Session extensions registering graft's custom Catalyst expressions for
+  * the SQL surface (`spark.sql.extensions=graft.plans.GraftExtensions`, or
+  * `.withExtensions(new GraftExtensions)`). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("cosine_sim"),
+      CosineSimilarity.info,
+      { args => CosineSimilarity(args(0), args(1)) }))
+    ext.injectFunction((FunctionIdentifier("replace_first"),
+      ReplaceFirst.info,
+      { args => ReplaceFirst(args(0), args(1), args(2)) }))
+  }
+}
+
+/** Column-API access to the custom expressions — no registry needed, works
+  * on any session. */
+object GraftFunctions {
+  def cosineSim(a: Column, b: Column): Column =
+    Shim.column(CosineSimilarity(Shim.expression(a), Shim.expression(b)))
+
+  def replaceFirst(str: Column, search: Column, repl: Column): Column =
+    Shim.column(ReplaceFirst(Shim.expression(str), Shim.expression(search),
+      Shim.expression(repl)))
+}
