@@ -113,6 +113,29 @@ object ProxyQueries {
        |  SUM(LENGTH(body)) AS bytes_received
        |FROM requests GROUP BY uri""".stripMargin
 
+  /** O-27/O-28 through the FUSED custom Aggregator
+    * (graft.functions.ConcatCountAgg — single-buffer append+count, the
+    * reference's exact execution shape). Concat order is arrival order
+    * (nondeterministic across partitions, like the reference under
+    * concurrency), so the checked outputs are the order-invariant
+    * aggregates: batch byte length, row count, request count. */
+  def fusedConcat(spark: SparkSession, sfDir: String): DataFrame =
+    graft.streaming.IngestPipeline.aggregateBatch(requests(spark, sfDir))
+      .select(col("uri"), length(col("body")).cast("long").as("batch_bytes"),
+        col("rows").as("rows_sent"), col("reqs"))
+
+  val fusedConcatSql: String =
+    s"""WITH $requestsCte
+       |SELECT uri,
+       |  SUM(LENGTH(body)) + (COUNT(*) - 1) *
+       |    CASE WHEN ends_with(uri, 'FORMAT%20TSV') OR ends_with(uri, 'FORMAT%20CSV')
+       |         THEN 0 ELSE 1 END AS batch_bytes,
+       |  SUM(CASE WHEN ends_with(uri, 'FORMAT%20TSV') OR ends_with(uri, 'FORMAT%20CSV')
+       |           THEN len(string_split(body, chr(10))) - 1
+       |           ELSE len(string_split(body, '),')) END) AS rows_sent,
+       |  COUNT(*) AS reqs
+       |FROM requests GROUP BY uri""".stripMargin
+
   // ---- scalar operator queries (O-15..O-19) --------------------------------
 
   /** O-15 + O-19: format sniff drives (delimiter, separator, addrows) and the
@@ -187,6 +210,7 @@ object ProxyQueries {
 
   def queries: Map[String, Q] = Map(
     "o27_keyed_concat"  -> Q(keyedConcatSql)(keyedConcat),
+    "o27_fused_concat"  -> Q(fusedConcatSql)(fusedConcat),
     "o15_format_sniff"  -> Q(formatSniffSql)(formatSniff),
     "o16_extract_table" -> Q(extractTableSql)(extractTableQ),
     "o17_hide_password" -> Q(hidePasswordSql)(hidePasswordQ),

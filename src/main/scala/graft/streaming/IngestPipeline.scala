@@ -40,19 +40,25 @@ object IngestPipeline {
 
   /** Per-micro-batch aggregation — the reference's buffer map as one
     * hash-agg over the batch: group by full URI, concatenate bodies with
-    * the format delimiter, count rows with raw-substring semantics. */
-  def aggregateBatch(batch: DataFrame): DataFrame =
-    batch.groupBy(col("uri")).agg(
-      concat_ws(",", collect_list(when(formatOf(col("uri")) === "Values",
-        col("body")))).as("values_body"),
-      concat_ws("", collect_list(when(formatOf(col("uri")) =!= "Values",
-        col("body")))).as("tsv_body"),
-      sum(rowCount(col("uri"), col("body"))).as("rows"),
-      count(lit(1)).as("reqs"))
-      .select(col("uri"),
-        when(formatOf(col("uri")) === "Values", col("values_body"))
-          .otherwise(col("tsv_body")).as("body"),
-        col("rows"), col("reqs"))
+    * the format delimiter, count rows with raw-substring semantics. One
+    * pass through the fused [[graft.functions.ConcatCountAgg]] Aggregator
+    * (append+count in a single buffer, like the reference's
+    * `Buffer{rowcount, buffer}` — no intermediate collect_list array). */
+  def aggregateBatch(batch: DataFrame): DataFrame = {
+    val fused = udaf(graft.functions.ConcatCountAgg,
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.STRING))
+    batch
+      .select(col("uri"), col("body"),
+        rowCount(col("uri"), col("body")).as("rows_in"),
+        delimiterOf(col("uri")).as("delim"))
+      .groupBy(col("uri"))
+      .agg(fused(col("body"), col("rows_in"), col("delim")).as("cc"))
+      .select(col("uri"), col("cc._1").as("body"), col("cc._2").as("rows"),
+        col("cc._3").as("reqs"))
+  }
 
   /** Send every aggregated group; spill failures to the DLQ at
     * `level + 1`. Shared by the live path (level=0) and the replayer. */
@@ -81,7 +87,13 @@ object IngestPipeline {
   def start(source: DataFrame, dlqDir: String, checkpointDir: String,
       sink: BatchSink, syncSec: Int = 2): StreamingQuery = {
     val spark = source.sparkSession
-    source.writeStream
+    source
+      // O-4/O-33: the reference's atomic in/bytes counters as observable
+      // metrics — surfaced per micro-batch on StreamingQueryProgress
+      // without a second pass over the data
+      .observe("graft_ingest", count(lit(1)).as("reqs_received"),
+        coalesce(sum(length(col("body"))), lit(0L)).as("bytes_received"))
+      .writeStream
       .trigger(Trigger.ProcessingTime(s"$syncSec seconds"))
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>

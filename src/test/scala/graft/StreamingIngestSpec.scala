@@ -46,6 +46,11 @@ class StreamingIngestSpec extends SparkSuite {
       stream.addData(data.drop(5000))
       q.processAllAvailable()
     } finally q.stop()
+    // O-4/O-33: observed metrics account for every request without a
+    // second pass (the reference's atomic counters)
+    val observed = q.recentProgress.toSeq
+      .flatMap(p => Option(p.observedMetrics.get("graft_ingest")))
+    assert(observed.map(_.getAs[Long]("reqs_received")).sum == 10000L)
     val sent = sink.sent.asScala.toSeq
     // each (wave × key) flushes once: per-batch agg, no cross-batch state
     assert(sent.map(_._3).sum == 10000L)
