@@ -11,6 +11,17 @@ object Bench {
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // steady-state warmup (JIT + codegen + parquet reader init) at the
+    // smallest SF so per-query timings aren't dominated by first-query
+    // JVM startup; the warmup SF is 100x smaller than the timed one
+    try {
+      val warmSf = "/root/testdata/sf0.001"
+      Seq("o15_format_sniff", "q1_pricing_summary", "s_lsh_ann_topk",
+        "d_simhash_pairs").foreach { q =>
+        try SparkEntry.queries(q)(spark, warmSf).count()
+        catch { case _: Throwable => () }
+      }
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -22,7 +22,8 @@ object SparkEntry {
       TextAnalysis.queries ++
       Dedup.queries ++
       Similarity.queries ++
-      Multimodal.queries
+      Multimodal.queries ++
+      graft.sources.ParsedRequests.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's core operation: keyed concat/count aggregation over the

@@ -1,0 +1,62 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.functions.ProxyFunctions._
+import graft.operators.ProxyQueries
+import graft.streaming.IngestPipeline
+
+/** Typed parsing of the wire-format payloads (SURVEY.md §1.2: the
+  * reference forwards opaque bytes; the Spark engine ADDS schema-on-read
+  * so queries can run on the ingested data, not just forward it).
+  *
+  * `parse` inverts the ingest concat for all three formats — Values
+  * `(a,b),(c,d)`, TSV lines, CSV lines — into typed rows. The registered
+  * query is a round-trip proof: synthesize requests → aggregate into
+  * batches (the fused Aggregator) → parse back → per-table totals must
+  * equal the same totals computed directly from the raw events table
+  * (which is exactly what the DuckDB oracle does).
+  */
+object ParsedRequests {
+
+  /** (uri, body) batches → typed (tbl, user_id, v) rows. */
+  def parse(batches: DataFrame): DataFrame = {
+    val pieces = when(formatOf(col("uri")) === "Values",
+        expr("regexp_extract_all(body, '\\\\(([^)]+)\\\\)', 1)"))
+      .otherwise(expr("filter(split(body, '\n'), x -> x != '')"))
+    val sep = when(formatOf(col("uri")) === "TSV", "\t").otherwise(",")
+    batches
+      .select(extractTable(col("uri")).as("tbl"), sep.as("sep"),
+        explode(pieces).as("piece"))
+      .select(col("tbl"),
+        split_part(col("piece"), col("sep"), lit(1)).cast("long").as("user_id"),
+        split_part(col("piece"), col("sep"), lit(2)).cast("long").as("v"))
+  }
+
+  /** Round-trip query: totals over parse(synthesize(events)) — oracled
+    * against the raw events table directly. Parsing happens at request
+    * granularity (small strings, full scan parallelism); the batch-level
+    * invariant parse∘aggregate ≡ parse is proven separately in
+    * ParsedRequestsSpec — exploding a handful of giant concatenated
+    * bodies would serialize the work onto one task per group. */
+  def parsedTotals(spark: SparkSession, sfDir: String): DataFrame =
+    parse(ProxyQueries.requests(spark, sfDir).select("uri", "body"))
+      .groupBy(col("tbl"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("v")).as("sum_v"),
+        countDistinct(col("user_id")).as("n_users"))
+
+  /** The oracle never sees the wire formats: it recomputes the totals
+    * from raw events, so a PASS proves parse ∘ concat ∘ synthesize =
+    * identity on every format. */
+  val parsedTotalsSql: String =
+    """SELECT event_type AS tbl,
+      |  SUM(1 + event_id % 3) AS n_rows,
+      |  SUM((1 + event_id % 3) * CAST(FLOOR(value * 100) AS BIGINT)) AS sum_v,
+      |  COUNT(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1""".stripMargin
+
+  def queries: Map[String, Q] = Map(
+    "src_parsed_roundtrip" -> Q(parsedTotalsSql)(parsedTotals))
+}
