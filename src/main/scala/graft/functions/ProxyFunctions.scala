@@ -74,12 +74,13 @@ object ProxyFunctions {
     when(level >= 10, lit("O")).otherwise(level.cast("string"))
 
   /** O-22 — GELF short-message derivation (graylog.go:130-139):
-    * full < 128 chars → as-is; else cut at first '\n' if that prefix < 128;
+    * full < 128 chars → as-is; else cut at the first '\n' when its 0-based
+    * index is ≤ 128 (reference bound is INCLUSIVE, graylog.go:134);
     * else first 125 chars + "...". */
   def shortMessage(full: Column): Column = {
     val nl = locate("\n", full) // 1-based; 0 if absent
     when(length(full) < 128, full)
-      .when(nl > 0 && nl <= 128, substring_index(full, "\n", 1))
+      .when(nl > 0 && nl <= 129, substring_index(full, "\n", 1))
       .otherwise(concat(substring(full, 1, 125), lit("...")))
   }
 

@@ -42,7 +42,7 @@ object GelfQueries {
        |  LENGTH("full") AS full_len,
        |  CASE WHEN LENGTH("full") < 128 THEN "full"
        |       WHEN position(chr(10) IN "full") > 0
-       |            AND position(chr(10) IN "full") <= 128
+       |            AND position(chr(10) IN "full") <= 129
        |         THEN split_part("full", chr(10), 1)
        |       ELSE substr("full", 1, 125) || '...' END AS short_message
        |FROM logs""".stripMargin
@@ -65,7 +65,7 @@ object GelfQueries {
        |  SELECT doc_id, level, "full",
        |    CASE WHEN LENGTH("full") < 128 THEN "full"
        |         WHEN position(chr(10) IN "full") > 0
-       |              AND position(chr(10) IN "full") <= 128
+       |              AND position(chr(10) IN "full") <= 129
        |           THEN split_part("full", chr(10), 1)
        |         ELSE substr("full", 1, 125) || '...' END AS short
        |  FROM logs WHERE level <= 6

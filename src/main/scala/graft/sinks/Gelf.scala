@@ -28,7 +28,7 @@ object Gelf {
     if (full.length < 128) full
     else {
       val nl = full.indexOf('\n')
-      if (nl >= 0 && nl < 128) full.substring(0, nl)
+      if (nl >= 0 && nl <= 128) full.substring(0, nl) // inclusive bound, graylog.go:134
       else full.substring(0, 125) + "..."
     }
 

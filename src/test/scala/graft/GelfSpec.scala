@@ -33,6 +33,36 @@ class GelfSpec extends AnyFunSuite {
     assert(json2.contains(""""short_message":"head","""))
   }
 
+  test("reference golden: graylog_test.go byte-exact (zlib round-trip)") {
+    // exact inputs and expected JSON from /root/reference/graylog_test.go
+    val message = "To write a new test suite, create a file whose name ends _test.go"
+    assert(Gelf.shortMessage(message) == message) // short passthrough
+
+    val longMessage = "To write a new test suite, create a file whose name " +
+      "ends _test.go that contains the TestXxx functions as described here. " +
+      "Put the file in the same package as the one being tested. The file " +
+      "will be excluded from regular package builds but will be included " +
+      "when the “go test” command is run."
+    val shortMessage = longMessage.substring(0, 125) + "..."
+    assert(Gelf.shortMessage(longMessage) == shortMessage)
+
+    val packed = Gelf.compress(
+      Gelf.packMessage("testhostname", 1594916275L, "screwdriver", Gelf.Info,
+        longMessage).getBytes(StandardCharsets.UTF_8))
+    val want = "{\"version\":\"1.1\",\"host\":\"testhostname\"," +
+      "\"timestamp\":1594916275,\"file\":\"screwdriver\",\"level\":6," +
+      "\"short_message\":\"" + shortMessage + "\",\"full_message\":\"" +
+      longMessage + "\"}"
+    assert(inflate(packed) == want)
+  }
+
+  test("newline cut bound is INCLUSIVE at index 128 (graylog.go:134)") {
+    val at128 = "x" * 128 + "\n" + "y" * 50
+    assert(Gelf.shortMessage(at128) == "x" * 128)
+    val at129 = "x" * 129 + "\n" + "y" * 50
+    assert(Gelf.shortMessage(at129) == "x" * 125 + "...")
+  }
+
   test("zlib round-trip preserves the packed message") {
     val json = Gelf.packMessage("h", 1L, "f", Gelf.Info, "x" * 300)
     val packed = Gelf.compress(json.getBytes(StandardCharsets.UTF_8))
