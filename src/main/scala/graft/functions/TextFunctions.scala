@@ -42,14 +42,16 @@ object TextFunctions {
     * (`df.select(explode(shingles(...)))`). Binding it to a column first and
     * exploding in a later select makes the optimizer re-inline the array
     * expression around the Generate, measured ~10× slower. */
-  def shingles(toksCol: String, k: Int): Column = {
+  def shinglesSql(toksCol: String, k: Int): String = {
     val n = s"greatest(size($toksCol) - ${k - 1}, 0)"
     def chain(j: Int): String =
       if (j == k - 1) s"slice($toksCol, ${j + 1}, $n)"
       else s"zip_with(slice($toksCol, ${j + 1}, $n), ${chain(j + 1)}, " +
         "(a, b) -> concat(a, ' ', b))"
-    array_distinct(expr(chain(0)))
+    s"array_distinct(${chain(0)})"
   }
+
+  def shingles(toksCol: String, k: Int): Column = expr(shinglesSql(toksCol, k))
 
   /** Count of tokens (in array column `toksCol`) in `set`, with multiplicity. */
   def tokenHits(toksCol: String, set: Seq[String]): Column = {

@@ -84,28 +84,28 @@ object Dedup {
     * recall on this corpus at df ≤ 10 with 2.6× fewer candidates). */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     val base = toks(spark, sfDir)
-    val ex = base.select(col("doc_id"), explode(shingles("t", 3)).as("shingle"))
-    val sh = base.select(col("doc_id"), shingles("t", 3).as("s"))
+    // everything downstream works on 60-bit md5-prefix hashes of the
+    // shingles: long join keys and long-array intersects instead of
+    // strings (cheaper shuffles and equality); a hash collision perturbs
+    // the oracle identically (same hash function), so checks are unaffected
+    val hashShingles = expr(
+      "transform(" + shinglesSql("t", 3) +
+        ", x -> CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT))")
+    val ex = base.select(col("doc_id"), explode(hashShingles).as("h"))
     val rare = ex.join(
-      ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= MaxShingleDf).select("shingle"),
-      Seq("shingle"))
+      ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= MaxShingleDf).select("h"),
+      Seq("h"))
     val cand = rare.as("a").join(rare.as("b"),
-        col("a.shingle") === col("b.shingle") &&
-          col("a.doc_id") < col("b.doc_id"))
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // verify phase: per-pair set intersection over full shingle sets — one
-    // codegen'd array_intersect per candidate instead of re-exploding into
-    // a (candidates × shingles-per-doc) join. Shingles are pre-hashed to
-    // 60-bit longs (md5 prefix): 2.5× smaller broadcast payload and long
-    // equality instead of string equality in the intersect; a hash
-    // collision perturbs c identically in the oracle (same hash), so the
-    // check is unaffected. `sh` is broadcast here (small at bench scale);
-    // at 100 TB it becomes a shuffle join on doc_id, still O(candidates).
-    val shH = sh.select(col("doc_id"), expr(
-      "transform(s, x -> CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT))")
-      .as("s"))
+    // verify phase: per-pair set intersection over full (hashed) shingle
+    // sets — one codegen'd array_intersect per candidate instead of
+    // re-exploding into a (candidates × shingles-per-doc) join. `shH` is
+    // broadcast here (small at bench scale); at 100 TB it becomes a
+    // shuffle join on doc_id, still O(candidates).
+    val shH = base.select(col("doc_id"), hashShingles.as("s"))
     cand
       .join(broadcast(shH).as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(broadcast(shH).as("sb"), col("doc_b") === col("sb.doc_id"))
@@ -119,15 +119,18 @@ object Dedup {
   }
 
   val ngramJaccardSql: String =
-    s"""WITH $shingleCte, rare AS (
-       |  SELECT ex.doc_id, ex.shingle FROM ex JOIN (
-       |    SELECT shingle FROM ex GROUP BY shingle
+    s"""WITH $shingleCte, exh AS (
+       |  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+       |  FROM ex
+       |), rare AS (
+       |  SELECT exh.doc_id, exh.h FROM exh JOIN (
+       |    SELECT h FROM exh GROUP BY h
        |    HAVING COUNT(*) <= $MaxShingleDf
-       |  ) r ON ex.shingle = r.shingle
+       |  ) r ON exh.h = r.h
        |), cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM rare a JOIN rare b
-       |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |    ON a.h = b.h AND a.doc_id < b.doc_id
        |), shh AS (
        |  SELECT doc_id, list_transform(s,
        |    x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS s
