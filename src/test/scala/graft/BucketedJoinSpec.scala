@@ -1,0 +1,50 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+
+/** Shuffle-free co-located joins via bucketing — the storage-layout lever
+  * for repeated fact-fact joins at 100 TB: both tables bucketed by the
+  * join key join with ZERO Exchange in the plan (each bucket pair joins
+  * locally). Verified by inspecting the physical plan. */
+class BucketedJoinSpec extends SparkSuite {
+
+  test("bucketed orders ⋈ lineitem plans without a shuffle") {
+    val s = spark
+    val wh = Files.createTempDirectory("graft-buckets").toString
+    // disable auto-broadcast: at real scale both sides are too big to
+    // broadcast — force the plan shape a fact-fact join would get
+    val prevThreshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.sql("DROP TABLE IF EXISTS b_orders")
+    s.sql("DROP TABLE IF EXISTS b_lineitem")
+    try {
+      Tables.orders(s, sf0001).select("o_orderkey", "o_totalprice")
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$wh/b_orders").saveAsTable("b_orders")
+      Tables.lineitem(s, sf0001).select("l_orderkey", "l_extendedprice")
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$wh/b_lineitem").saveAsTable("b_lineitem")
+
+      val joined = s.table("b_orders").join(s.table("b_lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(sum(col("l_extendedprice")).as("rev"))
+
+      val plan = joined.queryExecution.executedPlan.toString
+      // co-located: the join itself needs no Exchange (the only exchange
+      // allowed is the one introduced by the final groupBy if its key
+      // doesn't line up — here it bucket-aligns too, so expect none)
+      assert(!plan.contains("Exchange"),
+        s"expected shuffle-free bucketed join, got:\n$plan")
+      // and it is a sort-merge join over the bucketed sort order
+      assert(plan.contains("SortMergeJoin"))
+      assert(joined.count() > 0)
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      s.sql("DROP TABLE IF EXISTS b_orders")
+      s.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+}
