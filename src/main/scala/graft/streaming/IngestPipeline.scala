@@ -55,18 +55,31 @@ object IngestPipeline {
         rowCount(col("uri"), col("body")).as("rows_in"),
         delimiterOf(col("uri")).as("delim"))
       .groupBy(col("uri"))
-      .agg(fused(col("body"), col("rows_in"), col("delim")).as("cc"))
+      .agg(fused(col("body"), col("rows_in"), col("delim")).as("cc"),
+        sum(length(col("body"))).cast("long").as("bytes_in"))
       .select(col("uri"), col("cc._1").as("body"), col("cc._2").as("rows"),
-        col("cc._3").as("reqs"))
+        col("cc._3").as("reqs"), col("bytes_in"))
   }
 
   /** Send every aggregated group; spill failures to the DLQ at
-    * `level + 1`. Shared by the live path (level=0) and the replayer. */
+    * `level + 1`. Shared by the live path (level=0) and the replayer.
+    * Metric bookkeeping mirrors the reference's send path
+    * (main.go:392-434): rows/requests/bytes at 3 grains on success,
+    * ch_errors on failure, wall duration either way. */
   def sendOrSpill(spark: SparkSession, agg: Array[Row], dlqDir: String,
-      sink: BatchSink, levelOf: Row => Int): Unit = {
+      sink: BatchSink, levelOf: Row => Int,
+      metrics: Option[graft.sinks.MetricStorage] = None): Unit = {
     val failed = agg.filter { r =>
-      !sink.send(r.getAs[String]("uri"), r.getAs[String]("body"),
-        r.getAs[Long]("rows"))
+      val uri = r.getAs[String]("uri")
+      val body = r.getAs[String]("body")
+      val rows = r.getAs[Long]("rows")
+      val t0 = System.nanoTime()
+      val ok = sink.send(uri, body, rows)
+      metrics.foreach { m =>
+        m.onSendDuration((System.nanoTime() - t0) / 1000000L)
+        if (ok) m.onSend(uri, rows, body.length.toLong) else m.onSendError(uri)
+      }
+      !ok
     }
     if (failed.nonEmpty) spill(spark, failed.toSeq.map(r =>
       (r.getAs[String]("uri"), r.getAs[String]("body"),
@@ -85,7 +98,8 @@ object IngestPipeline {
     * processing-time trigger. `source` must be a streaming DataFrame with
     * (uri STRING, body STRING) columns. */
   def start(source: DataFrame, dlqDir: String, checkpointDir: String,
-      sink: BatchSink, syncSec: Int = 2): StreamingQuery = {
+      sink: BatchSink, syncSec: Int = 2,
+      metrics: Option[graft.sinks.MetricStorage] = None): StreamingQuery = {
     val spark = source.sparkSession
     source
       // O-4/O-33: the reference's atomic in/bytes counters as observable
@@ -98,7 +112,11 @@ object IngestPipeline {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val agg = aggregateBatch(batch).collect()
-        sendOrSpill(spark, agg, dlqDir, sink, _ => 0)
+        metrics.foreach(m => agg.foreach { r =>
+          m.onIngest(r.getAs[String]("uri"), r.getAs[Long]("reqs"),
+            r.getAs[Long]("bytes_in"))
+        })
+        sendOrSpill(spark, agg, dlqDir, sink, _ => 0, metrics)
       }
       .start()
   }
@@ -118,7 +136,10 @@ object IngestPipeline {
       .as[(String, String, Long, Int, Long)].collect()
     val (live, tomb) = all.partition(_._4 < 10)
     val ordered = live.sortBy(r => (r._4, r._5)) // O-34: level, then ts
-    val failed = ordered.filter(r => !sink.send(r._1, r._2, r._3))
+    // faithful quirk: the reference replays with rowcount=1 regardless of
+    // the batch's true row count (main.go:479), under-reporting rows_sent
+    // for replayed batches — reproduced, not fixed (SURVEY.md §3.3)
+    val failed = ordered.filter(r => !sink.send(r._1, r._2, rows = 1L))
     // rewrite the queue: failures escalate, tombstones are preserved
     val next = failed.map(r => (r._1, r._2, r._3, r._4 + 1, r._5)) ++ tomb
     val tmp = dlqDir + ".next"

@@ -3,7 +3,7 @@ package graft
 import java.nio.charset.StandardCharsets
 import java.util.zip.Inflater
 import org.scalatest.funsuite.AnyFunSuite
-import graft.sinks.{Gelf, Graphite}
+import graft.sinks.{Gelf, MetricStorage}
 
 /** Golden-output tests for the GELF/Graphite sink plumbing, mirroring the
   * reference's byte-exact graylog_test.go (zlib round-trip + short-message
@@ -91,16 +91,37 @@ class GelfSpec extends AnyFunSuite {
     assert(body sameElements payload)
   }
 
-  test("graphite lines derive speed = bytesSent / sendDuration (metric.go:26-38)") {
-    val lines = Graphite.renderLines(
-      Map("requests" -> 10L, "bytesSent" -> 1000L, "sendDuration" -> 4L),
-      "proxyhouse")
-    assert(lines == Seq("proxyhouse.requests 10", "proxyhouse.speed 250"))
+  test("metric flush derives bytes_to_milliseconds and clears (metric.go:23-45)") {
+    val m = new MetricStorage("h1", cntPrefix = "cnt", avgPrefix = "avg")
+    m.increment("cnt.requests_received", 10L)
+    m.increment("bytesSent", 1000L)
+    m.increment("sendDuration", 4L)
+    val lines = m.flushLines()
+    assert(lines == Seq("avg.bytes_to_milliseconds 250",
+      "cnt.requests_received 10"))
+    assert(m.flushLines().isEmpty) // swap-and-clear, like the reference
   }
 
-  test("graphite zero-duration guard drops the pair") {
-    val lines = Graphite.renderLines(
-      Map("bytesSent" -> 1000L, "sendDuration" -> 0L), "p")
-    assert(lines.isEmpty)
+  test("metric flush: zero-duration guard consumes the pair without a ratio") {
+    val m = new MetricStorage("h1", cntPrefix = "cnt", avgPrefix = "avg")
+    m.increment("bytesSent", 1000L)
+    m.increment("sendDuration", 0L)
+    assert(m.flushLines().isEmpty) // pair removed even when ratio not emitted
+  }
+
+  test("3-grain metric fan-out matches the reference's names (main.go:210-216,392-405)") {
+    val m = new MetricStorage("hostA", cntPrefix = "one_sec.ph",
+      avgPrefix = "one_min.ph")
+    m.onIngest("/?query=INSERT%20INTO%20clicks%20VALUES", reqs = 2L, bytes = 20L)
+    m.onSend("/?query=INSERT%20INTO%20clicks%20VALUES", rowcount = 5L, bytes = 40L)
+    m.onSendError("/?query=INSERT%20INTO%20clicks%20VALUES")
+    val lines = m.flushLines().toSet
+    assert(lines.contains("one_sec.ph.requests_received 2"))
+    assert(lines.contains("one_sec.ph.byhost.hostA.requests_received 2"))
+    assert(lines.contains("one_sec.ph.bytable.clicks.requests_received 2"))
+    assert(lines.contains("one_sec.ph.rows_sent 5"))
+    assert(lines.contains("one_sec.ph.bytable.clicks.bytes_sent 40"))
+    assert(lines.contains("one_min.ph.bytes_sent 40"))
+    assert(lines.contains("one_sec.ph.bytable.clicks.ch_errors 1"))
   }
 }

@@ -32,9 +32,11 @@ class StreamingIngestSpec extends SparkSuite {
     implicit val sc = s.sqlContext
     val stream = MemoryStream[(String, String)]
     val sink = new RecordingSink()
+    val metrics = new graft.sinks.MetricStorage("testhost",
+      cntPrefix = "cnt", avgPrefix = "avg")
     val q = IngestPipeline.start(
       stream.toDF().toDF("uri", "body"),
-      tmp("dlq"), tmp("ckpt"), sink, syncSec = 1)
+      tmp("dlq"), tmp("ckpt"), sink, syncSec = 1, metrics = Some(metrics))
     try {
       val tables = Seq("a", "b", "c")
       val data = (1 to 10000).map { i =>
@@ -62,6 +64,12 @@ class StreamingIngestSpec extends SparkSuite {
     // nondeterministic — SURVEY.md §1.3)
     val rows = sent.flatMap(_._2.split(",")).sorted
     assert(rows == (1 to 10000).map(i => s"($i)").sorted)
+    // live 3-grain counters saw every request (main.go:210-216)
+    val lines = metrics.flushLines()
+    assert(lines.contains("cnt.requests_received 10000"))
+    assert(lines.contains("cnt.byhost.testhost.requests_received 10000"))
+    assert(lines.contains("cnt.rows_sent 10000"))
+    assert(lines.exists(_.startsWith("cnt.bytable.a.requests_received ")))
   }
 
   test("DLQ: failed batches spill at level 1 and escalate to tombstone at 10") {
@@ -114,6 +122,9 @@ class StreamingIngestSpec extends SparkSuite {
     assert(sent == 3L)
     val order = sink.sent.asScala.toSeq.map(_._1)
     assert(order == Seq("/u1b", "/u1a", "/u3")) // level 1 (older first), then 3
+    // faithful quirk: replay reports rowcount=1 regardless of true rows
+    // (main.go:479 — SURVEY.md §3.3)
+    assert(sink.sent.asScala.forall(_._3 == 1L))
   }
 
   test("dlqStatus thresholds against backlog size") {
