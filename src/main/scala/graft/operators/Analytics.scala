@@ -117,6 +117,91 @@ object Analytics {
       |  JOIN region ON n_regionkey = r_regionkey
       |GROUP BY r_name, n_name""".stripMargin
 
+  // ---- TPC-H Q4-style: correlated EXISTS with cross-table predicate ---------
+
+  /** Orders in 1995Q1 having ≥1 lineitem shipped after the order date,
+    * counted by priority — a left-semi join whose condition spans both
+    * sides (the semi side prunes to (orderkey, shipdate) before the
+    * shuffle). */
+  def q4OrderPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1995-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1995-04-01")))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val l = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_shipdate")
+    o.join(l, o("o_orderkey") === l("l_orderkey") &&
+        l("l_shipdate") > o("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  val q4Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1995-04-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority""".stripMargin
+
+  // ---- TPC-H Q14-style: conditional share over a dim join -------------------
+
+  /** Promo revenue share: lineitem ⋈ part (broadcast dim), CASE-split
+    * aggregate in one pass. */
+  def q14PromoShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_extendedprice", "l_discount")
+    val p = Tables.part(spark, sfDir).select("p_partkey", "p_type")
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(round(lit(100.0) * sum(when(col("p_type") === "PROMO", rev)
+          .otherwise(lit(0.0))) / sum(rev), 4).as("promo_share_pct"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q14Sql: String =
+    """SELECT
+      |  ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+      |    THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+      |    / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_share_pct,
+      |  COUNT(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin
+
+  // ---- TPC-H Q18-style: HAVING subquery + deterministic top-k ---------------
+
+  /** Large-volume orders: per-order quantity sums filtered by HAVING,
+    * joined back to orders and customers; top-20 by price with orderkey
+    * tiebreak. The HAVING aggregation runs BEFORE the join — only
+    * qualifying orderkeys (rare) reach the join, so the join input is
+    * tiny regardless of fact size. */
+  def q18LargeOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val big = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 250)
+    val o = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    val c = Tables.customer(spark, sfDir).select("c_custkey", "c_name")
+    o.join(big, o("o_orderkey") === big("l_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .select(col("c_name"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("order_date"),
+        round(col("o_totalprice"), 2).as("total_price"),
+        round(col("sum_qty"), 2).as("sum_qty"))
+      .orderBy(col("total_price").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  val q18Sql: String =
+    """SELECT c_name, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+      |  ROUND(o_totalprice, 2) AS total_price, ROUND(sum_qty, 2) AS sum_qty
+      |FROM orders
+      |  JOIN (SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+      |        FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 250) big
+      |    ON o_orderkey = big.l_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |ORDER BY total_price DESC, o_orderkey LIMIT 20""".stripMargin
+
   // ---- semi / anti joins -----------------------------------------------------
 
   /** Customers with vs without 1995 orders, by segment (left_semi /
@@ -355,7 +440,10 @@ object Analytics {
   def queries: Map[String, Q] = Map(
     "q1_pricing_summary"  -> Q(q1Sql)(q1Pricing),
     "q3_shipping_priority"-> Q(q3Sql)(q3Shipping),
+    "q4_order_priority"   -> Q(q4Sql)(q4OrderPriority),
     "q5_nation_revenue"   -> Q(q5Sql)(q5NationRevenue),
+    "q14_promo_share"     -> Q(q14Sql)(q14PromoShare),
+    "q18_large_orders"    -> Q(q18Sql)(q18LargeOrders),
     "q_semi_anti_join"    -> Q(semiAntiSql)(semiAnti),
     "q_outer_join_hist"   -> Q(outerCountSql)(outerCount),
     "q_window_topk"       -> Q(windowTopKSql)(windowTopK),
