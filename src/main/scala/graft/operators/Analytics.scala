@@ -297,6 +297,52 @@ object Analytics {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
       |FROM orders""".stripMargin
 
+  // ---- exact quantiles --------------------------------------------------------
+
+  /** Exact interpolated percentiles of extended price per return flag —
+    * `percentile` and DuckDB `quantile_cont` share the linear-interpolation
+    * definition, so the oracle is exact (rounded at 4). At 100 TB one
+    * would reach for approx_percentile (t-digest) — kept exact here
+    * because cross-engine sketches don't agree; the plan shape (single
+    * sort-free aggregation) is the same. */
+  def quantiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.95D))")
+        .as("qs"), count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        round(element_at(col("qs"), 1), 4).as("p25"),
+        round(element_at(col("qs"), 2), 4).as("p50"),
+        round(element_at(col("qs"), 3), 4).as("p75"),
+        round(element_at(col("qs"), 4), 4).as("p95"),
+        col("n"))
+
+  val quantilesSql: String =
+    """SELECT l_returnflag,
+      |  ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+      |  ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+      |  ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+      |  ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  // ---- monthly trend (date functions) ----------------------------------------
+
+  /** Monthly revenue trend: date_trunc bucketing + distinct customers. */
+  def monthlyRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"))
+
+  val monthlyRevenueSql: String =
+    """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+      |  ROUND(SUM(o_totalprice), 2) AS revenue,
+      |  COUNT(DISTINCT o_custkey) AS n_customers,
+      |  COUNT(*) AS n_orders
+      |FROM orders GROUP BY 1""".stripMargin
+
   // ---- ROLLUP with grouping markers -------------------------------------------
 
   def rollupSales(spark: SparkSession, sfDir: String): DataFrame =
@@ -449,6 +495,8 @@ object Analytics {
     "q_window_topk"       -> Q(windowTopKSql)(windowTopK),
     "q_window_running"    -> Q(windowRunningSql)(windowRunning),
     "q_rollup_sales"      -> Q(rollupSalesSql)(rollupSales),
+    "q_quantiles"         -> Q(quantilesSql)(quantiles),
+    "q_monthly_revenue"   -> Q(monthlyRevenueSql)(monthlyRevenue),
     "q_setops"            -> Q(setOpsSql)(setOps),
     "q_sessionize"        -> Q(sessionizeSql)(sessionize),
     "q_pivot_hourly"      -> Q(pivotHourlySql)(pivotHourly),

@@ -109,6 +109,32 @@ class StreamingIngestSpec extends SparkSuite {
     assert(IngestPipeline.replayOnce(s, dlqDir, healthy) == ((0L, 0L)))
   }
 
+  test("checkpoint restart resumes without reprocessing delivered batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val ckpt = tmp("ckpt")
+    val dlq = tmp("dlq")
+    val stream = MemoryStream[(String, String)]
+    val sink = new RecordingSink()
+    val q1 = IngestPipeline.start(stream.toDF().toDF("uri", "body"),
+      dlq, ckpt, sink, syncSec = 1)
+    try {
+      stream.addData(Seq(("/?query=INSERT%20INTO%20t%20VALUES", "(1)")))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(sink.sent.size == 1)
+    // restart against the SAME checkpoint + source: only new data flows
+    val q2 = IngestPipeline.start(stream.toDF().toDF("uri", "body"),
+      dlq, ckpt, sink, syncSec = 1)
+    try {
+      stream.addData(Seq(("/?query=INSERT%20INTO%20t%20VALUES", "(2)")))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val bodies = sink.sent.asScala.toSeq.map(_._2).sorted
+    assert(bodies == Seq("(1)", "(2)")) // (1) was NOT re-delivered
+  }
+
   test("DLQ replay order: lowest level first, then oldest (O-34)") {
     val s = spark
     val dlqDir = tmp("dlq")
