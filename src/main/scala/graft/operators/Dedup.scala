@@ -239,25 +239,25 @@ object Dedup {
   /** 16-bit SimHash over 3-shingle features (unigram features don't
     * discriminate — every doc shares the corpus unigram distribution);
     * near-dup pairs block on either signature half (guarantees recall for
-    * hamming ≤ 1 per half) and keep hamming ≤ 3. */
+    * hamming ≤ 1 per half) and keep hamming ≤ 3.
+    *
+    * Shape for scale (same trick as minhash): the 16 per-bit ±1 sums are
+    * 16 aggregate columns of ONE groupBy(doc) over the shingle stream —
+    * md5 evaluated once per shingle (physical-plan CSE across the 16
+    * expressions), one shuffle of 16 longs per doc, no shingles×16 row
+    * explosion. */
   def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val tok = toks(spark, sfDir)
       .select(col("doc_id"), explode(shingles("t", 3)).as("token"))
-    // posexplode over the hash's first 16 chars: md5 is evaluated ONCE per
-    // shingle (generator input), not once per bit — a lambda-based variant
-    // re-evaluates md5 for every bit position (16× the hash work)
-    val bits = tok
-      .select(col("doc_id"),
-        posexplode(split(substring(md5(col("token")), 1, SimBits), "")))
-      .select(col("doc_id"), col("pos").as("b"),
-        when(ascii(col("col")) % 2 === 1, 1L).otherwise(-1L).as("v"))
-      .groupBy(col("doc_id"), col("b"))
-      .agg(sum(col("v")).as("s"))
-      .withColumn("bit", when(col("s") >= 0, "1").otherwise("0"))
-      .withColumn("kb", concat(lpad(col("b").cast("string"), 2, "0"), col("bit")))
-    val sig = bits.groupBy(col("doc_id"))
-      .agg(expr("concat_ws('', transform(array_sort(collect_list(kb)), " +
-        "x -> substr(x, 3, 1)))").as("sig"))
+      .select(col("doc_id"), substring(md5(col("token")), 1, SimBits).as("h"))
+    val bitSums = (0 until SimBits).map(b =>
+      sum(when(ascii(substring(col("h"), b + 1, 1)) % 2 === 1, 1L)
+        .otherwise(-1L)).as(s"s$b"))
+    val sums = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sigExpr = concat((0 until SimBits).map(b =>
+      when(col(s"s$b") >= 0, "1").otherwise("0")): _*)
+    val sig = sums
+      .select(col("doc_id"), sigExpr.as("sig"))
       .select(col("doc_id"), col("sig"),
         substring(col("sig"), 1, SimBits / 2).as("lh"),
         substring(col("sig"), SimBits / 2 + 1, SimBits / 2).as("rh"))
@@ -290,18 +290,24 @@ object Dedup {
        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
        |  FROM toks
        |), tok AS (
-       |  SELECT doc_id, unnest(s) AS token FROM shs
-       |), bits AS (
-       |  SELECT doc_id, b,
-       |    CASE WHEN SUM(CASE WHEN ascii(substr(md5(token), b + 1, 1)) % 2 = 1
-       |      THEN 1 ELSE -1 END) >= 0 THEN '1' ELSE '0' END AS bit
-       |  FROM tok, range(0, $SimBits) r(b)
-       |  GROUP BY doc_id, b
+       |  SELECT doc_id, substr(md5(unnest(s)), 1, $SimBits) AS h FROM shs
+       |), sums AS (
+       |  SELECT doc_id,
+       |    ${(0 until SimBits).map(b =>
+              s"SUM(CASE WHEN ascii(substr(h, ${b + 1}, 1)) % 2 = 1 " +
+                s"THEN 1 ELSE -1 END) AS s$b").mkString(",\n    ")}
+       |  FROM tok GROUP BY doc_id
+       |), sig0 AS (
+       |  SELECT doc_id,
+       |    ${(0 until SimBits).map(b =>
+              s"CASE WHEN s$b >= 0 THEN '1' ELSE '0' END")
+              .mkString(" || ")} AS sig
+       |  FROM sums
        |), sig AS (
-       |  SELECT doc_id, string_agg(bit, '' ORDER BY b) AS sig,
-       |    substr(string_agg(bit, '' ORDER BY b), 1, ${SimBits / 2}) AS lh,
-       |    substr(string_agg(bit, '' ORDER BY b), ${SimBits / 2 + 1}, ${SimBits / 2}) AS rh
-       |  FROM bits GROUP BY doc_id
+       |  SELECT doc_id, sig,
+       |    substr(sig, 1, ${SimBits / 2}) AS lh,
+       |    substr(sig, ${SimBits / 2 + 1}, ${SimBits / 2}) AS rh
+       |  FROM sig0
        |), pairs AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    a.sig AS sig_a, b.sig AS sig_b

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Q
@@ -167,8 +167,141 @@ object Similarity {
        |WHERE na.nrm > 0 AND nb.nrm > 0
        |  AND dot / (na.nrm * nb.nrm) >= 0.3""".stripMargin
 
+  // ---- ANN quality: recall of LSH vs exact ----------------------------------
+
+  /** Per-table 4-bit sign bucket for OR-amplified LSH: table `t` reads 4
+    * sign bits from its own 16-dim block (dims t·16 + {1,5,9,13},
+    * 1-based). */
+  private def bucket4(t: Int): Column =
+    concat((0 until 4).map { j =>
+      when(expr(s"element_at(embedding, ${t * 16 + 1 + j * 4})") >= 0f, "1")
+        .otherwise("0")
+    }: _*)
+
+  private def bucket4Sql(t: Int): String = (0 until 4)
+    .map(j => s"CASE WHEN embedding[${t * 16 + 1 + j * 4}] >= 0 " +
+      "THEN '1' ELSE '0' END").mkString(" || ")
+
+  /** Recall@5 of sign-LSH ANN against exact brute-force top-5, for TWO
+    * designs: the single 8-bit table (AND-amplified — tiny candidate
+    * sets, low recall on structureless data) and 4 OR-amplified 4-bit
+    * tables (union of 4 bucket joins — ~4× the candidates, several times
+    * the recall). The measurement that justifies the bucket-design knob;
+    * denominator fixed at 5 (strict recall). */
+  def annRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val q = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val exact = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", cosineSim(col("embedding"), col("q_emb")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(round(col("cosine"), 6).desc, col("vec_id"))
+    val exactTop = exact.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"))
+
+    def recallOf(lshTop: DataFrame, method: String): DataFrame = {
+      val hits = exactTop.join(lshTop, Seq("q_id", "neighbor_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+      exactTop.select(col("q_id")).distinct()
+        .join(hits, Seq("q_id"), "left_outer")
+        .select(coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .agg(round(avg(col("n_hits")) / 5.0, 4).as("avg_recall_at_5"),
+          count(lit(1)).as("n_queries"))
+        .withColumn("method", lit(method))
+    }
+
+    val single = recallOf(lshAnnTopK(spark, sfDir)
+      .select(col("q_id"), col("neighbor_id")), "lsh_8bit_x1")
+
+    // OR-amplification: candidates = union over 4 tables of bucket joins
+    val multiCand = (0 until 4).map { t =>
+      val et = e.select(col("vec_id"), bucket4(t).as("bk"))
+      val qt = q.select(col("q_id"), col("q_emb"))
+        .join(e.select(col("vec_id").as("q_id"), bucket4(t).as("bk")), Seq("q_id"))
+      et.join(qt, Seq("bk")).filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"))
+    }.reduce(_ unionByName _).distinct()
+    val multiScored = multiCand
+      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding")),
+        Seq("neighbor_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .withColumn("cosine", cosineSim(col("embedding"), col("q_emb")))
+    val wN = Window.partitionBy(col("q_id"))
+      .orderBy(round(col("cosine"), 6).desc, col("neighbor_id"))
+    val multiTop = multiScored.withColumn("rk", row_number().over(wN))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("neighbor_id"))
+    val multi = recallOf(multiTop, "lsh_4bit_x4")
+
+    single.unionByName(multi).select("method", "avg_recall_at_5", "n_queries")
+  }
+
+  val annRecallSql: String =
+    s"""WITH $embCte, dots AS (
+       |  SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id, SUM(a.x * b.x) AS dot
+       |  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < 50
+       |    AND b.vec_id <> a.vec_id
+       |  GROUP BY 1, 2
+       |), scored AS (
+       |  SELECT q_id, neighbor_id, ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
+       |  FROM dots JOIN nrm na ON q_id = na.vec_id
+       |    JOIN nrm nb ON neighbor_id = nb.vec_id
+       |  WHERE na.nrm > 0 AND nb.nrm > 0
+       |), exact_top AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT q_id, neighbor_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cosine DESC, neighbor_id) AS rk FROM scored
+       |  ) WHERE rk <= 5
+       |), bk AS (
+       |  SELECT vec_id, $bucketExpr AS bucket FROM embeddings
+       |), lsh1_top AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT s.q_id, s.neighbor_id, row_number() OVER (PARTITION BY s.q_id
+       |      ORDER BY s.cosine DESC, s.neighbor_id) AS rk
+       |    FROM scored s
+       |      JOIN bk qb ON s.q_id = qb.vec_id
+       |      JOIN bk cb ON s.neighbor_id = cb.vec_id AND qb.bucket = cb.bucket
+       |  ) WHERE rk <= 5
+       |), bk4 AS (
+       |  ${(0 until 4).map(t =>
+            s"SELECT vec_id, $t AS tbl, ${bucket4Sql(t)} AS bucket FROM embeddings")
+            .mkString("\n  UNION ALL\n  ")}
+       |), cand4 AS (
+       |  SELECT DISTINCT qb.vec_id AS q_id, cb.vec_id AS neighbor_id
+       |  FROM bk4 qb JOIN bk4 cb
+       |    ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket
+       |    AND qb.vec_id < 50 AND cb.vec_id <> qb.vec_id
+       |), lsh4_top AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT s.q_id, s.neighbor_id, row_number() OVER (PARTITION BY s.q_id
+       |      ORDER BY s.cosine DESC, s.neighbor_id) AS rk
+       |    FROM scored s JOIN cand4 c
+       |      ON s.q_id = c.q_id AND s.neighbor_id = c.neighbor_id
+       |  ) WHERE rk <= 5
+       |), qs AS (
+       |  SELECT DISTINCT q_id FROM exact_top
+       |), h1 AS (
+       |  SELECT e.q_id, COUNT(*) AS n FROM exact_top e
+       |  JOIN lsh1_top l ON e.q_id = l.q_id AND e.neighbor_id = l.neighbor_id
+       |  GROUP BY 1
+       |), h4 AS (
+       |  SELECT e.q_id, COUNT(*) AS n FROM exact_top e
+       |  JOIN lsh4_top l ON e.q_id = l.q_id AND e.neighbor_id = l.neighbor_id
+       |  GROUP BY 1
+       |)
+       |SELECT 'lsh_8bit_x1' AS method,
+       |  ROUND(AVG(COALESCE(n, 0)) / 5.0, 4) AS avg_recall_at_5,
+       |  COUNT(*) AS n_queries
+       |FROM qs LEFT JOIN h1 USING (q_id)
+       |UNION ALL
+       |SELECT 'lsh_4bit_x4',
+       |  ROUND(AVG(COALESCE(n, 0)) / 5.0, 4), COUNT(*)
+       |FROM qs LEFT JOIN h4 USING (q_id)""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "s_cosine_topk"   -> Q(cosineTopKSql)(cosineTopK),
     "s_lsh_ann_topk"  -> Q(lshAnnTopKSql)(lshAnnTopK),
-    "s_embed_neardup" -> Q(embedNearDupSql)(embedNearDup))
+    "s_embed_neardup" -> Q(embedNearDupSql)(embedNearDup),
+    "s_ann_recall"    -> Q(annRecallSql)(annRecall))
 }
