@@ -133,7 +133,61 @@ object Multimodal {
        |  ROUND(SUM(CAST(f1 AS DOUBLE)), 4) AS sum_f1
        |FROM feat GROUP BY mime""".stripMargin
 
+  // ---- frame sampling (video path) ------------------------------------------
+
+  /** Frame record emitted by the sampler. */
+  final case class Frame(doc_id: Long, frame_idx: Int, frame_bytes: Long,
+      checksum: Long)
+
+  /** STUB frame extractor: treats the blob as fixed-size 256-byte frames
+    * and samples every 4th — the partition-local batch shape of a real
+    * video decoder (one blob in, many frame rows out), with arithmetic
+    * deterministic enough to oracle. A real decoder swaps only the
+    * slicing logic. */
+  private def sampleFrames(rows: Iterator[MediaRow]): Iterator[Frame] =
+    rows.filter(_.mime == "video/mp4").flatMap { r =>
+      val frameSize = 256
+      val nFrames = r.content.length / frameSize
+      (0 until nFrames).filter(_ % 4 == 0).map { i =>
+        val frame = r.content.slice(i * frameSize, (i + 1) * frameSize)
+        var sum = 0L
+        frame.foreach(b => sum += (b & 0xFF))
+        Frame(r.doc_id, i, frame.length.toLong, sum)
+      }.iterator
+    }
+
+  /** Frame-sampling pipeline: per-video every-4th-frame extraction
+    * (map-side flatMap — blobs never shuffle, only frame metadata does),
+    * aggregated per document. */
+  def frameSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    media(spark, sfDir).as[MediaRow]
+      .mapPartitions(sampleFrames)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(col("frame_bytes")).as("sampled_bytes"),
+        sum(col("checksum")).as("sum_checksum"))
+  }
+
+  /** Oracle recomputes the same arithmetic in SQL: frame i covers bytes
+    * [i*256+1, (i+1)*256] (1-based substr on the ASCII text = the blob),
+    * every 4th frame, byte-sum via ascii codes. */
+  val frameSampleSql: String =
+    s"""WITH $mediaCte, frames AS (
+       |  SELECT doc_id, i AS frame_idx,
+       |    substr(text, CAST(i * 256 + 1 AS INT), 256) AS frame
+       |  FROM media, range(0, 10000) r(i)
+       |  WHERE mime = 'video/mp4' AND i % 4 = 0
+       |    AND (i + 1) * 256 <= octet_length(content)
+       |)
+       |SELECT doc_id, COUNT(*) AS n_sampled,
+       |  SUM(LENGTH(frame)) AS sampled_bytes,
+       |  SUM((SELECT SUM(ascii(c)) FROM unnest(string_split(frame, '')) u(c)))
+       |    AS sum_checksum
+       |FROM frames GROUP BY doc_id""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "m_binary_meta"  -> Q(binaryMetaSql)(binaryMeta),
-    "m_features_agg" -> Q(featuresAggSql)(featuresAgg))
+    "m_features_agg" -> Q(featuresAggSql)(featuresAgg),
+    "m_frame_sample" -> Q(frameSampleSql)(frameSample))
 }
