@@ -15,6 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("replace_first"),
       ReplaceFirst.info,
       { args => ReplaceFirst(args(0), args(1), args(2)) }))
+    ext.injectOptimizerRule(_ => CanonicalizeCosine)
   }
 }
 

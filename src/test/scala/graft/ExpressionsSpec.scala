@@ -59,6 +59,26 @@ class ExpressionsSpec extends SparkSuite {
     assert(r.getString(1) == "x!y.z")
   }
 
+  test("optimizer canonicalizes commutative cosine_sim argument order") {
+    val s = spark
+    import graft.model.Tables
+    val e = Tables.embeddings(s, sf0001)
+    val shifted = e.select(col("embedding").as("a"),
+      reverse(col("embedding")).as("b"))
+    def canonicalArgs(c: org.apache.spark.sql.Column): Seq[String] =
+      shifted.select(c).queryExecution.optimizedPlan.expressions.flatMap(_.collect {
+        case cs: org.apache.spark.sql.graft.CosineSimilarity =>
+          cs.children.map(_.sql)
+      }).flatten
+    val ab = canonicalArgs(cosineSim(col("a"), col("b")))
+    val ba = canonicalArgs(cosineSim(col("b"), col("a")))
+    // both orders normalize to the same operand sequence
+    assert(ab.nonEmpty && ab == ba)
+    val r = shifted.select(cosineSim(col("a"), col("b")).as("x"),
+      cosineSim(col("b"), col("a")).as("y")).head()
+    assert(r.getDouble(0) == r.getDouble(1))
+  }
+
   test("codegen and interpreted paths agree") {
     val s = spark
     import s.implicits._
