@@ -343,6 +343,52 @@ object Analytics {
       |  COUNT(*) AS n_orders
       |FROM orders GROUP BY 1""".stripMargin
 
+  // ---- statistical aggregates -------------------------------------------------
+
+  /** Correlation / spread statistics per return flag — corr and
+    * stddev_samp share definitions across engines; double roundoff is
+    * ~1 ulp, rounded away at 4. */
+  def corrStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 4)
+          .as("corr_qty_price"),
+        round(stddev_samp(col("l_extendedprice")), 2).as("stddev_price"),
+        round(var_samp(col("l_discount")), 6).as("var_discount"),
+        count(lit(1)).as("n"))
+
+  val corrStatsSql: String =
+    """SELECT l_returnflag,
+      |  ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+      |  ROUND(stddev_samp(l_extendedprice), 2) AS stddev_price,
+      |  ROUND(var_samp(l_discount), 6) AS var_discount,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  // ---- salted aggregation (skew lever, with correctness proof) ---------------
+
+  /** Two-phase SALTED aggregation over an extremely skewed key space
+    * (5 event types × ~1M rows): phase 1 aggregates (key, salt) across 16
+    * salt buckets — splitting each hot key's rows across 16 reducers —
+    * phase 2 merges the partials per key. The oracle computes the plain
+    * single-phase totals, proving the salted plan is semantics-preserving.
+    * This is THE remedy when one key dominates a shuffle (AQE skew-join
+    * handles joins; salting handles aggregations). */
+  def saltedAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value"),
+        (col("event_id") % 16).as("salt"))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("pc"), sum(col("value")).as("ps"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("pc")).as("n_events"),
+        round(sum(col("ps")), 2).as("sum_value"))
+
+  val saltedAggSql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  ROUND(SUM(value), 2) AS sum_value
+      |FROM events GROUP BY event_type""".stripMargin
+
   // ---- ROLLUP with grouping markers -------------------------------------------
 
   def rollupSales(spark: SparkSession, sfDir: String): DataFrame =
@@ -497,6 +543,8 @@ object Analytics {
     "q_rollup_sales"      -> Q(rollupSalesSql)(rollupSales),
     "q_quantiles"         -> Q(quantilesSql)(quantiles),
     "q_monthly_revenue"   -> Q(monthlyRevenueSql)(monthlyRevenue),
+    "q_corr_stats"        -> Q(corrStatsSql)(corrStats),
+    "q_salted_agg"        -> Q(saltedAggSql)(saltedAgg),
     "q_setops"            -> Q(setOpsSql)(setOps),
     "q_sessionize"        -> Q(sessionizeSql)(sessionize),
     "q_pivot_hourly"      -> Q(pivotHourlySql)(pivotHourly),

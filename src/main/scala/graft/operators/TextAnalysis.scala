@@ -163,9 +163,31 @@ object TextAnalysis {
        |  COALESCE(list_min(list_transform(s, x -> md5(x))), '') AS fp_minshingle
        |FROM sh""".stripMargin
 
+  // ---- corpus term frequencies ----------------------------------------------
+
+  /** Top-20 corpus terms with document frequency — explode + two hash
+    * aggs + TakeOrderedAndProject (no global sort). */
+  def termFreq(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("tf"),
+        countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("term"))
+      .limit(20)
+
+  val termFreqSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+      |  FROM documents
+      |)
+      |SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+      |FROM tok GROUP BY term ORDER BY tf DESC, term LIMIT 20""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "t_token_stats"  -> Q(tokenStatsSql)(tokenStats),
     "t_quality_score"-> Q(qualityScoreSql)(qualityScore),
     "t_lang_id"      -> Q(langIdSql)(langId),
-    "t_fingerprints" -> Q(fingerprintsSql)(fingerprintsQ))
+    "t_fingerprints" -> Q(fingerprintsSql)(fingerprintsQ),
+    "t_term_freq"    -> Q(termFreqSql)(termFreq))
 }
