@@ -153,6 +153,21 @@ class StreamingIngestSpec extends SparkSuite {
     assert(sink.sent.asScala.forall(_._3 == 1L))
   }
 
+  test("metric flush loop pushes and clears on its own trigger (metric.go:21-50)") {
+    val s = spark
+    val metrics = new graft.sinks.MetricStorage("h", "cnt", "avg")
+    metrics.increment("cnt.requests_received", 7L)
+    val flushed = new ConcurrentLinkedQueue[String]()
+    val q = graft.streaming.MetricFlusher.start(s, metrics,
+      lines => lines.foreach(flushed.add), intervalSec = 1)
+    try {
+      val deadline = System.nanoTime() + 15L * 1000000000L
+      while (flushed.isEmpty && System.nanoTime() < deadline) Thread.sleep(100)
+    } finally q.stop()
+    assert(flushed.asScala.toSeq == Seq("cnt.requests_received 7"))
+    assert(metrics.flushLines().isEmpty) // cleared by the loop's flush
+  }
+
   test("dlqStatus thresholds against backlog size") {
     val s = spark
     val dlqDir = tmp("dlq")
