@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.ConcurrentLinkedQueue
+import scala.jdk.CollectionConverters._
+import graft.sources.RequestSource
+import graft.streaming.IngestPipeline
+import graft.streaming.IngestPipeline.BatchSink
+
+/** Grand tour: the complete proxy pipeline as a user would run it —
+  * file-drop streaming source → micro-batch concat/count aggregation →
+  * flaky downstream sink → DLQ spill → replay until healthy — with
+  * every row accounted for exactly once across live + replayed sends. */
+class EndToEndSpec extends SparkSuite {
+
+  private class FlakySink(failFirst: Int) extends BatchSink {
+    val sent = new ConcurrentLinkedQueue[(String, String)]()
+    private val failures = new java.util.concurrent.atomic.AtomicInteger(failFirst)
+    override def send(uri: String, body: String, rows: Long): Boolean =
+      if (failures.getAndDecrement() > 0) false
+      else { sent.add((uri, body)); true }
+  }
+
+  test("file source → ingest → flaky sink → DLQ replay delivers every row") {
+    val s = spark
+    val dropDir = Files.createTempDirectory("drop").toString
+    val dlqDir = Files.createTempDirectory("dlq").toString
+    val ckpt = Files.createTempDirectory("ckpt").toString
+
+    // drop two JSON-lines files of requests (the reference's POST bodies)
+    def writeFile(name: String, ids: Range): Unit = {
+      val lines = ids.map { i =>
+        val tbl = if (i % 2 == 0) "evens" else "odds"
+        s"""{"uri": "/?query=INSERT%20INTO%20$tbl%20VALUES", "body": "($i)"}"""
+      }
+      Files.write(Paths.get(dropDir, name), lines.mkString("\n").getBytes)
+    }
+    writeFile("wave1.json", 1 to 200)
+
+    val sink = new FlakySink(failFirst = 1) // first group of wave 1 fails
+    val metrics = new graft.sinks.MetricStorage("e2e", "cnt", "avg")
+    val q = IngestPipeline.start(
+      RequestSource.fileStream(s, dropDir).select("uri", "body"),
+      dlqDir, ckpt, sink, syncSec = 1, metrics = Some(metrics))
+    try {
+      q.processAllAvailable()
+      writeFile("wave2.json", 201 to 300)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // one aggregated group failed → spilled at level 1
+    val backlog = s.read.parquet(dlqDir)
+    assert(backlog.count() == 1)
+
+    // replay heals it (sink no longer failing)
+    val (sentN, respilled) = IngestPipeline.replayOnce(s, dlqDir, sink)
+    assert((sentN, respilled) == ((1L, 0L)))
+    assert(IngestPipeline.dlqStatus(s, dlqDir) == 200)
+
+    // every row delivered exactly once across live + replayed sends
+    val rows = sink.sent.asScala.toSeq.flatMap(_._2.split(",")).sorted
+    assert(rows == (1 to 300).map(i => s"($i)").sorted)
+
+    // metrics saw all 300 requests and the one failure
+    val lines = metrics.flushLines()
+    assert(lines.contains("cnt.requests_received 300"))
+    assert(lines.contains("cnt.ch_errors 1"))
+    assert(lines.exists(_.startsWith("cnt.bytable.evens.requests_received ")))
+  }
+}
