@@ -389,6 +389,20 @@ object Analytics {
       |  ROUND(SUM(value), 2) AS sum_value
       |FROM events GROUP BY event_type""".stripMargin
 
+  // ---- approximate distinct (HLL sketch) --------------------------------------
+
+  /** HyperLogLog++ distinct-count estimates next to the exact counts —
+    * the 100 TB path for cardinality (constant memory per group vs a
+    * distinct shuffle). No DuckDB oracle: sketch estimates differ across
+    * engines by construction; the error bound (≤5% rsd here) is asserted
+    * in ApproxSpec instead, and the driver records a rows-only check. */
+  def approxDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.05).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n_events"))
+
   // ---- ROLLUP with grouping markers -------------------------------------------
 
   def rollupSales(spark: SparkSession, sfDir: String): DataFrame =
@@ -545,6 +559,7 @@ object Analytics {
     "q_monthly_revenue"   -> Q(monthlyRevenueSql)(monthlyRevenue),
     "q_corr_stats"        -> Q(corrStatsSql)(corrStats),
     "q_salted_agg"        -> Q(saltedAggSql)(saltedAgg),
+    "q_approx_distinct"   -> Q.noOracle(approxDistinct),
     "q_setops"            -> Q(setOpsSql)(setOps),
     "q_sessionize"        -> Q(sessionizeSql)(sessionize),
     "q_pivot_hourly"      -> Q(pivotHourlySql)(pivotHourly),
