@@ -319,9 +319,52 @@ object Dedup {
        |SELECT doc_a, doc_b, CAST(hamming(sig_a, sig_b) AS BIGINT) AS hamming
        |FROM pairs WHERE hamming(sig_a, sig_b) <= 3""".stripMargin
 
+  // ---- dedup materialization -------------------------------------------------
+
+  /** The pipeline deliverable: the DEDUPLICATED corpus summary. Keep-first
+    * strategy: any document that appears as the higher id of a Jaccard ≥
+    * 0.5 near-dup pair is dropped (left-anti join against the pair list) —
+    * single-pass, deterministic, no iterative connected components (a
+    * doc similar only to an already-dropped doc is still dropped, which is
+    * the standard conservative web-dedup choice). */
+  def dedupCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "source")
+    val drop = ngramJaccard(spark, sfDir)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val kept = docs.join(drop, Seq("doc_id"), "left_anti")
+    docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(kept.groupBy(col("source")).agg(count(lit(1)).as("n_kept")),
+        Seq("source"))
+      .withColumn("n_dropped", col("n_docs") - col("n_kept"))
+  }
+
+  val dedupCorpusSql: String = {
+    // reuse the jaccard oracle's CTE chain (everything before its final
+    // SELECT), then re-derive the pair list as one more CTE
+    val cteChain = ngramJaccardSql.replaceFirst("WITH ", "")
+      .split("\nSELECT doc_a, doc_b, ROUND")(0)
+    s"""WITH $cteChain, pairs AS (
+       |  SELECT doc_a, doc_b, ROUND(c / (nab - c), 6) AS jaccard
+       |  FROM scored WHERE c / (nab - c) >= 0.1
+       |), drop0 AS (
+       |  SELECT DISTINCT doc_b AS doc_id FROM pairs WHERE jaccard >= 0.5
+       |), kept AS (
+       |  SELECT d.doc_id, d.source FROM documents d
+       |  WHERE d.doc_id NOT IN (SELECT doc_id FROM drop0)
+       |)
+       |SELECT d.source, COUNT(*) AS n_docs, k.n_kept,
+       |  COUNT(*) - k.n_kept AS n_dropped
+       |FROM documents d
+       |  JOIN (SELECT source, COUNT(*) AS n_kept FROM kept GROUP BY 1) k
+       |    ON d.source = k.source
+       |GROUP BY d.source, k.n_kept""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
     "d_exact_stats"   -> Q(exactStatsSql)(exactStats),
     "d_ngram_jaccard" -> Q(ngramJaccardSql)(ngramJaccard),
     "d_minhash_lsh"   -> Q(minhashLshSql)(minhashLsh),
-    "d_simhash_pairs" -> Q(simhashPairsSql)(simhashPairs))
+    "d_simhash_pairs" -> Q(simhashPairsSql)(simhashPairs),
+    "d_dedup_corpus"  -> Q(dedupCorpusSql)(dedupCorpus))
 }
