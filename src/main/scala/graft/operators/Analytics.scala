@@ -297,6 +297,41 @@ object Analytics {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
       |FROM orders""".stripMargin
 
+  // ---- window-function breadth: lead / ntile / percent_rank -------------------
+
+  /** Per-customer order timeline: days to the next order (lead), spend
+    * quartile within the customer (ntile), global price percentile
+    * (percent_rank) — one shuffle on o_custkey serves the two
+    * customer-partitioned windows; the global window is a separate sort. */
+  def windowFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    val byCust = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val globalPrice = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .filter(col("o_custkey") % 100 === 0) // deterministic 1% slice
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"))
+      .withColumn("days_to_next",
+        datediff(lead(col("o_orderdate"), 1).over(byCust), col("o_orderdate")))
+      .withColumn("spend_quartile", ntile(4).over(
+        Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))))
+      .withColumn("price_pct", round(percent_rank().over(globalPrice), 6))
+      .select(col("o_custkey"), col("o_orderkey"), col("days_to_next"),
+        col("spend_quartile"), col("price_pct"))
+  }
+
+  val windowFuncsSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  date_diff('day', o_orderdate,
+      |    lead(o_orderdate, 1) OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate, o_orderkey)) AS days_to_next,
+      |  CAST(ntile(4) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_totalprice, o_orderkey) AS INT) AS spend_quartile,
+      |  ROUND(percent_rank() OVER (ORDER BY o_totalprice, o_orderkey), 6)
+      |    AS price_pct
+      |FROM orders WHERE o_custkey % 100 = 0""".stripMargin
+
   // ---- exact quantiles --------------------------------------------------------
 
   /** Exact interpolated percentiles of extended price per return flag —
@@ -554,6 +589,7 @@ object Analytics {
     "q_outer_join_hist"   -> Q(outerCountSql)(outerCount),
     "q_window_topk"       -> Q(windowTopKSql)(windowTopK),
     "q_window_running"    -> Q(windowRunningSql)(windowRunning),
+    "q_window_funcs"      -> Q(windowFuncsSql)(windowFuncs),
     "q_rollup_sales"      -> Q(rollupSalesSql)(rollupSales),
     "q_quantiles"         -> Q(quantilesSql)(quantiles),
     "q_monthly_revenue"   -> Q(monthlyRevenueSql)(monthlyRevenue),
