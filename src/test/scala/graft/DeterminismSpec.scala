@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+
+/** Scale-out correctness properties: results must be invariant to
+  * parallelism (a query that changes under a different partition count
+  * would silently corrupt on a 1000-executor cluster), and independent
+  * implementations of the same semantics must agree. */
+class DeterminismSpec extends SparkSuite {
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("results are invariant to shuffle partition count (4 vs 37)") {
+    val s = spark
+    val names = Seq("o27_keyed_concat", "d_ngram_jaccard", "s_cosine_topk",
+      "q_rollup_sales", "src_parsed_roundtrip")
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      names.foreach { n =>
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        val at4 = canon(SparkEntry.queries(n)(s, sf0001))
+        s.conf.set("spark.sql.shuffle.partitions", "37")
+        val at37 = canon(SparkEntry.queries(n)(s, sf0001))
+        assert(at4 == at37, s"$n differs across partition counts")
+        assert(at4.nonEmpty)
+      }
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("batch lag-based sessionize agrees with session_window semantics") {
+    val s = spark
+    // implementation 1: the registered lag/running-sum batch operator
+    val lagBased = graft.operators.Analytics.sessionize(s, sf0001)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+    // implementation 2: Spark's session_window over the same 30-min gap
+    // (batch mode), fed the identical ms-derived timestamps
+    val ev = Tables.events(s, sf0001)
+      .select(col("user_id"),
+        expr("timestamp_millis(ts div 1000000)").as("ts"))
+    val sw = ev.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+    assert(canon(lagBased) == canon(sw))
+  }
+}
