@@ -167,6 +167,95 @@ object Similarity {
        |WHERE na.nrm > 0 AND nb.nrm > 0
        |  AND dot / (na.nrm * nb.nrm) >= 0.3""".stripMargin
 
+  // ---- IVF ANN: coarse-quantized cells, multi-probe -------------------------
+
+  /** IVF-style ANN: the 10 label groups act as Voronoi cells with
+    * centroid = per-cell mean vector (a deterministic one-step coarse
+    * quantizer — a real IVF trains k-means, the plan shape is identical);
+    * each query probes its 2 nearest centroids by cosine and scores only
+    * vectors in those cells. Cells ≫ this at scale (√n), probes are the
+    * recall knob; the centroid table is tiny and broadcast, the corpus
+    * shuffles once on its cell id. */
+  def ivfAnnTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val ex = e.select(col("vec_id"), col("label"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("label"), (col("pos") + 1).as("i"),
+        col("col").cast("double").as("x"))
+    val cent = ex.groupBy(col("label"), col("i")).agg(avg(col("x")).as("cx"))
+    val centNorm = cent.groupBy(col("label"))
+      .agg(sqrt(sum(col("cx") * col("cx"))).as("cnrm"))
+    // query→centroid cosine in the exploded space
+    val qex = ex.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("i"), col("x"))
+    val qcos = qex.join(cent.withColumnRenamed("label", "cell"), Seq("i"))
+      .groupBy(col("q_id"), col("cell"))
+      .agg(sum(col("x") * col("cx")).as("dot"))
+      .join(e.select(col("vec_id").as("q_id"), col("nrm").as("qnrm")), Seq("q_id"))
+      .join(centNorm.withColumnRenamed("label", "cell"), Seq("cell"))
+      .select(col("q_id"), col("cell"),
+        (col("dot") / (col("qnrm") * col("cnrm"))).as("ccos"))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(round(col("ccos"), 6).desc, col("cell"))
+    val probed = qcos.withColumn("prk", row_number().over(wProbe))
+      .filter(col("prk") <= 2).select(col("q_id"), col("cell"))
+    // score candidates in the probed cells only
+    val q = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val scored = e.join(probed, e("label") === probed("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .withColumn("cosine", cosineSim(col("embedding"), col("q_emb")))
+    val wN = Window.partitionBy(col("q_id"))
+      .orderBy(round(col("cosine"), 6).desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(wN))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("cell"), col("vec_id").as("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("rk"))
+  }
+
+  val ivfAnnTopKSql: String =
+    s"""WITH $embCte, cent AS (
+       |  SELECT e.label, ex.i, AVG(ex.x) AS cx
+       |  FROM ex JOIN embeddings e ON ex.vec_id = e.vec_id
+       |  GROUP BY 1, 2
+       |), cnrm AS (
+       |  SELECT label, sqrt(SUM(cx * cx)) AS cnrm FROM cent GROUP BY 1
+       |), qcos AS (
+       |  SELECT qx.vec_id AS q_id, cent.label AS cell,
+       |    SUM(qx.x * cent.cx) / (nq.nrm * cnrm.cnrm) AS ccos
+       |  FROM ex qx
+       |    JOIN cent ON qx.i = cent.i
+       |    JOIN nrm nq ON qx.vec_id = nq.vec_id
+       |    JOIN cnrm ON cent.label = cnrm.label
+       |  WHERE qx.vec_id < 50 AND nq.nrm > 0
+       |  GROUP BY qx.vec_id, cent.label, nq.nrm, cnrm.cnrm
+       |), probed AS (
+       |  SELECT q_id, cell FROM (
+       |    SELECT q_id, cell, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY ROUND(ccos, 6) DESC, cell) AS prk
+       |    FROM qcos
+       |  ) WHERE prk <= 2
+       |), dots AS (
+       |  SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id, SUM(a.x * b.x) AS dot
+       |  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < 50
+       |    AND b.vec_id <> a.vec_id
+       |  GROUP BY 1, 2
+       |), scored AS (
+       |  SELECT d.q_id, p.cell, d.neighbor_id,
+       |    ROUND(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+       |  FROM dots d
+       |    JOIN embeddings ne ON d.neighbor_id = ne.vec_id
+       |    JOIN probed p ON d.q_id = p.q_id AND ne.label = p.cell
+       |    JOIN nrm na ON d.q_id = na.vec_id
+       |    JOIN nrm nb ON d.neighbor_id = nb.vec_id
+       |  WHERE na.nrm > 0 AND nb.nrm > 0
+       |)
+       |SELECT q_id, cell, neighbor_id, cosine, rk FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cosine DESC, neighbor_id) AS INT) AS rk
+       |  FROM scored
+       |) WHERE rk <= 5""".stripMargin
+
   // ---- ANN quality: recall of LSH vs exact ----------------------------------
 
   /** Per-table 4-bit sign bucket for OR-amplified LSH: table `t` reads 4
@@ -303,5 +392,6 @@ object Similarity {
     "s_cosine_topk"   -> Q(cosineTopKSql)(cosineTopK),
     "s_lsh_ann_topk"  -> Q(lshAnnTopKSql)(lshAnnTopK),
     "s_embed_neardup" -> Q(embedNearDupSql)(embedNearDup),
+    "s_ivf_ann_topk"  -> Q(ivfAnnTopKSql)(ivfAnnTopK),
     "s_ann_recall"    -> Q(annRecallSql)(annRecall))
 }
