@@ -51,6 +51,9 @@ object IngestPipeline {
         org.apache.spark.sql.Encoders.scalaLong,
         org.apache.spark.sql.Encoders.STRING))
     batch
+      // O-14 (main.go:219-221): empty bodies are rejected at ingest (the
+      // reference answers 405 and buffers nothing)
+      .filter(col("body").isNotNull && length(col("body")) > 0)
       .select(col("uri"), col("body"),
         rowCount(col("uri"), col("body")).as("rows_in"),
         delimiterOf(col("uri")).as("delim"))

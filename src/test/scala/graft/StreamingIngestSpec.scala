@@ -109,6 +109,20 @@ class StreamingIngestSpec extends SparkSuite {
     assert(IngestPipeline.replayOnce(s, dlqDir, healthy) == ((0L, 0L)))
   }
 
+  test("empty bodies are rejected at ingest (O-14, main.go:219-221)") {
+    val s = spark
+    import s.implicits._
+    val batch = Seq(
+      ("/?query=INSERT%20INTO%20t%20VALUES", "(1)"),
+      ("/?query=INSERT%20INTO%20t%20VALUES", ""),
+      ("/?query=INSERT%20INTO%20empty%20VALUES", "")
+    ).toDF("uri", "body")
+    val agg = IngestPipeline.aggregateBatch(batch).collect()
+    assert(agg.length == 1) // the all-empty key produces no group at all
+    assert(agg.head.getAs[String]("body") == "(1)")
+    assert(agg.head.getAs[Long]("reqs") == 1L)
+  }
+
   test("checkpoint restart resumes without reprocessing delivered batches") {
     val s = spark
     import s.implicits._
