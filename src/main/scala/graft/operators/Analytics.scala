@@ -535,6 +535,50 @@ object Analytics {
       |  MIN(ms) AS start_ms, MAX(ms) - MIN(ms) AS duration_ms
       |FROM sess GROUP BY user_id, session_id""".stripMargin
 
+  // ---- event-time tumbling / sliding windows ---------------------------------
+
+  /** 1-hour tumbling window counts per event type — the batch shape of a
+    * streaming windowed aggregation (same `window()` construct works under
+    * a watermark in readStream mode). */
+  def tumblingWindow(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(expr("timestamp_millis(ts div 1000000)").as("ts"),
+        col("event_type"), col("value"))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .select(col("window.start").cast("long").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  val tumblingWindowSql: String =
+    """SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR,
+      |    epoch_ms(epoch_ms(ts)))) AS BIGINT) AS window_start,
+      |  event_type, COUNT(*) AS n_events,
+      |  ROUND(SUM(value), 4) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** 2-hour windows sliding by 1 hour (every event lands in 2 windows) —
+    * Spark expands via its window generator; the oracle expands
+    * explicitly with a 2-element offset unnest. */
+  def slidingWindow(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(expr("timestamp_millis(ts div 1000000)").as("ts"),
+        col("event_type"))
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").cast("long").as("window_start"),
+        col("event_type"), col("n_events"))
+
+  val slidingWindowSql: String =
+    """WITH expanded AS (
+      |  SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR,
+      |      epoch_ms(epoch_ms(ts)))) AS BIGINT) - off * 3600 AS window_start,
+      |    event_type
+      |  FROM events, unnest([0, 1]) u(off)
+      |)
+      |SELECT window_start, event_type, COUNT(*) AS n_events
+      |FROM expanded GROUP BY 1, 2""".stripMargin
+
   // ---- pivot-style conditional aggregation ----------------------------------------
 
   /** Event counts per hour-of-day, one column per event type (map-side
@@ -598,6 +642,8 @@ object Analytics {
     "q_approx_distinct"   -> Q.noOracle(approxDistinct),
     "q_setops"            -> Q(setOpsSql)(setOps),
     "q_sessionize"        -> Q(sessionizeSql)(sessionize),
+    "q_tumbling_window"   -> Q(tumblingWindowSql)(tumblingWindow),
+    "q_sliding_window"    -> Q(slidingWindowSql)(slidingWindow),
     "q_pivot_hourly"      -> Q(pivotHourlySql)(pivotHourly),
     "q_json_props"        -> Q(jsonPropsSql)(jsonProps))
 }
