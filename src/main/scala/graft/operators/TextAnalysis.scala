@@ -231,6 +231,61 @@ object TextAnalysis {
        |  COALESCE(list_min(list_transform(s, x -> md5(x))), '') AS fp_minshingle
        |FROM sh""".stripMargin
 
+  // ---- winnowing (rolling-hash fingerprints) ---------------------------------
+
+  /** Winnowing fingerprints (the MOSS scheme): hash every 8-char gram of
+    * the normalized text (the relational stand-in for a Rabin-Karp
+    * rolling hash — same window hashes, the "rolling" part is an
+    * implementation detail of a sequential scanner), then keep the MIN
+    * hash of each 4-gram sliding window; a document's fingerprint set is
+    * the distinct kept hashes. Guarantees a shared fingerprint for any
+    * shared substring ≥ 11 chars. Output: per-doc fingerprint stats. */
+  def winnowFingerprints(spark: SparkSession, sfDir: String): DataFrame = {
+    val K = 8; val W = 4
+    val norm = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), concat_ws(" ", tokens(col("text"))).as("norm"))
+      .filter(length(col("norm")) >= K + W - 1)
+    val grams = norm.select(col("doc_id"),
+        explode(expr(s"sequence(1, length(norm) - ${K - 1})")).as("i"),
+        col("norm"))
+      .select(col("doc_id"), col("i"),
+        expr(s"CAST(conv(substring(md5(substring(norm, i, $K)), 1, 15), 16, 10) AS BIGINT)")
+          .as("g"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("i")).rowsBetween(0, W - 1)
+    val kept = grams
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+      .withColumn("f", min(col("g")).over(win))
+      .filter(col("i") <= col("n") - (W - 1)) // only full windows
+    kept.groupBy(col("doc_id"))
+      .agg(countDistinct(col("f")).as("n_fingerprints"),
+        count(lit(1)).as("n_windows"),
+        min(col("f")).as("min_fp"))
+  }
+
+  val winnowFingerprintsSql: String =
+    """WITH norm AS (
+      |  SELECT doc_id,
+      |    array_to_string(regexp_extract_all(lower(text), '[a-z]+'), ' ') AS norm
+      |  FROM documents
+      |), grams AS (
+      |  SELECT doc_id, i,
+      |    ('0x' || substr(md5(substr(norm, CAST(i AS INT), 8)), 1, 15))::BIGINT AS g,
+      |    LENGTH(norm) - 7 AS n
+      |  FROM norm, range(1, 100000) r(i)
+      |  WHERE LENGTH(norm) >= 11 AND i <= LENGTH(norm) - 7
+      |), kept AS (
+      |  SELECT doc_id, i,
+      |    MIN(g) OVER (PARTITION BY doc_id ORDER BY i
+      |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS f
+      |  FROM grams WHERE TRUE
+      |  QUALIFY i <= n - 3
+      |)
+      |SELECT doc_id, COUNT(DISTINCT f) AS n_fingerprints,
+      |  COUNT(*) AS n_windows, MIN(f) AS min_fp
+      |FROM kept GROUP BY doc_id""".stripMargin
+
   // ---- corpus term frequencies ----------------------------------------------
 
   /** Top-20 corpus terms with document frequency — explode + two hash
@@ -258,5 +313,6 @@ object TextAnalysis {
     "t_lang_id"      -> Q(langIdSql)(langId),
     "t_lang_id_accuracy" -> Q(langIdAccuracySql)(langIdAccuracy),
     "t_fingerprints" -> Q(fingerprintsSql)(fingerprintsQ),
+    "t_winnow_fingerprints" -> Q(winnowFingerprintsSql)(winnowFingerprints),
     "t_term_freq"    -> Q(termFreqSql)(termFreq))
 }
