@@ -33,6 +33,10 @@ def main():
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # Verify emits each oracle under both "name" and "name.parquet" (for the
+    # driver); dedupe to bare names here.
+    oracle = {(k[:-8] if k.endswith(".parquet") else k): v
+              for k, v in oracle.items()}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         if names_filter and name not in names_filter:
