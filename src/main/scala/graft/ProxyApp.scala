@@ -60,7 +60,8 @@ object ProxyApp {
     val replayer = new Thread(() => {
       while (!Thread.interrupted()) {
         Thread.sleep(resendInt * 1000L)
-        try IngestPipeline.replayOnce(spark, dlq, sink)
+        // 1 send/s pacing = the reference's replay rate limit (main.go:480)
+        try IngestPipeline.replayOnce(spark, dlq, sink, paceMillis = 1000L)
         catch { case e: Exception =>
           System.err.println(s"[replay] ${e.getMessage}")
         }

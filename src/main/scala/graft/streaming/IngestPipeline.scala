@@ -92,8 +92,11 @@ object IngestPipeline {
   def spill(spark: SparkSession,
       rows: Seq[(String, String, Long, Int)], dlqDir: String): Unit = {
     import spark.implicits._
+    // wall-clock nanos (not System.nanoTime, whose origin is arbitrary per
+    // JVM): oldest-first replay order must survive a process restart, like
+    // the reference's time.Now().UnixNano() filenames (main.go:365-373)
     rows.toDF("uri", "body", "rows", "level")
-      .withColumn("ts_nano", lit(System.nanoTime()))
+      .withColumn("ts_nano", lit(System.currentTimeMillis() * 1000000L))
       .write.mode("append").partitionBy("level").parquet(dlqDir)
   }
 
@@ -124,48 +127,78 @@ object IngestPipeline {
       .start()
   }
 
-  /** One replay pass over the DLQ (reference main.go:447-485): read live
-    * entries (level < 10 — partition-pruned), oldest level/timestamp
-    * first, re-send, escalate failures, tombstone at level 10. The consumed
-    * generation is atomically replaced (read → rewrite), matching the
-    * reference's delete-after-scan. Returns (sent, respilled). */
-  def replayOnce(spark: SparkSession, dlqDir: String,
-      sink: BatchSink): (Long, Long) = {
-    import spark.implicits._
+  /** Live (level < 10) DLQ part files, ordered by (level asc, file age
+    * asc). Level comes from the `level=N` partition directory name; file
+    * age orders spill generations within a level like the reference's
+    * time-nanos filenames (main.go:365-373). */
+  private def liveFiles(dir: java.io.File): Seq[(Int, java.io.File)] =
+    Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("level="))
+      .flatMap { d =>
+        val lvl = d.getName.stripPrefix("level=").toInt
+        if (lvl >= 10) None else Some((lvl, d)) // tombstones never read
+      }
+      .sortBy(_._1)
+      .flatMap { case (lvl, d) =>
+        Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+          .sortBy(f => (f.lastModified(), f.getName))
+          .map((lvl, _))
+      }.toSeq
+
+  /** One replay pass over the DLQ (reference main.go:447-485): live
+    * entries (level < 10 — tombstone partitions never read), oldest
+    * level/file first, re-send, escalate failures, delete.
+    *
+    * Per-FILE processing, like the reference's checkErr which deletes only
+    * each processed file (main.go db.DeleteFile()): the file list is
+    * snapshotted up front, so batches spilled concurrently by the live
+    * stream are untouched; escalations are appended BEFORE the source file
+    * is deleted, so a crash in between duplicates (at-least-once) but never
+    * loses. Driver memory is bounded by one spill file at a time.
+    *
+    * `paceMillis` throttles sends (reference sleeps 1 s between replays,
+    * main.go:480 — O-35); `maxFiles` bounds one pass over a large backlog.
+    * Returns (sent, respilled). */
+  def replayOnce(spark: SparkSession, dlqDir: String, sink: BatchSink,
+      paceMillis: Long = 0L, maxFiles: Int = Int.MaxValue): (Long, Long) = {
     val dir = new java.io.File(dlqDir)
-    if (!dir.exists() || isEmptyDir(dir)) return (0L, 0L)
-    val all = spark.read.parquet(dlqDir)
-      .select("uri", "body", "rows", "level", "ts_nano")
-      .as[(String, String, Long, Int, Long)].collect()
-    val (live, tomb) = all.partition(_._4 < 10)
-    val ordered = live.sortBy(r => (r._4, r._5)) // O-34: level, then ts
-    // faithful quirk: the reference replays with rowcount=1 regardless of
-    // the batch's true row count (main.go:479), under-reporting rows_sent
-    // for replayed batches — reproduced, not fixed (SURVEY.md §3.3)
-    val failed = ordered.filter(r => !sink.send(r._1, r._2, rows = 1L))
-    // rewrite the queue: failures escalate, tombstones are preserved
-    val next = failed.map(r => (r._1, r._2, r._3, r._4 + 1, r._5)) ++ tomb
-    val tmp = dlqDir + ".next"
-    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(tmp))
-    if (next.nonEmpty)
-      next.toSeq.toDF("uri", "body", "rows", "level", "ts_nano")
-        .write.mode("overwrite").partitionBy("level").parquet(tmp)
-    org.apache.hadoop.fs.FileUtil.fullyDelete(dir)
-    if (next.nonEmpty) new java.io.File(tmp).renameTo(dir)
-    ((ordered.length - failed.length).toLong, failed.length.toLong)
+    if (!dir.exists()) return (0L, 0L)
+    var sent = 0L
+    var respilled = 0L
+    liveFiles(dir).take(maxFiles).foreach { case (lvl, f) =>
+      val rows = spark.read.parquet(f.getAbsolutePath)
+        .select("uri", "body", "rows", "ts_nano")
+        .collect()
+        .sortBy(_.getAs[Long]("ts_nano")) // O-34: oldest first within file
+      val failed = rows.filter { r =>
+        if (paceMillis > 0) Thread.sleep(paceMillis)
+        // faithful quirk: the reference replays with rowcount=1 regardless
+        // of the batch's true row count (main.go:479), under-reporting
+        // rows_sent for replayed batches — reproduced, not fixed (§3.3)
+        !sink.send(r.getAs[String]("uri"), r.getAs[String]("body"), rows = 1L)
+      }
+      if (failed.nonEmpty) spill(spark, failed.toSeq.map(r =>
+        (r.getAs[String]("uri"), r.getAs[String]("body"),
+          r.getAs[Long]("rows"), lvl + 1)), dlqDir)
+      if (!f.delete())
+        throw new java.io.IOException(
+          s"DLQ replay: processed but could not delete $f — " +
+            "stopping to avoid double-replay")
+      sent += rows.length - failed.length
+      respilled += failed.length
+    }
+    (sent, respilled)
   }
 
-  private def isEmptyDir(dir: java.io.File): Boolean = {
-    val children = dir.listFiles()
-    children == null || children.isEmpty
-  }
-
-  /** O-3: DLQ backlog → HTTP status (main.go:228-245). */
+  /** O-3: DLQ backlog → HTTP status (main.go:228-245). Counts only live
+    * files (robust to drained-empty `level=` dirs). */
   def dlqStatus(spark: SparkSession, dlqDir: String,
       warn: Int = 400, crit: Int = 500): Int = {
     val dir = new java.io.File(dlqDir)
-    val n = if (!dir.exists() || isEmptyDir(dir)) 0L
-      else spark.read.parquet(dlqDir).filter(col("level") < 10).count()
+    val files = if (!dir.exists()) Seq.empty else liveFiles(dir)
+    val n = if (files.isEmpty) 0L
+      else spark.read.parquet(files.map(_._2.getAbsolutePath): _*).count()
     if (n >= crit) 500 else if (n >= warn) 400 else 200
   }
 }

@@ -1,16 +1,28 @@
 package graft
 
-import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 
 /** Automated plan-quality gate over EVERY registered query: no accidental
   * cartesian products, and column pruning must reach every scan of a wide
   * table (a scan reading all of lineitem's 16 columns for a 2-column
   * projection would be a silent 100 TB regression). Runs on the physical
-  * plan at sf0.001 — plan shape, not data. */
+  * plan at sf0.001 — plan shape, not data.
+  *
+  * AdaptiveSparkPlanExec is a LEAF node, so a naive `plan.collect` finds no
+  * scans under AQE (i.e. for any query with an exchange) — the gate must
+  * unwrap it (and subqueries) or it silently asserts nothing. */
 class PlanQualitySpec extends SparkSuite {
 
   private val wideTables = Map(
     "lineitem" -> 16, "orders" -> 6, "events" -> 6, "customer" -> 5)
+
+  /** All file scans, recursing through AQE wrappers and subqueries. */
+  private def allScans(plan: SparkPlan): Seq[FileSourceScanExec] =
+    plan.collectWithSubqueries {
+      case a: AdaptiveSparkPlanExec => allScans(a.inputPlan)
+      case s: FileSourceScanExec => Seq(s)
+    }.flatten
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name: no cartesian product, wide scans pruned") {
@@ -18,7 +30,10 @@ class PlanQualitySpec extends SparkSuite {
       val planStr = plan.toString
       assert(!planStr.contains("CartesianProduct"),
         s"$name plans a cartesian product")
-      plan.collect { case scan: FileSourceScanExec => scan }.foreach { scan =>
+      val scans = allScans(plan)
+      assert(scans.nonEmpty,
+        s"$name: no FileSourceScanExec found — the pruning gate is vacuous")
+      scans.foreach { scan =>
         val loc = scan.relation.location.rootPaths.mkString(",")
         wideTables.foreach { case (table, nCols) =>
           if (loc.contains(s"$table.parquet")) {

@@ -167,6 +167,47 @@ class StreamingIngestSpec extends SparkSuite {
     assert(sink.sent.asScala.forall(_._3 == 1L))
   }
 
+  test("replay never destroys batches spilled concurrently (per-file delete)") {
+    val s = spark
+    val dlqDir = tmp("dlq")
+    IngestPipeline.spill(s, Seq(("/old", "(old)", 1L, 1)), dlqDir)
+    // sink that spills a NEW batch mid-replay — the race the wholesale
+    // read→delete→rewrite design lost (main.go deletes per processed file)
+    val sink = new RecordingSink() {
+      override def send(uri: String, body: String, rows: Long): Boolean = {
+        IngestPipeline.spill(s, Seq(("/new", "(new)", 1L, 1)), dlqDir)
+        super.send(uri, body, rows)
+      }
+    }
+    val (sent, respilled) = IngestPipeline.replayOnce(s, dlqDir, sink)
+    assert((sent, respilled) == ((1L, 0L)))
+    // the concurrently spilled batch survived the pass untouched
+    val left = s.read.parquet(dlqDir).select("uri", "level").collect()
+    assert(left.map(r => (r.getString(0), r.getInt(1))).toSeq == Seq(("/new", 1)))
+    // and the next pass delivers it
+    val quiet = new RecordingSink()
+    assert(IngestPipeline.replayOnce(s, dlqDir, quiet) == ((1L, 0L)))
+    assert(quiet.sent.asScala.toSeq.map(_._1) == Seq("/new"))
+  }
+
+  test("large backlog replays file-by-file with a bounded pass (maxFiles)") {
+    val s = spark
+    val dlqDir = tmp("dlq")
+    // 6 spill generations (files) across two levels
+    (1 to 3).foreach(i => IngestPipeline.spill(s, Seq((s"/a$i", s"($i)", 1L, 1)), dlqDir))
+    (1 to 3).foreach(i => IngestPipeline.spill(s, Seq((s"/b$i", s"($i)", 1L, 2)), dlqDir))
+    val sink = new RecordingSink()
+    // bounded pass: only the 2 oldest level-1 files are consumed
+    assert(IngestPipeline.replayOnce(s, dlqDir, sink, maxFiles = 2) == ((2L, 0L)))
+    assert(sink.sent.asScala.toSeq.map(_._1) == Seq("/a1", "/a2"))
+    assert(IngestPipeline.dlqStatus(s, dlqDir) == 200)
+    assert(s.read.parquet(dlqDir).count() == 4)
+    // remaining passes drain level 1 before level 2 (O-34 across passes)
+    assert(IngestPipeline.replayOnce(s, dlqDir, sink) == ((4L, 0L)))
+    assert(sink.sent.asScala.toSeq.map(_._1) ==
+      Seq("/a1", "/a2", "/a3", "/b1", "/b2", "/b3"))
+  }
+
   test("metric flush loop pushes and clears on its own trigger (metric.go:21-50)") {
     val s = spark
     val metrics = new graft.sinks.MetricStorage("h", "cnt", "avg")
