@@ -54,7 +54,13 @@ object Analytics {
   // ---- TPC-H Q3: broadcast dim join + top-k ---------------------------------
 
   /** customer (dim, broadcast) ⋈ orders ⋈ lineitem; deterministic top-10 by
-    * rounded revenue with orderkey tiebreak. */
+    * rounded revenue with orderkey tiebreak.
+    *
+    * Only the customer dim carries a broadcast hint: the orders-side filter
+    * (o_orderdate < 1998-03-15) keeps ~97% of the table, so forcing it
+    * broadcast would OOM at scale — lineitem⋈orders shuffles on orderkey,
+    * and AQE still picks broadcast at small SF where the side genuinely
+    * fits. */
   def q3Shipping(spark: SparkSession, sfDir: String): DataFrame = {
     val c = Tables.customer(spark, sfDir)
       .filter(col("c_mktsegment") === "BUILDING")
@@ -65,7 +71,7 @@ object Analytics {
     val l = Tables.lineitem(spark, sfDir)
       .filter(col("l_shipdate") > to_timestamp(lit("1998-03-15")))
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
-    l.join(broadcast(o.join(broadcast(c), o("o_custkey") === c("c_custkey"))),
+    l.join(o.join(broadcast(c), o("o_custkey") === c("c_custkey")),
         l("l_orderkey") === o("o_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
@@ -299,24 +305,60 @@ object Analytics {
 
   // ---- window-function breadth: lead / ntile / percent_rank -------------------
 
+  /** Global percent_rank over a UNIQUE (value, tiebreak) ordering without a
+    * single-partition sort (`Window.orderBy` with no partition — the
+    * classic scale-killer: every row through one task). Distributed
+    * sort-rank instead: range-bucket the value, window only WITHIN each
+    * bucket, stitch global positions with broadcast per-bucket offsets.
+    * Shuffles the data once on the bucket key; the offset table is ≤
+    * `nBuckets` rows. Exact — matches `percent_rank() OVER (ORDER BY
+    * value, tiebreak)` when (value, tiebreak) is unique. */
+  def distributedPercentRank(df: DataFrame, value: org.apache.spark.sql.Column,
+      tiebreak: org.apache.spark.sql.Column, outCol: String,
+      nBuckets: Int = 64): DataFrame = {
+    val vv = value.cast("double")
+    val stats = df.agg(min(vv).as("_mn"), max(vv).as("_mx"))
+    val bucketed = df.crossJoin(broadcast(stats)) // 1-row stats: BNLJ, not cartesian
+      .withColumn("_bkt", least(greatest(
+        floor((vv - col("_mn")) / ((col("_mx") - col("_mn") + lit(1e-9)) / nBuckets)),
+        lit(0L)), lit(nBuckets - 1L)))
+      .drop("_mn", "_mx")
+    // per-bucket counts → exclusive prefix offsets + grand total; ≤nBuckets
+    // rows, so the unpartitioned window here is over a tiny aggregate, not
+    // the data
+    val w = Window.orderBy(col("_bkt"))
+    val offsets = bucketed.groupBy(col("_bkt")).agg(count(lit(1)).as("_c"))
+      .select(col("_bkt"),
+        (sum(col("_c")).over(w) - col("_c")).as("_off"),
+        sum(col("_c")).over(Window.partitionBy()).as("_n"))
+    val inBucket = Window.partitionBy(col("_bkt")).orderBy(value, tiebreak)
+    bucketed.join(broadcast(offsets), "_bkt")
+      .withColumn(outCol,
+        (col("_off") + row_number().over(inBucket) - lit(1)).cast("double")
+          / (col("_n") - lit(1)))
+      .drop("_bkt", "_off", "_n")
+  }
+
   /** Per-customer order timeline: days to the next order (lead), spend
-    * quartile within the customer (ntile), global price percentile
-    * (percent_rank) — one shuffle on o_custkey serves the two
-    * customer-partitioned windows; the global window is a separate sort. */
+    * quartile within the customer (ntile), global price percentile —
+    * one shuffle on o_custkey serves the two customer-partitioned windows;
+    * the global percentile goes through [[distributedPercentRank]] (no
+    * single-partition sort over the data). */
   def windowFuncs(spark: SparkSession, sfDir: String): DataFrame = {
     val byCust = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate"), col("o_orderkey"))
-    val globalPrice = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-    Tables.orders(spark, sfDir)
+    val sliced = Tables.orders(spark, sfDir)
       .filter(col("o_custkey") % 100 === 0) // deterministic 1% slice
       .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
         col("o_totalprice"))
+    distributedPercentRank(sliced, col("o_totalprice"), col("o_orderkey"),
+        "price_pct_raw")
       .withColumn("days_to_next",
         datediff(lead(col("o_orderdate"), 1).over(byCust), col("o_orderdate")))
       .withColumn("spend_quartile", ntile(4).over(
         Window.partitionBy(col("o_custkey"))
           .orderBy(col("o_totalprice"), col("o_orderkey"))))
-      .withColumn("price_pct", round(percent_rank().over(globalPrice), 6))
+      .withColumn("price_pct", round(col("price_pct_raw"), 6))
       .select(col("o_custkey"), col("o_orderkey"), col("days_to_next"),
         col("spend_quartile"), col("price_pct"))
   }

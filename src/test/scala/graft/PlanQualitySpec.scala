@@ -17,12 +17,28 @@ class PlanQualitySpec extends SparkSuite {
   private val wideTables = Map(
     "lineitem" -> 16, "orders" -> 6, "events" -> 6, "customer" -> 5)
 
-  /** All file scans, recursing through AQE wrappers and subqueries. */
+  /** All file scans, recursing through AQE wrappers, subqueries, and
+    * cached (InMemoryRelation) plans. */
   private def allScans(plan: SparkPlan): Seq[FileSourceScanExec] =
     plan.collectWithSubqueries {
       case a: AdaptiveSparkPlanExec => allScans(a.inputPlan)
+      case i: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        allScans(i.relation.cachedPlan)
       case s: FileSourceScanExec => Seq(s)
     }.flatten
+
+  private def singlePartitionExchanges(plan: SparkPlan): Seq[SparkPlan] =
+    plan.collectWithSubqueries {
+      case a: AdaptiveSparkPlanExec => singlePartitionExchanges(a.inputPlan)
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning.numPartitions == 1 => Seq(e)
+    }.flatten
+
+  private def aggregatesOrLimits(plan: SparkPlan): Boolean =
+    plan.collectWithSubqueries {
+      case p if p.nodeName.contains("Aggregate") ||
+        p.nodeName.contains("Limit") => p
+    }.nonEmpty
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name: no cartesian product, wide scans pruned") {
@@ -33,6 +49,18 @@ class PlanQualitySpec extends SparkSuite {
       val scans = allScans(plan)
       assert(scans.nonEmpty,
         s"$name: no FileSourceScanExec found — the pruning gate is vacuous")
+      // no raw single-partition shuffle of base-table data (the global
+      // Window.orderBy scale-killer): any SinglePartition exchange must sit
+      // above an aggregation or limit, i.e. carry reduced data
+      singlePartitionExchanges(plan).foreach { ex =>
+        val reduced = ex.children.head.collectWithSubqueries {
+          case a: AdaptiveSparkPlanExec if aggregatesOrLimits(a.inputPlan) => a
+          case p if p.nodeName.contains("Aggregate") ||
+            p.nodeName.contains("Limit") => p
+        }
+        assert(reduced.nonEmpty,
+          s"$name funnels unaggregated data into one partition:\n$ex")
+      }
       scans.foreach { scan =>
         val loc = scan.relation.location.rootPaths.mkString(",")
         wideTables.foreach { case (table, nCols) =>
