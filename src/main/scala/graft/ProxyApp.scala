@@ -21,6 +21,8 @@ import graft.streaming.{IngestPipeline, MetricFlusher}
   *   --syncsec <n>      flush interval seconds     (default 2)
   *   --resendint <n>    DLQ replay interval seconds(default 60)
   *   --graphite <host:port>  optional metric sink
+  *   --listen <port>    HTTP receiver port (main.go:164-260 parity):
+  *                      POST / → drop dir, GET / health, /status, /statistic
   */
 object ProxyApp {
   def main(args: Array[String]): Unit = {
@@ -44,6 +46,12 @@ object ProxyApp {
     val hostname = java.net.InetAddress.getLocalHost.getHostName
     val metrics = new MetricStorage(hostname)
     val sink = new ClickHouseSink(fwd)
+
+    // world-facing edge (O-1/O-2): HTTP → drop-dir files → fileStream
+    val receiver = opts.get("listen").map { p =>
+      new graft.sources.HttpReceiver(drop, p.toInt,
+        status = () => IngestPipeline.dlqStatus(spark, dlq)).start()
+    }
 
     val ingest = IngestPipeline.start(
       RequestSource.fileStream(spark, drop).select("uri", "body"),
@@ -71,7 +79,7 @@ object ProxyApp {
     replayer.start()
 
     sys.addShutdownHook {
-      ingest.stop(); flusher.foreach(_.stop())
+      receiver.foreach(_.stop()); ingest.stop(); flusher.foreach(_.stop())
     }
     ingest.awaitTermination()
   }

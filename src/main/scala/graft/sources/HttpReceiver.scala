@@ -1,0 +1,128 @@
+package graft.sources
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.atomic.AtomicLong
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+/** Thin HTTP front for the drop-directory ingest source — the piece that
+  * makes [[graft.ProxyApp]] an actual drop-in for the reference's listener
+  * (/root/reference/main.go:164-260):
+  *
+  *  - `POST /`  (dorequest, main.go:180-226): body + raw URI are queued and
+  *    rolled into JSON-lines files in the drop directory, which
+  *    [[RequestSource.fileStream]] tails. Empty body → 405 "No data given.",
+  *    non-root path → 404, other methods → 405 — status-for-status parity.
+  *  - `GET /`   (main.go:172-178): health — `status = "OK"`.
+  *  - `GET /status` (showstatus, main.go:228-245): DLQ backlog mapped to
+  *    200/400/500 via a caller-supplied status function (wire to
+  *    `IngestPipeline.dlqStatus`).
+  *  - `GET /statistic` (showstatistic, main.go:247-255): in/out request
+  *    counters (O-5's connection tallies reduced to what exists here —
+  *    the JDK server doesn't surface socket states).
+  *
+  * Deliberately NOT a Spark component: the receiver is the world-facing
+  * edge; Spark's unit of ingest is a file. Requests are appended to an
+  * in-memory queue and a flusher thread rolls the queue into a complete
+  * file (write temp + atomic rename) every `rollMillis` — the streaming
+  * source must never observe a half-written file. Ingest metrics stay with
+  * the pipeline (which sees every request) to avoid double counting. */
+final class HttpReceiver(dropDir: String, port: Int = 0,
+    rollMillis: Long = 200L, status: () => Int = () => 200) {
+
+  val inRequests = new AtomicLong(0)
+  val outFiles = new AtomicLong(0)
+  private val queue = new ConcurrentLinkedQueue[String]()
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  @volatile private var running = true
+
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    ex.getResponseHeaders.set("Server", "proxyhousespark")
+    val bytes = body.getBytes(UTF_8)
+    ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
+    if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  server.createContext("/", (ex: HttpExchange) => {
+    try {
+      if (ex.getRequestURI.getPath == "/status") {
+        respond(ex, status(), "status:OK")
+      } else if (ex.getRequestURI.getPath == "/statistic") {
+        respond(ex, 200,
+          s"in requests:${inRequests.get()}\r\nout files:${outFiles.get()}\r\n")
+      } else if (ex.getRequestURI.getPath != "/") {
+        respond(ex, 404, "404 not found.")
+      } else ex.getRequestMethod match {
+        case "GET" => respond(ex, 200, "status = \"OK\"\r\n")
+        case "POST" =>
+          val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+          if (body.isEmpty) respond(ex, 405, "No data given.")
+          else {
+            // raw path + raw query, like the reference's
+            // r.URL.RawPath + "?" + r.URL.RawQuery (main.go:187)
+            val raw = ex.getRequestURI.getRawPath +
+              Option(ex.getRequestURI.getRawQuery).map("?" + _).getOrElse("")
+            queue.add(s"""{"uri": "${jsonEscape(raw)}", """ +
+              s""""body": "${jsonEscape(body)}"}""")
+            inRequests.incrementAndGet()
+            respond(ex, 200, "")
+          }
+        case _ => respond(ex, 405, "Sorry, only GET and POST methods are supported.")
+      }
+    } catch { case e: Exception =>
+      try respond(ex, 500, e.getMessage) catch { case _: Exception => () }
+    }
+  })
+
+  /** Drain the queue into one complete drop file (temp + atomic rename). */
+  private def roll(): Unit = {
+    val lines = Iterator.continually(queue.poll()).takeWhile(_ != null).toSeq
+    if (lines.nonEmpty) {
+      val name = s"req-${System.currentTimeMillis()}-${outFiles.get()}.json"
+      val tmp = Paths.get(dropDir, s".$name.tmp")
+      Files.write(tmp, lines.mkString("\n").getBytes(UTF_8))
+      Files.move(tmp, Paths.get(dropDir, name),
+        StandardCopyOption.ATOMIC_MOVE)
+      outFiles.incrementAndGet()
+    }
+  }
+
+  private val flusher = new Thread(() => {
+    while (running) {
+      Thread.sleep(rollMillis)
+      try roll() catch { case e: Exception =>
+        System.err.println(s"[receiver] roll failed: ${e.getMessage}") }
+    }
+  }, "http-receiver-flusher")
+
+  def start(): HttpReceiver = {
+    Files.createDirectories(Paths.get(dropDir))
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+    server.start()
+    flusher.setDaemon(true)
+    flusher.start()
+    this
+  }
+
+  def boundPort: Int = server.getAddress.getPort
+
+  def stop(): Unit = {
+    running = false
+    server.stop(0)
+    flusher.join(2000)
+    roll() // final drain so no accepted request is stranded in memory
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+import java.util.concurrent.ConcurrentLinkedQueue
+import scala.jdk.CollectionConverters._
+import graft.sources.{HttpReceiver, RequestSource}
+import graft.streaming.IngestPipeline
+import graft.streaming.IngestPipeline.BatchSink
+
+/** The reference's own end-to-end invariant, over real HTTP
+  * (main_test.go:26-61): concurrent POSTs against the listener all get
+  * buffered, flushed, and delivered downstream exactly once. Plus the
+  * status surface: GET / health (main.go:172-178), /status thresholds
+  * (main.go:228-245), /statistic counters (main.go:247-255). */
+class HttpReceiverSpec extends SparkSuite {
+
+  private val client = HttpClient.newHttpClient()
+
+  private def post(port: Int, path: String, body: String) =
+    client.send(HttpRequest.newBuilder(URI.create(s"http://localhost:$port$path"))
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def get(port: Int, path: String) =
+    client.send(HttpRequest.newBuilder(URI.create(s"http://localhost:$port$path"))
+      .GET().build(), HttpResponse.BodyHandlers.ofString())
+
+  private class RecordingSink extends BatchSink {
+    val sent = new ConcurrentLinkedQueue[(String, String)]()
+    override def send(uri: String, body: String, rows: Long): Boolean = {
+      sent.add((uri, body)); true
+    }
+  }
+
+  test("concurrent POSTs → drop files → pipeline delivers every row (main_test.go:26-61)") {
+    val s = spark
+    val dropDir = Files.createTempDirectory("drop").toString
+    val rx = new HttpReceiver(dropDir, rollMillis = 50).start()
+    val sink = new RecordingSink
+    val q = IngestPipeline.start(
+      RequestSource.fileStream(s, dropDir).select("uri", "body"),
+      Files.createTempDirectory("dlq").toString,
+      Files.createTempDirectory("ckpt").toString, sink, syncSec = 1)
+    try {
+      val tables = Seq("a", "b", "c")
+      val posts = (1 to 300).map { i =>
+        new Thread(() => {
+          val r = post(rx.boundPort,
+            s"/?query=INSERT%20INTO%20${tables(i % 3)}%20VALUES", s"($i)")
+          assert(r.statusCode() == 200)
+        })
+      }
+      posts.foreach(_.start()); posts.foreach(_.join())
+      assert(rx.inRequests.get() == 300L)
+      // wait until every request has rolled into a drop file, then drain
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      def delivered: Seq[String] =
+        sink.sent.asScala.toSeq.flatMap(_._2.split(","))
+      while (delivered.size < 300 && System.nanoTime() < deadline) {
+        q.processAllAvailable(); Thread.sleep(100)
+      }
+      assert(delivered.sorted == (1 to 300).map(i => s"($i)").sorted)
+      // uri preserved raw (RawPath + "?" + RawQuery, main.go:187)
+      assert(sink.sent.asScala.map(_._1).toSet ==
+        tables.map(t => s"/?query=INSERT%20INTO%20$t%20VALUES").toSet)
+    } finally { q.stop(); rx.stop() }
+  }
+
+  test("GET / health, 404, empty POST 405, bad method, /statistic") {
+    val dropDir = Files.createTempDirectory("drop").toString
+    val rx = new HttpReceiver(dropDir, rollMillis = 50).start()
+    try {
+      val health = get(rx.boundPort, "/")
+      assert(health.statusCode() == 200 && health.body() == "status = \"OK\"\r\n")
+      assert(get(rx.boundPort, "/nope").statusCode() == 404)
+      val empty = post(rx.boundPort, "/?query=x", "")
+      assert(empty.statusCode() == 405 && empty.body() == "No data given.")
+      val del = client.send(HttpRequest.newBuilder(
+        URI.create(s"http://localhost:${rx.boundPort}/"))
+        .DELETE().build(), HttpResponse.BodyHandlers.ofString())
+      assert(del.statusCode() == 405)
+      post(rx.boundPort, "/?query=INSERT%20INTO%20t%20VALUES", "(1)")
+      val stat = get(rx.boundPort, "/statistic")
+      assert(stat.body().startsWith("in requests:1"))
+    } finally rx.stop()
+  }
+
+  test("/status reflects the DLQ backlog thresholds (main.go:228-245)") {
+    val s = spark
+    val dropDir = Files.createTempDirectory("drop").toString
+    val dlqDir = Files.createTempDirectory("dlq").toString
+    val rx = new HttpReceiver(dropDir,
+      status = () => IngestPipeline.dlqStatus(s, dlqDir)).start()
+    try {
+      assert(get(rx.boundPort, "/status").statusCode() == 200)
+      IngestPipeline.spill(s, (1 to 450).map(i => (s"/u$i", "(1)", 1L, 1)), dlqDir)
+      assert(get(rx.boundPort, "/status").statusCode() == 400)
+      IngestPipeline.spill(s, (1 to 60).map(i => (s"/v$i", "(1)", 1L, 1)), dlqDir)
+      assert(get(rx.boundPort, "/status").statusCode() == 500)
+    } finally rx.stop()
+  }
+}
