@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.functions.ProxyFunctions._
@@ -32,8 +32,9 @@ import graft.functions.ProxyFunctions._
 object IngestPipeline {
 
   /** Downstream batch sink (one POST per aggregated group). Returns true on
-    * success. Implementations must be Serializable (executed on the driver
-    * inside foreachBatch, but kept portable). */
+    * success. Implementations must be Serializable: the live flush invokes
+    * send() on EXECUTORS (one per aggregated group, from the partition that
+    * owns it); the DLQ replayer invokes it on the driver. */
   trait BatchSink extends Serializable {
     def send(uri: String, body: String, rows: Long): Boolean
   }
@@ -64,31 +65,6 @@ object IngestPipeline {
         col("cc._3").as("reqs"), col("bytes_in"))
   }
 
-  /** Send every aggregated group; spill failures to the DLQ at
-    * `level + 1`. Shared by the live path (level=0) and the replayer.
-    * Metric bookkeeping mirrors the reference's send path
-    * (main.go:392-434): rows/requests/bytes at 3 grains on success,
-    * ch_errors on failure, wall duration either way. */
-  def sendOrSpill(spark: SparkSession, agg: Array[Row], dlqDir: String,
-      sink: BatchSink, levelOf: Row => Int,
-      metrics: Option[graft.sinks.MetricStorage] = None): Unit = {
-    val failed = agg.filter { r =>
-      val uri = r.getAs[String]("uri")
-      val body = r.getAs[String]("body")
-      val rows = r.getAs[Long]("rows")
-      val t0 = System.nanoTime()
-      val ok = sink.send(uri, body, rows)
-      metrics.foreach { m =>
-        m.onSendDuration((System.nanoTime() - t0) / 1000000L)
-        if (ok) m.onSend(uri, rows, body.length.toLong) else m.onSendError(uri)
-      }
-      !ok
-    }
-    if (failed.nonEmpty) spill(spark, failed.toSeq.map(r =>
-      (r.getAs[String]("uri"), r.getAs[String]("body"),
-        r.getAs[Long]("rows"), levelOf(r) + 1)), dlqDir)
-  }
-
   def spill(spark: SparkSession,
       rows: Seq[(String, String, Long, Int)], dlqDir: String): Unit = {
     import spark.implicits._
@@ -117,12 +93,44 @@ object IngestPipeline {
       .trigger(Trigger.ProcessingTime(s"$syncSec seconds"))
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val agg = aggregateBatch(batch).collect()
-        metrics.foreach(m => agg.foreach { r =>
-          m.onIngest(r.getAs[String]("uri"), r.getAs[Long]("reqs"),
-            r.getAs[Long]("bytes_in"))
-        })
-        sendOrSpill(spark, agg, dlqDir, sink, _ => 0, metrics)
+        import batch.sparkSession.implicits._
+        // Executor-side sends: each aggregated group is POSTed from the
+        // partition that owns it — the concatenated bodies NEVER visit the
+        // driver (collecting them would put the whole flush in driver heap
+        // at 100 TB/day). The driver sees only per-group metric tuples.
+        // persist() pins the send results so the two downstream actions
+        // (metrics collect + failure spill) don't re-send.
+        val attempted = aggregateBatch(batch)
+          .as[(String, String, Long, Long, Long)]
+          .mapPartitions(_.map { case (uri, body, nRows, reqs, bytesIn) =>
+            val t0 = System.nanoTime()
+            val ok = sink.send(uri, body, nRows)
+            (uri, if (ok) "" else body, nRows, reqs, bytesIn,
+              body.length.toLong, ok, (System.nanoTime() - t0) / 1000000L)
+          })
+          .toDF("uri", "body", "rows", "reqs", "bytes_in", "body_len", "ok",
+            "dur_ms")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val stats = attempted
+            .select("uri", "rows", "reqs", "bytes_in", "body_len", "ok",
+              "dur_ms")
+            .collect()
+          metrics.foreach(m => stats.foreach { r =>
+            m.onIngest(r.getAs[String]("uri"), r.getAs[Long]("reqs"),
+              r.getAs[Long]("bytes_in"))
+            m.onSendDuration(r.getAs[Long]("dur_ms"))
+            if (r.getAs[Boolean]("ok"))
+              m.onSend(r.getAs[String]("uri"), r.getAs[Long]("rows"),
+                r.getAs[Long]("body_len"))
+            else m.onSendError(r.getAs[String]("uri"))
+          })
+          if (stats.exists(!_.getAs[Boolean]("ok")))
+            attempted.filter(!col("ok"))
+              .select(col("uri"), col("body"), col("rows"), lit(1).as("level"),
+                lit(System.currentTimeMillis() * 1000000L).as("ts_nano"))
+              .write.mode("append").partitionBy("level").parquet(dlqDir)
+        } finally attempted.unpersist()
       }
       .start()
   }

@@ -1,25 +1,14 @@
 package graft
 
 import java.nio.file.{Files, Paths}
-import java.util.concurrent.ConcurrentLinkedQueue
-import scala.jdk.CollectionConverters._
 import graft.sources.RequestSource
 import graft.streaming.IngestPipeline
-import graft.streaming.IngestPipeline.BatchSink
 
 /** Grand tour: the complete proxy pipeline as a user would run it —
   * file-drop streaming source → micro-batch concat/count aggregation →
   * flaky downstream sink → DLQ spill → replay until healthy — with
   * every row accounted for exactly once across live + replayed sends. */
 class EndToEndSpec extends SparkSuite {
-
-  private class FlakySink(failFirst: Int) extends BatchSink {
-    val sent = new ConcurrentLinkedQueue[(String, String)]()
-    private val failures = new java.util.concurrent.atomic.AtomicInteger(failFirst)
-    override def send(uri: String, body: String, rows: Long): Boolean =
-      if (failures.getAndDecrement() > 0) false
-      else { sent.add((uri, body)); true }
-  }
 
   test("file source → ingest → flaky sink → DLQ replay delivers every row") {
     val s = spark
@@ -37,7 +26,7 @@ class EndToEndSpec extends SparkSuite {
     }
     writeFile("wave1.json", 1 to 200)
 
-    val sink = new FlakySink(failFirst = 1) // first group of wave 1 fails
+    val sink = TestSink(failFirst = 1) // first group of wave 1 fails
     val metrics = new graft.sinks.MetricStorage("e2e", "cnt", "avg")
     val q = IngestPipeline.start(
       RequestSource.fileStream(s, dropDir).select("uri", "body"),
@@ -58,7 +47,7 @@ class EndToEndSpec extends SparkSuite {
     assert(IngestPipeline.dlqStatus(s, dlqDir) == 200)
 
     // every row delivered exactly once across live + replayed sends
-    val rows = sink.sent.asScala.toSeq.flatMap(_._2.split(",")).sorted
+    val rows = sink.sent.flatMap(_._2.split(",")).sorted
     assert(rows == (1 to 300).map(i => s"($i)").sorted)
 
     // metrics saw all 300 requests and the one failure

@@ -3,11 +3,8 @@ package graft
 import java.net.URI
 import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 import java.nio.file.Files
-import java.util.concurrent.ConcurrentLinkedQueue
-import scala.jdk.CollectionConverters._
 import graft.sources.{HttpReceiver, RequestSource}
 import graft.streaming.IngestPipeline
-import graft.streaming.IngestPipeline.BatchSink
 
 /** The reference's own end-to-end invariant, over real HTTP
   * (main_test.go:26-61): concurrent POSTs against the listener all get
@@ -27,18 +24,11 @@ class HttpReceiverSpec extends SparkSuite {
     client.send(HttpRequest.newBuilder(URI.create(s"http://localhost:$port$path"))
       .GET().build(), HttpResponse.BodyHandlers.ofString())
 
-  private class RecordingSink extends BatchSink {
-    val sent = new ConcurrentLinkedQueue[(String, String)]()
-    override def send(uri: String, body: String, rows: Long): Boolean = {
-      sent.add((uri, body)); true
-    }
-  }
-
   test("concurrent POSTs → drop files → pipeline delivers every row (main_test.go:26-61)") {
     val s = spark
     val dropDir = Files.createTempDirectory("drop").toString
     val rx = new HttpReceiver(dropDir, rollMillis = 50).start()
-    val sink = new RecordingSink
+    val sink = TestSink()
     val q = IngestPipeline.start(
       RequestSource.fileStream(s, dropDir).select("uri", "body"),
       Files.createTempDirectory("dlq").toString,
@@ -57,13 +47,13 @@ class HttpReceiverSpec extends SparkSuite {
       // wait until every request has rolled into a drop file, then drain
       val deadline = System.nanoTime() + 30L * 1000000000L
       def delivered: Seq[String] =
-        sink.sent.asScala.toSeq.flatMap(_._2.split(","))
+        sink.sent.flatMap(_._2.split(","))
       while (delivered.size < 300 && System.nanoTime() < deadline) {
         q.processAllAvailable(); Thread.sleep(100)
       }
       assert(delivered.sorted == (1 to 300).map(i => s"($i)").sorted)
       // uri preserved raw (RawPath + "?" + RawQuery, main.go:187)
-      assert(sink.sent.asScala.map(_._1).toSet ==
+      assert(sink.sent.map(_._1).toSet ==
         tables.map(t => s"/?query=INSERT%20INTO%20$t%20VALUES").toSet)
     } finally { q.stop(); rx.stop() }
   }

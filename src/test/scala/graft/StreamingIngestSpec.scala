@@ -14,15 +14,6 @@ import graft.streaming.IngestPipeline.BatchSink
   * (README.md:93-96). */
 class StreamingIngestSpec extends SparkSuite {
 
-  /** In-memory sink recording sends; optionally failing. */
-  private class RecordingSink(failUris: String => Boolean = _ => false)
-      extends BatchSink {
-    val sent = new ConcurrentLinkedQueue[(String, String, Long)]()
-    override def send(uri: String, body: String, rows: Long): Boolean =
-      if (failUris(uri)) false
-      else { sent.add((uri, body, rows)); true }
-  }
-
   private def tmp(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
@@ -31,7 +22,7 @@ class StreamingIngestSpec extends SparkSuite {
     import s.implicits._
     implicit val sc = s.sqlContext
     val stream = MemoryStream[(String, String)]
-    val sink = new RecordingSink()
+    val sink = TestSink()
     val metrics = new graft.sinks.MetricStorage("testhost",
       cntPrefix = "cnt", avgPrefix = "avg")
     val q = IngestPipeline.start(
@@ -53,7 +44,7 @@ class StreamingIngestSpec extends SparkSuite {
     val observed = q.recentProgress.toSeq
       .flatMap(p => Option(p.observedMetrics.get("graft_ingest")))
     assert(observed.map(_.getAs[Long]("reqs_received")).sum == 10000L)
-    val sent = sink.sent.asScala.toSeq
+    val sent = sink.sent
     // each (wave × key) flushes once: per-batch agg, no cross-batch state
     assert(sent.map(_._3).sum == 10000L)
     assert(sent.map(_._1).distinct.sorted ==
@@ -78,7 +69,7 @@ class StreamingIngestSpec extends SparkSuite {
     implicit val sc = s.sqlContext
     val dlqDir = tmp("dlq")
     val stream = MemoryStream[(String, String)]
-    val failing = new RecordingSink(failUris = _ => true)
+    val failing = TestSink(failUris = _ => true)
     val q = IngestPipeline.start(
       stream.toDF().toDF("uri", "body"),
       dlqDir, tmp("ckpt"), failing, syncSec = 1)
@@ -105,7 +96,7 @@ class StreamingIngestSpec extends SparkSuite {
 
     // recovery: a now-healthy sink drains nothing (tombstoned forever),
     // matching the reference's give-up-after-10 (README.md:93-96)
-    val healthy = new RecordingSink()
+    val healthy = TestSink()
     assert(IngestPipeline.replayOnce(s, dlqDir, healthy) == ((0L, 0L)))
   }
 
@@ -130,7 +121,7 @@ class StreamingIngestSpec extends SparkSuite {
     val ckpt = tmp("ckpt")
     val dlq = tmp("dlq")
     val stream = MemoryStream[(String, String)]
-    val sink = new RecordingSink()
+    val sink = TestSink()
     val q1 = IngestPipeline.start(stream.toDF().toDF("uri", "body"),
       dlq, ckpt, sink, syncSec = 1)
     try {
@@ -145,7 +136,7 @@ class StreamingIngestSpec extends SparkSuite {
       stream.addData(Seq(("/?query=INSERT%20INTO%20t%20VALUES", "(2)")))
       q2.processAllAvailable()
     } finally q2.stop()
-    val bodies = sink.sent.asScala.toSeq.map(_._2).sorted
+    val bodies = sink.sent.map(_._2).sorted
     assert(bodies == Seq("(1)", "(2)")) // (1) was NOT re-delivered
   }
 
@@ -157,14 +148,14 @@ class StreamingIngestSpec extends SparkSuite {
     IngestPipeline.spill(s, Seq(("/u1b", "(1b)", 1L, 1)), dlqDir)
     Thread.sleep(2)
     IngestPipeline.spill(s, Seq(("/u1a", "(1a)", 1L, 1)), dlqDir)
-    val sink = new RecordingSink()
+    val sink = TestSink()
     val (sent, _) = IngestPipeline.replayOnce(s, dlqDir, sink)
     assert(sent == 3L)
-    val order = sink.sent.asScala.toSeq.map(_._1)
+    val order = sink.sent.map(_._1)
     assert(order == Seq("/u1b", "/u1a", "/u3")) // level 1 (older first), then 3
     // faithful quirk: replay reports rowcount=1 regardless of true rows
     // (main.go:479 — SURVEY.md §3.3)
-    assert(sink.sent.asScala.forall(_._3 == 1L))
+    assert(sink.sent.forall(_._3 == 1L))
   }
 
   test("replay never destroys batches spilled concurrently (per-file delete)") {
@@ -172,11 +163,13 @@ class StreamingIngestSpec extends SparkSuite {
     val dlqDir = tmp("dlq")
     IngestPipeline.spill(s, Seq(("/old", "(old)", 1L, 1)), dlqDir)
     // sink that spills a NEW batch mid-replay — the race the wholesale
-    // read→delete→rewrite design lost (main.go deletes per processed file)
-    val sink = new RecordingSink() {
+    // read→delete→rewrite design lost (main.go deletes per processed file).
+    // Replay sends are driver-side, so a plain wrapper is fine here.
+    val inner = TestSink()
+    val sink = new BatchSink {
       override def send(uri: String, body: String, rows: Long): Boolean = {
         IngestPipeline.spill(s, Seq(("/new", "(new)", 1L, 1)), dlqDir)
-        super.send(uri, body, rows)
+        inner.send(uri, body, rows)
       }
     }
     val (sent, respilled) = IngestPipeline.replayOnce(s, dlqDir, sink)
@@ -185,9 +178,9 @@ class StreamingIngestSpec extends SparkSuite {
     val left = s.read.parquet(dlqDir).select("uri", "level").collect()
     assert(left.map(r => (r.getString(0), r.getInt(1))).toSeq == Seq(("/new", 1)))
     // and the next pass delivers it
-    val quiet = new RecordingSink()
+    val quiet = TestSink()
     assert(IngestPipeline.replayOnce(s, dlqDir, quiet) == ((1L, 0L)))
-    assert(quiet.sent.asScala.toSeq.map(_._1) == Seq("/new"))
+    assert(quiet.sent.map(_._1) == Seq("/new"))
   }
 
   test("large backlog replays file-by-file with a bounded pass (maxFiles)") {
@@ -196,15 +189,15 @@ class StreamingIngestSpec extends SparkSuite {
     // 6 spill generations (files) across two levels
     (1 to 3).foreach(i => IngestPipeline.spill(s, Seq((s"/a$i", s"($i)", 1L, 1)), dlqDir))
     (1 to 3).foreach(i => IngestPipeline.spill(s, Seq((s"/b$i", s"($i)", 1L, 2)), dlqDir))
-    val sink = new RecordingSink()
+    val sink = TestSink()
     // bounded pass: only the 2 oldest level-1 files are consumed
     assert(IngestPipeline.replayOnce(s, dlqDir, sink, maxFiles = 2) == ((2L, 0L)))
-    assert(sink.sent.asScala.toSeq.map(_._1) == Seq("/a1", "/a2"))
+    assert(sink.sent.map(_._1) == Seq("/a1", "/a2"))
     assert(IngestPipeline.dlqStatus(s, dlqDir) == 200)
     assert(s.read.parquet(dlqDir).count() == 4)
     // remaining passes drain level 1 before level 2 (O-34 across passes)
     assert(IngestPipeline.replayOnce(s, dlqDir, sink) == ((4L, 0L)))
-    assert(sink.sent.asScala.toSeq.map(_._1) ==
+    assert(sink.sent.map(_._1) ==
       Seq("/a1", "/a2", "/a3", "/b1", "/b2", "/b3"))
   }
 
