@@ -12,15 +12,23 @@ import org.apache.spark.sql.functions._
   */
 object ProxyFunctions {
 
-  /** O-15 — format sniff (main.go:192-197): suffix match on the query string
-    * selects (delimiter-between-bodies, row-separator, addrows). TSV/CSV →
-    * ("", "\n", 0); everything else (Values) → (",", "),", 1).
-    * Operates on the URI-encoded form, so the suffix is `FORMAT%20TSV`.
+  /** O-15 — format sniff (main.go:192-197): suffix match on the DECODED
+    * `query` parameter selects (delimiter-between-bodies, row-separator,
+    * addrows). TSV/CSV → ("", "\n", 0); everything else (Values) →
+    * (",", "),", 1).
+    *
+    * The reference tests `r.URL.Query().Get("query")` — the isolated,
+    * decoded parameter — so a trailing `&password=...` or a '+'-encoded
+    * space must not defeat the sniff. We isolate the parameter and match
+    * BOTH encodings of the space rather than url-decoding, because Spark
+    * and DuckDB (the oracle) disagree on '+' in url_decode.
     */
-  def formatOf(uri: Column): Column =
-    when(uri.endsWith("FORMAT%20TSV"), lit("TSV"))
-      .when(uri.endsWith("FORMAT%20CSV"), lit("CSV"))
+  def formatOf(uri: Column): Column = {
+    val q = regexp_extract(uri, "[?&]query=([^&]*)", 1)
+    when(q.endsWith("FORMAT%20TSV") || q.endsWith("FORMAT+TSV"), lit("TSV"))
+      .when(q.endsWith("FORMAT%20CSV") || q.endsWith("FORMAT+CSV"), lit("CSV"))
       .otherwise(lit("Values"))
+  }
 
   def delimiterOf(uri: Column): Column =
     when(formatOf(uri) === "Values", lit(",")).otherwise(lit(""))

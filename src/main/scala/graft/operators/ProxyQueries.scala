@@ -100,13 +100,20 @@ object ProxyQueries {
         col("rows_sent"), col("reqs"), col("bytes_received"))
   }
 
+  /** DuckDB twin of formatOf's query-param isolation (O-15): the `query`
+    * parameter's value, for suffix-testing both space encodings. */
+  private val qParamSql = "regexp_extract(uri, '[?&]query=([^&]*)', 1)"
+  private val isTsvOrCsvSql =
+    s"(ends_with($qParamSql, 'FORMAT%20TSV') OR ends_with($qParamSql, 'FORMAT+TSV') OR " +
+    s"ends_with($qParamSql, 'FORMAT%20CSV') OR ends_with($qParamSql, 'FORMAT+CSV'))"
+
   val keyedConcatSql: String =
     s"""WITH $requestsCte
        |SELECT uri,
-       |  CASE WHEN ends_with(uri, 'FORMAT%20TSV') OR ends_with(uri, 'FORMAT%20CSV')
+       |  CASE WHEN ${isTsvOrCsvSql}
        |       THEN string_agg(body, '' ORDER BY body)
        |       ELSE string_agg(body, ',' ORDER BY body) END AS batch_body,
-       |  SUM(CASE WHEN ends_with(uri, 'FORMAT%20TSV') OR ends_with(uri, 'FORMAT%20CSV')
+       |  SUM(CASE WHEN ${isTsvOrCsvSql}
        |           THEN len(string_split(body, chr(10))) - 1
        |           ELSE len(string_split(body, '),')) END) AS rows_sent,
        |  COUNT(*) AS reqs,
@@ -128,9 +135,9 @@ object ProxyQueries {
     s"""WITH $requestsCte
        |SELECT uri,
        |  SUM(LENGTH(body)) + (COUNT(*) - 1) *
-       |    CASE WHEN ends_with(uri, 'FORMAT%20TSV') OR ends_with(uri, 'FORMAT%20CSV')
+       |    CASE WHEN ${isTsvOrCsvSql}
        |         THEN 0 ELSE 1 END AS batch_bytes,
-       |  SUM(CASE WHEN ends_with(uri, 'FORMAT%20TSV') OR ends_with(uri, 'FORMAT%20CSV')
+       |  SUM(CASE WHEN ${isTsvOrCsvSql}
        |           THEN len(string_split(body, chr(10))) - 1
        |           ELSE len(string_split(body, '),')) END) AS rows_sent,
        |  COUNT(*) AS reqs
@@ -154,12 +161,14 @@ object ProxyQueries {
   val formatSniffSql: String =
     s"""WITH $requestsCte
        |SELECT
-       |  CASE WHEN ends_with(uri, 'FORMAT%20TSV') THEN 'TSV'
-       |       WHEN ends_with(uri, 'FORMAT%20CSV') THEN 'CSV'
+       |  CASE WHEN ends_with($qParamSql, 'FORMAT%20TSV')
+       |         OR ends_with($qParamSql, 'FORMAT+TSV') THEN 'TSV'
+       |       WHEN ends_with($qParamSql, 'FORMAT%20CSV')
+       |         OR ends_with($qParamSql, 'FORMAT+CSV') THEN 'CSV'
        |       ELSE 'Values' END AS fmt_sniffed,
-       |  CASE WHEN ends_with(uri, 'FORMAT%20TSV') OR ends_with(uri, 'FORMAT%20CSV')
+       |  CASE WHEN ${isTsvOrCsvSql}
        |       THEN '' ELSE ',' END AS delim,
-       |  SUM(CASE WHEN ends_with(uri, 'FORMAT%20TSV') OR ends_with(uri, 'FORMAT%20CSV')
+       |  SUM(CASE WHEN ${isTsvOrCsvSql}
        |           THEN len(string_split(body, chr(10))) - 1
        |           ELSE len(string_split(body, '),')) END) AS rows_total,
        |  COUNT(*) AS reqs

@@ -68,11 +68,16 @@ final class MetricStorage(hostname: String,
     increment(s"$cntPrefix.bytable.$table.ch_errors", 1L)
   }
 
-  /** Swap-and-render (metric.go:23-45): snapshot the counters, clear the
-    * map, consume the bytesSent/sendDuration pair into the ratio line. */
+  /** Swap-and-render (metric.go:23-45): drain the counters, consume the
+    * bytesSent/sendDuration pair into the ratio line. Each key is removed
+    * ATOMICALLY and its removed value counted — an increment racing the
+    * flush either lands before the remove (counted now) or recreates the
+    * key (counted next flush), never dropped. (A snapshot-then-clear drops
+    * increments landing in between; the reference swaps under a mutex,
+    * metric.go:24-45.) */
   def flushLines(): Seq[String] = {
-    val snapshot = storage.readOnlySnapshot().toMap
-    storage.clear()
+    val snapshot: Map[String, Long] =
+      storage.keySet.iterator.flatMap(k => storage.remove(k).map(k -> _)).toMap
     if (snapshot.isEmpty) Seq.empty
     else {
       val bytesSent = snapshot.getOrElse("bytesSent", 0L)

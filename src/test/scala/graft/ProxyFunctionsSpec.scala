@@ -20,6 +20,14 @@ class ProxyFunctionsSpec extends SparkSuite {
     // main.go:192-197)
     assert(eval1(formatOf(lit("/?query=FORMAT%20TSV%20something"))) == "Values")
     assert(eval1(formatOf(lit("/?query=INSERT%20INTO%20t%20VALUES"))) == "Values")
+    // the reference sniffs the ISOLATED, decoded query param
+    // (r.URL.Query().Get("query"), main.go:192-197): a trailing param or a
+    // '+'-encoded space must not defeat the match
+    assert(eval1(formatOf(
+      lit("/?query=INSERT%20INTO%20t%20FORMAT%20TSV&password=x"))) == "TSV")
+    assert(eval1(formatOf(lit("/?query=INSERT+INTO+t+FORMAT+CSV"))) == "CSV")
+    assert(eval1(formatOf(
+      lit("/?user=u&query=INSERT+INTO+t+FORMAT+TSV&password=x"))) == "TSV")
   }
 
   test("O-19 row count: Values raw-substring semantics, ),-inside-string quirk") {
