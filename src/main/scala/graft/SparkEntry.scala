@@ -19,6 +19,7 @@ object SparkEntry {
       DlqQueries.queries ++
       GelfQueries.queries ++
       Analytics.queries ++
+      TemporalJoins.queries ++
       TextAnalysis.queries ++
       Dedup.queries ++
       Similarity.queries ++

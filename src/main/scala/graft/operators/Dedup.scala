@@ -378,10 +378,75 @@ object Dedup {
        |GROUP BY d.source, k.n_kept""".stripMargin
   }
 
+  // ---- near-dup cluster discovery -------------------------------------------
+
+  /** Connected components over the Jaccard ≥ 0.5 near-dup graph: each
+    * cluster of mutually-reachable near-dups gets the min doc_id as its
+    * cluster id. Keep-first dedup drops docs pair-by-pair; cluster ids are
+    * what a corpus curator actually audits (one row per duplicate family).
+    *
+    * Iterative min-label propagation: new_label(d) = min(label(d),
+    * min(label(neighbors))) until fixpoint — converges in O(component
+    * diameter) rounds, and near-dup families are shallow (a few hops), so
+    * 3-5 rounds in practice. Each round is one shuffle (join + groupBy) on
+    * doc_id; the driver holds only the per-round changed-count scalar. For
+    * web-scale graphs with long chains, swap in large-star/small-star —
+    * the per-round plan shape here is identical. Reuses the persisted pair
+    * list (shared with d_ngram_jaccard / d_dedup_corpus). */
+  def dupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = ngramJaccard(spark, sfDir)
+      .filter(col("jaccard") >= 0.5).select("doc_a", "doc_b")
+    val edges = pairs.unionByName(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("doc_a").as("doc"))
+      .distinct().withColumn("lbl", col("doc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val viaNbr = edges
+        .join(labels.withColumnRenamed("doc", "nbr"), col("doc_b") === col("nbr"))
+        .select(col("doc_a").as("doc"), col("lbl"))
+      val next = labels.select("doc", "lbl").unionByName(viaNbr)
+        .groupBy("doc").agg(min("lbl").as("lbl"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = next.join(labels.withColumnRenamed("lbl", "old"), "doc")
+        .filter(col("lbl") < col("old")).count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    val out = labels.groupBy(col("lbl").as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"))
+    edges.unpersist()
+    out
+  }
+
+  val dupClustersSql: String = {
+    val cteChain = ngramJaccardSql.replaceFirst("WITH ", "")
+      .split("\nSELECT doc_a, doc_b, ROUND")(0)
+    s"""WITH RECURSIVE $cteChain, pairs AS (
+       |  SELECT doc_a, doc_b FROM scored
+       |  WHERE ROUND(c / (nab - c), 6) >= 0.5
+       |), edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs
+       |), reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+       |)
+       |SELECT cluster_id, COUNT(*) AS n_docs FROM (
+       |  SELECT a AS doc, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
+       |) GROUP BY cluster_id""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
     "d_exact_stats"   -> Q(exactStatsSql)(exactStats),
     "d_ngram_jaccard" -> Q(ngramJaccardSql)(ngramJaccard),
     "d_minhash_lsh"   -> Q(minhashLshSql)(minhashLsh),
     "d_simhash_pairs" -> Q(simhashPairsSql)(simhashPairs),
-    "d_dedup_corpus"  -> Q(dedupCorpusSql)(dedupCorpus))
+    "d_dedup_corpus"  -> Q(dedupCorpusSql)(dedupCorpus),
+    "d_dup_clusters"  -> Q(dupClustersSql)(dupClusters))
 }
