@@ -388,8 +388,101 @@ object Similarity {
        |  ROUND(AVG(COALESCE(n, 0)) / 5.0, 4), COUNT(*)
        |FROM qs LEFT JOIN h4 USING (q_id)""".stripMargin
 
+  // ---- int8 scalar quantization: compression vs recall ----------------------
+
+  /** Recall@5 of INT8-quantized cosine vs exact float cosine — the
+    * compression dial of a vector store (4× smaller vectors, integer
+    * dot products). Per-vector max-abs scaling: q_i = floor(x_i·127/mx
+    * + 0.5); the scale cancels inside cosine, so only rounding error
+    * remains. floor(+0.5) rather than round() because the two engines
+    * disagree on round-half cases; floor of the same double is identical
+    * everywhere, which ALSO makes the quantized path fully deterministic
+    * (integer dots, exact doubles). Plan shape matches the brute-force
+    * baseline: query set broadcast, corpus scanned once, per-query window
+    * pruned by WindowGroupLimit. */
+  def int8Recall(spark: SparkSession, sfDir: String): DataFrame = {
+    val qe = emb(spark, sfDir)
+      .withColumn("mx", expr("aggregate(embedding, CAST(0.0 AS DOUBLE), " +
+        "(m, x) -> greatest(m, abs(CAST(x AS DOUBLE))))"))
+      .withColumn("qvec", expr("transform(embedding, x -> CAST(CAST(" +
+        "floor(CAST(x AS DOUBLE) * 127.0 / mx + 0.5) AS INT) AS FLOAT))"))
+      .select(col("vec_id"), col("embedding"), col("qvec"))
+    val q = qe.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("qvec").as("q_qvec"))
+    val joined = qe.join(broadcast(q), col("vec_id") =!= col("q_id"))
+    def top5(scoreCol: Column): DataFrame = {
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(round(scoreCol, 6).desc, col("vec_id"))
+      joined.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("vec_id").as("neighbor_id"))
+    }
+    val exactTop = top5(cosineSim(col("embedding"), col("q_emb")))
+    val q8Top = top5(cosineSim(col("qvec"), col("q_qvec")))
+    val hits = exactTop.join(q8Top, Seq("q_id", "neighbor_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+    exactTop.select(col("q_id")).distinct()
+      .join(hits, Seq("q_id"), "left_outer")
+      .select(coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .agg(round(avg(col("n_hits")) / 5.0, 4).as("avg_recall_at_5"),
+        count(lit(1)).as("n_queries"))
+      .withColumn("method", lit("int8_maxabs"))
+      .select("method", "avg_recall_at_5", "n_queries")
+  }
+
+  val int8RecallSql: String =
+    s"""WITH $embCte, dots AS (
+       |  SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id, SUM(a.x * b.x) AS dot
+       |  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < 50
+       |    AND b.vec_id <> a.vec_id
+       |  GROUP BY 1, 2
+       |), scored AS (
+       |  SELECT q_id, neighbor_id, ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
+       |  FROM dots JOIN nrm na ON q_id = na.vec_id
+       |    JOIN nrm nb ON neighbor_id = nb.vec_id
+       |  WHERE na.nrm > 0 AND nb.nrm > 0
+       |), exact_top AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT q_id, neighbor_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cosine DESC, neighbor_id) AS rk FROM scored
+       |  ) WHERE rk <= 5
+       |), mx AS (
+       |  SELECT vec_id, MAX(abs(x)) AS mx FROM ex GROUP BY vec_id
+       |), qx AS (
+       |  SELECT e.vec_id, e.i, FLOOR(e.x * 127.0 / m.mx + 0.5) AS qx
+       |  FROM ex e JOIN mx m ON e.vec_id = m.vec_id WHERE m.mx > 0
+       |), qnrm AS (
+       |  SELECT vec_id, sqrt(SUM(qx * qx)) AS qn FROM qx GROUP BY vec_id
+       |), qdots AS (
+       |  SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id, SUM(a.qx * b.qx) AS dot
+       |  FROM qx a JOIN qx b ON a.i = b.i AND a.vec_id < 50
+       |    AND b.vec_id <> a.vec_id
+       |  GROUP BY 1, 2
+       |), qscored AS (
+       |  SELECT q_id, neighbor_id, ROUND(dot / (na.qn * nb.qn), 6) AS qcos
+       |  FROM qdots JOIN qnrm na ON q_id = na.vec_id
+       |    JOIN qnrm nb ON neighbor_id = nb.vec_id
+       |  WHERE na.qn > 0 AND nb.qn > 0
+       |), q8_top AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT q_id, neighbor_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY qcos DESC, neighbor_id) AS rk FROM qscored
+       |  ) WHERE rk <= 5
+       |), qs AS (SELECT DISTINCT q_id FROM exact_top),
+       |h AS (
+       |  SELECT e.q_id, COUNT(*) AS n FROM exact_top e
+       |  JOIN q8_top l ON e.q_id = l.q_id AND e.neighbor_id = l.neighbor_id
+       |  GROUP BY 1
+       |)
+       |SELECT 'int8_maxabs' AS method,
+       |  ROUND(AVG(COALESCE(n, 0)) / 5.0, 4) AS avg_recall_at_5,
+       |  COUNT(*) AS n_queries
+       |FROM qs LEFT JOIN h USING (q_id)""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "s_cosine_topk"   -> Q(cosineTopKSql)(cosineTopK),
+    "s_int8_recall"   -> Q(int8RecallSql)(int8Recall),
     "s_lsh_ann_topk"  -> Q(lshAnnTopKSql)(lshAnnTopK),
     "s_embed_neardup" -> Q(embedNearDupSql)(embedNearDup),
     "s_ivf_ann_topk"  -> Q(ivfAnnTopKSql)(ivfAnnTopK),

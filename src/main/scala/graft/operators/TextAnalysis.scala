@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Q
 import graft.model.Tables
@@ -307,6 +308,50 @@ object TextAnalysis {
       |SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
       |FROM tok GROUP BY term ORDER BY tf DESC, term LIMIT 20""".stripMargin
 
+  /** Per-document top-3 characteristic terms by TF-IDF — the corpus-level
+    * statistic a curation pipeline uses for topic drift / boilerplate
+    * detection. Shape for scale: explode → (doc, term) hash agg → term-df
+    * hash agg → shuffle join on term (vocab can be huge at corpus scale, so
+    * NO broadcast on the df side; the one-row corpus count IS broadcast) →
+    * per-doc window (partitioned by doc_id, high cardinality, pruned by
+    * WindowGroupLimit). Ranking is on the ROUNDED score so both engines
+    * rank identical values; term asc breaks ties. */
+  def tfIdf(spark: SparkSession, sfDir: String): DataFrame = {
+    val tf = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs)) // 1-row corpus count
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("term"), col("tfidf"), col("rnk"))
+  }
+
+  val tfIdfSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+      |), dfreq AS (
+      |  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+      |), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT doc_id, term,
+      |    ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+      |  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+      |)
+      |SELECT doc_id, term, tfidf,
+      |  row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY tfidf DESC, term) AS rnk
+      |FROM scored QUALIFY rnk <= 3""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "t_token_stats"  -> Q(tokenStatsSql)(tokenStats),
     "t_quality_score"-> Q(qualityScoreSql)(qualityScore),
@@ -314,5 +359,6 @@ object TextAnalysis {
     "t_lang_id_accuracy" -> Q(langIdAccuracySql)(langIdAccuracy),
     "t_fingerprints" -> Q(fingerprintsSql)(fingerprintsQ),
     "t_winnow_fingerprints" -> Q(winnowFingerprintsSql)(winnowFingerprints),
-    "t_term_freq"    -> Q(termFreqSql)(termFreq))
+    "t_term_freq"    -> Q(termFreqSql)(termFreq),
+    "t_tfidf_top"    -> Q(tfIdfSql)(tfIdf))
 }

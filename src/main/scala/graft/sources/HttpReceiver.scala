@@ -34,6 +34,11 @@ final class HttpReceiver(dropDir: String, port: Int = 0,
 
   val inRequests = new AtomicLong(0)
   val outFiles = new AtomicLong(0)
+  // O-5 (statelistener, main.go:257-271): the JDK server doesn't surface
+  // socket states, so tally at the closest observable boundary — exchanges
+  // entered/in-flight
+  val totalRequests = new AtomicLong(0)
+  val currentRequests = new AtomicLong(0)
   private val queue = new ConcurrentLinkedQueue[String]()
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   @volatile private var running = true
@@ -57,12 +62,16 @@ final class HttpReceiver(dropDir: String, port: Int = 0,
   }
 
   server.createContext("/", (ex: HttpExchange) => {
+    totalRequests.incrementAndGet()
+    currentRequests.incrementAndGet()
     try {
       if (ex.getRequestURI.getPath == "/status") {
         respond(ex, status(), "status:OK")
       } else if (ex.getRequestURI.getPath == "/statistic") {
         respond(ex, 200,
-          s"in requests:${inRequests.get()}\r\nout files:${outFiles.get()}\r\n")
+          s"total connections:${totalRequests.get()}\r\n" +
+            s"current connections:${currentRequests.get()}\r\n" +
+            s"in requests:${inRequests.get()}\r\nout files:${outFiles.get()}\r\n")
       } else if (ex.getRequestURI.getPath != "/") {
         respond(ex, 404, "404 not found.")
       } else ex.getRequestMethod match {
@@ -84,7 +93,7 @@ final class HttpReceiver(dropDir: String, port: Int = 0,
       }
     } catch { case e: Exception =>
       try respond(ex, 500, e.getMessage) catch { case _: Exception => () }
-    }
+    } finally currentRequests.decrementAndGet()
   })
 
   /** Drain the queue into one complete drop file (temp + atomic rename). */

@@ -73,7 +73,10 @@ class HttpReceiverSpec extends SparkSuite {
       assert(del.statusCode() == 405)
       post(rx.boundPort, "/?query=INSERT%20INTO%20t%20VALUES", "(1)")
       val stat = get(rx.boundPort, "/statistic")
-      assert(stat.body().startsWith("in requests:1"))
+      assert(stat.body().contains("in requests:1"))
+      // O-5 tallies (main.go:247-255 shape): this GET is in flight
+      assert(stat.body().contains("current connections:1"))
+      assert(stat.body().startsWith("total connections:"))
     } finally rx.stop()
   }
 
