@@ -256,6 +256,79 @@ object Similarity {
        |  FROM scored
        |) WHERE rk <= 5""".stripMargin
 
+  // ---- trained k-means coarse quantizer -------------------------------------
+
+  private val KmK = 8
+  private val KmIters = 3
+
+  /** K-means (Lloyd) training for the IVF coarse quantizer — the "real
+    * IVF trains k-means" upgrade over label-cell centroids. Three rounds
+    * of assign-argmin / recompute-means over the exploded (vec, dim, x)
+    * representation: each round is two shuffles (dist agg on (vec, cell),
+    * mean agg on (cell, dim)) — the standard distributed Lloyd shape, K·n
+    * pair rows per round with K tiny.
+    *
+    * Cross-engine determinism (the interesting part): distances and
+    * centroid means are ROUNDED to 6 decimals EVERY round, and argmin
+    * ranks on (rounded dist, cell). Unrounded float k-means diverges
+    * between engines after one round (parallel summation order); rounding
+    * at each fixpoint makes the whole training trajectory reproducible —
+    * the same trick a production pipeline needs for audit-stable cluster
+    * ids. Output: per-cell membership count + inertia after round 3. */
+  def kmeansCells(spark: SparkSession, sfDir: String): DataFrame = {
+    val ex = emb(spark, sfDir)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), (col("pos") + 1).as("i"),
+        col("col").cast("double").as("x"))
+    // deterministic seed: the first K vectors are the initial centroids
+    var cent = ex.filter(col("vec_id") < KmK)
+      .select(col("vec_id").as("cell"), col("i"), round(col("x"), 6).as("cx"))
+    var asg: DataFrame = null
+    for (_ <- 1 to KmIters) {
+      val dist = ex.join(cent, Seq("i"))
+        .groupBy(col("vec_id"), col("cell"))
+        .agg(round(sum((col("x") - col("cx")) * (col("x") - col("cx"))), 6)
+          .as("d"))
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("d"), col("cell"))
+      asg = dist.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select(col("vec_id"), col("cell"), col("d"))
+      cent = ex.join(asg.select("vec_id", "cell"), Seq("vec_id"))
+        .groupBy(col("cell"), col("i")).agg(round(avg(col("x")), 6).as("cx"))
+    }
+    asg.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"), round(sum(col("d")), 3).as("inertia"))
+  }
+
+  val kmeansCellsSql: String = {
+    def asg(k: Int): String =
+      s"""asg$k AS (
+         |  SELECT vec_id, cell, d FROM (
+         |    SELECT vec_id, cell, d, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY d, cell) AS rn
+         |    FROM (
+         |      SELECT e.vec_id, c.cell,
+         |        ROUND(SUM((e.x - c.cx) * (e.x - c.cx)), 6) AS d
+         |      FROM exf e JOIN cent${k - 1} c ON e.i = c.i
+         |      GROUP BY e.vec_id, c.cell)
+         |  ) WHERE rn = 1
+         |)""".stripMargin
+    def cent(k: Int): String =
+      s"""cent$k AS (
+         |  SELECT a.cell, e.i, ROUND(AVG(e.x), 6) AS cx
+         |  FROM exf e JOIN asg$k a ON e.vec_id = a.vec_id
+         |  GROUP BY a.cell, e.i
+         |)""".stripMargin
+    s"""WITH $embCte, exf AS (
+       |  SELECT ex.vec_id, ex.i, ex.x FROM ex
+       |  JOIN nrm ON ex.vec_id = nrm.vec_id WHERE nrm.nrm > 0
+       |), cent0 AS (
+       |  SELECT vec_id AS cell, i, ROUND(x, 6) AS cx
+       |  FROM exf WHERE vec_id < $KmK
+       |), ${asg(1)}, ${cent(1)}, ${asg(2)}, ${cent(2)}, ${asg(3)}
+       |SELECT cell, COUNT(*) AS n_vecs, ROUND(SUM(d), 3) AS inertia
+       |FROM asg$KmIters GROUP BY cell""".stripMargin
+  }
+
   // ---- ANN quality: recall of LSH vs exact ----------------------------------
 
   /** Per-table 4-bit sign bucket for OR-amplified LSH: table `t` reads 4
@@ -483,6 +556,7 @@ object Similarity {
   def queries: Map[String, Q] = Map(
     "s_cosine_topk"   -> Q(cosineTopKSql)(cosineTopK),
     "s_int8_recall"   -> Q(int8RecallSql)(int8Recall),
+    "s_kmeans_cells"  -> Q(kmeansCellsSql)(kmeansCells),
     "s_lsh_ann_topk"  -> Q(lshAnnTopKSql)(lshAnnTopK),
     "s_embed_neardup" -> Q(embedNearDupSql)(embedNearDup),
     "s_ivf_ann_topk"  -> Q(ivfAnnTopKSql)(ivfAnnTopK),
