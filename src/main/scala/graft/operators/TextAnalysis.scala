@@ -352,6 +352,40 @@ object TextAnalysis {
       |    ORDER BY tfidf DESC, term) AS rnk
       |FROM scored QUALIFY rnk <= 3""".stripMargin
 
+  /** Deterministic stratified sampling + train/val/test split by content
+    * hash — THE reproducible-pipeline sampling primitive. Spark's
+    * `sample()`/`sampleBy()` are seeded per-partition RNG: the selected
+    * rows CHANGE when partitioning changes, which silently breaks
+    * train/test hygiene on any repartition. Hashing the stable doc key
+    * (md5 prefix mod 100) gives a sample that is identical on any
+    * cluster, any partitioning, any engine — verified here literally
+    * against another engine. Buckets: 0-79 train, 80-89 val, 90-99 test;
+    * "sampled" = bucket < 10 (a reproducible 10% slice). */
+  def hashSplit(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("source"),
+        (conv(substring(md5(concat(lit("doc"), col("doc_id"))), 1, 8), 16, 10)
+          .cast("long") % 100).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val").otherwise("test"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("bucket") < 10, 1L).otherwise(0L)).as("n_sampled_10pct"))
+
+  val hashSplitSql: String =
+    """SELECT source,
+      |  CASE WHEN bucket < 80 THEN 'train'
+      |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+      |  COUNT(*) AS n_docs,
+      |  SUM(CASE WHEN bucket < 10 THEN 1 ELSE 0 END) AS n_sampled_10pct
+      |FROM (
+      |  SELECT source,
+      |    ('0x' || substr(md5('doc' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |      % 100 AS bucket
+      |  FROM documents
+      |) GROUP BY 1, 2""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "t_token_stats"  -> Q(tokenStatsSql)(tokenStats),
     "t_quality_score"-> Q(qualityScoreSql)(qualityScore),
@@ -360,5 +394,6 @@ object TextAnalysis {
     "t_fingerprints" -> Q(fingerprintsSql)(fingerprintsQ),
     "t_winnow_fingerprints" -> Q(winnowFingerprintsSql)(winnowFingerprints),
     "t_term_freq"    -> Q(termFreqSql)(termFreq),
-    "t_tfidf_top"    -> Q(tfIdfSql)(tfIdf))
+    "t_tfidf_top"    -> Q(tfIdfSql)(tfIdf),
+    "t_hash_split"   -> Q(hashSplitSql)(hashSplit))
 }

@@ -10,6 +10,28 @@ import graft.streaming.IngestPipeline
   * every row accounted for exactly once across live + replayed sends. */
 class EndToEndSpec extends SparkSuite {
 
+  test("poison pills: malformed JSON and empty bodies pass through harmlessly") {
+    val s = spark
+    val dropDir = Files.createTempDirectory("drop").toString
+    val sink = TestSink()
+    val q = IngestPipeline.start(
+      RequestSource.fileStream(s, dropDir).select("uri", "body"),
+      Files.createTempDirectory("dlq").toString,
+      Files.createTempDirectory("ckpt").toString, sink, syncSec = 1)
+    try {
+      Files.write(Paths.get(dropDir, "mixed.json"), Seq(
+        """{"uri": "/?query=INSERT%20INTO%20t%20VALUES", "body": "(1)"}""",
+        """this is not json at all {{{""", // → all-null row (PERMISSIVE)
+        """{"uri": "/?query=INSERT%20INTO%20t%20VALUES", "body": ""}""",
+        """{"uri": "/?query=INSERT%20INTO%20t%20VALUES", "body": "(2)"}"""
+      ).mkString("\n").getBytes)
+      q.processAllAvailable()
+    } finally q.stop()
+    // the two well-formed non-empty bodies arrive; garbage and empties are
+    // dropped by the null/empty-body ingest gate (O-14), no stream crash
+    assert(sink.sent.flatMap(_._2.split(",")).sorted == Seq("(1)", "(2)"))
+  }
+
   test("file source → ingest → flaky sink → DLQ replay delivers every row") {
     val s = spark
     val dropDir = Files.createTempDirectory("drop").toString
