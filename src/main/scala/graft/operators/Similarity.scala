@@ -275,7 +275,11 @@ object Similarity {
     * at each fixpoint makes the whole training trajectory reproducible —
     * the same trick a production pipeline needs for audit-stable cluster
     * ids. Output: per-cell membership count + inertia after round 3. */
-  def kmeansCells(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Lloyd training loop shared by the cell summary and the trained-IVF
+    * probe path. Returns (centroids the final assignment was computed
+    * against: (cell, i, cx), final assignment: (vec_id, cell, d)). */
+  private def kmeansTrain(spark: SparkSession,
+      sfDir: String): (DataFrame, DataFrame) = {
     val ex = emb(spark, sfDir)
       .select(col("vec_id"), posexplode(col("embedding")))
       .select(col("vec_id"), (col("pos") + 1).as("i"),
@@ -283,8 +287,10 @@ object Similarity {
     // deterministic seed: the first K vectors are the initial centroids
     var cent = ex.filter(col("vec_id") < KmK)
       .select(col("vec_id").as("cell"), col("i"), round(col("x"), 6).as("cx"))
+    var centUsed = cent
     var asg: DataFrame = null
     for (_ <- 1 to KmIters) {
+      centUsed = cent
       val dist = ex.join(cent, Seq("i"))
         .groupBy(col("vec_id"), col("cell"))
         .agg(round(sum((col("x") - col("cx")) * (col("x") - col("cx"))), 6)
@@ -295,11 +301,55 @@ object Similarity {
       cent = ex.join(asg.select("vec_id", "cell"), Seq("vec_id"))
         .groupBy(col("cell"), col("i")).agg(round(avg(col("x")), 6).as("cx"))
     }
+    (centUsed, asg)
+  }
+
+  def kmeansCells(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, asg) = kmeansTrain(spark, sfDir)
     asg.groupBy(col("cell"))
       .agg(count(lit(1)).as("n_vecs"), round(sum(col("d")), 3).as("inertia"))
   }
 
-  val kmeansCellsSql: String = {
+  /** IVF ANN over the TRAINED quantizer: probe the 2 nearest trained
+    * centroids per query (same euclidean metric as training), score only
+    * vectors whose final k-means assignment lands in a probed cell —
+    * the end-to-end "real IVF" path (train → probe → restricted scan),
+    * vs s_ivf_ann_topk's label-cell stand-in. Plan shape: centroid table
+    * tiny (broadcast), membership join shuffles the corpus once on
+    * vec_id, scoring is the broadcast-query pattern. */
+  def ivfTrainedTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val (cent, asg) = kmeansTrain(spark, sfDir)
+    val e = emb(spark, sfDir)
+    val qex = e.filter(col("vec_id") < 50)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id").as("q_id"), (col("pos") + 1).as("i"),
+        col("col").cast("double").as("x"))
+    val qd = qex.join(broadcast(cent), Seq("i"))
+      .groupBy(col("q_id"), col("cell"))
+      .agg(round(sum((col("x") - col("cx")) * (col("x") - col("cx"))), 6)
+        .as("qd"))
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("qd"), col("cell"))
+    val probed = qd.withColumn("prk", row_number().over(wProbe))
+      .filter(col("prk") <= 2).select(col("q_id"), col("cell"))
+    val q = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val scored = e.join(asg.select("vec_id", "cell"), Seq("vec_id"))
+      .join(probed, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .withColumn("cosine", cosineSim(col("embedding"), col("q_emb")))
+    val wN = Window.partitionBy(col("q_id"))
+      .orderBy(round(col("cosine"), 6).desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(wN))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("cell"), col("vec_id").as("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("rk"))
+  }
+
+  /** Shared CTE chain: exploded+filtered vectors, cent0 seed, and the
+    * unrolled asg1/cent1/asg2/cent2/asg3 training rounds (asg3 is the
+    * final assignment, computed against cent2). */
+  private val kmeansChainSql: String = {
     def asg(k: Int): String =
       s"""asg$k AS (
          |  SELECT vec_id, cell, d FROM (
@@ -318,16 +368,50 @@ object Similarity {
          |  FROM exf e JOIN asg$k a ON e.vec_id = a.vec_id
          |  GROUP BY a.cell, e.i
          |)""".stripMargin
-    s"""WITH $embCte, exf AS (
+    s"""$embCte, exf AS (
        |  SELECT ex.vec_id, ex.i, ex.x FROM ex
        |  JOIN nrm ON ex.vec_id = nrm.vec_id WHERE nrm.nrm > 0
        |), cent0 AS (
        |  SELECT vec_id AS cell, i, ROUND(x, 6) AS cx
        |  FROM exf WHERE vec_id < $KmK
-       |), ${asg(1)}, ${cent(1)}, ${asg(2)}, ${cent(2)}, ${asg(3)}
+       |), ${asg(1)}, ${cent(1)}, ${asg(2)}, ${cent(2)}, ${asg(3)}""".stripMargin
+  }
+
+  val kmeansCellsSql: String =
+    s"""WITH $kmeansChainSql
        |SELECT cell, COUNT(*) AS n_vecs, ROUND(SUM(d), 3) AS inertia
        |FROM asg$KmIters GROUP BY cell""".stripMargin
-  }
+
+  val ivfTrainedTopKSql: String =
+    s"""WITH $kmeansChainSql, qd AS (
+       |  SELECT e.vec_id AS q_id, c.cell,
+       |    ROUND(SUM((e.x - c.cx) * (e.x - c.cx)), 6) AS qd
+       |  FROM exf e JOIN cent${KmIters - 1} c ON e.i = c.i
+       |  WHERE e.vec_id < 50 GROUP BY e.vec_id, c.cell
+       |), probed AS (
+       |  SELECT q_id, cell FROM (
+       |    SELECT q_id, cell, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY qd, cell) AS prk FROM qd
+       |  ) WHERE prk <= 2
+       |), dots AS (
+       |  SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id, SUM(a.x * b.x) AS dot
+       |  FROM exf a JOIN exf b ON a.i = b.i AND a.vec_id < 50
+       |    AND b.vec_id <> a.vec_id
+       |  GROUP BY 1, 2
+       |), scored AS (
+       |  SELECT d.q_id, p.cell, d.neighbor_id,
+       |    ROUND(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+       |  FROM dots d
+       |    JOIN asg$KmIters m ON d.neighbor_id = m.vec_id
+       |    JOIN probed p ON d.q_id = p.q_id AND m.cell = p.cell
+       |    JOIN nrm na ON d.q_id = na.vec_id
+       |    JOIN nrm nb ON d.neighbor_id = nb.vec_id
+       |)
+       |SELECT q_id, cell, neighbor_id, cosine, rk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cosine DESC, neighbor_id) AS rk
+       |  FROM scored
+       |) WHERE rk <= 5""".stripMargin
 
   // ---- ANN quality: recall of LSH vs exact ----------------------------------
 
@@ -557,6 +641,7 @@ object Similarity {
     "s_cosine_topk"   -> Q(cosineTopKSql)(cosineTopK),
     "s_int8_recall"   -> Q(int8RecallSql)(int8Recall),
     "s_kmeans_cells"  -> Q(kmeansCellsSql)(kmeansCells),
+    "s_ivf_trained_topk" -> Q(ivfTrainedTopKSql)(ivfTrainedTopK),
     "s_lsh_ann_topk"  -> Q(lshAnnTopKSql)(lshAnnTopK),
     "s_embed_neardup" -> Q(embedNearDupSql)(embedNearDup),
     "s_ivf_ann_topk"  -> Q(ivfAnnTopKSql)(ivfAnnTopK),
