@@ -32,6 +32,30 @@ class EndToEndSpec extends SparkSuite {
     assert(sink.sent.flatMap(_._2.split(",")).sorted == Seq("(1)", "(2)"))
   }
 
+  test("backpressure: maxFilesPerTrigger bounds each micro-batch (no flood)") {
+    val s = spark
+    val dropDir = Files.createTempDirectory("drop").toString
+    // a flood of 6 drop files lands BEFORE the stream starts
+    (1 to 6).foreach { f =>
+      Files.write(Paths.get(dropDir, s"f$f.json"),
+        s"""{"uri": "/?query=INSERT%20INTO%20t%20VALUES", "body": "($f)"}"""
+          .getBytes)
+    }
+    val sink = TestSink()
+    val q = IngestPipeline.start(
+      RequestSource.fileStream(s, dropDir, maxFilesPerTrigger = 2)
+        .select("uri", "body"),
+      Files.createTempDirectory("dlq").toString,
+      Files.createTempDirectory("ckpt").toString, sink, syncSec = 1)
+    try q.processAllAvailable() finally q.stop()
+    // every row arrives, but across >= 3 bounded micro-batches — the
+    // backpressure knob the reference lacks (it buffers unboundedly)
+    assert(sink.sent.flatMap(_._2.split(",")).sorted ==
+      (1 to 6).map(i => s"($i)").sorted)
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    assert(batches >= 3, s"expected >= 3 bounded batches, saw $batches")
+  }
+
   test("file source → ingest → flaky sink → DLQ replay delivers every row") {
     val s = spark
     val dropDir = Files.createTempDirectory("drop").toString
