@@ -96,16 +96,20 @@ final class HttpReceiver(dropDir: String, port: Int = 0,
     } finally currentRequests.decrementAndGet()
   })
 
-  /** Drain the queue into one complete drop file (temp + atomic rename). */
-  private def roll(): Unit = {
+  /** Drain the queue into one complete drop file (temp + atomic rename).
+    * Synchronized: the flusher thread and stop()'s final drain may race,
+    * and two concurrent rolls could mint the same `req-<ms>-<n>` name —
+    * the second ATOMIC_MOVE would silently replace the first file. The
+    * counter is claimed inside the lock for the same reason. */
+  private def roll(): Unit = synchronized {
     val lines = Iterator.continually(queue.poll()).takeWhile(_ != null).toSeq
     if (lines.nonEmpty) {
-      val name = s"req-${System.currentTimeMillis()}-${outFiles.get()}.json"
+      val name =
+        s"req-${System.currentTimeMillis()}-${outFiles.getAndIncrement()}.json"
       val tmp = Paths.get(dropDir, s".$name.tmp")
       Files.write(tmp, lines.mkString("\n").getBytes(UTF_8))
       Files.move(tmp, Paths.get(dropDir, name),
         StandardCopyOption.ATOMIC_MOVE)
-      outFiles.incrementAndGet()
     }
   }
 
