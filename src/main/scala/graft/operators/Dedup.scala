@@ -271,13 +271,16 @@ object Dedup {
       sum(when(ascii(substring(col("h"), b + 1, 1)) % 2 === 1, 1L)
         .otherwise(-1L)).as(s"s$b"))
     val sums = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val sigExpr = concat((0 until SimBits).map(b =>
-      when(col(s"s$b") >= 0, "1").otherwise("0")): _*)
+    // integer signature (bit b set iff s_b >= 0): half-signature blocking
+    // becomes mask/shift and per-pair hamming becomes ONE codegen'd
+    // bit_count(xor) instead of split/zip/fold over 16-char strings
+    val sigExpr = (0 until SimBits).map(b =>
+      when(col(s"s$b") >= 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
     val sig = sums
       .select(col("doc_id"), sigExpr.as("sig"))
       .select(col("doc_id"), col("sig"),
-        substring(col("sig"), 1, SimBits / 2).as("lh"),
-        substring(col("sig"), SimBits / 2 + 1, SimBits / 2).as("rh"))
+        (col("sig") bitwiseAND lit((1L << (SimBits / 2)) - 1)).as("lh"),
+        shiftright(col("sig"), SimBits / 2).as("rh"))
     val pairsL = sig.as("a").join(sig.as("b"),
       col("a.lh") === col("b.lh") && col("a.doc_id") < col("b.doc_id"))
     val pairsR = sig.as("a").join(sig.as("b"),
@@ -290,11 +293,10 @@ object Dedup {
         col("b.sig").as("sig_b")))
       .distinct()
     pairs
-      .withColumn("hamming", expr(
-        "aggregate(zip_with(split(sig_a, ''), split(sig_b, ''), " +
-          "(x, y) -> CASE WHEN x <> y THEN 1 ELSE 0 END), 0, (s, v) -> s + v)"))
+      .withColumn("hamming",
+        bit_count(col("sig_a") bitwiseXOR col("sig_b")).cast("long"))
       .filter(col("hamming") <= 3)
-      .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
   val simhashPairsSql: String =
@@ -317,13 +319,13 @@ object Dedup {
        |), sig0 AS (
        |  SELECT doc_id,
        |    ${(0 until SimBits).map(b =>
-              s"CASE WHEN s$b >= 0 THEN '1' ELSE '0' END")
-              .mkString(" || ")} AS sig
+              s"CASE WHEN s$b >= 0 THEN ${1L << b} ELSE 0 END")
+              .mkString(" + ")} AS sig
        |  FROM sums
        |), sig AS (
        |  SELECT doc_id, sig,
-       |    substr(sig, 1, ${SimBits / 2}) AS lh,
-       |    substr(sig, ${SimBits / 2 + 1}, ${SimBits / 2}) AS rh
+       |    sig & ${(1L << (SimBits / 2)) - 1} AS lh,
+       |    sig >> ${SimBits / 2} AS rh
        |  FROM sig0
        |), pairs AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -333,8 +335,9 @@ object Dedup {
        |  SELECT a.doc_id, b.doc_id, a.sig, b.sig
        |  FROM sig a JOIN sig b ON a.rh = b.rh AND a.doc_id < b.doc_id
        |)
-       |SELECT doc_a, doc_b, CAST(hamming(sig_a, sig_b) AS BIGINT) AS hamming
-       |FROM pairs WHERE hamming(sig_a, sig_b) <= 3""".stripMargin
+       |SELECT doc_a, doc_b,
+       |  CAST(bit_count(xor(sig_a::BIGINT, sig_b::BIGINT)) AS BIGINT) AS hamming
+       |FROM pairs WHERE bit_count(xor(sig_a::BIGINT, sig_b::BIGINT)) <= 3""".stripMargin
 
   // ---- dedup materialization -------------------------------------------------
 

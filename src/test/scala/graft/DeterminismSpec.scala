@@ -16,7 +16,11 @@ class DeterminismSpec extends SparkSuite {
   test("results are invariant to shuffle partition count (4 vs 37)") {
     val s = spark
     val names = Seq("o27_keyed_concat", "d_ngram_jaccard", "s_cosine_topk",
-      "q_rollup_sales", "src_parsed_roundtrip")
+      "q_rollup_sales", "src_parsed_roundtrip",
+      // round-2 operators whose shapes are most partitioning-sensitive:
+      // window-stitched rank, iterative CC, hash split, trained k-means
+      "q_asof_join", "q_window_funcs", "d_dup_clusters", "t_hash_split",
+      "s_kmeans_cells", "t_tfidf_top")
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     try {
       names.foreach { n =>
