@@ -90,6 +90,16 @@ object Dedup {
   private val pairCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Drop all cached pair lists (unpersisting each). Call when the parquet
+    * under a cached sfDir is regenerated in-session, or to release the
+    * MEMORY_AND_DISK blocks — entries otherwise live for the session
+    * (bounded: one small pair list per (session, SF) actually queried). */
+  def clearPairCache(): Unit = {
+    pairCache.values.foreach(df => try df.unpersist()
+      catch { case _: Exception => () })
+    pairCache.clear()
+  }
+
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
     pairCache.getOrElseUpdate((spark, sfDir), {
       val df = ngramJaccardCompute(spark, sfDir)
@@ -430,7 +440,9 @@ object Dedup {
         .select(col("doc"),
           least(col("lbl"), coalesce(col("p_lbl"), col("lbl"))).as("lbl"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val nextSum = next.agg(sum("lbl")).head().getLong(0)
+      // coalesce: sum over an EMPTY frame is null — a corpus with no
+      // near-dup pair must yield zero clusters, not an NPE
+      val nextSum = next.agg(coalesce(sum("lbl"), lit(0L))).head().getLong(0)
       converged = nextSum == prevSum
       prevSum = nextSum
       labels.unpersist()

@@ -30,10 +30,20 @@ object TemporalJoins {
     val ev = Tables.events(spark, sfDir)
       .select(col("event_id"), col("user_id"), col("event_type"),
         expr("ts div 1000000").as("ms"))
-    val tagged = ev.filter(col("event_type").isin("click", "purchase"))
-      .select(col("user_id"), col("ms"),
-        when(col("event_type") === "purchase", 1).otherwise(0).as("is_purchase"),
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ms"), lit(0).as("is_purchase"),
         col("event_id"))
+    // dedupe purchases per (user, ms) keeping max event_id BEFORE the
+    // as-of: with several purchases at one ms, DuckDB's ASOF picks an
+    // arbitrary row while our window picks deterministically — removing
+    // the tie at the source keeps both engines exact (memory:
+    // spark-duckdb-oracle-rules — unique ordering keys everywhere)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ms"))
+      .agg(max(col("event_id")).as("event_id"))
+      .select(col("user_id"), col("ms"), lit(1).as("is_purchase"),
+        col("event_id"))
+    val tagged = clicks.unionByName(purchases)
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ms"), col("is_purchase"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -52,7 +62,10 @@ object TemporalJoins {
     """WITH ev AS (
       |  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms FROM events
       |), c AS (SELECT * FROM ev WHERE event_type = 'click'),
-      |   p AS (SELECT * FROM ev WHERE event_type = 'purchase')
+      |   p AS (
+      |     SELECT user_id, ms, MAX(event_id) AS event_id FROM ev
+      |     WHERE event_type = 'purchase' GROUP BY user_id, ms
+      |   )
       |SELECT c.event_id AS click_id, c.user_id,
       |  p.event_id AS purchase_id, c.ms - p.ms AS gap_ms
       |FROM c ASOF LEFT JOIN p

@@ -30,7 +30,8 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   * source must never observe a half-written file. Ingest metrics stay with
   * the pipeline (which sees every request) to avoid double counting. */
 final class HttpReceiver(dropDir: String, port: Int = 0,
-    rollMillis: Long = 200L, status: () => Int = () => 200) {
+    rollMillis: Long = 200L, status: () => Int = () => 200,
+    maxQueued: Int = 100000) {
 
   val inRequests = new AtomicLong(0)
   val outFiles = new AtomicLong(0)
@@ -40,18 +41,11 @@ final class HttpReceiver(dropDir: String, port: Int = 0,
   val totalRequests = new AtomicLong(0)
   val currentRequests = new AtomicLong(0)
   private val queue = new ConcurrentLinkedQueue[String]()
+  private val queued = new AtomicLong(0)
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   @volatile private var running = true
 
-  private def jsonEscape(s: String): String = s.flatMap {
-    case '"' => "\\\""
-    case '\\' => "\\\\"
-    case '\n' => "\\n"
-    case '\r' => "\\r"
-    case '\t' => "\\t"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  }
+  private def jsonEscape(s: String): String = graft.JsonUtil.escape(s)
 
   private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
     ex.getResponseHeaders.set("Server", "proxyhousespark")
@@ -79,13 +73,19 @@ final class HttpReceiver(dropDir: String, port: Int = 0,
         case "POST" =>
           val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
           if (body.isEmpty) respond(ex, 405, "No data given.")
-          else {
+          else if (queued.get() >= maxQueued) {
+            // ACKing into an unbounded queue turns a stuck drop dir (disk
+            // full, unwritable) into silent loss-on-crash of everything
+            // acked since; refuse instead so the producer backs off
+            respond(ex, 503, "Ingest queue full — drop directory stalled.")
+          } else {
             // raw path + raw query, like the reference's
             // r.URL.RawPath + "?" + r.URL.RawQuery (main.go:187)
             val raw = ex.getRequestURI.getRawPath +
               Option(ex.getRequestURI.getRawQuery).map("?" + _).getOrElse("")
             queue.add(s"""{"uri": "${jsonEscape(raw)}", """ +
               s""""body": "${jsonEscape(body)}"}""")
+            queued.incrementAndGet()
             inRequests.incrementAndGet()
             respond(ex, 200, "")
           }
@@ -103,13 +103,22 @@ final class HttpReceiver(dropDir: String, port: Int = 0,
     * counter is claimed inside the lock for the same reason. */
   private def roll(): Unit = synchronized {
     val lines = Iterator.continually(queue.poll()).takeWhile(_ != null).toSeq
+    queued.addAndGet(-lines.size.toLong)
     if (lines.nonEmpty) {
-      val name =
-        s"req-${System.currentTimeMillis()}-${outFiles.getAndIncrement()}.json"
-      val tmp = Paths.get(dropDir, s".$name.tmp")
-      Files.write(tmp, lines.mkString("\n").getBytes(UTF_8))
-      Files.move(tmp, Paths.get(dropDir, name),
-        StandardCopyOption.ATOMIC_MOVE)
+      try {
+        val name =
+          s"req-${System.currentTimeMillis()}-${outFiles.getAndIncrement()}.json"
+        val tmp = Paths.get(dropDir, s".$name.tmp")
+        Files.write(tmp, lines.mkString("\n").getBytes(UTF_8))
+        Files.move(tmp, Paths.get(dropDir, name),
+          StandardCopyOption.ATOMIC_MOVE)
+      } catch { case e: Exception =>
+        // failed roll must NOT drop acked requests: put them back so the
+        // next attempt (or the queue cap's 503) handles the stall
+        lines.foreach(queue.add)
+        queued.addAndGet(lines.size.toLong)
+        throw e
+      }
     }
   }
 

@@ -65,15 +65,25 @@ object IngestPipeline {
         col("cc._3").as("reqs"), col("bytes_in"))
   }
 
+  /** Serializes every DLQ append in this JVM: the live stream's failure
+    * spill (foreachBatch) and the replayer thread's escalation spill both
+    * target the same directory, and two CONCURRENT parquet append jobs
+    * share `dlqDir/_temporary` — whichever commits first deletes the
+    * other's staged task files (silent row loss). All DLQ writes go
+    * through this lock; spills are rare, so serializing them is free. */
+  private val dlqWriteLock = new Object
+
   def spill(spark: SparkSession,
       rows: Seq[(String, String, Long, Int)], dlqDir: String): Unit = {
     import spark.implicits._
     // wall-clock nanos (not System.nanoTime, whose origin is arbitrary per
     // JVM): oldest-first replay order must survive a process restart, like
     // the reference's time.Now().UnixNano() filenames (main.go:365-373)
-    rows.toDF("uri", "body", "rows", "level")
+    val df = rows.toDF("uri", "body", "rows", "level")
       .withColumn("ts_nano", lit(System.currentTimeMillis() * 1000000L))
-      .write.mode("append").partitionBy("level").parquet(dlqDir)
+    dlqWriteLock.synchronized {
+      df.write.mode("append").partitionBy("level").parquet(dlqDir)
+    }
   }
 
   /** Start the ingest stream: micro-batch agg + send + DLQ spill on a
@@ -126,10 +136,13 @@ object IngestPipeline {
             else m.onSendError(r.getAs[String]("uri"))
           })
           if (stats.exists(!_.getAs[Boolean]("ok")))
-            attempted.filter(!col("ok"))
-              .select(col("uri"), col("body"), col("rows"), lit(1).as("level"),
-                lit(System.currentTimeMillis() * 1000000L).as("ts_nano"))
-              .write.mode("append").partitionBy("level").parquet(dlqDir)
+            dlqWriteLock.synchronized {
+              attempted.filter(!col("ok"))
+                .select(col("uri"), col("body"), col("rows"),
+                  lit(1).as("level"),
+                  lit(System.currentTimeMillis() * 1000000L).as("ts_nano"))
+                .write.mode("append").partitionBy("level").parquet(dlqDir)
+            }
         } finally attempted.unpersist()
       }
       .start()
@@ -200,13 +213,25 @@ object IngestPipeline {
   }
 
   /** O-3: DLQ backlog → HTTP status (main.go:228-245). Counts only live
-    * files (robust to drained-empty `level=` dirs). */
+    * files (robust to drained-empty `level=` dirs). The replayer deletes
+    * files concurrently, so a listed file can vanish before the read —
+    * retry with a fresh listing, then fall back to the file count (the
+    * reference's own granularity, main.go:230-234) rather than letting a
+    * health probe 500 on a healthy, actively-draining queue. */
   def dlqStatus(spark: SparkSession, dlqDir: String,
       warn: Int = 400, crit: Int = 500): Int = {
     val dir = new java.io.File(dlqDir)
-    val files = if (!dir.exists()) Seq.empty else liveFiles(dir)
-    val n = if (files.isEmpty) 0L
+    def rowCount(): Long = {
+      val files = if (!dir.exists()) Seq.empty else liveFiles(dir)
+      if (files.isEmpty) 0L
       else spark.read.parquet(files.map(_._2.getAbsolutePath): _*).count()
+    }
+    val n = try rowCount() catch {
+      case _: Exception => try rowCount() catch {
+        case _: Exception =>
+          if (!dir.exists()) 0L else liveFiles(dir).size.toLong
+      }
+    }
     if (n >= crit) 500 else if (n >= warn) 400 else 200
   }
 }

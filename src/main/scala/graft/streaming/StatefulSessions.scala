@@ -22,8 +22,13 @@ object StatefulSessions {
 
   case class Ev(ts: Timestamp, user_id: Long, event_type: String)
 
+  /** `open = false` marks a timeout-closed session whose record is kept
+    * ONLY to carry sessionIdx forward — the user-lifetime counter is the
+    * whole reason this operator exists, so timeout must not erase it.
+    * One small record per user ever seen; a deployment with truly
+    * unbounded user churn would add a long TTL eviction on top. */
   case class SessState(sessionIdx: Long, startMs: Long, lastMs: Long,
-      n: Long, types: Set[String])
+      n: Long, types: Set[String], open: Boolean = true)
 
   case class SessionOut(user_id: Long, session_idx: Long, n_events: Long,
       n_types: Long, start_ms: Long, duration_ms: Long)
@@ -47,7 +52,10 @@ object StatefulSessions {
         (user, evs, state) =>
           if (state.hasTimedOut) {
             val st = state.get
-            state.remove()
+            // close the session but KEEP the state record (open = false):
+            // removing it would reset the per-user session index to 1 on
+            // the user's next visit
+            state.update(st.copy(open = false))
             Iterator.single(close(user, st))
           } else {
             // order within the batch; cross-batch disorder is bounded by
@@ -60,11 +68,16 @@ object StatefulSessions {
               val ms = e.ts.getTime
               if (st == null)
                 st = SessState(1L, ms, ms, 1L, Set(e.event_type))
+              else if (!st.open) // resume after a timeout close: index + 1
+                st = SessState(st.sessionIdx + 1, ms, ms, 1L, Set(e.event_type))
               else if (ms - st.lastMs > gapMs) {
                 closed += close(user, st)
                 st = SessState(st.sessionIdx + 1, ms, ms, 1L, Set(e.event_type))
               } else
-                st = st.copy(lastMs = math.max(st.lastMs, ms), n = st.n + 1,
+                // a cross-batch late event may precede the session start
+                // (within watermark): extend BOTH ends, like session_window
+                st = st.copy(startMs = math.min(st.startMs, ms),
+                  lastMs = math.max(st.lastMs, ms), n = st.n + 1,
                   types = st.types + e.event_type)
             }
             state.update(st)

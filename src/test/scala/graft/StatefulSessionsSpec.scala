@@ -47,6 +47,68 @@ class StatefulSessionsSpec extends SparkSuite {
       (2L, 1L, 1L, 1L, 0L)))
   }
 
+  test("session index survives a TIMEOUT close (user-lifetime state)") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val stream = MemoryStream[(Timestamp, Long, String)]
+    val out = StatefulSessions.sessionize(
+      stream.toDF().toDF("ts", "user_id", "event_type"))
+    val q = out.writeStream.format("memory")
+      .queryName("stateful_timeout").outputMode("append").start()
+    try {
+      stream.addData(Seq((ts(0), 1L, "click")))
+      q.processAllAvailable()
+      // watermark far past last+gap → session 1 closes via TIMEOUT
+      stream.addData(Seq((ts(5000), 9L, "view")))
+      q.processAllAvailable()
+      stream.addData(Seq((ts(5001), 9L, "view")))
+      q.processAllAvailable()
+      // the user returns: must be session 2, not a reset to 1
+      stream.addData(Seq((ts(6000), 1L, "click")))
+      q.processAllAvailable()
+      stream.addData(Seq((ts(20000), 9L, "view")))
+      q.processAllAvailable()
+      stream.addData(Seq((ts(20001), 9L, "view")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = s.sql(
+      """SELECT session_idx, n_events FROM stateful_timeout
+        |WHERE user_id = 1 ORDER BY session_idx""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == Seq((1L, 1L), (2L, 1L)))
+  }
+
+  test("cross-batch late event extends the session START, like session_window") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val stream = MemoryStream[(Timestamp, Long, String)]
+    val out = StatefulSessions.sessionize(
+      stream.toDF().toDF("ts", "user_id", "event_type"),
+      lateness = "60 minutes")
+    val q = out.writeStream.format("memory")
+      .queryName("stateful_late").outputMode("append").start()
+    try {
+      stream.addData(Seq((ts(10), 1L, "click")))
+      q.processAllAvailable()
+      // late arrival 5 min EARLIER than the open session's start
+      stream.addData(Seq((ts(5), 1L, "view")))
+      q.processAllAvailable()
+      stream.addData(Seq((ts(10000), 9L, "view")))
+      q.processAllAvailable()
+      stream.addData(Seq((ts(10001), 9L, "view")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val r = s.sql(
+      """SELECT n_events, start_ms, duration_ms FROM stateful_late
+        |WHERE user_id = 1""".stripMargin).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(0) == 2L)
+    assert(r(0).getLong(1) == ts(5).getTime)       // start extended back
+    assert(r(0).getLong(2) == 5L * 60000L)         // 5-minute duration
+  }
+
   test("in-batch out-of-order events sessionize by event time, not arrival") {
     val s = spark
     import s.implicits._
