@@ -275,10 +275,27 @@ object Similarity {
     * at each fixpoint makes the whole training trajectory reproducible —
     * the same trick a production pipeline needs for audit-stable cluster
     * ids. Output: per-cell membership count + inertia after round 3. */
+  /** One trained model per (session, SF): s_kmeans_cells and
+    * s_ivf_trained_topk both need the same training, and the trained
+    * frames are tiny (K·dim centroids + one row per vector) — persist
+    * them once instead of re-deriving the 3-round tree per consumer
+    * (same shared-intermediate pattern as Dedup's pair list). */
+  private val kmCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+
   /** Lloyd training loop shared by the cell summary and the trained-IVF
     * probe path. Returns (centroids the final assignment was computed
     * against: (cell, i, cx), final assignment: (vec_id, cell, d)). */
   private def kmeansTrain(spark: SparkSession,
+      sfDir: String): (DataFrame, DataFrame) =
+    kmCache.getOrElseUpdate((spark, sfDir), {
+      val (cent, asg) = kmeansTrainCompute(spark, sfDir)
+      cent.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      asg.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (cent, asg)
+    })
+
+  private def kmeansTrainCompute(spark: SparkSession,
       sfDir: String): (DataFrame, DataFrame) = {
     val ex = emb(spark, sfDir)
       .select(col("vec_id"), posexplode(col("embedding")))

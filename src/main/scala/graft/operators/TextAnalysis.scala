@@ -386,6 +386,29 @@ object TextAnalysis {
       |  FROM documents
       |) GROUP BY 1, 2""".stripMargin
 
+  /** Corpus length-percentile gate — the "drop the shortest/longest 10%"
+    * curation filter, built on [[Analytics.distributedPercentRank]] so the
+    * global percentile never needs a single-partition sort. Output: per
+    * source, how many docs the middle-80% filter keeps. */
+  def lengthPercentile(spark: SparkSession, sfDir: String): DataFrame =
+    Analytics.distributedPercentRank(
+        Tables.documents(spark, sfDir).select("doc_id", "source", "n_chars"),
+        col("n_chars"), col("doc_id"), "pct")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pct") >= 0.1 && col("pct") <= 0.9, 1L).otherwise(0L))
+          .as("n_kept_mid80"))
+
+  val lengthPercentileSql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  SUM(CASE WHEN pct >= 0.1 AND pct <= 0.9 THEN 1 ELSE 0 END)
+      |    AS n_kept_mid80
+      |FROM (
+      |  SELECT source,
+      |    percent_rank() OVER (ORDER BY n_chars, doc_id) AS pct
+      |  FROM documents
+      |) GROUP BY source""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "t_token_stats"  -> Q(tokenStatsSql)(tokenStats),
     "t_quality_score"-> Q(qualityScoreSql)(qualityScore),
@@ -395,5 +418,6 @@ object TextAnalysis {
     "t_winnow_fingerprints" -> Q(winnowFingerprintsSql)(winnowFingerprints),
     "t_term_freq"    -> Q(termFreqSql)(termFreq),
     "t_tfidf_top"    -> Q(tfIdfSql)(tfIdf),
-    "t_hash_split"   -> Q(hashSplitSql)(hashSplit))
+    "t_hash_split"   -> Q(hashSplitSql)(hashSplit),
+    "t_length_pct"   -> Q(lengthPercentileSql)(lengthPercentile))
 }

@@ -80,6 +80,21 @@ class HttpReceiverSpec extends SparkSuite {
     } finally rx.stop()
   }
 
+  test("queue cap: POSTs get 503 instead of unbounded-buffer acks") {
+    val dropDir = Files.createTempDirectory("drop").toString
+    // huge roll interval so nothing drains during the test
+    val rx = new graft.sources.HttpReceiver(dropDir, rollMillis = 60000,
+      maxQueued = 3).start()
+    try {
+      (1 to 3).foreach { i =>
+        assert(post(rx.boundPort, "/?query=q", s"($i)").statusCode() == 200)
+      }
+      val overflow = post(rx.boundPort, "/?query=q", "(4)")
+      assert(overflow.statusCode() == 503)
+      assert(overflow.body().contains("queue full"))
+    } finally rx.stop()
+  }
+
   test("/status reflects the DLQ backlog thresholds (main.go:228-245)") {
     val s = spark
     val dropDir = Files.createTempDirectory("drop").toString
