@@ -474,11 +474,77 @@ object Dedup {
        |) GROUP BY cluster_id""".stripMargin
   }
 
+  // ---- benchmark contamination ----------------------------------------------
+
+  /** The held-out set: treat one source as the "benchmark" corpus. */
+  private val BenchSource = "src0"
+  private val ContamK = 4
+
+  /** Benchmark-contamination detection — the eval-hygiene operator every
+    * training pipeline needs: which training docs share a 4-gram with the
+    * held-out benchmark set, per source. Shape: explode to 60-bit hashed
+    * shingles (long join keys, not strings), LEFT SEMI join training
+    * shingles against the distinct benchmark shingle set — one shuffle on
+    * the shingle hash each side, output is per-source doc counts. The
+    * benchmark side is aggregated to DISTINCT hashes first, so its size is
+    * its vocabulary, not its token count; no broadcast hint (AQE
+    * broadcasts a small benchmark, shuffles a big one). */
+  def contamination(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = toks(spark, sfDir)
+    val hashed = expr(
+      "transform(" + shinglesSql("t", ContamK) +
+        ", x -> CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT))")
+    val sh = base.select(col("doc_id"), col("source"),
+      explode(hashed).as("h"))
+    val bench = sh.filter(col("source") === BenchSource)
+      .select("h").distinct()
+    val cont = sh.filter(col("source") =!= BenchSource)
+      .join(bench, Seq("h"), "left_semi")
+      .select("doc_id", "source").distinct()
+    base.filter(col("source") =!= BenchSource)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(cont.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_contaminated")), Seq("source"), "left_outer")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        round(coalesce(col("n_contaminated"), lit(0L)) / col("n_docs"), 4)
+          .as("rate"))
+  }
+
+  val contaminationSql: String = {
+    val parts = (0 until ContamK).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z]+') AS t
+       |  FROM documents
+       |), sh AS (
+       |  SELECT doc_id, source,
+       |    ('0x' || substr(md5(unnest(list_distinct(list_transform(
+       |      range(1, GREATEST(len(t) - ${ContamK - 2}, 1)),
+       |      i -> $parts)))), 1, 15))::BIGINT AS h
+       |  FROM toks
+       |), bench AS (
+       |  SELECT DISTINCT h FROM sh WHERE source = '$BenchSource'
+       |), cont AS (
+       |  SELECT DISTINCT sh.doc_id, sh.source FROM sh JOIN bench USING (h)
+       |  WHERE sh.source <> '$BenchSource'
+       |), per AS (
+       |  SELECT source, COUNT(*) AS n_docs FROM documents
+       |  WHERE source <> '$BenchSource' GROUP BY source
+       |)
+       |SELECT per.source, per.n_docs,
+       |  COALESCE(c.n, 0) AS n_contaminated,
+       |  ROUND(COALESCE(c.n, 0) / per.n_docs, 4) AS rate
+       |FROM per LEFT JOIN (
+       |  SELECT source, COUNT(*) AS n FROM cont GROUP BY source
+       |) c ON per.source = c.source""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
     "d_exact_stats"   -> Q(exactStatsSql)(exactStats),
     "d_ngram_jaccard" -> Q(ngramJaccardSql)(ngramJaccard),
     "d_minhash_lsh"   -> Q(minhashLshSql)(minhashLsh),
     "d_simhash_pairs" -> Q(simhashPairsSql)(simhashPairs),
     "d_dedup_corpus"  -> Q(dedupCorpusSql)(dedupCorpus),
-    "d_dup_clusters"  -> Q(dupClustersSql)(dupClusters))
+    "d_dup_clusters"  -> Q(dupClustersSql)(dupClusters),
+    "d_contamination" -> Q(contaminationSql)(contamination))
 }
