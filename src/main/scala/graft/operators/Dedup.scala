@@ -409,11 +409,17 @@ object Dedup {
   def dupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = ngramJaccard(spark, sfDir)
       .filter(col("jaccard") >= 0.5).select("doc_a", "doc_b")
+    // the pair graph is orders of magnitude smaller than the corpus;
+    // coalesce the iterated frames so each round's stages run a handful
+    // of tasks instead of spark.sql.shuffle.partitions of them (pure
+    // scheduling overhead at this size — at web scale raise/remove this)
     val edges = pairs.unionByName(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .coalesce(8)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("doc_a").as("doc"))
       .distinct().withColumn("lbl", col("doc"))
+      .coalesce(8)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // convergence check without a join: labels only ever DECREASE, so the
     // label sum strictly decreases until fixpoint — one cheap aggregate
@@ -439,6 +445,7 @@ object Dedup {
         .join(parent, col("lbl") === col("p_doc"), "left")
         .select(col("doc"),
           least(col("lbl"), coalesce(col("p_lbl"), col("lbl"))).as("lbl"))
+        .coalesce(8)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // coalesce: sum over an EMPTY frame is null — a corpus with no
       // near-dup pair must yield zero clusters, not an NPE
