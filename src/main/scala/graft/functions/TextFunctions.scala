@@ -53,6 +53,18 @@ object TextFunctions {
 
   def shingles(toksCol: String, k: Int): Column = expr(shinglesSql(toksCol, k))
 
+  /** Like [[shinglesSql]] but WITH duplicates (no array_distinct) — for
+    * within-doc repetition measures, where the duplicate shingles ARE the
+    * signal. */
+  def shinglesAllSql(toksCol: String, k: Int): String = {
+    val n = s"greatest(size($toksCol) - ${k - 1}, 0)"
+    def chain(j: Int): String =
+      if (j == k - 1) s"slice($toksCol, ${j + 1}, $n)"
+      else s"zip_with(slice($toksCol, ${j + 1}, $n), ${chain(j + 1)}, " +
+        "(a, b) -> concat(a, ' ', b))"
+    chain(0)
+  }
+
   /** Count of tokens (in array column `toksCol`) in `set`, with multiplicity. */
   def tokenHits(toksCol: String, set: Seq[String]): Column = {
     val inList = set.map(s => s"'$s'").mkString(", ")

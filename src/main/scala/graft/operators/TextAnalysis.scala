@@ -409,6 +409,45 @@ object TextAnalysis {
       |  FROM documents
       |) GROUP BY source""".stripMargin
 
+  /** Within-document repetition — the "fraction of duplicate 3-grams
+    * inside one doc" signal (the published web-corpus quality rules use
+    * exactly this family to drop boilerplate/spam): rep = 1 −
+    * distinct/total over the doc's own shingle stream. Row-local except
+    * one hash agg per doc; no joins, no shuffle beyond the per-doc agg.
+    * Output: per source, docs over the 0.2 repetition threshold. */
+  def repetitionRatio(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("source"),
+        explode(expr(shinglesAllSql("t", 3))).as("s"))
+    sh.groupBy(col("doc_id"), col("source"))
+      .agg((lit(1.0) - countDistinct(col("s")).cast("double")
+        / count(lit(1))).as("rep"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("rep") > 0.2, 1L).otherwise(0L)).as("n_repetitive"),
+        round(avg(col("rep")), 6).as("avg_rep"))
+  }
+
+  val repetitionRatioSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, source, unnest(list_transform(
+      |    range(1, GREATEST(len(t) - 1, 1)),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      |  FROM (
+      |    SELECT doc_id, source,
+      |      regexp_extract_all(lower(text), '[a-z]+') AS t
+      |    FROM documents)
+      |), per_doc AS (
+      |  SELECT doc_id, source,
+      |    1.0 - CAST(COUNT(DISTINCT s) AS DOUBLE) / COUNT(*) AS rep
+      |  FROM sh GROUP BY doc_id, source
+      |)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  SUM(CASE WHEN rep > 0.2 THEN 1 ELSE 0 END) AS n_repetitive,
+      |  ROUND(AVG(rep), 6) AS avg_rep
+      |FROM per_doc GROUP BY source""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "t_token_stats"  -> Q(tokenStatsSql)(tokenStats),
     "t_quality_score"-> Q(qualityScoreSql)(qualityScore),
@@ -419,5 +458,6 @@ object TextAnalysis {
     "t_term_freq"    -> Q(termFreqSql)(termFreq),
     "t_tfidf_top"    -> Q(tfIdfSql)(tfIdf),
     "t_hash_split"   -> Q(hashSplitSql)(hashSplit),
-    "t_length_pct"   -> Q(lengthPercentileSql)(lengthPercentile))
+    "t_length_pct"   -> Q(lengthPercentileSql)(lengthPercentile),
+    "t_rep_ratio"    -> Q(repetitionRatioSql)(repetitionRatio))
 }
