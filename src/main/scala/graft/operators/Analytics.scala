@@ -334,8 +334,12 @@ object Analytics {
     val inBucket = Window.partitionBy(col("_bkt")).orderBy(value, tiebreak)
     bucketed.join(broadcast(offsets), "_bkt")
       .withColumn(outCol,
-        (col("_off") + row_number().over(inBucket) - lit(1)).cast("double")
-          / (col("_n") - lit(1)))
+        // n = 1 would divide by zero; percent_rank of a single row is 0
+        // (matching SQL engines' percent_rank), not null
+        when(col("_n") > 1,
+          (col("_off") + row_number().over(inBucket) - lit(1)).cast("double")
+            / (col("_n") - lit(1)))
+          .otherwise(lit(0.0)))
       .drop("_bkt", "_off", "_n")
   }
 
