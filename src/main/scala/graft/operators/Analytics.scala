@@ -358,7 +358,8 @@ object Analytics {
     distributedPercentRank(sliced, col("o_totalprice"), col("o_orderkey"),
         "price_pct_raw")
       .withColumn("days_to_next",
-        datediff(lead(col("o_orderdate"), 1).over(byCust), col("o_orderdate")))
+        datediff(lead(col("o_orderdate"), 1).over(byCust), col("o_orderdate"))
+          .cast("long"))
       .withColumn("spend_quartile", ntile(4).over(
         Window.partitionBy(col("o_custkey"))
           .orderBy(col("o_totalprice"), col("o_orderkey"))))
@@ -573,8 +574,8 @@ object Analytics {
       |),
       |sess AS (
       |  SELECT user_id, ms,
-      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ms, event_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ms, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       |  FROM flagged
       |)
       |SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -642,11 +643,11 @@ object Analytics {
 
   val pivotHourlySql: String =
     """SELECT (epoch_ms(ts) // 3600000) % 24 AS hour_of_day,
-      |  SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-      |  SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-      |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-      |  SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-      |  SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+      |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+      |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+      |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+      |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
       |FROM events GROUP BY 1""".stripMargin
 
   // ---- JSON extraction --------------------------------------------------------------
@@ -663,7 +664,7 @@ object Analytics {
 
   val jsonPropsSql: String =
     """SELECT event_type,
-      |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |  COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS distinct_k,
       |  COUNT(*) AS cnt
       |FROM events GROUP BY event_type""".stripMargin

@@ -261,52 +261,64 @@ object Dedup {
 
   // ---- SimHash --------------------------------------------------------------
 
-  private val SimBits = 16
+  private val SimBits = 64
+  private val SimBands = 4           // 16-bit band keys → 2^16 key space
+  private val SimHamMax = 3          // ≤ SimBands-1 ⇒ pigeonhole recall
 
-  /** 16-bit SimHash over 3-shingle features (unigram features don't
+  /** 64-bit SimHash over 3-shingle features (unigram features don't
     * discriminate — every doc shares the corpus unigram distribution);
-    * near-dup pairs block on either signature half (guarantees recall for
-    * hamming ≤ 1 per half) and keep hamming ≤ 3.
+    * candidate pairs block on 4 disjoint 16-bit bands and keep
+    * hamming ≤ 3. Pigeonhole: ≤ 3 differing bits spread over 4 bands
+    * always leave ≥ 1 band intact, so blocking has FULL recall at the
+    * kept threshold — and the ~65k-key band space keeps expected
+    * candidates at Σ|bucket|² / 2^16 (the round-2 8-bit half-blocking
+    * was corpus²/256, quadratic at scale).
     *
-    * Shape for scale (same trick as minhash): the 16 per-bit ±1 sums are
-    * 16 aggregate columns of ONE groupBy(doc) over the shingle stream —
-    * md5 evaluated once per shingle (physical-plan CSE across the 16
-    * expressions), one shuffle of 16 longs per doc, no shingles×16 row
+    * Bit b (0..63) is bit (b%4) of md5 hex digit b/4 — all 64 bits come
+    * from ONE md5 per shingle. The signature is carried as two 32-bit
+    * halves (`lo`, `hi`) so neither engine's signed-BIGINT arithmetic can
+    * overflow building it; hamming is bit_count(xor) on each half.
+    *
+    * Shape for scale (same trick as minhash): the 64 per-bit ±1 sums are
+    * 64 aggregate columns of ONE groupBy(doc) over the shingle stream —
+    * md5/conv evaluated once per shingle via codegen subexpression
+    * elimination, one shuffle of 64 longs per doc, no shingles×64 row
     * explosion. */
   def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val tok = toks(spark, sfDir)
       .select(col("doc_id"), explode(shingles("t", 3)).as("token"))
-      .select(col("doc_id"), substring(md5(col("token")), 1, SimBits).as("h"))
-    val bitSums = (0 until SimBits).map(b =>
-      sum(when(ascii(substring(col("h"), b + 1, 1)) % 2 === 1, 1L)
-        .otherwise(-1L)).as(s"s$b"))
+      .select(col("doc_id"), substring(md5(col("token")), 1, SimBits / 4).as("h"))
+    def hexVal(c: Int) = // value of 1-based hex char c of the md5 prefix
+      conv(substring(col("h"), c, 1), 16, 10).cast("int")
+    val bitSums = (0 until SimBits).map { b =>
+      sum(when(shiftright(hexVal(b / 4 + 1), b % 4).bitwiseAND(lit(1)) === 1,
+        1L).otherwise(-1L)).as(s"s$b")
+    }
     val sums = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    // integer signature (bit b set iff s_b >= 0): half-signature blocking
-    // becomes mask/shift and per-pair hamming becomes ONE codegen'd
-    // bit_count(xor) instead of split/zip/fold over 16-char strings
-    val sigExpr = (0 until SimBits).map(b =>
-      when(col(s"s$b") >= 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
-    val sig = sums
-      .select(col("doc_id"), sigExpr.as("sig"))
-      .select(col("doc_id"), col("sig"),
-        (col("sig") bitwiseAND lit((1L << (SimBits / 2)) - 1)).as("lh"),
-        shiftright(col("sig"), SimBits / 2).as("rh"))
-    val pairsL = sig.as("a").join(sig.as("b"),
-      col("a.lh") === col("b.lh") && col("a.doc_id") < col("b.doc_id"))
-    val pairsR = sig.as("a").join(sig.as("b"),
-      col("a.rh") === col("b.rh") && col("a.doc_id") < col("b.doc_id"))
-    val pairs = pairsL.select(col("a.doc_id").as("doc_a"),
-        col("b.doc_id").as("doc_b"), col("a.sig").as("sig_a"),
-        col("b.sig").as("sig_b"))
-      .unionByName(pairsR.select(col("a.doc_id").as("doc_a"),
-        col("b.doc_id").as("doc_b"), col("a.sig").as("sig_a"),
-        col("b.sig").as("sig_b")))
+    def half(off: Int) = (0 until 32).map(b =>
+      when(col(s"s${off + b}") >= 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val sig = sums.select(col("doc_id"), half(0).as("lo"), half(32).as("hi"))
+    val bands = sig.select(col("doc_id"), col("lo"), col("hi"),
+      explode(array(
+        struct(lit(0).as("band"),
+          (col("lo") bitwiseAND lit(0xFFFFL)).as("key")),
+        struct(lit(1).as("band"), shiftright(col("lo"), 16).as("key")),
+        struct(lit(2).as("band"),
+          (col("hi") bitwiseAND lit(0xFFFFL)).as("key")),
+        struct(lit(3).as("band"), shiftright(col("hi"), 16).as("key"))))
+        .as("bk"))
+      .select(col("doc_id"), col("lo"), col("hi"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (bit_count(col("a.lo") bitwiseXOR col("b.lo")) +
+          bit_count(col("a.hi") bitwiseXOR col("b.hi"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= SimHamMax)
       .distinct()
-    pairs
-      .withColumn("hamming",
-        bit_count(col("sig_a") bitwiseXOR col("sig_b")).cast("long"))
-      .filter(col("hamming") <= 3)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
   val simhashPairsSql: String =
@@ -319,35 +331,36 @@ object Dedup {
        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
        |  FROM toks
        |), tok AS (
-       |  SELECT doc_id, substr(md5(unnest(s)), 1, $SimBits) AS h FROM shs
+       |  SELECT doc_id, substr(md5(unnest(s)), 1, ${SimBits / 4}) AS h FROM shs
        |), sums AS (
        |  SELECT doc_id,
        |    ${(0 until SimBits).map(b =>
-              s"SUM(CASE WHEN ascii(substr(h, ${b + 1}, 1)) % 2 = 1 " +
-                s"THEN 1 ELSE -1 END) AS s$b").mkString(",\n    ")}
+              s"SUM(CASE WHEN (('0x' || substr(h, ${b / 4 + 1}, 1))::INT " +
+                s">> ${b % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+              .mkString(",\n    ")}
        |  FROM tok GROUP BY doc_id
-       |), sig0 AS (
-       |  SELECT doc_id,
-       |    ${(0 until SimBits).map(b =>
-              s"CASE WHEN s$b >= 0 THEN ${1L << b} ELSE 0 END")
-              .mkString(" + ")} AS sig
-       |  FROM sums
        |), sig AS (
-       |  SELECT doc_id, sig,
-       |    sig & ${(1L << (SimBits / 2)) - 1} AS lh,
-       |    sig >> ${SimBits / 2} AS rh
-       |  FROM sig0
-       |), pairs AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |    a.sig AS sig_a, b.sig AS sig_b
-       |  FROM sig a JOIN sig b ON a.lh = b.lh AND a.doc_id < b.doc_id
-       |  UNION
-       |  SELECT a.doc_id, b.doc_id, a.sig, b.sig
-       |  FROM sig a JOIN sig b ON a.rh = b.rh AND a.doc_id < b.doc_id
+       |  SELECT doc_id,
+       |    ${(0 until 32).map(b =>
+              s"CASE WHEN s$b >= 0 THEN (1::BIGINT << $b) ELSE 0 END")
+              .mkString(" + ")} AS lo,
+       |    ${(32 until 64).map(b =>
+              s"CASE WHEN s$b >= 0 THEN (1::BIGINT << ${b - 32}) ELSE 0 END")
+              .mkString(" + ")} AS hi
+       |  FROM sums
+       |), bands AS (
+       |  SELECT doc_id, lo, hi, 0 AS band, lo & 65535 AS key FROM sig
+       |  UNION ALL SELECT doc_id, lo, hi, 1, lo >> 16 FROM sig
+       |  UNION ALL SELECT doc_id, lo, hi, 2, hi & 65535 FROM sig
+       |  UNION ALL SELECT doc_id, lo, hi, 3, hi >> 16 FROM sig
        |)
-       |SELECT doc_a, doc_b,
-       |  CAST(bit_count(xor(sig_a::BIGINT, sig_b::BIGINT)) AS BIGINT) AS hamming
-       |FROM pairs WHERE bit_count(xor(sig_a::BIGINT, sig_b::BIGINT)) <= 3""".stripMargin
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+       |    AS BIGINT) AS hamming
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+       |  <= $SimHamMax""".stripMargin
 
   // ---- dedup materialization -------------------------------------------------
 

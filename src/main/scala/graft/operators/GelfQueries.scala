@@ -33,7 +33,7 @@ object GelfQueries {
   def shortMessageQ(spark: SparkSession, sfDir: String): DataFrame =
     logs(spark, sfDir).select(
       col("doc_id"),
-      length(col("full")).as("full_len"),
+      length(col("full")).cast("long").as("full_len"),
       shortMessage(col("full")).as("short_message"))
 
   val shortMessageSql: String =

@@ -38,7 +38,8 @@ object MetricsRollup {
   val metricRollupSql: String =
     s"""WITH $requestsCte,
        |g AS (
-       |  SELECT host, tbl, COUNT(*) AS cnt, SUM(LENGTH(body)) AS bytes
+       |  SELECT host, tbl, COUNT(*) AS cnt,
+       |    CAST(SUM(LENGTH(body)) AS BIGINT) AS bytes
        |  FROM requests GROUP BY GROUPING SETS ((), (host), (tbl))
        |),
        |named AS (
@@ -67,8 +68,8 @@ object MetricsRollup {
   val sendSpeedSql: String =
     s"""WITH $requestsCte
        |SELECT tbl,
-       |  SUM(LENGTH(body)) AS bytes_sent,
-       |  SUM(event_id % 50 + 1) AS duration_ms_total,
+       |  CAST(SUM(LENGTH(body)) AS BIGINT) AS bytes_sent,
+       |  CAST(SUM(event_id % 50 + 1) AS BIGINT) AS duration_ms_total,
        |  ROUND(SUM(LENGTH(body)) / CAST(SUM(event_id % 50 + 1) AS DOUBLE), 4)
        |    AS send_speed
        |FROM requests GROUP BY ROLLUP (tbl)""".stripMargin

@@ -56,7 +56,7 @@ object Multimodal {
       .groupBy(col("mime"))
       .agg(count(lit(1)).as("n"),
         sum(octet_length(col("content"))).as("total_bytes"),
-        max(octet_length(col("content"))).as("max_bytes"),
+        max(octet_length(col("content"))).cast("long").as("max_bytes"),
         countDistinct(md5(col("content"))).as("n_distinct_blobs"),
         round(avg(col("width").cast("long") * col("height")), 2)
           .as("avg_pixels"))
@@ -64,7 +64,7 @@ object Multimodal {
   val binaryMetaSql: String =
     s"""WITH $mediaCte
        |SELECT mime, COUNT(*) AS n,
-       |  SUM(octet_length(content)) AS total_bytes,
+       |  CAST(SUM(octet_length(content)) AS BIGINT) AS total_bytes,
        |  MAX(octet_length(content)) AS max_bytes,
        |  COUNT(DISTINCT md5(text)) AS n_distinct_blobs, -- content IS utf8(text)
        |  ROUND(AVG(width * height), 2) AS avg_pixels
@@ -128,7 +128,8 @@ object Multimodal {
        |      / GREATEST(octet_length(content), 1) AS FLOAT) AS f1
        |  FROM media
        |)
-       |SELECT mime, COUNT(*) AS n, SUM(n_bytes) AS total_bytes,
+       |SELECT mime, COUNT(*) AS n,
+       |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
        |  ROUND(SUM(CAST(f0 AS DOUBLE)), 4) AS sum_f0,
        |  ROUND(SUM(CAST(f1 AS DOUBLE)), 4) AS sum_f1
        |FROM feat GROUP BY mime""".stripMargin
@@ -181,9 +182,9 @@ object Multimodal {
        |    AND (i + 1) * 256 <= octet_length(content)
        |)
        |SELECT doc_id, COUNT(*) AS n_sampled,
-       |  SUM(LENGTH(frame)) AS sampled_bytes,
-       |  SUM((SELECT SUM(ascii(c)) FROM unnest(string_split(frame, '')) u(c)))
-       |    AS sum_checksum
+       |  CAST(SUM(LENGTH(frame)) AS BIGINT) AS sampled_bytes,
+       |  CAST(SUM((SELECT SUM(ascii(c)) FROM unnest(string_split(frame, '')) u(c)))
+       |    AS BIGINT) AS sum_checksum
        |FROM frames GROUP BY doc_id""".stripMargin
 
   // ---- resize (image path) ---------------------------------------------------

@@ -113,11 +113,11 @@ object ProxyQueries {
        |  CASE WHEN ${isTsvOrCsvSql}
        |       THEN string_agg(body, '' ORDER BY body)
        |       ELSE string_agg(body, ',' ORDER BY body) END AS batch_body,
-       |  SUM(CASE WHEN ${isTsvOrCsvSql}
+       |  CAST(SUM(CASE WHEN ${isTsvOrCsvSql}
        |           THEN len(string_split(body, chr(10))) - 1
-       |           ELSE len(string_split(body, '),')) END) AS rows_sent,
+       |           ELSE len(string_split(body, '),')) END) AS BIGINT) AS rows_sent,
        |  COUNT(*) AS reqs,
-       |  SUM(LENGTH(body)) AS bytes_received
+       |  CAST(SUM(LENGTH(body)) AS BIGINT) AS bytes_received
        |FROM requests GROUP BY uri""".stripMargin
 
   /** O-27/O-28 through the FUSED custom Aggregator
@@ -134,12 +134,12 @@ object ProxyQueries {
   val fusedConcatSql: String =
     s"""WITH $requestsCte
        |SELECT uri,
-       |  SUM(LENGTH(body)) + (COUNT(*) - 1) *
+       |  CAST(SUM(LENGTH(body)) + (COUNT(*) - 1) *
        |    CASE WHEN ${isTsvOrCsvSql}
-       |         THEN 0 ELSE 1 END AS batch_bytes,
-       |  SUM(CASE WHEN ${isTsvOrCsvSql}
+       |         THEN 0 ELSE 1 END AS BIGINT) AS batch_bytes,
+       |  CAST(SUM(CASE WHEN ${isTsvOrCsvSql}
        |           THEN len(string_split(body, chr(10))) - 1
-       |           ELSE len(string_split(body, '),')) END) AS rows_sent,
+       |           ELSE len(string_split(body, '),')) END) AS BIGINT) AS rows_sent,
        |  COUNT(*) AS reqs
        |FROM requests GROUP BY uri""".stripMargin
 
@@ -168,9 +168,9 @@ object ProxyQueries {
        |       ELSE 'Values' END AS fmt_sniffed,
        |  CASE WHEN ${isTsvOrCsvSql}
        |       THEN '' ELSE ',' END AS delim,
-       |  SUM(CASE WHEN ${isTsvOrCsvSql}
+       |  CAST(SUM(CASE WHEN ${isTsvOrCsvSql}
        |           THEN len(string_split(body, chr(10))) - 1
-       |           ELSE len(string_split(body, '),')) END) AS rows_total,
+       |           ELSE len(string_split(body, '),')) END) AS BIGINT) AS rows_total,
        |  COUNT(*) AS reqs
        |FROM requests GROUP BY 1, 2""".stripMargin
 

@@ -357,7 +357,7 @@ object Similarity {
       .withColumn("cosine", cosineSim(col("embedding"), col("q_emb")))
     val wN = Window.partitionBy(col("q_id"))
       .orderBy(round(col("cosine"), 6).desc, col("vec_id"))
-    scored.withColumn("rk", row_number().over(wN))
+    scored.withColumn("rk", row_number().over(wN).cast("long"))
       .filter(col("rk") <= 5)
       .select(col("q_id"), col("cell"), col("vec_id").as("neighbor_id"),
         round(col("cosine"), 6).as("cosine"), col("rk"))

@@ -44,9 +44,9 @@ object TextAnalysis {
 
   val tokenStatsSql: String =
     """SELECT source, COUNT(*) AS n_docs,
-      |  SUM(len(regexp_extract_all(text, '\S+'))) AS sum_ws_tokens,
-      |  SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS sum_bpe_tokens,
-      |  SUM(LENGTH(text)) AS sum_chars,
+      |  CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS sum_ws_tokens,
+      |  CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS sum_bpe_tokens,
+      |  CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars,
       |  ROUND(AVG(len(regexp_extract_all(text, '\S+'))), 4) AS avg_ws_tokens
       |FROM documents GROUP BY source""".stripMargin
 
@@ -328,7 +328,7 @@ object TextAnalysis {
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("term"))
-    scored.withColumn("rnk", row_number().over(w))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 3)
       .select(col("doc_id"), col("term"), col("tfidf"), col("rnk"))
   }
@@ -378,7 +378,7 @@ object TextAnalysis {
       |  CASE WHEN bucket < 80 THEN 'train'
       |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
       |  COUNT(*) AS n_docs,
-      |  SUM(CASE WHEN bucket < 10 THEN 1 ELSE 0 END) AS n_sampled_10pct
+      |  CAST(SUM(CASE WHEN bucket < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled_10pct
       |FROM (
       |  SELECT source,
       |    ('0x' || substr(md5('doc' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
@@ -401,8 +401,8 @@ object TextAnalysis {
 
   val lengthPercentileSql: String =
     """SELECT source, COUNT(*) AS n_docs,
-      |  SUM(CASE WHEN pct >= 0.1 AND pct <= 0.9 THEN 1 ELSE 0 END)
-      |    AS n_kept_mid80
+      |  CAST(SUM(CASE WHEN pct >= 0.1 AND pct <= 0.9 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_kept_mid80
       |FROM (
       |  SELECT source,
       |    percent_rank() OVER (ORDER BY n_chars, doc_id) AS pct
@@ -412,22 +412,25 @@ object TextAnalysis {
   /** Within-document repetition — the "fraction of duplicate 3-grams
     * inside one doc" signal (the published web-corpus quality rules use
     * exactly this family to drop boilerplate/spam): rep = 1 −
-    * distinct/total over the doc's own shingle stream. Row-local except
-    * one hash agg per doc; no joins, no shuffle beyond the per-doc agg.
-    * Output: per source, docs over the 0.2 repetition threshold. */
-  def repetitionRatio(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("source"), tokens(col("text")).as("t"))
-      .select(col("doc_id"), col("source"),
-        explode(expr(shinglesAllSql("t", 3))).as("s"))
-    sh.groupBy(col("doc_id"), col("source"))
-      .agg((lit(1.0) - countDistinct(col("s")).cast("double")
-        / count(lit(1))).as("rep"))
+    * distinct/total over the doc's own shingle stream. Fully ROW-LOCAL:
+    * the shingle array never leaves its row (`size`/`array_distinct` on
+    * the in-row array), so the only shuffle is the final tiny per-source
+    * agg — no explode, no per-doc countDistinct of the corpus's token
+    * stream. Docs too short for a 3-gram (empty shingle array) are
+    * excluded, matching the oracle's empty unnest. */
+  def repetitionRatio(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("source"), tokens(col("text")).as("t"))
+      .select(col("source"), expr(shinglesAllSql("t", 3)).as("sh"))
+      .select(col("source"), size(col("sh")).as("n_sh"),
+        size(array_distinct(col("sh"))).as("n_dist"))
+      .where(col("n_sh") > 0)
+      .select(col("source"),
+        (lit(1.0) - col("n_dist").cast("double") / col("n_sh")).as("rep"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("rep") > 0.2, 1L).otherwise(0L)).as("n_repetitive"),
         round(avg(col("rep")), 6).as("avg_rep"))
-  }
 
   val repetitionRatioSql: String =
     """WITH sh AS (
@@ -444,7 +447,7 @@ object TextAnalysis {
       |  FROM sh GROUP BY doc_id, source
       |)
       |SELECT source, COUNT(*) AS n_docs,
-      |  SUM(CASE WHEN rep > 0.2 THEN 1 ELSE 0 END) AS n_repetitive,
+      |  CAST(SUM(CASE WHEN rep > 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
       |  ROUND(AVG(rep), 6) AS avg_rep
       |FROM per_doc GROUP BY source""".stripMargin
 

@@ -52,8 +52,8 @@ object ParsedRequests {
     * identity on every format. */
   val parsedTotalsSql: String =
     """SELECT event_type AS tbl,
-      |  SUM(1 + event_id % 3) AS n_rows,
-      |  SUM((1 + event_id % 3) * CAST(FLOOR(value * 100) AS BIGINT)) AS sum_v,
+      |  CAST(SUM(1 + event_id % 3) AS BIGINT) AS n_rows,
+      |  CAST(SUM((1 + event_id % 3) * CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_v,
       |  COUNT(DISTINCT user_id) AS n_users
       |FROM events GROUP BY 1""".stripMargin
 

@@ -45,8 +45,27 @@ def main():
         if not pq:
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
         try:
-            got = con.sql(f"SELECT * FROM '{pq[0]}'").df()
-            exp = con.sql(sql).df()
+            got_rel = con.sql(f"SELECT * FROM '{pq[0]}'")
+            exp_rel = con.sql(sql)
+            # The driver hashes TYPED values: DuckDB HUGEINT (un-CAST SUM of
+            # integers) vs Spark BIGINT hash-mismatches even when values are
+            # equal (round-2 verdict). Reject wide oracle types outright.
+            wide = [(c, str(t)) for c, t in
+                    zip(exp_rel.columns, exp_rel.types)
+                    if str(t).upper().startswith(("HUGEINT", "UHUGEINT",
+                                                  "DECIMAL"))]
+            if wide:
+                print(f"FAIL {name}: oracle emits driver-hash-unsafe types "
+                      f"{wide}; CAST(... AS BIGINT/DOUBLE) in the oracle SQL")
+                n_fail += 1; continue
+            gt = dict(zip(got_rel.columns, map(str, got_rel.types)))
+            et = dict(zip(exp_rel.columns, map(str, exp_rel.types)))
+            for c in sorted(set(gt) & set(et)):
+                if gt[c] != et[c]:
+                    print(f"  WARN {name}: col {c} typed-schema mismatch "
+                          f"spark={gt[c]} oracle={et[c]} (driver may hash-fail)")
+            got = got_rel.df()
+            exp = exp_rel.df()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}"); n_fail += 1; continue
         ok, msg = compare(got, exp)
