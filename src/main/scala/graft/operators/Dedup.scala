@@ -426,20 +426,28 @@ object Dedup {
     // coalesce the iterated frames so each round's stages run a handful
     // of tasks instead of spark.sql.shuffle.partitions of them (pure
     // scheduling overhead at this size — at web scale raise/remove this)
+    //
+    // localCheckpoint (not persist): truncates lineage, so round N's job
+    // plans a CONSTANT-size DAG instead of re-optimizing N rounds of
+    // joins — the round-2 bench showed the persist+extra-action version
+    // latency-bound at 4+ tiny stages per round. Local (executor-block)
+    // checkpointing is the right durability tier here: loss just recomputes
+    // from the persisted pair list; under dynamic allocation use
+    // reliable checkpoint() instead.
     val edges = pairs.unionByName(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .coalesce(8)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var labels = edges.select(col("doc_a").as("doc"))
       .distinct().withColumn("lbl", col("doc"))
       .coalesce(8)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // convergence check without a join: labels only ever DECREASE, so the
     // label sum strictly decreases until fixpoint — one cheap aggregate
-    // per round instead of a join + filter + count. The per-round action
-    // is ALSO what materializes each persist: skipping it lets the
-    // pointer-jump self-join double the unmaterialized plan every round
-    // (exponential recompute — measured 12x slower when batched).
+    // per round instead of a join + filter + count. The LAZY checkpoint
+    // is materialized by that same aggregate action, so each round runs
+    // exactly ONE job that both persists the round's frame and returns
+    // the convergence scalar.
     var prevSum = Long.MinValue
     var rounds = 0
     var converged = false
@@ -459,20 +467,18 @@ object Dedup {
         .select(col("doc"),
           least(col("lbl"), coalesce(col("p_lbl"), col("lbl"))).as("lbl"))
         .coalesce(8)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(false)
       // coalesce: sum over an EMPTY frame is null — a corpus with no
       // near-dup pair must yield zero clusters, not an NPE
       val nextSum = next.agg(coalesce(sum("lbl"), lit(0L))).head().getLong(0)
       converged = nextSum == prevSum
       prevSum = nextSum
-      labels.unpersist()
       labels = next
       rounds += 1
     }
-    val out = labels.groupBy(col("lbl").as("cluster_id"))
+    System.err.println(s"[dupClusters] converged in $rounds rounds")
+    labels.groupBy(col("lbl").as("cluster_id"))
       .agg(count(lit(1)).as("n_docs"))
-    edges.unpersist()
-    out
   }
 
   val dupClustersSql: String = {
