@@ -221,9 +221,11 @@ object Multimodal {
     }
 
   /** Resize pipeline: per-image 2× downsample (map-side, blobs never
-    * shuffle), rolled up per output resolution. Rows-only driver check
-    * (the pixel walk isn't reasonably SQL-expressible); determinism and
-    * a hand-computed golden are covered in MultimodalSpec. */
+    * shuffle), rolled up per output resolution. The stub's pixel walk is
+    * deterministic integer arithmetic over ASCII payload bytes, so it IS
+    * SQL-expressible — the oracle replays the identical 2×2 mean walk
+    * with a DuckDB list comprehension (see [[resizeAggSql]]); a
+    * hand-computed golden additionally lives in MultimodalSpec. */
   def resizeAgg(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     media(spark, sfDir).as[MediaRow]
@@ -238,9 +240,37 @@ object Multimodal {
   def resizeForTest(rows: Seq[MediaRow]): Seq[Resized] =
     resizeStub(rows.iterator).toSeq
 
+  /** The resize stub replayed in SQL: pixel k of the output covers the
+    * 2×2 input block at (k/ow, k%ow); byte p of the ASCII payload is
+    * ascii(substr(text, p+1, 1)). Guards mirror the stub: h clamps to
+    * the payload, empty outputs contribute checksum 0 (the lambda never
+    * evaluates on an empty range, so no division by a zero `ow`). */
+  val resizeAggSql: String =
+    s"""WITH $mediaCte, dims AS (
+       |  SELECT doc_id, text, width AS w,
+       |    CAST(width // 2 AS INT) AS ow,
+       |    CAST(GREATEST(LEAST(height,
+       |      octet_length(content) // GREATEST(width, 1)), 0) // 2 AS INT)
+       |      AS oh
+       |  FROM media WHERE mime = 'image/png'
+       |), px AS (
+       |  SELECT doc_id, ow, oh, CAST(ow AS BIGINT) * oh AS out_bytes,
+       |    COALESCE(list_sum(list_transform(range(0, ow * oh), k ->
+       |      (ascii(substr(text, (k // ow) * 2 * w + (k % ow) * 2 + 1, 1)) +
+       |       ascii(substr(text, (k // ow) * 2 * w + (k % ow) * 2 + 2, 1)) +
+       |       ascii(substr(text, (k // ow) * 2 * w + (k % ow) * 2 + w + 1, 1)) +
+       |       ascii(substr(text, (k // ow) * 2 * w + (k % ow) * 2 + w + 2, 1)))
+       |      // 4)), 0) AS checksum
+       |  FROM dims
+       |)
+       |SELECT ow AS out_w, oh AS out_h, COUNT(*) AS n_images,
+       |  CAST(SUM(out_bytes) AS BIGINT) AS total_out_bytes,
+       |  CAST(SUM(checksum) AS BIGINT) AS sum_checksum
+       |FROM px GROUP BY 1, 2""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "m_binary_meta"  -> Q(binaryMetaSql)(binaryMeta),
     "m_features_agg" -> Q(featuresAggSql)(featuresAgg),
     "m_frame_sample" -> Q(frameSampleSql)(frameSample),
-    "m_resize_agg"   -> Q.noOracle(resizeAgg))
+    "m_resize_agg"   -> Q(resizeAggSql)(resizeAgg))
 }

@@ -1,9 +1,9 @@
 package graft
 
-/** HLL approximate-distinct quality: the estimate stays within the
-  * configured relative standard deviation of the exact count (asserted at
-  * 3×rsd = 15% to keep the test deterministic-safe; typical error is
-  * far lower). */
+/** HLL approximate-distinct quality: the query itself computes the
+  * estimate-vs-exact relative error and emits `within_bound`
+  * (≤ 3×rsd = 15%, deterministic-safe; typical error is far lower) —
+  * the same boolean the DuckDB oracle asserts TRUE. */
 class ApproxSpec extends SparkSuite {
 
   test("approx_count_distinct within error bound of exact") {
@@ -11,12 +11,9 @@ class ApproxSpec extends SparkSuite {
       .collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val approx = r.getAs[Long]("approx_users").toDouble
-      val exact = r.getAs[Long]("exact_users").toDouble
-      assert(exact > 0)
-      val relErr = math.abs(approx - exact) / exact
-      assert(relErr <= 0.15,
-        s"${r.getAs[String]("event_type")}: approx=$approx exact=$exact relErr=$relErr")
+      assert(r.getAs[Long]("exact_users") > 0)
+      assert(r.getAs[Boolean]("within_bound"),
+        s"${r.getAs[String]("event_type")}: estimate outside 15% of exact")
     }
   }
 }

