@@ -47,18 +47,36 @@ object DlqQueries {
   /** O-20 + O-34 + O-6: scan the DLQ, skip tombstones (non-digit prefix,
     * main.go:474-478), parse the retry level back out of the file name, and
     * assign the replay order (lexicographic = level digit, then nano ts).
-    * The global row_number encodes replay order into values so the
-    * multiset compare still checks ordering. Replay is a single ordered
-    * queue in the reference (1 send/sec), so a 1-partition window here is
-    * semantically forced, not a scale bug. */
-  def replayOrder(spark: SparkSession, sfDir: String): DataFrame =
-    dlq(spark, sfDir)
+    * The global rank encodes replay order into values so the multiset
+    * compare still checks ordering.
+    *
+    * Replay is a single ordered queue in the reference (1 send/sec), but
+    * the RANK COMPUTATION need not single-partition-sort the backlog:
+    * live file names start with the level digit and carry a fixed-width
+    * nano timestamp, so global lexicographic order = (parsed_level,
+    * file-within-level). Rank = within-level row_number + the cumulative
+    * count of lower levels — the same range-bucket + offsets formulation
+    * as distributedPercentRank (the offsets window runs over the ≤10-row
+    * aggregated per-level counts, never the backlog itself). */
+  def replayOrder(spark: SparkSession, sfDir: String): DataFrame = {
+    val live = dlq(spark, sfDir)
       .filter(substring(col("file"), 1, 1).rlike("[0-9]"))
       .select(col("file"),
         substring(col("file"), 1, 1).cast("int").as("parsed_level"),
         col("uri"))
-      .withColumn("replay_rank",
-        row_number().over(Window.orderBy(col("file"))))
+    val wLvl = Window.partitionBy(col("parsed_level")).orderBy(col("file"))
+    val offsets = live.groupBy(col("parsed_level"))
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_off", coalesce(sum(col("_c")).over(
+        Window.orderBy(col("parsed_level"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("parsed_level"), col("_off"))
+    live.withColumn("_r", row_number().over(wLvl))
+      .join(broadcast(offsets), Seq("parsed_level"))
+      .withColumn("replay_rank", (col("_off") + col("_r")).cast("int"))
+      .select(col("file"), col("parsed_level"), col("uri"),
+        col("replay_rank"))
+  }
 
   val replayOrderSql: String =
     s"""WITH $requestsCte, $dlqCte

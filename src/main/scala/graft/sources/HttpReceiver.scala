@@ -35,11 +35,14 @@ final class HttpReceiver(dropDir: String, port: Int = 0,
 
   val inRequests = new AtomicLong(0)
   val outFiles = new AtomicLong(0)
-  // O-5 (statelistener, main.go:257-271): the JDK server doesn't surface
-  // socket states, so tally at the closest observable boundary — exchanges
-  // entered/in-flight
-  val totalRequests = new AtomicLong(0)
-  val currentRequests = new AtomicLong(0)
+  // O-5 (statelistener, main.go:257-271): per-connection-state gauges at
+  // the observable boundaries. The JDK server exposes exchange lifecycle,
+  // not socket states, so the Go states map as: New+Active → exchange
+  // entered/in-flight, Closed → exchange completed; Idle and Hijacked
+  // have no JDK-observable equivalent (accepted parity gap — COVERAGE.md)
+  val totalRequests = new AtomicLong(0)   // state "new": exchanges accepted
+  val currentRequests = new AtomicLong(0) // state "active": in-flight
+  val closedRequests = new AtomicLong(0)  // state "closed": completed
   private val queue = new ConcurrentLinkedQueue[String]()
   private val queued = new AtomicLong(0)
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
@@ -65,6 +68,9 @@ final class HttpReceiver(dropDir: String, port: Int = 0,
         respond(ex, 200,
           s"total connections:${totalRequests.get()}\r\n" +
             s"current connections:${currentRequests.get()}\r\n" +
+            s"state new:${totalRequests.get()}\r\n" +
+            s"state active:${currentRequests.get()}\r\n" +
+            s"state closed:${closedRequests.get()}\r\n" +
             s"in requests:${inRequests.get()}\r\nout files:${outFiles.get()}\r\n")
       } else if (ex.getRequestURI.getPath != "/") {
         respond(ex, 404, "404 not found.")
@@ -93,7 +99,10 @@ final class HttpReceiver(dropDir: String, port: Int = 0,
       }
     } catch { case e: Exception =>
       try respond(ex, 500, e.getMessage) catch { case _: Exception => () }
-    } finally currentRequests.decrementAndGet()
+    } finally {
+      currentRequests.decrementAndGet()
+      closedRequests.incrementAndGet()
+    }
   })
 
   /** Drain the queue into one complete drop file (temp + atomic rename).

@@ -77,6 +77,14 @@ class HttpReceiverSpec extends SparkSuite {
       // O-5 tallies (main.go:247-255 shape): this GET is in flight
       assert(stat.body().contains("current connections:1"))
       assert(stat.body().startsWith("total connections:"))
+      // O-5 per-state gauges (statelistener, main.go:257-271): active =
+      // this in-flight GET; new/closed count all prior exchanges
+      assert(stat.body().contains("state active:1"))
+      val closed = stat.body().linesIterator
+        .find(_.startsWith("state closed:")).get.split(":")(1).trim.toLong
+      val total = stat.body().linesIterator
+        .find(_.startsWith("state new:")).get.split(":")(1).trim.toLong
+      assert(total == closed + 1) // every exchange but this one is closed
     } finally rx.stop()
   }
 

@@ -40,6 +40,16 @@ class PlanQualitySpec extends SparkSuite {
         p.nodeName.contains("Limit") => p
     }.nonEmpty
 
+  /** Window operators with NO partition keys — a single-partition sort of
+    * their whole input (the classic percent_rank-over-everything
+    * scale-killer), recursing through AQE wrappers. */
+  private def globalWindows(plan: SparkPlan): Seq[SparkPlan] =
+    plan.collectWithSubqueries {
+      case a: AdaptiveSparkPlanExec => globalWindows(a.inputPlan)
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => Seq(w)
+    }.flatten
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name: no cartesian product, wide scans pruned") {
       val plan = fn(spark, sf0001).queryExecution.executedPlan
@@ -68,6 +78,19 @@ class PlanQualitySpec extends SparkSuite {
         }
         assert(reduced.nonEmpty,
           s"$name funnels unaggregated data into one partition:\n$ex")
+      }
+      // no UNAGGREGATED global window: a partition-less Window must sit
+      // above reduced data (an aggregation or limit) — base-table-sized
+      // inputs belong in distributedPercentRank's range-bucket + offsets
+      // formulation, not a single-partition sort
+      globalWindows(plan).foreach { w =>
+        val reduced = w.children.head.collectWithSubqueries {
+          case a: AdaptiveSparkPlanExec if aggregatesOrLimits(a.inputPlan) => a
+          case p if p.nodeName.contains("Aggregate") ||
+            p.nodeName.contains("Limit") => p
+        }
+        assert(reduced.nonEmpty,
+          s"$name runs a global window over unaggregated data:\n$w")
       }
       scans.foreach { scan =>
         val loc = scan.relation.location.rootPaths.mkString(",")
