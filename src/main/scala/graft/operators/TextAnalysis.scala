@@ -451,7 +451,160 @@ object TextAnalysis {
       |  ROUND(AVG(rep), 6) AS avg_rep
       |FROM per_doc GROUP BY source""".stripMargin
 
+  // ---- PII scrubbing --------------------------------------------------------
+
+  /** Email / US-phone patterns shared by both engines — kept to the
+    * common subset of Java regex and RE2 so Spark and DuckDB match the
+    * same spans. */
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PhoneRe = "\\d{3}-\\d{3}-\\d{4}"
+
+  /** PII scrubbing — the redaction pass every training-data pipeline
+    * runs before anything else sees the text. The corpus is synthetic,
+    * so deterministic PII is INJECTED first (an email for doc_id % 7 = 0,
+    * a phone for doc_id % 11 = 0) and then scrubbed — the oracle replays
+    * both sides, so a regression in either the injection plumbing or the
+    * redaction regexes fails the hash gate. Row-local regexp_replace
+    * (codegen'd, no UDF), one tiny per-source agg. Output: per source,
+    * docs touched and characters removed. */
+  def piiScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    val injected = Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" contact user"), col("doc_id"),
+              lit("@example.com"))).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0, lit(" call 555-123-4567"))
+            .otherwise(lit(""))).as("text"))
+    val scrubbed = injected
+      .withColumn("clean",
+        regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>"))
+    scrubbed.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("clean") =!= col("text"), 1L).otherwise(0L))
+          .as("n_pii_docs"),
+        sum((length(col("text")) - length(col("clean"))).cast("long"))
+          .as("chars_removed"))
+  }
+
+  val piiScrubSql: String =
+    s"""WITH injected AS (
+       |  SELECT source, doc_id,
+       |    text ||
+       |    CASE WHEN doc_id % 7 = 0
+       |         THEN ' contact user' || CAST(doc_id AS VARCHAR) ||
+       |              '@example.com' ELSE '' END ||
+       |    CASE WHEN doc_id % 11 = 0
+       |         THEN ' call 555-123-4567' ELSE '' END AS text
+       |  FROM documents
+       |), scrubbed AS (
+       |  SELECT source, text,
+       |    regexp_replace(regexp_replace(text,
+       |      '$EmailRe', '<EMAIL>', 'g'), '$PhoneRe', '<PHONE>', 'g')
+       |      AS clean
+       |  FROM injected
+       |)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN clean <> text THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_pii_docs,
+       |  CAST(SUM(LENGTH(text) - LENGTH(clean)) AS BIGINT) AS chars_removed
+       |FROM scrubbed GROUP BY source""".stripMargin
+
+  // ---- boilerplate detection ------------------------------------------------
+
+  /** Boilerplate detection: the most frequent 5-grams per source (with
+    * multiplicity — repeated navigation/footer text is the signal). The
+    * published web-curation pipelines drop lines whose n-grams dominate
+    * a bucket; this is the discovery side of that rule. Shape: explode →
+    * per-(source, gram) count → per-source top-3 window (partitioned —
+    * never global). */
+  def boilerplate(spark: SparkSession, sfDir: String): DataFrame = {
+    val grams = Tables.documents(spark, sfDir)
+      .select(col("source"), tokens(col("text")).as("t"))
+      .select(col("source"), explode(expr(shinglesAllSql("t", 5))).as("gram"))
+    val counts = grams.groupBy(col("source"), col("gram"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n").desc, col("gram"))
+    counts.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("source"), col("gram"), col("n"), col("rnk"))
+  }
+
+  val boilerplateSql: String =
+    """WITH grams AS (
+      |  SELECT source, unnest(list_transform(
+      |    range(1, GREATEST(len(t) - 3, 1)),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+      |         || ' ' || t[i+4])) AS gram
+      |  FROM (
+      |    SELECT source, regexp_extract_all(lower(text), '[a-z]+') AS t
+      |    FROM documents)
+      |), counts AS (
+      |  SELECT source, gram, COUNT(*) AS n FROM grams GROUP BY 1, 2
+      |)
+      |SELECT source, gram, n,
+      |  CAST(row_number() OVER (PARTITION BY source
+      |    ORDER BY n DESC, gram) AS BIGINT) AS rnk
+      |FROM counts QUALIFY rnk <= 3""".stripMargin
+
+  // ---- unigram LM surprisal (perplexity-style quality filter) ---------------
+
+  /** Corpus-unigram-LM surprisal per document — the perplexity-family
+    * quality filter: docs whose tokens are improbable under the corpus's
+    * own unigram distribution are gibberish/noise candidates; docs with
+    * very low surprisal are boilerplate candidates. score(doc) =
+    * mean(−ln C(t)/T) over the doc's token stream.
+    *
+    * Shape for scale: token stream joins the (token → count) table on
+    * the token key — the LM side is the corpus VOCABULARY, not the
+    * stream, and is unhinted (AQE broadcasts a small vocab, shuffles a
+    * big one); the 1-row total crosses in as a broadcast. Per-doc scores
+    * round at 6 (the TF-IDF-proven cross-engine ln discipline) before
+    * the per-source rollup. */
+  def unigramSurprisal(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        explode(tokens(col("text"))).as("tk"))
+    val counts = tok.groupBy(col("tk")).agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).cast("double").as("t_total"))
+    val perDoc = tok.join(counts, Seq("tk"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("source"),
+        (-log(col("c").cast("double") / col("t_total"))).as("s"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(round(avg(col("s")), 6).as("doc_surprisal"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("doc_surprisal")), 4).as("avg_surprisal"),
+        round(max(col("doc_surprisal")), 6).as("max_surprisal"))
+  }
+
+  val unigramSurprisalSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, source,
+      |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tk
+      |  FROM documents
+      |), counts AS (
+      |  SELECT tk, COUNT(*) AS c FROM tok GROUP BY tk
+      |), total AS (
+      |  SELECT CAST(SUM(c) AS DOUBLE) AS t_total FROM counts
+      |), per_doc AS (
+      |  SELECT doc_id, source, ROUND(AVG(-ln(c / t_total)), 6)
+      |    AS doc_surprisal
+      |  FROM tok JOIN counts USING (tk) CROSS JOIN total
+      |  GROUP BY doc_id, source
+      |)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  ROUND(AVG(doc_surprisal), 4) AS avg_surprisal,
+      |  ROUND(MAX(doc_surprisal), 6) AS max_surprisal
+      |FROM per_doc GROUP BY source""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "t_unigram_lm"   -> Q(unigramSurprisalSql)(unigramSurprisal),
+    "t_pii_scrub"    -> Q(piiScrubSql)(piiScrub),
+    "t_boilerplate"  -> Q(boilerplateSql)(boilerplate),
     "t_token_stats"  -> Q(tokenStatsSql)(tokenStats),
     "t_quality_score"-> Q(qualityScoreSql)(qualityScore),
     "t_lang_id"      -> Q(langIdSql)(langId),
