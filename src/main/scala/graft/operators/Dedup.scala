@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Q
 import graft.model.Tables
@@ -419,7 +420,10 @@ object Dedup {
     * web-scale graphs with long chains, swap in large-star/small-star —
     * the per-round plan shape here is identical. Reuses the persisted pair
     * list (shared with d_ngram_jaccard / d_dedup_corpus). */
-  def dupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Component labels (doc, lbl = component-min doc_id) for every node of
+    * the Jaccard ≥ 0.5 near-dup graph — the label loop shared by
+    * dupClusters (family sizes) and dedupBest (keep-best selection). */
+  def clusterLabels(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = ngramJaccard(spark, sfDir)
       .filter(col("jaccard") >= 0.5).select("doc_a", "doc_b")
     // the pair graph is orders of magnitude smaller than the corpus;
@@ -477,9 +481,13 @@ object Dedup {
       rounds += 1
     }
     System.err.println(s"[dupClusters] converged in $rounds rounds")
-    labels.groupBy(col("lbl").as("cluster_id"))
-      .agg(count(lit(1)).as("n_docs"))
+    labels
   }
+
+  def dupClusters(spark: SparkSession, sfDir: String): DataFrame =
+    clusterLabels(spark, sfDir)
+      .groupBy(col("lbl").as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"))
 
   val dupClustersSql: String = {
     val cteChain = ngramJaccardSql.replaceFirst("WITH ", "")
@@ -565,6 +573,87 @@ object Dedup {
        |) c ON per.source = c.source""".stripMargin
   }
 
+  // ---- keep-best dedup materialization ---------------------------------------
+
+  /** Keep-BEST dedup — the curator's upgrade over keep-first: inside each
+    * near-dup family (connected component of the Jaccard ≥ 0.5 graph),
+    * keep the HIGHEST-quality member (TextAnalysis quality composite;
+    * ties → lowest doc_id) and drop the rest. Keep-first optimizes for
+    * determinism alone; keep-best preserves the best training signal per
+    * family — the choice published curation pipelines actually make.
+    * Shape: cluster labels (shared CC loop) join the row-local quality
+    * scores, one per-family window (partitioned by family, never
+    * global), left-anti style rollup per source. */
+  def dedupBest(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "source")
+    val quality = TextAnalysis.qualityScore(spark, sfDir)
+      .select(col("doc_id"), col("quality"))
+    val labels = clusterLabels(spark, sfDir)
+    val w = Window.partitionBy(col("lbl"))
+      .orderBy(col("quality").desc, col("doc"))
+    val dropped = labels
+      .join(quality, labels("doc") === quality("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") > 1)
+      .select(col("doc").as("doc_id"), lit(1).as("is_dropped"))
+    docs.join(quality, Seq("doc_id"))
+      .join(dropped, Seq("doc_id"), "left_outer")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_dropped").isNull, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("is_dropped").isNull, 0L).otherwise(1L))
+          .as("n_dropped"),
+        round(avg(when(col("is_dropped").isNull, col("quality"))), 4)
+          .as("avg_kept_quality"))
+  }
+
+  val dedupBestSql: String = {
+    val cteChain = ngramJaccardSql.replaceFirst("WITH ", "")
+      .split("\nSELECT doc_a, doc_b, ROUND")(0)
+    s"""WITH RECURSIVE $cteChain, pairs AS (
+       |  SELECT doc_a, doc_b FROM scored
+       |  WHERE ROUND(c / (nab - c), 6) >= 0.5
+       |), edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs
+       |), reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+       |), lbl AS (
+       |  SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+       |  FROM reach GROUP BY a
+       |), qual AS (
+       |  SELECT doc_id,
+       |    ROUND(1.0 / (1.0 + exp(-(len(t) * 0.02
+       |      + ROUND(len(list_filter(t, x ->
+       |          x IN ('the','a','of','and','to','in')))
+       |          / GREATEST(len(t), 1), 4) * 2.0
+       |      - ROUND(LENGTH(regexp_replace(lower(text), '[a-z0-9\\s]', '',
+       |          'g')) / GREATEST(LENGTH(text), 1), 4) * 5.0 - 0.5))), 4)
+       |      AS quality
+       |  FROM toks
+       |), ranked AS (
+       |  SELECT lbl.doc_id,
+       |    row_number() OVER (PARTITION BY cluster_id
+       |      ORDER BY qual.quality DESC, lbl.doc_id) AS rk
+       |  FROM lbl JOIN qual ON lbl.doc_id = qual.doc_id
+       |), dropped AS (
+       |  SELECT doc_id FROM ranked WHERE rk > 1
+       |)
+       |SELECT d.source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_kept,
+       |  CAST(SUM(CASE WHEN dr.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+       |    AS n_dropped,
+       |  ROUND(AVG(CASE WHEN dr.doc_id IS NULL THEN q.quality END), 4)
+       |    AS avg_kept_quality
+       |FROM documents d
+       |  JOIN qual q ON d.doc_id = q.doc_id
+       |  LEFT JOIN dropped dr ON d.doc_id = dr.doc_id
+       |GROUP BY d.source""".stripMargin
+  }
+
   // ---- cross-source contamination matrix ------------------------------------
 
   /** Pairwise source-overlap matrix — the "is source A leaking into
@@ -639,10 +728,9 @@ object Dedup {
     * Per-round shape: two groupBy+join stages on the (tiny) edge set,
     * one lazy localCheckpoint materialized by the convergence checksum
     * action. */
-  def dupClustersStar(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = ngramJaccard(spark, sfDir)
-      .filter(col("jaccard") >= 0.5)
-      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+  /** Generic large-star/small-star component labels over an undirected
+    * pair list (columns u, v). Returns (u, lbl = component min). */
+  def starComponents(pairs: DataFrame): DataFrame = {
     var edges = symmetrize(pairs).coalesce(8).localCheckpoint(true)
     var prevSum = Long.MinValue
     var prevCnt = -1L
@@ -664,13 +752,18 @@ object Dedup {
       edges = next
       rounds += 1
     }
-    System.err.println(s"[dupClustersStar] converged in $rounds rounds")
+    System.err.println(s"[starComponents] converged in $rounds rounds")
     symmetrize(edges)
       .groupBy(col("u"))
       .agg(min(least(col("v"), col("u"))).as("lbl"))
+  }
+
+  def dupClustersStar(spark: SparkSession, sfDir: String): DataFrame =
+    starComponents(ngramJaccard(spark, sfDir)
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a").as("u"), col("doc_b").as("v")))
       .groupBy(col("lbl").as("cluster_id"))
       .agg(count(lit(1)).as("n_docs"))
-  }
 
   def queries: Map[String, Q] = Map(
     "d_exact_stats"   -> Q(exactStatsSql)(exactStats),
@@ -678,6 +771,7 @@ object Dedup {
     "d_minhash_lsh"   -> Q(minhashLshSql)(minhashLsh),
     "d_simhash_pairs" -> Q(simhashPairsSql)(simhashPairs),
     "d_dedup_corpus"  -> Q(dedupCorpusSql)(dedupCorpus),
+    "d_dedup_best"    -> Q(dedupBestSql)(dedupBest),
     "d_dup_clusters"  -> Q(dupClustersSql)(dupClusters),
     "d_dup_clusters_star" -> Q(dupClustersSql)(dupClustersStar),
     "d_cross_contam"  -> Q(crossContaminationSql)(crossContamination),

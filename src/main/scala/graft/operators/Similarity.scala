@@ -167,6 +167,43 @@ object Similarity {
        |WHERE na.nrm > 0 AND nb.nrm > 0
        |  AND dot / (na.nrm * nb.nrm) >= 0.3""".stripMargin
 
+  // ---- semantic dup families (CC over the embedding near-dup graph) --------
+
+  /** Semantic duplicate FAMILIES: connected components of the
+    * embedding-cosine near-dup graph (same LSH-bucketed pair generation
+    * as s_embed_neardup), labeled with the component-min vec_id via the
+    * large-star/small-star loop shared with the text-side dedup — the
+    * multimodal analogue of d_dup_clusters: paraphrase/re-encode dup
+    * groups that token-level Jaccard can't see. */
+  def embedFamilies(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.starComponents(embedNearDup(spark, sfDir)
+        .select(col("vec_a").as("u"), col("vec_b").as("v")))
+      .groupBy(col("lbl").as("family_id"))
+      .agg(count(lit(1)).as("n_vecs"))
+
+  val embedFamiliesSql: String = {
+    val chain = embedNearDupSql.replaceFirst("WITH ", "")
+      .split("\nSELECT vec_a, vec_b, ROUND")(0)
+    s"""WITH RECURSIVE $chain, epairs AS (
+       |  SELECT vec_a, vec_b
+       |  FROM dots JOIN nrm na ON vec_a = na.vec_id
+       |    JOIN nrm nb ON vec_b = nb.vec_id
+       |  WHERE na.nrm > 0 AND nb.nrm > 0
+       |    AND dot / (na.nrm * nb.nrm) >= 0.3
+       |), eedges AS (
+       |  SELECT vec_a AS a, vec_b AS b FROM epairs
+       |  UNION SELECT vec_b, vec_a FROM epairs
+       |), ereach(a, b) AS (
+       |  SELECT a, b FROM eedges
+       |  UNION
+       |  SELECT r.a, e.b FROM ereach r JOIN eedges e ON r.b = e.a
+       |)
+       |SELECT family_id, COUNT(*) AS n_vecs FROM (
+       |  SELECT a AS vec, LEAST(a, MIN(b)) AS family_id
+       |  FROM ereach GROUP BY a
+       |) GROUP BY family_id""".stripMargin
+  }
+
   // ---- IVF ANN: coarse-quantized cells, multi-probe -------------------------
 
   /** IVF-style ANN: the 10 label groups act as Voronoi cells with
@@ -668,6 +705,7 @@ object Similarity {
     "s_ivf_trained_topk" -> Q(ivfTrainedTopKSql)(ivfTrainedTopK),
     "s_lsh_ann_topk"  -> Q(lshAnnTopKSql)(lshAnnTopK),
     "s_embed_neardup" -> Q(embedNearDupSql)(embedNearDup),
+    "s_embed_families" -> Q(embedFamiliesSql)(embedFamilies),
     "s_ivf_ann_topk"  -> Q(ivfAnnTopKSql)(ivfAnnTopK),
     "s_ann_recall"    -> Q(annRecallSql)(annRecall))
 }
