@@ -71,6 +71,18 @@ object TextFunctions {
     expr(s"size(filter($toksCol, x -> x IN ($inList)))").cast("long")
   }
 
+  // ---- PII scrubbing (shared by t_pii_scrub and the streaming twin) --------
+
+  /** Email / US-phone patterns kept to the common subset of Java regex
+    * and RE2 so Spark and DuckDB match the same spans. */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "\\d{3}-\\d{3}-\\d{4}"
+
+  /** Redact emails and phone numbers (row-local, codegen'd). */
+  def scrubPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
+
   /** Document fingerprint: md5 of the space-joined token stream —
     * whitespace/punct/case-insensitive exact-dup key. */
   def fingerprint(toks: Column): Column = md5(concat_ws(" ", toks))

@@ -73,6 +73,21 @@ object TextAnalysis {
         round(lit(1.0) / (lit(1.0) + exp(-(col("n_tokens") * 0.02
           + col("stop_ratio") * 2.0 - col("punct_ratio") * 5.0 - 0.5))), 4))
 
+  /** Append the `quality` composite to any frame with a `text` column —
+    * the row-local scorer shared with the streaming curation twin
+    * (identical formula to [[qualityScore]]). */
+  def withQuality(df: DataFrame): DataFrame =
+    df.withColumn("_t", tokens(col("text")))
+      .withColumn("_stop", round(tokenHits("_t", stopwords).cast("double") /
+        greatest(size(col("_t")), lit(1)), 4))
+      .withColumn("_punct",
+        round(length(regexp_replace(lower(col("text")), "[a-z0-9\\s]", ""))
+          .cast("double") / greatest(length(col("text")), lit(1)), 4))
+      .withColumn("quality",
+        round(lit(1.0) / (lit(1.0) + exp(-(size(col("_t")) * 0.02
+          + col("_stop") * 2.0 - col("_punct") * 5.0 - 0.5))), 4))
+      .drop("_t", "_stop", "_punct")
+
   val qualityScoreSql: String =
     s"""WITH $toksCte
        |SELECT doc_id,
@@ -453,12 +468,6 @@ object TextAnalysis {
 
   // ---- PII scrubbing --------------------------------------------------------
 
-  /** Email / US-phone patterns shared by both engines — kept to the
-    * common subset of Java regex and RE2 so Spark and DuckDB match the
-    * same spans. */
-  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-  private val PhoneRe = "\\d{3}-\\d{3}-\\d{4}"
-
   /** PII scrubbing — the redaction pass every training-data pipeline
     * runs before anything else sees the text. The corpus is synthetic,
     * so deterministic PII is INJECTED first (an email for doc_id % 7 = 0,
@@ -476,10 +485,7 @@ object TextAnalysis {
               lit("@example.com"))).otherwise(lit("")),
           when(col("doc_id") % 11 === 0, lit(" call 555-123-4567"))
             .otherwise(lit(""))).as("text"))
-    val scrubbed = injected
-      .withColumn("clean",
-        regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
-          PhoneRe, "<PHONE>"))
+    val scrubbed = injected.withColumn("clean", scrubPii(col("text")))
     scrubbed.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("clean") =!= col("text"), 1L).otherwise(0L))
