@@ -497,6 +497,41 @@ object Analytics {
       |  COUNT(*) AS n_events, TRUE AS within_bound
       |FROM events GROUP BY event_type""".stripMargin
 
+  // ---- statistical outlier gate ----------------------------------------------
+
+  /** 3-sigma outlier gate per event type — the numeric-field curation
+    * rule (drop rows whose value is anomalous for their stratum). The
+    * per-group mean/stddev round at 6 BEFORE the z comparison, so both
+    * engines threshold on bit-identical doubles (the cross-engine float
+    * discipline used suite-wide). Shape: one agg for the tiny stats
+    * frame, re-join unhinted (AQE broadcasts ~5 rows), one counting
+    * agg — two passes over the scan, no window. */
+  def outlierGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).select(col("event_type"), col("value"))
+    val stats = ev.groupBy(col("event_type"))
+      .agg(round(avg(col("value")), 6).as("mean_value"),
+        round(stddev_samp(col("value")), 6).as("stddev_value"),
+        count(lit(1)).as("n_events"))
+    ev.join(stats, Seq("event_type"))
+      .groupBy(col("event_type"), col("n_events"),
+        col("mean_value"), col("stddev_value"))
+      .agg(sum(when(abs(col("value") - col("mean_value"))
+          > col("stddev_value") * 3.0, 1L).otherwise(0L)).as("n_outliers"))
+  }
+
+  val outlierGateSql: String =
+    """WITH stats AS (
+      |  SELECT event_type, ROUND(AVG(value), 6) AS mean_value,
+      |    ROUND(STDDEV_SAMP(value), 6) AS stddev_value,
+      |    COUNT(*) AS n_events
+      |  FROM events GROUP BY 1
+      |)
+      |SELECT e.event_type, n_events, mean_value, stddev_value,
+      |  CAST(SUM(CASE WHEN ABS(e.value - mean_value) > stddev_value * 3.0
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM events e JOIN stats USING (event_type)
+      |GROUP BY 1, 2, 3, 4""".stripMargin
+
   // ---- ROLLUP with grouping markers -------------------------------------------
 
   def rollupSales(spark: SparkSession, sfDir: String): DataFrame =
@@ -699,6 +734,7 @@ object Analytics {
     "q_corr_stats"        -> Q(corrStatsSql)(corrStats),
     "q_salted_agg"        -> Q(saltedAggSql)(saltedAgg),
     "q_approx_distinct"   -> Q(approxDistinctSql)(approxDistinct),
+    "q_outlier_gate"      -> Q(outlierGateSql)(outlierGate),
     "q_setops"            -> Q(setOpsSql)(setOps),
     "q_sessionize"        -> Q(sessionizeSql)(sessionize),
     "q_tumbling_window"   -> Q(tumblingWindowSql)(tumblingWindow),

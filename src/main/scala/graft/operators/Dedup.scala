@@ -573,6 +573,61 @@ object Dedup {
        |) c ON per.source = c.source""".stripMargin
   }
 
+  // ---- chunk-level (exact-substring) dedup -----------------------------------
+
+  private val ChunkTok = 10
+
+  /** Chunk-level exact dedup — the C4/RefinedWeb "remove repeated
+    * passages" pass, in the shuffle-friendly form: documents slice into
+    * NON-overlapping 10-token chunks, chunks hash to 60-bit keys, and a
+    * chunk whose hash appears ≥ 2 times corpus-wide is duplicate
+    * boilerplate (the suffix-array exact-substring method finds the same
+    * mass; chunk granularity trades boundary precision for a pure
+    * hash-agg shape). Per-source: chunk count, duplicate-chunk
+    * instances, duplicate ratio. Scale: chunking is row-local; the only
+    * shuffles are the per-hash count and the unhinted count join (AQE
+    * broadcasts it only if the distinct-chunk table fits). */
+  def chunkDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val chunks = toks(spark, sfDir).select(col("source"),
+      explode(expr(
+        s"CASE WHEN size(t) >= $ChunkTok THEN " +
+          s"transform(sequence(0, size(t) div $ChunkTok - 1), " +
+          s"i -> concat_ws(' ', slice(t, i * $ChunkTok + 1, $ChunkTok))) " +
+          "ELSE array() END")).as("chunk"))
+      .select(col("source"),
+        expr("CAST(conv(substring(md5(chunk), 1, 15), 16, 10) AS BIGINT)")
+          .as("h"))
+    val counts = chunks.groupBy(col("h")).agg(count(lit(1)).as("c"))
+    chunks.join(counts, Seq("h"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("c") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"),
+        round(sum(when(col("c") >= 2, 1L).otherwise(0L)).cast("double")
+          / count(lit(1)), 4).as("dup_ratio"))
+  }
+
+  val chunkDupSql: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z]+') AS t
+       |  FROM documents
+       |), chunks AS (
+       |  SELECT source,
+       |    ('0x' || substr(md5(unnest(list_transform(
+       |      range(0, len(t) // $ChunkTok),
+       |      i -> array_to_string(
+       |        t[i * $ChunkTok + 1 : i * $ChunkTok + $ChunkTok], ' ')))),
+       |      1, 15))::BIGINT AS h
+       |  FROM tk
+       |), counts AS (
+       |  SELECT h, COUNT(*) AS c FROM chunks GROUP BY h
+       |)
+       |SELECT source, COUNT(*) AS n_chunks,
+       |  CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dup_chunks,
+       |  ROUND(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) / COUNT(*), 4)
+       |    AS dup_ratio
+       |FROM chunks JOIN counts USING (h) GROUP BY source""".stripMargin
+
   // ---- keep-best dedup materialization ---------------------------------------
 
   /** Keep-BEST dedup — the curator's upgrade over keep-first: inside each
@@ -772,6 +827,7 @@ object Dedup {
     "d_simhash_pairs" -> Q(simhashPairsSql)(simhashPairs),
     "d_dedup_corpus"  -> Q(dedupCorpusSql)(dedupCorpus),
     "d_dedup_best"    -> Q(dedupBestSql)(dedupBest),
+    "d_chunk_dup"     -> Q(chunkDupSql)(chunkDup),
     "d_dup_clusters"  -> Q(dupClustersSql)(dupClusters),
     "d_dup_clusters_star" -> Q(dupClustersSql)(dupClustersStar),
     "d_cross_contam"  -> Q(crossContaminationSql)(crossContamination),
