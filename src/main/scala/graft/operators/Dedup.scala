@@ -260,6 +260,62 @@ object Dedup {
        |  JOIN mins x ON doc_a = x.doc_id
        |  JOIN mins y ON doc_b = y.doc_id""".stripMargin
 
+  /** Sketch-quality measurement — "measure, don't guess" applied to the
+    * sketch itself: MinHash-LSH pairs at est ≥ 0.5 scored against the
+    * exact Jaccard ≥ 0.5 truth set, giving recall and precision as QUERY
+    * OUTPUT. At 100 TB you can't eyeball whether 16 hashes / 4 bands is
+    * enough for your corpus — this query answers it on a sample before
+    * the full run, and the oracle re-derives both sides so the number
+    * itself is engine-verified. */
+  def minhashRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val exact = ngramJaccard(spark, sfDir)
+      .filter(col("jaccard") >= 0.5).select("doc_a", "doc_b")
+    val est = minhashLsh(spark, sfDir)
+      .filter(col("est_jaccard") >= 0.5).select("doc_a", "doc_b")
+    val both = exact.join(est, Seq("doc_a", "doc_b"))
+    exact.agg(count(lit(1)).as("n_true"))
+      .crossJoin(est.agg(count(lit(1)).as("n_est")))
+      .crossJoin(both.agg(count(lit(1)).as("n_both")))
+      .select(col("n_true"), col("n_est"), col("n_both"),
+        round(col("n_both").cast("double")
+          / greatest(col("n_true"), lit(1L)), 4).as("recall"),
+        round(col("n_both").cast("double")
+          / greatest(col("n_est"), lit(1L)), 4).as("precision"))
+  }
+
+  val minhashRecallSql: String = {
+    val jcChain = ngramJaccardSql.replaceFirst("WITH ", "")
+      .split("\nSELECT doc_a, doc_b, ROUND")(0)
+    // the minhash chain minus the shared shingle CTEs, its `cand`
+    // renamed so it can coexist with the Jaccard chain's `cand`
+    val mhChain = minhashLshSql.replaceFirst("WITH ", "")
+      .stripPrefix(shingleCte).stripPrefix(", ")
+      .split("\nSELECT doc_a, doc_b, n_bands")(0)
+      .replace("cand", "mcand")
+    val estMatch = (0 until NumHashes)
+      .map(i => s"CASE WHEN x.m$i = y.m$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $jcChain, $mhChain, exact AS (
+       |  SELECT doc_a, doc_b FROM scored
+       |  WHERE ROUND(c / (nab - c), 6) >= 0.5
+       |), est AS (
+       |  SELECT doc_a, doc_b FROM mcand
+       |    JOIN mins x ON doc_a = x.doc_id
+       |    JOIN mins y ON doc_b = y.doc_id
+       |  WHERE ROUND(($estMatch) / $NumHashes.0, 6) >= 0.5
+       |), agg AS (
+       |  SELECT
+       |    (SELECT COUNT(*) FROM exact) AS n_true,
+       |    (SELECT COUNT(*) FROM est) AS n_est,
+       |    (SELECT COUNT(*) FROM exact e JOIN est m
+       |       ON e.doc_a = m.doc_a AND e.doc_b = m.doc_b) AS n_both
+       |)
+       |SELECT n_true, n_est, n_both,
+       |  ROUND(n_both / GREATEST(n_true, 1), 4) AS recall,
+       |  ROUND(n_both / GREATEST(n_est, 1), 4) AS precision
+       |FROM agg""".stripMargin
+  }
+
   // ---- SimHash --------------------------------------------------------------
 
   private val SimBits = 64
@@ -824,6 +880,7 @@ object Dedup {
     "d_exact_stats"   -> Q(exactStatsSql)(exactStats),
     "d_ngram_jaccard" -> Q(ngramJaccardSql)(ngramJaccard),
     "d_minhash_lsh"   -> Q(minhashLshSql)(minhashLsh),
+    "d_minhash_recall"-> Q(minhashRecallSql)(minhashRecall),
     "d_simhash_pairs" -> Q(simhashPairsSql)(simhashPairs),
     "d_dedup_corpus"  -> Q(dedupCorpusSql)(dedupCorpus),
     "d_dedup_best"    -> Q(dedupBestSql)(dedupBest),
