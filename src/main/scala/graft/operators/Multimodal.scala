@@ -187,6 +187,64 @@ object Multimodal {
        |    AS BIGINT) AS sum_checksum
        |FROM frames GROUP BY doc_id""".stripMargin
 
+  // ---- audio features (PCM path) ---------------------------------------------
+
+  /** Audio-feature record: sample stats from the 16-bit-LE sample walk. */
+  final case class AudioFeatures(doc_id: Long, n_samples: Long, peak: Long,
+      energy: Long, crossings: Long)
+
+  /** STUB audio decoder: reads the blob as 16-bit little-endian samples
+    * (pairs of bytes) and computes peak, energy, and level-crossings of
+    * the 16000 midline — the partition-local batch shape of a real PCM
+    * feature extractor (RMS/ZCR), with deterministic arithmetic. A real
+    * audio backend swaps only the sample math. */
+  private def audioStub(rows: Iterator[MediaRow]): Iterator[AudioFeatures] =
+    rows.filter(_.mime == "audio/wav").map { r =>
+      val n = r.content.length / 2
+      var peak = 0L
+      var energy = 0L
+      var crossings = 0L
+      var prevAbove = false
+      var i = 0
+      while (i < n) {
+        val s = (r.content(2 * i) & 0xFF) + 256L * (r.content(2 * i + 1) & 0xFF)
+        if (s > peak) peak = s
+        energy += s * s
+        val above = s >= 16000L
+        if (i > 0 && above != prevAbove) crossings += 1
+        prevAbove = above
+        i += 1
+      }
+      AudioFeatures(r.doc_id, n.toLong, peak, energy, crossings)
+    }
+
+  /** Audio pipeline: per-blob sample-walk features (map-side, blobs never
+    * shuffle). The oracle replays the identical walk with DuckDB list
+    * ops over the ASCII payload bytes. */
+  def audioFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    media(spark, sfDir).as[MediaRow]
+      .mapPartitions(audioStub)
+      .toDF()
+  }
+
+  val audioFeaturesSql: String =
+    s"""WITH $mediaCte, samples AS (
+       |  SELECT doc_id, list_transform(range(0, octet_length(content) // 2),
+       |    i -> ascii(substr(text, CAST(2 * i + 1 AS INT), 1))
+       |         + 256 * ascii(substr(text, CAST(2 * i + 2 AS INT), 1))) AS s
+       |  FROM media WHERE mime = 'audio/wav'
+       |)
+       |SELECT doc_id,
+       |  CAST(len(s) AS BIGINT) AS n_samples,
+       |  CAST(COALESCE(list_max(s), 0) AS BIGINT) AS peak,
+       |  CAST(COALESCE(list_sum(list_transform(s, x -> x * x)), 0) AS BIGINT)
+       |    AS energy,
+       |  CAST(COALESCE(len(list_filter(range(1, len(s)),
+       |    i -> (s[i] >= 16000) <> (s[i+1] >= 16000))), 0) AS BIGINT)
+       |    AS crossings
+       |FROM samples""".stripMargin
+
   // ---- resize (image path) ---------------------------------------------------
 
   /** Resized-image record: halved dimensions + downsampled payload stats. */
@@ -272,5 +330,6 @@ object Multimodal {
     "m_binary_meta"  -> Q(binaryMetaSql)(binaryMeta),
     "m_features_agg" -> Q(featuresAggSql)(featuresAgg),
     "m_frame_sample" -> Q(frameSampleSql)(frameSample),
+    "m_audio_features" -> Q(audioFeaturesSql)(audioFeatures),
     "m_resize_agg"   -> Q(resizeAggSql)(resizeAgg))
 }
