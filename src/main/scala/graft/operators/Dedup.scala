@@ -331,10 +331,14 @@ object Dedup {
     * candidates at Σ|bucket|² / 2^16 (the round-2 8-bit half-blocking
     * was corpus²/256, quadratic at scale).
     *
-    * Bit b (0..63) is bit (b%4) of md5 hex digit b/4 — all 64 bits come
-    * from ONE md5 per shingle. The signature is carried as two 32-bit
-    * halves (`lo`, `hi`) so neither engine's signed-BIGINT arithmetic can
-    * overflow building it; hamming is bit_count(xor) on each half.
+    * Bits 0..31 are the bits of the md5 prefix's first 8 hex chars as a
+    * 32-bit integer, bits 32..63 of the next 8 — all 64 bits from ONE
+    * md5 and TWO conv parses per shingle (the round-3 first cut parsed
+    * 16 single hex digits; two 32-bit parses are 8× fewer string-to-int
+    * conversions per row for the same bit uniformity). The signature is
+    * carried as two 32-bit halves (`lo`, `hi`) so neither engine's
+    * signed-BIGINT arithmetic can overflow building it; hamming is
+    * bit_count(xor) on each half.
     *
     * Shape for scale (same trick as minhash): the 64 per-bit ±1 sums are
     * 64 aggregate columns of ONE groupBy(doc) over the shingle stream —
@@ -344,12 +348,13 @@ object Dedup {
   def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val tok = toks(spark, sfDir)
       .select(col("doc_id"), explode(shingles("t", 3)).as("token"))
-      .select(col("doc_id"), substring(md5(col("token")), 1, SimBits / 4).as("h"))
-    def hexVal(c: Int) = // value of 1-based hex char c of the md5 prefix
-      conv(substring(col("h"), c, 1), 16, 10).cast("int")
+      .select(col("doc_id"),
+        conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long").as("va"),
+        conv(substring(md5(col("token")), 9, 8), 16, 10).cast("long").as("vb"))
     val bitSums = (0 until SimBits).map { b =>
-      sum(when(shiftright(hexVal(b / 4 + 1), b % 4).bitwiseAND(lit(1)) === 1,
-        1L).otherwise(-1L)).as(s"s$b")
+      val v = if (b < 32) col("va") else col("vb")
+      sum(when(shiftright(v, b % 32).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"s$b")
     }
     val sums = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
     def half(off: Int) = (0 until 32).map(b =>
@@ -388,13 +393,17 @@ object Dedup {
        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
        |  FROM toks
        |), tok AS (
-       |  SELECT doc_id, substr(md5(unnest(s)), 1, ${SimBits / 4}) AS h FROM shs
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5(unnest(s)), 1, 8))::BIGINT AS va,
+       |    ('0x' || substr(md5(unnest(s)), 9, 8))::BIGINT AS vb
+       |  FROM shs
        |), sums AS (
        |  SELECT doc_id,
-       |    ${(0 until SimBits).map(b =>
-              s"SUM(CASE WHEN (('0x' || substr(h, ${b / 4 + 1}, 1))::INT " +
-                s">> ${b % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
-              .mkString(",\n    ")}
+       |    ${(0 until SimBits).map { b =>
+              val v = if (b < 32) "va" else "vb"
+              s"SUM(CASE WHEN ($v >> ${b % 32}) & 1 = 1 " +
+                s"THEN 1 ELSE -1 END) AS s$b"
+            }.mkString(",\n    ")}
        |  FROM tok GROUP BY doc_id
        |), sig AS (
        |  SELECT doc_id,
