@@ -345,6 +345,21 @@ object Similarity {
       .select(col("vec_id"), posexplode(col("embedding")))
       .select(col("vec_id"), (col("pos") + 1).as("i"),
         col("col").cast("double").as("x"))
+    // array form for the distance step: vecs stay whole (no explode),
+    // centroids gather into per-cell ordered arrays, and each round's
+    // assignment is a (n × K) cross join with a zip_with fold — the
+    // exploded join-on-dimension formulation fanned every (vec, dim) row
+    // out K ways (n·dim·K shuffled rows per round). Per-round ROUND(d, 6)
+    // keeps the trajectory bit-identical to the oracle's exploded SUM
+    // (drift of an ordered fold vs an unordered sum is ~1e-13, rounded
+    // away at 1e-6).
+    val vecs = emb(spark, sfDir)
+      .select(col("vec_id"),
+        expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("xs"))
+    def centArrays(cent: DataFrame): DataFrame =
+      cent.groupBy(col("cell"))
+        .agg(expr("transform(array_sort(collect_list(struct(i, cx))), " +
+          "s -> s.cx)").as("cxs"))
     // deterministic seed: the first K vectors are the initial centroids
     var cent = ex.filter(col("vec_id") < KmK)
       .select(col("vec_id").as("cell"), col("i"), round(col("x"), 6).as("cx"))
@@ -352,10 +367,11 @@ object Similarity {
     var asg: DataFrame = null
     for (_ <- 1 to KmIters) {
       centUsed = cent
-      val dist = ex.join(cent, Seq("i"))
-        .groupBy(col("vec_id"), col("cell"))
-        .agg(round(sum((col("x") - col("cx")) * (col("x") - col("cx"))), 6)
-          .as("d"))
+      val dist = vecs.crossJoin(broadcast(centArrays(cent)))
+        .select(col("vec_id"), col("cell"),
+          round(expr("aggregate(zip_with(xs, cxs, " +
+            "(a, b) -> (a - b) * (a - b)), 0D, (s, v) -> s + v)"), 6)
+            .as("d"))
       val w = Window.partitionBy(col("vec_id")).orderBy(col("d"), col("cell"))
       asg = dist.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1).select(col("vec_id"), col("cell"), col("d"))

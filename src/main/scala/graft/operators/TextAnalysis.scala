@@ -555,6 +555,43 @@ object TextAnalysis {
       |    ORDER BY n DESC, gram) AS BIGINT) AS rnk
       |FROM counts QUALIFY rnk <= 3""".stripMargin
 
+  // ---- sequence-packing planning --------------------------------------------
+
+  private val SeqLen = 2048L
+
+  /** Sequence-packing efficiency — the training-batch planning numbers a
+    * pipeline computes before tokenize-and-pack: per source, total
+    * BPE-ish tokens, sequences under greedy concat-packing
+    * (⌈Σtokens/L⌉), sequences under doc-level padding (Σ⌈tokens_d/L⌉),
+    * and the padding waste ratio. All integer arithmetic except the
+    * final ratio (rounded 4), so the oracle is exact. Row-local token
+    * counts + one agg. */
+  def packStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("source"), bpeishTokenCount(col("text")).as("tk"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tk")).as("sum_tokens"),
+        expr(s"(sum(tk) + ${SeqLen - 1}) div $SeqLen").as("packed_seqs"),
+        expr(s"sum((tk + ${SeqLen - 1}) div $SeqLen)").as("padded_seqs"))
+      .withColumn("padding_waste",
+        round(lit(1.0) - col("sum_tokens").cast("double")
+          / (col("padded_seqs") * SeqLen), 4))
+
+  val packStatsSql: String =
+    s"""SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(tk) AS BIGINT) AS sum_tokens,
+       |  CAST((SUM(tk) + ${SeqLen - 1}) // $SeqLen AS BIGINT) AS packed_seqs,
+       |  CAST(SUM((tk + ${SeqLen - 1}) // $SeqLen) AS BIGINT) AS padded_seqs,
+       |  ROUND(1.0 - SUM(tk) / (SUM((tk + ${SeqLen - 1}) // $SeqLen)
+       |    * $SeqLen), 4) AS padding_waste
+       |FROM (
+       |  SELECT source,
+       |    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+       |      AS tk
+       |  FROM documents
+       |) GROUP BY source""".stripMargin
+
   // ---- unigram LM surprisal (perplexity-style quality filter) ---------------
 
   /** Corpus-unigram-LM surprisal per document — the perplexity-family
@@ -609,6 +646,7 @@ object TextAnalysis {
 
   def queries: Map[String, Q] = Map(
     "t_unigram_lm"   -> Q(unigramSurprisalSql)(unigramSurprisal),
+    "t_pack_stats"   -> Q(packStatsSql)(packStats),
     "t_pii_scrub"    -> Q(piiScrubSql)(piiScrub),
     "t_boilerplate"  -> Q(boilerplateSql)(boilerplate),
     "t_token_stats"  -> Q(tokenStatsSql)(tokenStats),
