@@ -813,6 +813,50 @@ object Dedup {
        |GROUP BY 1, 2""".stripMargin
   }
 
+  /** Source-novelty profile — the inverse view of the contamination
+    * matrix: per source, what fraction of its distinct 4-grams appears
+    * NOWHERE else in the corpus. High novelty = the source adds unique
+    * signal; low novelty = it mostly restates the rest of the mix —
+    * the number a data-mixing decision actually weighs. Same
+    * distinct-(source, hash) reduction as d_cross_contam; the per-hash
+    * source count is a second tiny agg, never a join fan-out. */
+  def sourceNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = toks(spark, sfDir)
+    val hashed = expr(
+      "transform(" + shinglesSql("t", ContamK) +
+        ", x -> CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT))")
+    val sh = base.select(col("source"), explode(hashed).as("h")).distinct()
+    val spread = sh.groupBy(col("h")).agg(count(lit(1)).as("n_sources"))
+    sh.join(spread, Seq("h"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_hashes"),
+        sum(when(col("n_sources") === 1, 1L).otherwise(0L)).as("n_novel"),
+        round(sum(when(col("n_sources") === 1, 1L).otherwise(0L))
+          .cast("double") / count(lit(1)), 4).as("novelty_ratio"))
+  }
+
+  val sourceNoveltySql: String = {
+    val parts = (0 until ContamK).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+    s"""WITH tk AS (
+       |  SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z]+') AS t
+       |  FROM documents
+       |), sh AS (
+       |  SELECT DISTINCT source,
+       |    ('0x' || substr(md5(unnest(list_distinct(list_transform(
+       |      range(1, GREATEST(len(t) - ${ContamK - 2}, 1)),
+       |      i -> $parts)))), 1, 15))::BIGINT AS h
+       |  FROM tk
+       |), spread AS (
+       |  SELECT h, COUNT(*) AS n_sources FROM sh GROUP BY h
+       |)
+       |SELECT source, COUNT(*) AS n_hashes,
+       |  CAST(SUM(CASE WHEN n_sources = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_novel,
+       |  ROUND(SUM(CASE WHEN n_sources = 1 THEN 1 ELSE 0 END) / COUNT(*), 4)
+       |    AS novelty_ratio
+       |FROM sh JOIN spread USING (h) GROUP BY source""".stripMargin
+  }
+
   // ---- connected components, large-star/small-star --------------------------
 
   private def symmetrize(e: DataFrame): DataFrame =
@@ -897,5 +941,6 @@ object Dedup {
     "d_dup_clusters"  -> Q(dupClustersSql)(dupClusters),
     "d_dup_clusters_star" -> Q(dupClustersSql)(dupClustersStar),
     "d_cross_contam"  -> Q(crossContaminationSql)(crossContamination),
+    "d_source_novelty"-> Q(sourceNoveltySql)(sourceNovelty),
     "d_contamination" -> Q(contaminationSql)(contamination))
 }
