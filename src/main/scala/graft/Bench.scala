@@ -66,10 +66,47 @@ object Bench {
     }
 
     val results = shared ++ best
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    def jsonMap(entries: Seq[(String, Double)]): String =
+      entries.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+
+    // Full per-query detail goes to a FILE: the driver only retains the
+    // last ~2000 chars of stdout, and an all-queries JSON line no longer
+    // fits (that is why BENCH_r01..r03 all recorded `parsed: null` — the
+    // line head was truncated, and sbt's default LoggedOutput added an
+    // "[info] " prefix that broke json.loads even when it did fit).
+    val detail =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n":${results.size},""" +
+        s""""passes":2,"queries":${jsonMap(results)},"sf":"$sfDir"}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_details.json"),
+      (detail + "\n").getBytes("UTF-8"))
+
+    // stdout gets ONE compact line (headline queries only, ≤ ~1 KB) as the
+    // LAST thing printed, so the complete line always survives tail
+    // truncation and parses. `value` is still the FULL suite total.
+    val headline = Seq(
+      "shared_dedup_pairs", "shared_kmeans_model",
+      "q1_pricing_summary", "q3_shipping_priority", "q5_nation_revenue",
+      "q18_large_orders",
+      "o15_format_sniff", "o18_uri_rewrite", "o20_o34_dlq_replay",
+      "o27_keyed_concat", "o27_fused_concat", "o30_metric_rollup",
+      "d_exact_stats", "d_ngram_jaccard", "d_minhash_lsh", "d_simhash_pairs",
+      "d_dup_clusters", "d_dup_clusters_star", "d_dedup_corpus",
+      "d_chunk_dup", "d_contamination",
+      "s_cosine_topk", "s_lsh_ann_topk", "s_ivf_trained_topk",
+      "s_ann_recall", "s_embed_families",
+      "t_token_stats", "t_quality_score", "t_tfidf_top", "t_rep_ratio",
+      "t_hash_split", "t_boilerplate",
+      "q_asof_join", "q_range_join", "q_window_funcs", "q_sessionize")
+    val rm = results.toMap
+    val head = headline.flatMap(n => rm.get(n).map(n -> _))
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    println(
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n":${results.size},""" +
+        s""""detail":"bench_details.json","queries":${jsonMap(head)},"sf":"$sfDir"}""")
   }
 }

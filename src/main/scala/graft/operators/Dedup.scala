@@ -542,9 +542,17 @@ object Dedup {
       val nextSum = next.agg(coalesce(sum("lbl"), lit(0L))).head().getLong(0)
       converged = nextSum == prevSum
       prevSum = nextSum
+      // the convergence agg above materialized next's checkpoint blocks,
+      // so the previous round's blocks are dead — drop them now instead
+      // of leaving a round-count's worth of block sets to the
+      // ContextCleaner (Bench runs every dedup query twice per session)
+      val stale = labels
       labels = next
+      stale.unpersist(false)
       rounds += 1
     }
+    edges.unpersist(false) // final labels frame is checkpointed; lineage
+    // no longer reaches edges
     System.err.println(s"[dupClusters] converged in $rounds rounds")
     labels
   }
@@ -913,7 +921,11 @@ object Dedup {
       val (s, c) = (row.getLong(0), row.getLong(1))
       converged = s == prevSum && c == prevCnt
       prevSum = s; prevCnt = c
+      // checksum action materialized next; previous round's blocks are
+      // dead — release them eagerly (see clusterLabels note)
+      val stale = edges
       edges = next
+      stale.unpersist(false)
       rounds += 1
     }
     System.err.println(s"[starComponents] converged in $rounds rounds")
