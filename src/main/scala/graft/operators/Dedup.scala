@@ -146,8 +146,14 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  val ngramJaccardSql: String =
-    s"""WITH $shingleCte, exh AS (
+  /** Shared oracle CTE chain: shingles → rare-shingle candidate pairs →
+    * exact pairwise Jaccard, ending at `scored(doc_a, doc_b, c, nab)`.
+    * ngramJaccardSql, dedupCorpusSql, dupClustersSql, dedupBestSql and
+    * minhashRecallSql all COMPOSE from this value — never from textual
+    * surgery on each other's finished SQL — so a rewording of one query
+    * cannot silently break a sibling's oracle. */
+  private val jaccardCtes: String =
+    s"""$shingleCte, exh AS (
        |  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
        |  FROM ex
        |), rare AS (
@@ -170,7 +176,10 @@ object Dedup {
        |  FROM cand
        |    JOIN shh sa ON doc_a = sa.doc_id
        |    JOIN shh sb ON doc_b = sb.doc_id
-       |)
+       |)""".stripMargin
+
+  val ngramJaccardSql: String =
+    s"""WITH $jaccardCtes
        |SELECT doc_a, doc_b, ROUND(c / (nab - c), 6) AS jaccard
        |FROM scored WHERE c / (nab - c) >= 0.1""".stripMargin
 
@@ -232,8 +241,13 @@ object Dedup {
     "md5(" + (0 until BandSize).map(j => s"CAST(m${b * BandSize + j} AS VARCHAR)")
       .mkString(" || '|' || ") + ")"
 
-  val minhashLshSql: String =
-    s"""WITH $shingleCte, hx AS (
+  /** MinHash oracle CTE chain (per-shingle hash pair → 16-min signature →
+    * band signatures → band-bucket candidate pairs). Requires the shingle
+    * CTEs (`ex`) in scope. `candName` parameterizes the candidate CTE so
+    * minhashRecallSql can place this chain next to the Jaccard chain's
+    * own `cand` without a blanket rename. */
+  private def minhashCtes(candName: String): String =
+    s"""hx AS (
        |  SELECT doc_id,
        |    ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h1,
        |    ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS h2
@@ -246,12 +260,15 @@ object Dedup {
        |  ${(0 until NumHashes / BandSize)
             .map(b => s"SELECT doc_id, $b AS band, ${mhBandSig(b)} AS sig FROM mins")
             .mkString("\n  UNION ALL\n  ")}
-       |), cand AS (
+       |), $candName AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2
-       |)
+       |)""".stripMargin
+
+  val minhashLshSql: String =
+    s"""WITH $shingleCte, ${minhashCtes("cand")}
        |SELECT doc_a, doc_b, n_bands,
        |  ROUND((${(0 until NumHashes)
             .map(i => s"CASE WHEN x.m$i = y.m$i THEN 1 ELSE 0 END")
@@ -284,18 +301,10 @@ object Dedup {
   }
 
   val minhashRecallSql: String = {
-    val jcChain = ngramJaccardSql.replaceFirst("WITH ", "")
-      .split("\nSELECT doc_a, doc_b, ROUND")(0)
-    // the minhash chain minus the shared shingle CTEs, its `cand`
-    // renamed so it can coexist with the Jaccard chain's `cand`
-    val mhChain = minhashLshSql.replaceFirst("WITH ", "")
-      .stripPrefix(shingleCte).stripPrefix(", ")
-      .split("\nSELECT doc_a, doc_b, n_bands")(0)
-      .replace("cand", "mcand")
     val estMatch = (0 until NumHashes)
       .map(i => s"CASE WHEN x.m$i = y.m$i THEN 1 ELSE 0 END")
       .mkString(" + ")
-    s"""WITH $jcChain, $mhChain, exact AS (
+    s"""WITH $jaccardCtes, ${minhashCtes("mcand")}, exact AS (
        |  SELECT doc_a, doc_b FROM scored
        |  WHERE ROUND(c / (nab - c), 6) >= 0.5
        |), est AS (
@@ -449,11 +458,9 @@ object Dedup {
   }
 
   val dedupCorpusSql: String = {
-    // reuse the jaccard oracle's CTE chain (everything before its final
-    // SELECT), then re-derive the pair list as one more CTE
-    val cteChain = ngramJaccardSql.replaceFirst("WITH ", "")
-      .split("\nSELECT doc_a, doc_b, ROUND")(0)
-    s"""WITH $cteChain, pairs AS (
+    // reuse the jaccard oracle's CTE chain, then re-derive the pair list
+    // as one more CTE
+    s"""WITH $jaccardCtes, pairs AS (
        |  SELECT doc_a, doc_b, ROUND(c / (nab - c), 6) AS jaccard
        |  FROM scored WHERE c / (nab - c) >= 0.1
        |), drop0 AS (
@@ -563,9 +570,7 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"))
 
   val dupClustersSql: String = {
-    val cteChain = ngramJaccardSql.replaceFirst("WITH ", "")
-      .split("\nSELECT doc_a, doc_b, ROUND")(0)
-    s"""WITH RECURSIVE $cteChain, pairs AS (
+    s"""WITH RECURSIVE $jaccardCtes, pairs AS (
        |  SELECT doc_a, doc_b FROM scored
        |  WHERE ROUND(c / (nab - c), 6) >= 0.5
        |), edges AS (
@@ -736,9 +741,7 @@ object Dedup {
   }
 
   val dedupBestSql: String = {
-    val cteChain = ngramJaccardSql.replaceFirst("WITH ", "")
-      .split("\nSELECT doc_a, doc_b, ROUND")(0)
-    s"""WITH RECURSIVE $cteChain, pairs AS (
+    s"""WITH RECURSIVE $jaccardCtes, pairs AS (
        |  SELECT doc_a, doc_b FROM scored
        |  WHERE ROUND(c / (nab - c), 6) >= 0.5
        |), edges AS (
@@ -752,14 +755,7 @@ object Dedup {
        |  SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
        |  FROM reach GROUP BY a
        |), qual AS (
-       |  SELECT doc_id,
-       |    ROUND(1.0 / (1.0 + exp(-(len(t) * 0.02
-       |      + ROUND(len(list_filter(t, x ->
-       |          x IN ('the','a','of','and','to','in')))
-       |          / GREATEST(len(t), 1), 4) * 2.0
-       |      - ROUND(LENGTH(regexp_replace(lower(text), '[a-z0-9\\s]', '',
-       |          'g')) / GREATEST(LENGTH(text), 1), 4) * 5.0 - 0.5))), 4)
-       |      AS quality
+       |  SELECT doc_id, ${TextAnalysis.qualityExprSql} AS quality
        |  FROM toks
        |), ranked AS (
        |  SELECT lbl.doc_id,

@@ -88,6 +88,18 @@ object TextAnalysis {
           + col("_stop") * 2.0 - col("_punct") * 5.0 - 0.5))), 4))
       .drop("_t", "_stop", "_punct")
 
+  /** DuckDB expression for the canonical quality composite, over columns
+    * `t` (lowercase token list) and `text`. The SINGLE source of truth
+    * for the formula (stopword list, 0.02/2.0/5.0/0.5 weights, round-4
+    * discipline): interpolated by qualityScoreSql AND Dedup.dedupBestSql
+    * so the two oracles cannot drift apart. */
+  val qualityExprSql: String =
+    """ROUND(1.0 / (1.0 + exp(-(len(t) * 0.02
+      |    + ROUND(len(list_filter(t, x -> x IN ('the','a','of','and','to','in')))
+      |        / GREATEST(len(t), 1), 4) * 2.0
+      |    - ROUND(LENGTH(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g'))
+      |        / GREATEST(LENGTH(text), 1), 4) * 5.0 - 0.5))), 4)""".stripMargin
+
   val qualityScoreSql: String =
     s"""WITH $toksCte
        |SELECT doc_id,
@@ -99,11 +111,7 @@ object TextAnalysis {
        |    / GREATEST(LENGTH(text), 1), 4) AS punct_ratio,
        |  ROUND(LENGTH(array_to_string(t, '')) / GREATEST(len(t), 1), 4)
        |    AS avg_token_len,
-       |  ROUND(1.0 / (1.0 + exp(-(len(t) * 0.02
-       |    + ROUND(len(list_filter(t, x -> x IN ('the','a','of','and','to','in')))
-       |        / GREATEST(len(t), 1), 4) * 2.0
-       |    - ROUND(LENGTH(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))
-       |        / GREATEST(LENGTH(text), 1), 4) * 5.0 - 0.5))), 4) AS quality
+       |  $qualityExprSql AS quality
        |FROM toks""".stripMargin
 
   // ---- language identification ---------------------------------------------

@@ -26,4 +26,12 @@ class DedupStarSpec extends SparkSuite {
     val out = graft.operators.Dedup.dupClustersStar(spark, sf0001)
     assert(out.columns.toSeq == Seq("cluster_id", "n_docs"))
   }
+
+  test("starComponents converges on an explicitly empty edge set") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("u", "v")
+    val out = graft.operators.Dedup.starComponents(empty)
+    assert(out.columns.toSeq == Seq("u", "lbl"))
+    assert(out.count() == 0L)
+  }
 }

@@ -80,11 +80,24 @@ class HttpReceiverSpec extends SparkSuite {
       // O-5 per-state gauges (statelistener, main.go:257-271): active =
       // this in-flight GET; new/closed count all prior exchanges
       assert(stat.body().contains("state active:1"))
-      val closed = stat.body().linesIterator
-        .find(_.startsWith("state closed:")).get.split(":")(1).trim.toLong
-      val total = stat.body().linesIterator
-        .find(_.startsWith("state new:")).get.split(":")(1).trim.toLong
-      assert(total == closed + 1) // every exchange but this one is closed
+      // every exchange but the in-flight /statistic GET should end up
+      // closed — but closedRequests increments in the handler's finally
+      // AFTER the response is flushed, so a just-answered exchange may
+      // not have run its finally yet when we re-read /status. Poll until
+      // the gauge settles instead of asserting one racy snapshot.
+      def gauges(): (Long, Long) = {
+        val b = get(rx.boundPort, "/statistic").body()
+        def g(p: String) = b.linesIterator
+          .find(_.startsWith(p)).get.split(":")(1).trim.toLong
+        (g("state new:"), g("state closed:"))
+      }
+      val deadline = System.nanoTime() + 5000000000L
+      var (total, closed) = gauges()
+      while (total != closed + 1 && System.nanoTime() < deadline) {
+        Thread.sleep(20); val g = gauges(); total = g._1; closed = g._2
+      }
+      assert(total == closed + 1,
+        s"state gauges never settled: new=$total closed=$closed")
     } finally rx.stop()
   }
 
