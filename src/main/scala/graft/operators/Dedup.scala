@@ -101,14 +101,38 @@ object Dedup {
     pairCache.clear()
   }
 
-  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
+  /** The shared persisted pair list: candidate pairs with RAW (unrounded)
+    * `jaccard` and `containment` columns, kept when either measure clears
+    * its floor (jaccard ≥ 0.1 ∨ containment ≥ 0.5). Consumers re-filter
+    * on their own measure and round on output, so the one materialization
+    * serves the Jaccard family AND the subset-containment query. */
+  private def pairList(spark: SparkSession, sfDir: String): DataFrame =
     pairCache.getOrElseUpdate((spark, sfDir), {
-      val df = ngramJaccardCompute(spark, sfDir)
+      val df = pairListCompute(spark, sfDir)
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df
     })
 
-  private def ngramJaccardCompute(spark: SparkSession, sfDir: String): DataFrame = {
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    pairList(spark, sfDir)
+      .filter(col("jaccard") >= 0.1)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+
+  /** Subset-containment near-dup: c / min(|A|, |B|) ≥ 0.5 over the same
+    * rare-shingle candidates — catches a short document embedded inside a
+    * long one, where Jaccard (c / |A∪B|) is diluted by the long side and
+    * can sit under its own floor. The standard second lens used alongside
+    * Jaccard in published web-dedup pipelines; shares the persisted pair
+    * list, so at 100 TB it costs one extra projection, not a second
+    * candidate generation. */
+  def containmentPairs(spark: SparkSession, sfDir: String): DataFrame =
+    pairList(spark, sfDir)
+      .filter(col("containment") >= 0.5)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("jaccard"), 6).as("jaccard"),
+        round(col("containment"), 6).as("containment"))
+
+  private def pairListCompute(spark: SparkSession, sfDir: String): DataFrame = {
     val base = toks(spark, sfDir)
     // everything downstream works on 60-bit md5-prefix hashes of the
     // shingles: long join keys and long-array intersects instead of
@@ -139,11 +163,12 @@ object Dedup {
       .join(shH.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
         size(array_intersect(col("sa.s"), col("sb.s"))).cast("double").as("c"),
-        (size(col("sa.s")) + size(col("sb.s"))).cast("double").as("nab"))
+        size(col("sa.s")).cast("double").as("na"),
+        size(col("sb.s")).cast("double").as("nb"))
       .select(col("doc_a"), col("doc_b"),
-        (col("c") / (col("nab") - col("c"))).as("jaccard"))
-      .filter(col("jaccard") >= 0.1)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+        (col("c") / (col("na") + col("nb") - col("c"))).as("jaccard"),
+        (col("c") / least(col("na"), col("nb"))).as("containment"))
+      .filter(col("jaccard") >= 0.1 || col("containment") >= 0.5)
   }
 
   /** Shared oracle CTE chain: shingles → rare-shingle candidate pairs →
@@ -172,6 +197,8 @@ object Dedup {
        |), scored AS (
        |  SELECT doc_a, doc_b,
        |    CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) AS c,
+       |    CAST(len(sa.s) AS DOUBLE) AS na,
+       |    CAST(len(sb.s) AS DOUBLE) AS nb,
        |    CAST(len(sa.s) + len(sb.s) AS DOUBLE) AS nab
        |  FROM cand
        |    JOIN shh sa ON doc_a = sa.doc_id
@@ -182,6 +209,13 @@ object Dedup {
     s"""WITH $jaccardCtes
        |SELECT doc_a, doc_b, ROUND(c / (nab - c), 6) AS jaccard
        |FROM scored WHERE c / (nab - c) >= 0.1""".stripMargin
+
+  val containmentPairsSql: String =
+    s"""WITH $jaccardCtes
+       |SELECT doc_a, doc_b,
+       |  ROUND(c / (nab - c), 6) AS jaccard,
+       |  ROUND(c / LEAST(na, nb), 6) AS containment
+       |FROM scored WHERE c / LEAST(na, nb) >= 0.5""".stripMargin
 
   // ---- MinHash + LSH banding ------------------------------------------------
 
@@ -324,6 +358,42 @@ object Dedup {
        |  ROUND(n_both / GREATEST(n_est, 1), 4) AS precision
        |FROM agg""".stripMargin
   }
+
+  // ---- edit-distance verification on MinHash candidates ---------------------
+
+  /** Character-level near-dup: Levenshtein similarity 1 − lev/max(len)
+    * ≥ 0.6, verified ONLY on MinHash band-candidate pairs — the
+    * shingle-free second opinion (catches small in-place edits that
+    * shift every 3-shingle window). Edit distance is quadratic per pair,
+    * so at 100 TB the candidate restriction is not an optimization but
+    * the difference between feasible and not: O(candidates · len²) vs
+    * O(corpus² · len²). */
+  def editNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    minhashLsh(spark, sfDir).select("doc_a", "doc_b")
+      .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")),
+        Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")),
+        Seq("doc_b"))
+      .withColumn("lev", levenshtein(col("ta"), col("tb")).cast("long"))
+      .withColumn("edit_sim",
+        round(lit(1.0) - col("lev").cast("double") /
+          greatest(length(col("ta")), length(col("tb"))), 6))
+      .filter(col("edit_sim") >= 0.6)
+      .select(col("doc_a"), col("doc_b"), col("lev"), col("edit_sim"))
+  }
+
+  val editNearDupSql: String =
+    s"""WITH $shingleCte, ${minhashCtes("cand")}
+       |SELECT c.doc_a, c.doc_b,
+       |  CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev,
+       |  ROUND(1.0 - levenshtein(da.text, db.text)
+       |    / GREATEST(LENGTH(da.text), LENGTH(db.text)), 6) AS edit_sim
+       |FROM cand c
+       |  JOIN documents da ON c.doc_a = da.doc_id
+       |  JOIN documents db ON c.doc_b = db.doc_id
+       |WHERE ROUND(1.0 - levenshtein(da.text, db.text)
+       |    / GREATEST(LENGTH(da.text), LENGTH(db.text)), 6) >= 0.6""".stripMargin
 
   // ---- SimHash --------------------------------------------------------------
 
@@ -950,5 +1020,7 @@ object Dedup {
     "d_dup_clusters_star" -> Q(dupClustersSql)(dupClustersStar),
     "d_cross_contam"  -> Q(crossContaminationSql)(crossContamination),
     "d_source_novelty"-> Q(sourceNoveltySql)(sourceNovelty),
+    "d_containment"   -> Q(containmentPairsSql)(containmentPairs),
+    "d_edit_neardup"  -> Q(editNearDupSql)(editNearDup),
     "d_contamination" -> Q(contaminationSql)(contamination))
 }

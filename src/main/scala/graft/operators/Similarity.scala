@@ -204,6 +204,55 @@ object Similarity {
        |) GROUP BY family_id""".stripMargin
   }
 
+  // ---- kNN graph construction (LSH-blocked self-join) -----------------------
+
+  /** kNN GRAPH: every vector's top-3 cosine neighbors within its sign-LSH
+    * bucket — the self-join analogue of s_lsh_ann_topk (which serves a
+    * 50-query workload). The kNN graph is the input of graph-based
+    * curation (kNN-density outliers, label propagation, graph ANN
+    * indexes); at 100 TB the bucket equi-join bounds the pair fan-out to
+    * corpus²/2^bits, the corpus shuffles once on the bucket key, and the
+    * per-bucket top-k window never sees more than a bucket's rows. */
+  def knnJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+      .withColumn("bucket", signBucket("embedding", Dim, LshBits))
+    val pairs = e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("neighbor_id"),
+        cosineSim(col("a.embedding"), col("b.embedding")).as("cosine"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(round(col("cosine"), 6).desc, col("neighbor_id"))
+    pairs.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("q_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("rk"))
+  }
+
+  val knnJoinSql: String =
+    s"""WITH $embCte, bk AS (
+       |  SELECT vec_id, $bucketExpr AS bucket FROM embeddings
+       |), dots AS (
+       |  SELECT qb.vec_id AS q_id, cb.vec_id AS neighbor_id,
+       |    SUM(a.x * b.x) AS dot
+       |  FROM bk qb JOIN bk cb ON qb.bucket = cb.bucket
+       |    AND cb.vec_id <> qb.vec_id
+       |    JOIN ex a ON a.vec_id = qb.vec_id
+       |    JOIN ex b ON b.vec_id = cb.vec_id AND b.i = a.i
+       |  GROUP BY 1, 2
+       |), scored AS (
+       |  SELECT q_id, neighbor_id,
+       |    ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
+       |  FROM dots JOIN nrm na ON q_id = na.vec_id
+       |    JOIN nrm nb ON neighbor_id = nb.vec_id
+       |  WHERE na.nrm > 0 AND nb.nrm > 0
+       |)
+       |SELECT q_id, neighbor_id, cosine, rk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cosine DESC, neighbor_id) AS rk
+       |  FROM scored
+       |) WHERE rk <= 3""".stripMargin
+
   // ---- IVF ANN: coarse-quantized cells, multi-probe -------------------------
 
   /** IVF-style ANN: the 10 label groups act as Voronoi cells with
@@ -490,6 +539,59 @@ object Similarity {
        |  FROM scored
        |) WHERE rk <= 5""".stripMargin
 
+  // ---- semantic dedup within trained cells (SemDeDup shape) -----------------
+
+  /** Within-cell cosine floor above which the higher-id vector is dropped
+    * as a semantic duplicate. */
+  private val SemTau = 0.3
+
+  /** Semantic dedup in the published cluster-then-prune shape: k-means
+    * cells from the SHARED trained quantizer bound the pair search, and
+    * within each cell any vector whose cosine to a lower-id cell-mate
+    * reaches SemTau is dropped (keep-lowest-id — deterministic). This is
+    * what makes semantic dedup subquadratic at 100 TB: pair generation is
+    * Σ|cell|², never corpus², and tightening K trades recall for cost.
+    * Output: per-cell members / dropped / kept. */
+  def semDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, asg) = kmeansTrain(spark, sfDir)
+    val m = emb(spark, sfDir)
+      .join(asg.select(col("vec_id"), col("cell")), Seq("vec_id"))
+    val drops = m.as("a").join(m.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .filter(cosineSim(col("a.embedding"), col("b.embedding")) >= SemTau)
+      .select(col("a.cell").as("cell"), col("b.vec_id").as("vb"))
+      .distinct()
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_dropped"))
+    asg.groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+      .join(drops, Seq("cell"), "left_outer")
+      .select(col("cell"), col("n_vecs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        (col("n_vecs") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
+  }
+
+  val semDedupSql: String =
+    s"""WITH $kmeansChainSql, pr AS (
+       |  SELECT ma.cell, ma.vec_id AS va, mb.vec_id AS vb,
+       |    SUM(a.x * b.x) AS dot
+       |  FROM asg$KmIters ma JOIN asg$KmIters mb
+       |    ON ma.cell = mb.cell AND ma.vec_id < mb.vec_id
+       |    JOIN exf a ON a.vec_id = ma.vec_id
+       |    JOIN exf b ON b.vec_id = mb.vec_id AND b.i = a.i
+       |  GROUP BY 1, 2, 3
+       |), drops AS (
+       |  SELECT cell, COUNT(DISTINCT vb) AS n_dropped
+       |  FROM pr JOIN nrm na ON va = na.vec_id
+       |    JOIN nrm nb ON vb = nb.vec_id
+       |  WHERE dot / (na.nrm * nb.nrm) >= $SemTau
+       |  GROUP BY cell
+       |)
+       |SELECT g.cell, g.n_vecs,
+       |  CAST(COALESCE(d.n_dropped, 0) AS BIGINT) AS n_dropped,
+       |  g.n_vecs - CAST(COALESCE(d.n_dropped, 0) AS BIGINT) AS n_kept
+       |FROM (SELECT cell, COUNT(*) AS n_vecs FROM asg$KmIters GROUP BY cell) g
+       |  LEFT JOIN drops d ON g.cell = d.cell""".stripMargin
+
   // ---- ANN quality: recall of LSH vs exact ----------------------------------
 
   /** Per-table 4-bit sign bucket for OR-amplified LSH: table `t` reads 4
@@ -723,5 +825,7 @@ object Similarity {
     "s_embed_neardup" -> Q(embedNearDupSql)(embedNearDup),
     "s_embed_families" -> Q(embedFamiliesSql)(embedFamilies),
     "s_ivf_ann_topk"  -> Q(ivfAnnTopKSql)(ivfAnnTopK),
+    "s_knn_join"      -> Q(knnJoinSql)(knnJoin),
+    "s_semdedup"      -> Q(semDedupSql)(semDedup),
     "s_ann_recall"    -> Q(annRecallSql)(annRecall))
 }

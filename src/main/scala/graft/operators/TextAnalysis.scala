@@ -652,7 +652,162 @@ object TextAnalysis {
       |  ROUND(MAX(doc_surprisal), 6) AS max_surprisal
       |FROM per_doc GROUP BY source""".stripMargin
 
+  // ---- Gopher-style repetition signals --------------------------------------
+
+  /** Fraction of a doc's 2-gram occurrences a single gram can account for
+    * before the doc is flagged as degenerate repetition. */
+  private val TopFracGate = 0.1
+
+  /** Repetition quality signals in the published web-filter family
+    * (duplicate-n-gram and top-n-gram occupancy): per document, the
+    * fraction of 2-gram occurrences held by the most frequent 2-gram
+    * (top_frac) and by grams occurring ≥ 2 times (dup_frac), rolled up
+    * per source with a flagged count at top_frac > 0.1.
+    *
+    * Shape for scale: explode to (doc, gram) → two-level hash agg, both
+    * keyed by doc_id (bounded per-doc state, partial aggregation
+    * map-side); unlike t_rep_ratio this one genuinely needs per-gram
+    * counts (an occupancy max), so the explode is irreducible — the roll
+    * -up keeps the output at |sources| rows. */
+  def gopherRepetition(spark: SparkSession, sfDir: String): DataFrame = {
+    val perGram = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("source"),
+        explode(expr(shinglesAllSql("t", 2))).as("g"))
+      .groupBy(col("doc_id"), col("source"), col("g"))
+      .agg(count(lit(1)).as("c"))
+    val perDoc = perGram.groupBy(col("doc_id"), col("source"))
+      .agg(sum("c").as("n"), max("c").as("top"),
+        sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dup"))
+      .select(col("source"),
+        round(col("top").cast("double") / greatest(col("n"), lit(1L)), 6)
+          .as("top_frac"),
+        round(col("dup").cast("double") / greatest(col("n"), lit(1L)), 6)
+          .as("dup_frac"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg("top_frac"), 4).as("avg_top_frac"),
+        round(avg("dup_frac"), 4).as("avg_dup_frac"),
+        sum(when(col("top_frac") > TopFracGate, 1L).otherwise(0L))
+          .as("n_flagged"))
+  }
+
+  val gopherRepetitionSql: String =
+    s"""WITH $toksCte, g2 AS (
+       |  SELECT doc_id, source,
+       |    unnest(list_transform(range(1, GREATEST(len(t), 1)),
+       |      i -> t[i] || ' ' || t[i+1])) AS g
+       |  FROM toks
+       |), pg AS (
+       |  SELECT doc_id, source, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2, 3
+       |), pd AS (
+       |  SELECT source,
+       |    ROUND(MAX(c) / GREATEST(SUM(c), 1), 6) AS top_frac,
+       |    ROUND(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END)
+       |      / GREATEST(SUM(c), 1), 6) AS dup_frac
+       |  FROM pg GROUP BY doc_id, source
+       |)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  ROUND(AVG(top_frac), 4) AS avg_top_frac,
+       |  ROUND(AVG(dup_frac), 4) AS avg_dup_frac,
+       |  CAST(SUM(CASE WHEN top_frac > $TopFracGate THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_flagged
+       |FROM pd GROUP BY source""".stripMargin
+
+  // ---- mixture weights (temperature-scaled source sampling) -----------------
+
+  /** Data-mixing weights per source: w_s ∝ tokens_s^α with temperature
+    * α = 0.5 (the sub-linear reweighting published multilingual/multi-
+    * source training recipes use to keep small sources from vanishing),
+    * plus the effective epoch count each source would run at that weight
+    * (epochs > 1 ⇒ the source repeats). Output is |sources| rows from one
+    * narrow scan + one hash agg — the planning query a curator runs
+    * before launching a mixing job. */
+  def mixtureWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    val per = Tables.documents(spark, sfDir)
+      .select(col("source"), wsTokenCount(col("text")).as("tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("tokens"))
+    val tot = per.agg(
+      sum(col("tokens")).as("tot_tokens"),
+      sum(pow(col("tokens"), 0.5)).as("tot_w"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        round(pow(col("tokens"), 0.5) / col("tot_w"), 6).as("weight"),
+        round(pow(col("tokens"), 0.5) / col("tot_w")
+          * col("tot_tokens") / col("tokens"), 4).as("effective_epochs"))
+  }
+
+  val mixtureWeightsSql: String =
+    """WITH per AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS tokens
+      |  FROM documents GROUP BY source
+      |), tot AS (
+      |  SELECT CAST(SUM(tokens) AS BIGINT) AS tot_tokens,
+      |    SUM(pow(tokens, 0.5)) AS tot_w
+      |  FROM per
+      |)
+      |SELECT source, n_docs, tokens,
+      |  ROUND(pow(tokens, 0.5) / tot_w, 6) AS weight,
+      |  ROUND(pow(tokens, 0.5) / tot_w * tot_tokens / tokens, 4)
+      |    AS effective_epochs
+      |FROM per, tot""".stripMargin
+
+  // ---- deterministic stratified sampling ------------------------------------
+
+  /** Partitioning-invariant stratified sampling plan: every source is
+    * down-sampled toward the smallest source's token count (rate_s =
+    * min(1, min_tokens / tokens_s)), membership decided by an md5 bucket
+    * of doc_id — the same engine-verified primitive as t_hash_split, so
+    * the selection is reproducible under any partitioning/ordering and
+    * needs no global sort or sampling state. Output: per-source doc
+    * count, sampled count, and the applied rate. */
+  def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), wsTokenCount(col("text")).as("tok"))
+    val per = docs.groupBy(col("source")).agg(sum(col("tok")).as("tokens"))
+    val minTok = per.agg(min(col("tokens")).as("min_tokens"))
+    val rates = per.crossJoin(broadcast(minTok))
+      .select(col("source"),
+        round(least(lit(1.0),
+          col("min_tokens").cast("double") / col("tokens")), 6).as("rate"))
+    docs.join(broadcast(rates), Seq("source"))
+      .withColumn("h",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 10000)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("h").cast("double") < col("rate") * 10000, 1L)
+          .otherwise(0L)).as("n_sampled"),
+        max(col("rate")).as("rate"))
+  }
+
+  val stratifiedSampleSql: String =
+    """WITH per AS (
+      |  SELECT source,
+      |    CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS tokens
+      |  FROM documents GROUP BY source
+      |), rates AS (
+      |  SELECT source, ROUND(LEAST(1.0,
+      |    (SELECT MIN(tokens) FROM per) / CAST(tokens AS DOUBLE)), 6) AS rate
+      |  FROM per
+      |), h AS (
+      |  SELECT d.source, r.rate,
+      |    ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+      |      % 10000 AS hh
+      |  FROM documents d JOIN rates r USING (source)
+      |)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN hh < rate * 10000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_sampled,
+      |  MAX(rate) AS rate
+      |FROM h GROUP BY source""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "t_gopher_repetition" -> Q(gopherRepetitionSql)(gopherRepetition),
+    "t_mixture_weights"   -> Q(mixtureWeightsSql)(mixtureWeights),
+    "t_stratified_sample" -> Q(stratifiedSampleSql)(stratifiedSample),
     "t_unigram_lm"   -> Q(unigramSurprisalSql)(unigramSurprisal),
     "t_pack_stats"   -> Q(packStatsSql)(packStats),
     "t_pii_scrub"    -> Q(piiScrubSql)(piiScrub),

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Value-level invariants for the round-4 operators (the DuckDB gate
+  * checks engine equivalence; these pin the SEMANTICS — the properties a
+  * curator relies on — so a future refactor that stays engine-consistent
+  * but changes meaning still fails). */
+class Round4OperatorsSpec extends SparkSuite {
+
+  test("containment dominates jaccard and subset pairs reach 1.0") {
+    val rows = graft.operators.Dedup.containmentPairs(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (j, c) = (r.getAs[Double]("jaccard"), r.getAs[Double]("containment"))
+      assert(c >= j - 1e-9, s"containment $c < jaccard $j")
+      assert(c > 0 && c <= 1.0 + 1e-9)
+    }
+    // the lens exists to catch what Jaccard under-scores
+    assert(rows.exists(r =>
+      r.getAs[Double]("containment") > r.getAs[Double]("jaccard")))
+  }
+
+  test("edit near-dup similarity is consistent and bounded") {
+    val rows = graft.operators.Dedup.editNearDup(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val sim = r.getAs[Double]("edit_sim")
+      assert(sim >= 0.6 && sim <= 1.0)
+      assert(r.getAs[Long]("lev") >= 0L)
+    }
+  }
+
+  test("kNN join yields at most k=3 strictly ranked neighbors per vector") {
+    val df = graft.operators.Similarity.knnJoin(spark, sf0001)
+    val bad = df.groupBy("q_id")
+      .agg(count(lit(1)).as("n"), max("rk").as("maxrk"))
+      .filter(col("n") > 3 || col("maxrk") > 3)
+    assert(bad.count() == 0)
+    // ranks are dense from 1 and cosine is non-increasing in rank
+    val viol = df.as("a").join(df.as("b"),
+        col("a.q_id") === col("b.q_id") &&
+          col("a.rk") === col("b.rk") - 1)
+      .filter(col("a.cosine") < col("b.cosine"))
+    assert(viol.count() == 0, "cosine must not increase with rank")
+  }
+
+  test("semantic dedup partitions every cell into kept + dropped") {
+    val rows = graft.operators.Similarity.semDedup(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_dropped") ==
+        r.getAs[Long]("n_vecs"))
+      assert(r.getAs[Long]("n_kept") >= 1L,
+        "keep-lowest-id must retain at least one member per cell")
+    }
+    // non-degenerate on this corpus: something is actually dropped
+    assert(rows.map(_.getAs[Long]("n_dropped")).sum > 0)
+  }
+
+  test("stratified sample honors rates and keeps the smallest source whole") {
+    val rows = graft.operators.TextAnalysis
+      .stratifiedSample(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_sampled") <= r.getAs[Long]("n_docs"))
+      val rate = r.getAs[Double]("rate")
+      assert(rate > 0 && rate <= 1.0)
+    }
+    assert(rows.exists(_.getAs[Double]("rate") == 1.0),
+      "the min-token source defines the target and must be kept whole")
+  }
+
+  test("mixture weights normalize and favor small sources per token") {
+    val rows = graft.operators.TextAnalysis
+      .mixtureWeights(spark, sf0001).collect()
+    val wSum = rows.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(wSum - 1.0) < 1e-3, s"weights sum to $wSum")
+    // temperature < 1 ⇒ smallest source gets MORE than proportional share:
+    // its effective epoch count exceeds the largest source's
+    val byTokens = rows.sortBy(_.getAs[Long]("tokens"))
+    assert(byTokens.head.getAs[Double]("effective_epochs") >
+      byTokens.last.getAs[Double]("effective_epochs"))
+  }
+
+  test("gopher repetition fractions are bounded and the gate flags docs") {
+    val rows = graft.operators.TextAnalysis
+      .gopherRepetition(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (tf, df) = (r.getAs[Double]("avg_top_frac"),
+        r.getAs[Double]("avg_dup_frac"))
+      assert(tf >= 0 && tf <= 1.0 && df >= 0 && df <= 1.0)
+      assert(r.getAs[Long]("n_flagged") <= r.getAs[Long]("n_docs"))
+    }
+    assert(rows.map(_.getAs[Long]("n_flagged")).sum > 0,
+      "gate threshold should flag at least one repetitive doc in the corpus")
+  }
+}
