@@ -51,6 +51,8 @@ object Bench {
     val shared = Seq[(String, () => Unit)](
       "shared_dedup_pairs" ->
         (() => { graft.operators.Dedup.ngramJaccard(spark, sfDir).count(); () }),
+      "shared_minhash_mins" ->
+        (() => graft.operators.Dedup.materializeMinhash(spark, sfDir)),
       "shared_kmeans_model" ->
         (() => graft.operators.Similarity.materializeKmeans(spark, sfDir)))
       .map { case (name, f) => name -> timed(f) }
@@ -88,7 +90,7 @@ object Bench {
     // LAST thing printed, so the complete line always survives tail
     // truncation and parses. `value` is still the FULL suite total.
     val headline = Seq(
-      "shared_dedup_pairs", "shared_kmeans_model",
+      "shared_dedup_pairs", "shared_minhash_mins", "shared_kmeans_model",
       "q1_pricing_summary", "q3_shipping_priority", "q5_nation_revenue",
       "q18_large_orders",
       "o15_format_sniff", "o18_uri_rewrite", "o20_o34_dlq_replay",
@@ -97,7 +99,7 @@ object Bench {
       "d_dup_clusters", "d_dup_clusters_star", "d_dedup_corpus",
       "d_chunk_dup", "d_contamination",
       "s_cosine_topk", "s_lsh_ann_topk", "s_ivf_trained_topk",
-      "s_ann_recall", "s_embed_families",
+      "s_ann_recall", "s_embed_families", "s_knn_join", "s_semdedup",
       "t_token_stats", "t_quality_score", "t_tfidf_top", "t_rep_ratio",
       "t_hash_split", "t_boilerplate",
       "q_asof_join", "q_range_join", "q_window_funcs", "q_sessionize")

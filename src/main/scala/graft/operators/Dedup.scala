@@ -99,6 +99,9 @@ object Dedup {
     pairCache.values.foreach(df => try df.unpersist()
       catch { case _: Exception => () })
     pairCache.clear()
+    minsCache.values.foreach(df => try df.unpersist()
+      catch { case _: Exception => () })
+    minsCache.clear()
   }
 
   /** The shared persisted pair list: candidate pairs with RAW (unrounded)
@@ -236,15 +239,36 @@ object Dedup {
     * shingles×16 rows). Bands and est are then row-local projections; the
     * only joins are the band bucket-join (bounded by bucket occupancy) and
     * the candidate-pair signature lookup. */
+  /** One persisted 16-min signature table per (session, SF): the
+    * shingle-explode + 16-column min agg is the expensive prefix shared
+    * by d_minhash_lsh, d_minhash_recall and d_edit_neardup — 16 longs per
+    * doc, the textbook "signature matrix you keep, raw shingles you
+    * don't" artifact, so the cache is corpus-linear and tiny. */
+  private val minsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def minhashMins(spark: SparkSession, sfDir: String): DataFrame =
+    minsCache.getOrElseUpdate((spark, sfDir), {
+      val hx = toks(spark, sfDir)
+        .select(col("doc_id"), explode(shingles("t", 3)).as("shingle"))
+        .select(col("doc_id"),
+          conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long").as("h1"),
+          conv(substring(md5(col("shingle")), 9, 8), 16, 10).cast("long").as("h2"))
+      val minCols = (0 until NumHashes).map(i =>
+        min((col("h1") + lit(i.toLong) * col("h2")) % MinHashP).as(s"m$i"))
+      val mins = hx.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+      mins.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      mins
+    })
+
+  /** Force the shared signature table to materialize — Bench times this
+    * as its own entry so consumer queries time steady-state plans. */
+  def materializeMinhash(spark: SparkSession, sfDir: String): Unit = {
+    minhashMins(spark, sfDir).count(); ()
+  }
+
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    val hx = toks(spark, sfDir)
-      .select(col("doc_id"), explode(shingles("t", 3)).as("shingle"))
-      .select(col("doc_id"),
-        conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long").as("h1"),
-        conv(substring(md5(col("shingle")), 9, 8), 16, 10).cast("long").as("h2"))
-    val minCols = (0 until NumHashes).map(i =>
-      min((col("h1") + lit(i.toLong) * col("h2")) % MinHashP).as(s"m$i"))
-    val mins = hx.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+    val mins = minhashMins(spark, sfDir)
     val bandStructs = (0 until NumHashes / BandSize).map { b =>
       val sig = md5(concat_ws("|",
         (0 until BandSize).map(j => col(s"m${b * BandSize + j}").cast("string")): _*))
