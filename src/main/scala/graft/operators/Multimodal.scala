@@ -326,10 +326,103 @@ object Multimodal {
        |  CAST(SUM(checksum) AS BIGINT) AS sum_checksum
        |FROM px GROUP BY 1, 2""".stripMargin
 
+  // ---- perceptual-hash image dedup (average-hash over the stub decode) ------
+
+  /** Signature row emitted by the perceptual hasher. */
+  final case class PHashRow(doc_id: Long, sig: Long)
+
+  /** STUB average-hash: the blob in 8 equal byte segments; bit k is set
+    * iff segment k's mean byte ≥ the whole-blob mean, compared integer-
+    * cross-multiplied (s·L ≥ total·len — exact, no float boundary). A
+    * real deployment computes a DCT/luma pHash in this same partition-
+    * local Iterator→Iterator slot; only the body swaps. 8 bits is the
+    * BANDING width, not the full hash: groups sharing a signature are
+    * the candidate sets a real pipeline hamming-verifies pairwise
+    * (exactly the LSH-band contract the text-side operators use). */
+  private def phashStub(rows: Iterator[MediaRow]): Iterator[PHashRow] =
+    rows.filter(_.mime == "image/png").map { r =>
+      val L = r.content.length
+      var total = 0L
+      var i = 0
+      while (i < L) { total += (r.content(i) & 0xFF); i += 1 }
+      var sig = 0L
+      var k = 0
+      while (k < 8) {
+        val lo = k * L / 8
+        val hi = (k + 1) * L / 8
+        var s = 0L
+        i = lo
+        while (i < hi) { s += (r.content(i) & 0xFF); i += 1 }
+        val len = hi - lo
+        if (len > 0 && s * L >= total * len) sig |= 1L << k
+        k += 1
+      }
+      PHashRow(r.doc_id, sig)
+    }
+
+  /** Exposed for the golden test. */
+  def phashForTest(rows: Seq[MediaRow]): Seq[PHashRow] =
+    phashStub(rows.iterator).toSeq
+
+  /** Image near-dup CANDIDATE census by perceptual signature:
+    * partition-local stub-decode → 8-bit average-hash band → exact
+    * hash-groupBy on the signature — the multimodal analogue of MinHash
+    * banding (groups are candidate sets for pairwise hamming verify,
+    * the step a real pHash pipeline runs next). Scale shape: blobs
+    * never shuffle (the hash is computed map-side); only (doc_id, sig)
+    * pairs — 16 bytes a row — reach the exchange, and the census is a
+    * two-level agg over signatures. */
+  def phashDup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sigs = media(spark, sfDir).as[MediaRow].mapPartitions(phashStub)
+    val grp = sigs.groupBy(col("sig")).agg(count(lit(1)).as("c"))
+    grp.agg(
+      sum(col("c")).as("n_images"),
+      count(lit(1)).as("n_signatures"),
+      sum(when(col("c") >= 2, 1L).otherwise(0L)).as("n_dup_groups"),
+      sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("n_dup_images"),
+      max(col("c")).as("max_group"))
+  }
+
+  /** The average-hash replayed in SQL: per-segment byte sums via list
+    * slices of the ASCII codes, the bit test as the same integer
+    * cross-multiplication. */
+  val phashDupSql: String =
+    s"""WITH $mediaCte, img AS (
+       |  SELECT doc_id, LENGTH(text) AS L,
+       |    list_transform(range(1, LENGTH(text) + 1),
+       |      i -> ascii(substr(text, CAST(i AS INT), 1))) AS bytes
+       |  FROM media WHERE mime = 'image/png'
+       |), seg AS (
+       |  SELECT doc_id, k, L,
+       |    CAST(COALESCE(list_sum(
+       |      bytes[(k * L // 8 + 1):((k + 1) * L // 8)]), 0) AS BIGINT)
+       |      AS segsum,
+       |    ((k + 1) * L // 8) - (k * L // 8) AS seglen,
+       |    CAST(list_sum(bytes) AS BIGINT) AS total
+       |  FROM img, range(0, 8) r(k)
+       |), sigs AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN seglen > 0 AND segsum * L >= total * seglen
+       |      THEN (1::BIGINT << CAST(k AS INT)) ELSE 0 END) AS BIGINT) AS sig
+       |  FROM seg GROUP BY doc_id
+       |), grp AS (
+       |  SELECT sig, COUNT(*) AS c FROM sigs GROUP BY sig
+       |)
+       |SELECT CAST(SUM(c) AS BIGINT) AS n_images,
+       |  COUNT(*) AS n_signatures,
+       |  CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dup_groups,
+       |  CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+       |    AS n_dup_images,
+       |  CAST(MAX(c) AS BIGINT) AS max_group
+       |FROM grp""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "m_binary_meta"  -> Q(binaryMetaSql)(binaryMeta),
     "m_features_agg" -> Q(featuresAggSql)(featuresAgg),
     "m_frame_sample" -> Q(frameSampleSql)(frameSample),
     "m_audio_features" -> Q(audioFeaturesSql)(audioFeatures),
+    "m_phash_dup"    -> Q(phashDupSql)(phashDup),
     "m_resize_agg"   -> Q(resizeAggSql)(resizeAgg))
 }

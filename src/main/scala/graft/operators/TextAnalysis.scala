@@ -614,26 +614,33 @@ object TextAnalysis {
     * big one); the 1-row total crosses in as a broadcast. Per-doc scores
     * round at 6 (the TF-IDF-proven cross-engine ln discipline) before
     * the per-source rollup. */
-  def unigramSurprisal(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Per-document unigram surprisal (doc_id, source, doc_surprisal) —
+    * the shared prefix of t_unigram_lm and t_lm_buckets. */
+  private def docSurprisal(spark: SparkSession, sfDir: String): DataFrame = {
     val tok = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"),
         explode(tokens(col("text"))).as("tk"))
     val counts = tok.groupBy(col("tk")).agg(count(lit(1)).as("c"))
     val total = counts.agg(sum(col("c")).cast("double").as("t_total"))
-    val perDoc = tok.join(counts, Seq("tk"))
+    tok.join(counts, Seq("tk"))
       .crossJoin(broadcast(total))
       .select(col("doc_id"), col("source"),
         (-log(col("c").cast("double") / col("t_total"))).as("s"))
       .groupBy(col("doc_id"), col("source"))
       .agg(round(avg(col("s")), 6).as("doc_surprisal"))
-    perDoc.groupBy(col("source"))
+  }
+
+  def unigramSurprisal(spark: SparkSession, sfDir: String): DataFrame =
+    docSurprisal(spark, sfDir)
+      .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         round(avg(col("doc_surprisal")), 4).as("avg_surprisal"),
         round(max(col("doc_surprisal")), 6).as("max_surprisal"))
-  }
 
-  val unigramSurprisalSql: String =
-    """WITH tok AS (
+  /** Shared DuckDB CTE chain ending at
+    * `per_doc(doc_id, source, doc_surprisal)`. */
+  private val surprisalCtes: String =
+    """tok AS (
       |  SELECT doc_id, source,
       |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tk
       |  FROM documents
@@ -646,11 +653,50 @@ object TextAnalysis {
       |    AS doc_surprisal
       |  FROM tok JOIN counts USING (tk) CROSS JOIN total
       |  GROUP BY doc_id, source
-      |)
-      |SELECT source, COUNT(*) AS n_docs,
-      |  ROUND(AVG(doc_surprisal), 4) AS avg_surprisal,
-      |  ROUND(MAX(doc_surprisal), 6) AS max_surprisal
-      |FROM per_doc GROUP BY source""".stripMargin
+      |)""".stripMargin
+
+  val unigramSurprisalSql: String =
+    s"""WITH $surprisalCtes
+       |SELECT source, COUNT(*) AS n_docs,
+       |  ROUND(AVG(doc_surprisal), 4) AS avg_surprisal,
+       |  ROUND(MAX(doc_surprisal), 6) AS max_surprisal
+       |FROM per_doc GROUP BY source""".stripMargin
+
+  // ---- LM-quality tercile buckets (CCNet-style head/middle/tail) ------------
+
+  /** CCNet-style corpus partitioning: rank every document by its unigram
+    * surprisal and cut the corpus into head / middle / tail terciles
+    * (head = most predictable third). Published pipelines route the
+    * buckets to different training budgets; this emits the (source,
+    * bucket) census a curator acts on. The global ranking goes through
+    * [[Analytics.distributedPercentRank]] — range-bucket + prefix
+    * offsets, no single-partition sort of the corpus — so the shape
+    * survives 100 TB, unlike a naive percentile over collected scores. */
+  def lmBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    val ranked = Analytics.distributedPercentRank(
+      docSurprisal(spark, sfDir), col("doc_surprisal"), col("doc_id"), "pr")
+    ranked
+      .withColumn("bucket",
+        when(col("pr") < 1.0 / 3, "head")
+          .when(col("pr") < 2.0 / 3, "middle")
+          .otherwise("tail"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("doc_surprisal")), 4).as("avg_surprisal"))
+  }
+
+  val lmBucketsSql: String =
+    s"""WITH $surprisalCtes, ranked AS (
+       |  SELECT source, doc_surprisal,
+       |    percent_rank() OVER (ORDER BY doc_surprisal, doc_id) AS pr
+       |  FROM per_doc
+       |)
+       |SELECT source,
+       |  CASE WHEN pr < 1.0/3 THEN 'head'
+       |    WHEN pr < 2.0/3 THEN 'middle' ELSE 'tail' END AS bucket,
+       |  COUNT(*) AS n_docs,
+       |  ROUND(AVG(doc_surprisal), 4) AS avg_surprisal
+       |FROM ranked GROUP BY 1, 2""".stripMargin
 
   // ---- Gopher-style repetition signals --------------------------------------
 
@@ -805,6 +851,7 @@ object TextAnalysis {
       |FROM h GROUP BY source""".stripMargin
 
   def queries: Map[String, Q] = Map(
+    "t_lm_buckets"        -> Q(lmBucketsSql)(lmBuckets),
     "t_gopher_repetition" -> Q(gopherRepetitionSql)(gopherRepetition),
     "t_mixture_weights"   -> Q(mixtureWeightsSql)(mixtureWeights),
     "t_stratified_sample" -> Q(stratifiedSampleSql)(stratifiedSample),

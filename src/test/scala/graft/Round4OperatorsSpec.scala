@@ -83,6 +83,41 @@ class Round4OperatorsSpec extends SparkSuite {
       byTokens.last.getAs[Double]("effective_epochs"))
   }
 
+  test("LM buckets tercile the corpus and order by surprisal") {
+    val rows = graft.operators.TextAnalysis.lmBuckets(spark, sf0001).collect()
+    val byBucket = rows.groupBy(_.getAs[String]("bucket"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    assert(byBucket.keySet == Set("head", "middle", "tail"))
+    val n = byBucket.values.sum
+    // percent-rank terciles: each bucket within 1 of n/3
+    byBucket.values.foreach(c => assert(math.abs(c - n / 3.0) <= 1.5,
+      s"tercile sizes skewed: $byBucket"))
+    // head is the predictable (low-surprisal) end
+    def wavg(b: String) = {
+      val rs = rows.filter(_.getAs[String]("bucket") == b)
+      rs.map(r => r.getAs[Double]("avg_surprisal") * r.getAs[Long]("n_docs"))
+        .sum / rs.map(_.getAs[Long]("n_docs")).sum
+    }
+    assert(wavg("head") < wavg("middle") && wavg("middle") < wavg("tail"))
+  }
+
+  test("perceptual-hash census finds candidate groups and stays consistent") {
+    val r = graft.operators.Multimodal.phashDup(spark, sf0001).collect().head
+    val (nImg, nSig, nGrp, nDupImg, maxGrp) = (r.getAs[Long]("n_images"),
+      r.getAs[Long]("n_signatures"), r.getAs[Long]("n_dup_groups"),
+      r.getAs[Long]("n_dup_images"), r.getAs[Long]("max_group"))
+    assert(nSig <= nImg && nDupImg <= nImg)
+    assert(nGrp > 0 && nDupImg >= 2 * nGrp, "bands must form candidate groups")
+    assert(maxGrp >= 2 && maxGrp <= nDupImg)
+    // identical blobs must land in the same band (exact-dup containment)
+    import graft.operators.Multimodal.{MediaRow, phashForTest}
+    val twin = Seq(
+      MediaRow(0L, "the same bytes here".getBytes("UTF-8"), "image/png", 64, 64),
+      MediaRow(3L, "the same bytes here".getBytes("UTF-8"), "image/png", 64, 64))
+    val sigs = phashForTest(twin)
+    assert(sigs.map(_.sig).distinct.size == 1)
+  }
+
   test("gopher repetition fractions are bounded and the gate flags docs") {
     val rows = graft.operators.TextAnalysis
       .gopherRepetition(spark, sf0001).collect()
