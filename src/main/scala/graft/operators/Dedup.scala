@@ -571,6 +571,47 @@ object Dedup {
        |GROUP BY d.source, k.n_kept""".stripMargin
   }
 
+  // ---- dedup threshold tuning curve -----------------------------------------
+
+  /** "Measure before you run" for the dedup threshold itself: pair and
+    * dropped-doc counts at each candidate Jaccard floor, from ONE scan of
+    * the shared pair list. At 100 TB the threshold decides how much of
+    * the corpus survives — this is the query a curator runs on a sample
+    * to pick it, and it costs one projection over the already-persisted
+    * pairs (the 4-row threshold table broadcast-nested-loops against
+    * them, never the reverse). */
+  def dedupCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    val thr = spark.range(1)
+      .select(explode(array(Seq(0.3, 0.5, 0.7, 0.9).map(lit): _*))
+        .as("threshold"))
+    val pairs = ngramJaccard(spark, sfDir).select(col("doc_b"), col("jaccard"))
+    val curve = pairs.join(broadcast(thr), col("jaccard") >= col("threshold"))
+      .groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("doc_b")).as("n_docs_dropped"))
+    thr.join(curve, Seq("threshold"), "left_outer")
+      .select(col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs_dropped"), lit(0L)).as("n_docs_dropped"))
+  }
+
+  val dedupCurveSql: String =
+    s"""WITH $jaccardCtes, pairs AS (
+       |  SELECT doc_b, ROUND(c / (nab - c), 6) AS jaccard FROM scored
+       |  WHERE c / (nab - c) >= 0.1
+       |), thr AS (
+       |  SELECT CAST(UNNEST([0.3, 0.5, 0.7, 0.9]) AS DOUBLE) AS threshold
+       |), curve AS (
+       |  SELECT t.threshold, COUNT(*) AS n_pairs,
+       |    COUNT(DISTINCT p.doc_b) AS n_docs_dropped
+       |  FROM thr t JOIN pairs p ON p.jaccard >= t.threshold
+       |  GROUP BY t.threshold
+       |)
+       |SELECT t.threshold,
+       |  CAST(COALESCE(c.n_pairs, 0) AS BIGINT) AS n_pairs,
+       |  CAST(COALESCE(c.n_docs_dropped, 0) AS BIGINT) AS n_docs_dropped
+       |FROM thr t LEFT JOIN curve c USING (threshold)""".stripMargin
+
   // ---- near-dup cluster discovery -------------------------------------------
 
   /** Connected components over the Jaccard ≥ 0.5 near-dup graph: each
@@ -1038,6 +1079,7 @@ object Dedup {
     "d_minhash_recall"-> Q(minhashRecallSql)(minhashRecall),
     "d_simhash_pairs" -> Q(simhashPairsSql)(simhashPairs),
     "d_dedup_corpus"  -> Q(dedupCorpusSql)(dedupCorpus),
+    "d_dedup_curve"   -> Q(dedupCurveSql)(dedupCurve),
     "d_dedup_best"    -> Q(dedupBestSql)(dedupBest),
     "d_chunk_dup"     -> Q(chunkDupSql)(chunkDup),
     "d_dup_clusters"  -> Q(dupClustersSql)(dupClusters),
