@@ -150,8 +150,11 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))
   }
 
-  val embedNearDupSql: String =
-    s"""WITH $embCte, bk AS (
+  /** Shared CTE chain ending at `dots(vec_a, vec_b, dot)` for bucket-
+    * blocked pair scoring — composed by embedNearDupSql and
+    * embedFamiliesSql (no textual surgery between siblings). */
+  private val embPairCtes: String =
+    s"""$embCte, bk AS (
        |  SELECT vec_id, $bucketExpr AS bucket FROM embeddings
        |), dots AS (
        |  SELECT pa.vec_id AS vec_a, pb.vec_id AS vec_b, SUM(a.x * b.x) AS dot
@@ -160,7 +163,10 @@ object Similarity {
        |    JOIN ex a ON a.vec_id = pa.vec_id
        |    JOIN ex b ON b.vec_id = pb.vec_id AND b.i = a.i
        |  GROUP BY 1, 2
-       |)
+       |)""".stripMargin
+
+  val embedNearDupSql: String =
+    s"""WITH $embPairCtes
        |SELECT vec_a, vec_b, ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
        |FROM dots JOIN nrm na ON vec_a = na.vec_id
        |  JOIN nrm nb ON vec_b = nb.vec_id
@@ -182,9 +188,7 @@ object Similarity {
       .agg(count(lit(1)).as("n_vecs"))
 
   val embedFamiliesSql: String = {
-    val chain = embedNearDupSql.replaceFirst("WITH ", "")
-      .split("\nSELECT vec_a, vec_b, ROUND")(0)
-    s"""WITH RECURSIVE $chain, epairs AS (
+    s"""WITH RECURSIVE $embPairCtes, epairs AS (
        |  SELECT vec_a, vec_b
        |  FROM dots JOIN nrm na ON vec_a = na.vec_id
        |    JOIN nrm nb ON vec_b = nb.vec_id
@@ -539,6 +543,121 @@ object Similarity {
        |  FROM scored
        |) WHERE rk <= 5""".stripMargin
 
+  // ---- IVF probe-count tuning curve -----------------------------------------
+
+  /** Recall@5 of the TRAINED IVF at probes ∈ {1, 2, 4} against the exact
+    * brute-force top-5 — the probe-count knob measured as query output
+    * (the "measure, don't guess" companion to s_ivf_trained_topk: at
+    * 100 TB you pick probes from this curve on a sample, then pay only
+    * probes/K of the corpus per query). One candidate generation at the
+    * widest probe count serves every curve point: narrower points are a
+    * prk filter, not a re-scan. */
+  def probeCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    val (cent, asg) = kmeansTrain(spark, sfDir)
+    val e = emb(spark, sfDir)
+    val q = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(round(col("cosine"), 6).desc, col("vec_id"))
+    val exactTop = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", cosineSim(col("embedding"), col("q_emb")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"))
+
+    val qex = e.filter(col("vec_id") < 50)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id").as("q_id"), (col("pos") + 1).as("i"),
+        col("col").cast("double").as("x"))
+    val qd = qex.join(broadcast(cent), Seq("i"))
+      .groupBy(col("q_id"), col("cell"))
+      .agg(round(sum((col("x") - col("cx")) * (col("x") - col("cx"))), 6)
+        .as("qd"))
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("qd"), col("cell"))
+    val probed = qd.withColumn("prk", row_number().over(wProbe).cast("long"))
+      .filter(col("prk") <= 4).select(col("q_id"), col("cell"), col("prk"))
+
+    val cand = e.join(asg.select("vec_id", "cell"), Seq("vec_id"))
+      .join(probed, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .withColumn("cosine", cosineSim(col("embedding"), col("q_emb")))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        col("cosine"), col("prk"))
+
+    val probes = spark.range(1)
+      .select(explode(array(lit(1L), lit(2L), lit(4L))).as("probes"))
+    val wP = Window.partitionBy(col("probes"), col("q_id"))
+      .orderBy(round(col("cosine"), 6).desc, col("neighbor_id"))
+    val ptop = cand.join(broadcast(probes), col("prk") <= col("probes"))
+      .withColumn("rk", row_number().over(wP))
+      .filter(col("rk") <= 5)
+      .select(col("probes"), col("q_id"), col("neighbor_id"))
+
+    val hits = exactTop.join(ptop, Seq("q_id", "neighbor_id"))
+      .groupBy(col("probes"), col("q_id")).agg(count(lit(1)).as("n_hits"))
+    probes.crossJoin(exactTop.select(col("q_id")).distinct())
+      .join(hits, Seq("probes", "q_id"), "left_outer")
+      .select(col("probes"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .groupBy(col("probes"))
+      .agg(round(avg(col("n_hits")) / 5.0, 4).as("avg_recall_at_5"),
+        count(lit(1)).as("n_queries"))
+  }
+
+  val probeCurveSql: String =
+    s"""WITH $kmeansChainSql, dots AS (
+       |  SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id, SUM(a.x * b.x) AS dot
+       |  FROM exf a JOIN exf b ON a.i = b.i AND a.vec_id < 50
+       |    AND b.vec_id <> a.vec_id
+       |  GROUP BY 1, 2
+       |), scored AS (
+       |  SELECT q_id, neighbor_id, ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
+       |  FROM dots JOIN nrm na ON q_id = na.vec_id
+       |    JOIN nrm nb ON neighbor_id = nb.vec_id
+       |), exact_top AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT q_id, neighbor_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cosine DESC, neighbor_id) AS rk FROM scored
+       |  ) WHERE rk <= 5
+       |), qd AS (
+       |  SELECT e.vec_id AS q_id, c.cell,
+       |    ROUND(SUM((e.x - c.cx) * (e.x - c.cx)), 6) AS qd
+       |  FROM exf e JOIN cent${KmIters - 1} c ON e.i = c.i
+       |  WHERE e.vec_id < 50 GROUP BY e.vec_id, c.cell
+       |), probed AS (
+       |  SELECT q_id, cell, prk FROM (
+       |    SELECT q_id, cell, CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY qd, cell) AS BIGINT) AS prk FROM qd
+       |  ) WHERE prk <= 4
+       |), probes AS (
+       |  SELECT CAST(UNNEST([1, 2, 4]) AS BIGINT) AS probes
+       |), ptop AS (
+       |  SELECT probes, q_id, neighbor_id FROM (
+       |    SELECT p.probes, s.q_id, s.neighbor_id,
+       |      row_number() OVER (PARTITION BY p.probes, s.q_id
+       |        ORDER BY s.cosine DESC, s.neighbor_id) AS rk
+       |    FROM scored s
+       |      JOIN asg$KmIters m ON s.neighbor_id = m.vec_id
+       |      JOIN probed pb ON s.q_id = pb.q_id AND m.cell = pb.cell
+       |      JOIN probes p ON pb.prk <= p.probes
+       |  ) WHERE rk <= 5
+       |), hits AS (
+       |  SELECT t.probes, e.q_id, COUNT(*) AS n_hits
+       |  FROM exact_top e JOIN ptop t
+       |    ON e.q_id = t.q_id AND e.neighbor_id = t.neighbor_id
+       |  GROUP BY 1, 2
+       |), grid AS (
+       |  SELECT p.probes, q.q_id FROM probes p
+       |    CROSS JOIN (SELECT DISTINCT q_id FROM exact_top) q
+       |)
+       |SELECT g.probes,
+       |  ROUND(AVG(COALESCE(h.n_hits, 0)) / 5.0, 4) AS avg_recall_at_5,
+       |  COUNT(*) AS n_queries
+       |FROM grid g LEFT JOIN hits h
+       |  ON g.probes = h.probes AND g.q_id = h.q_id
+       |GROUP BY g.probes""".stripMargin
+
   // ---- semantic dedup within trained cells (SemDeDup shape) -----------------
 
   /** Within-cell cosine floor above which the higher-id vector is dropped
@@ -827,5 +946,6 @@ object Similarity {
     "s_ivf_ann_topk"  -> Q(ivfAnnTopKSql)(ivfAnnTopK),
     "s_knn_join"      -> Q(knnJoinSql)(knnJoin),
     "s_semdedup"      -> Q(semDedupSql)(semDedup),
+    "s_probe_curve"   -> Q(probeCurveSql)(probeCurve),
     "s_ann_recall"    -> Q(annRecallSql)(annRecall))
 }

@@ -118,6 +118,29 @@ class Round4OperatorsSpec extends SparkSuite {
     assert(sigs.map(_.sig).distinct.size == 1)
   }
 
+  test("IVF probe curve: recall@5 is monotone in probe count") {
+    val rows = graft.operators.Similarity.probeCurve(spark, sf0001)
+      .collect().sortBy(_.getAs[Long]("probes"))
+    assert(rows.map(_.getAs[Long]("probes")).toSeq == Seq(1L, 2L, 4L))
+    val recalls = rows.map(_.getAs[Double]("avg_recall_at_5"))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"recall must not drop as probes widen: ${recalls.toSeq}")
+    recalls.foreach(r => assert(r >= 0.0 && r <= 1.0))
+    rows.foreach(r => assert(r.getAs[Long]("n_queries") > 0))
+  }
+
+  test("dedup curve: pairs and drops shrink as the threshold rises") {
+    val rows = graft.operators.Dedup.dedupCurve(spark, sf0001)
+      .collect().sortBy(_.getAs[Double]("threshold"))
+    assert(rows.map(_.getAs[Double]("threshold")).toSeq ==
+      Seq(0.3, 0.5, 0.7, 0.9))
+    val pairs = rows.map(_.getAs[Long]("n_pairs"))
+    assert(pairs.zip(pairs.tail).forall { case (a, b) => a >= b },
+      s"pair count must be non-increasing in the floor: ${pairs.toSeq}")
+    rows.foreach(r => assert(
+      r.getAs[Long]("n_docs_dropped") <= r.getAs[Long]("n_pairs")))
+  }
+
   test("gopher repetition fractions are bounded and the gate flags docs") {
     val rows = graft.operators.TextAnalysis
       .gopherRepetition(spark, sf0001).collect()
