@@ -600,6 +600,44 @@ object TextAnalysis {
        |  FROM documents
        |) GROUP BY source""".stripMargin
 
+  // ---- packing ASSIGNMENT (C4-style concat-and-chop) ------------------------
+
+  /** The packing plan itself, not just its stats: documents stream per
+    * source in doc_id order into a token tape chopped every SeqLen —
+    * each doc's pack is its START offset ÷ SeqLen (C4-style concat-and-
+    * chop; a doc may straddle into the next pack, its row belongs to the
+    * pack it starts in). One running-sum window PARTITIONED BY source
+    * (never global) + one hash agg; fully deterministic, so the
+    * assignment is reproducible across runs and engines — what makes
+    * resumable tokenize-and-pack jobs possible. */
+  def packAssign(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"),
+        bpeishTokenCount(col("text")).as("tk"))
+      .withColumn("start", sum(col("tk")).over(w) - col("tk"))
+      .withColumn("pack_id", expr(s"start div $SeqLen"))
+      .groupBy(col("source"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tk")).as("pack_tokens"))
+  }
+
+  val packAssignSql: String =
+    s"""WITH t AS (
+       |  SELECT source, doc_id,
+       |    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+       |      AS tk
+       |  FROM documents
+       |), st AS (
+       |  SELECT source, doc_id, tk,
+       |    SUM(tk) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tk AS start
+       |  FROM t
+       |)
+       |SELECT source, CAST(start // $SeqLen AS BIGINT) AS pack_id,
+       |  COUNT(*) AS n_docs, CAST(SUM(tk) AS BIGINT) AS pack_tokens
+       |FROM st GROUP BY 1, 2""".stripMargin
+
   // ---- unigram LM surprisal (perplexity-style quality filter) ---------------
 
   /** Corpus-unigram-LM surprisal per document — the perplexity-family
@@ -673,8 +711,14 @@ object TextAnalysis {
     * offsets, no single-partition sort of the corpus — so the shape
     * survives 100 TB, unlike a naive percentile over collected scores. */
   def lmBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    // distributedPercentRank walks its input three times (min/max stats,
+    // bucketing, offsets); the surprisal subtree is a token-stream join,
+    // so materialize the tiny (doc, score) frame once and rank THAT —
+    // same trick as the CC loops, one eager localCheckpoint
+    val perDoc = docSurprisal(spark, sfDir)
+      .coalesce(8).localCheckpoint(true)
     val ranked = Analytics.distributedPercentRank(
-      docSurprisal(spark, sfDir), col("doc_surprisal"), col("doc_id"), "pr")
+      perDoc, col("doc_surprisal"), col("doc_id"), "pr")
     ranked
       .withColumn("bucket",
         when(col("pr") < 1.0 / 3, "head")
@@ -857,6 +901,7 @@ object TextAnalysis {
     "t_stratified_sample" -> Q(stratifiedSampleSql)(stratifiedSample),
     "t_unigram_lm"   -> Q(unigramSurprisalSql)(unigramSurprisal),
     "t_pack_stats"   -> Q(packStatsSql)(packStats),
+    "t_pack_assign"  -> Q(packAssignSql)(packAssign),
     "t_pii_scrub"    -> Q(piiScrubSql)(piiScrub),
     "t_boilerplate"  -> Q(boilerplateSql)(boilerplate),
     "t_token_stats"  -> Q(tokenStatsSql)(tokenStats),

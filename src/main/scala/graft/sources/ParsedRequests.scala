@@ -57,6 +57,38 @@ object ParsedRequests {
       |  COUNT(DISTINCT user_id) AS n_users
       |FROM events GROUP BY 1""".stripMargin
 
+  /** JSON round-trip proof for the JSONL source/sink path: events →
+    * `to_json(struct(...))` (the serialized form a JSONL export writes)
+    * → `from_json` with an explicit schema (the schema-on-read a JSONL
+    * source applies) → totals, oracled against the raw events table
+    * (the oracle never sees JSON, so a PASS proves from_json ∘ to_json
+    * = identity on these types). Both directions are codegen'd
+    * expressions in one narrow projection — a JSONL corpus scan adds no
+    * shuffle over the parquet path. */
+  def jsonRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val js = graft.model.Tables.events(spark, sfDir)
+      .select(to_json(struct(
+        col("event_id"), col("user_id"), col("event_type"), col("value")))
+        .as("j"))
+    js.select(from_json(col("j"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE"))
+        .as("r"))
+      .select(col("r.event_type").as("event_type"),
+        col("r.user_id").as("user_id"), col("r.value").as("value"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(sum(col("value")), 4).as("sum_value"))
+  }
+
+  val jsonRoundtripSql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  ROUND(SUM(value), 4) AS sum_value
+      |FROM events GROUP BY 1""".stripMargin
+
   def queries: Map[String, Q] = Map(
-    "src_parsed_roundtrip" -> Q(parsedTotalsSql)(parsedTotals))
+    "src_parsed_roundtrip" -> Q(parsedTotalsSql)(parsedTotals),
+    "src_json_roundtrip"   -> Q(jsonRoundtripSql)(jsonRoundtrip))
 }

@@ -141,6 +141,24 @@ class Round4OperatorsSpec extends SparkSuite {
       r.getAs[Long]("n_docs_dropped") <= r.getAs[Long]("n_pairs")))
   }
 
+  test("pack assignment conserves tokens and numbers packs densely") {
+    val packs = graft.operators.TextAnalysis.packAssign(spark, sf0001)
+      .collect()
+    val stats = graft.operators.TextAnalysis.packStats(spark, sf0001)
+      .collect().map(r =>
+        r.getAs[String]("source") -> r.getAs[Long]("sum_tokens")).toMap
+    val bySrc = packs.groupBy(_.getAs[String]("source"))
+    assert(bySrc.keySet == stats.keySet)
+    bySrc.foreach { case (src, rows) =>
+      // every token lands in exactly one pack
+      assert(rows.map(_.getAs[Long]("pack_tokens")).sum == stats(src))
+      // pack ids are dense from 0 (the tape has no holes)
+      val ids = rows.map(_.getAs[Long]("pack_id")).sorted
+      assert(ids.head == 0L && ids.toSeq == (0L until ids.length).toSeq,
+        s"$src pack ids not dense: ${ids.toSeq}")
+    }
+  }
+
   test("gopher repetition fractions are bounded and the gate flags docs") {
     val rows = graft.operators.TextAnalysis
       .gopherRepetition(spark, sf0001).collect()
