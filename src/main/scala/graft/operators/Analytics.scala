@@ -551,6 +551,53 @@ object Analytics {
       |  CAST(GROUPING(l_linestatus) AS INT) AS g_status
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
 
+  /** CUBE over (returnflag, linestatus) — all four grouping grains in one
+    * pass (the 2ⁿ-grain companion to q_rollup_sales / o30's GROUPING
+    * SETS, completing the grouping-analytics surface). Spark expands the
+    * cube before the partial aggregation, so it stays one shuffle. */
+  def cubeSales(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("cnt"),
+        grouping(col("l_returnflag")).cast("int").as("g_flag"),
+        grouping(col("l_linestatus")).cast("int").as("g_status"))
+
+  val cubeSalesSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  ROUND(SUM(l_quantity), 2) AS sum_qty,
+      |  COUNT(*) AS cnt,
+      |  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+      |  CAST(GROUPING(l_linestatus) AS INT) AS g_status
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+
+  /** MERGEABLE distinct-count sketches — the property that makes
+    * approximate distinct work at 100 TB: one DataSketches HLL per
+    * event_type (in practice: per partition / per day), unioned WITHOUT
+    * touching raw data, estimate checked in-query against the exact
+    * global count (the q_approx_distinct discipline: the oracle verifies
+    * the exact side + the engine-computed bound boolean). */
+  def hllUnion(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val perType = ev.groupBy(col("event_type"))
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+    val merged = perType.agg(
+      expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est_global"),
+      count(lit(1)).as("n_types"))
+    val exact = ev.agg(countDistinct(col("user_id")).as("exact_global"))
+    merged.crossJoin(exact)
+      .select(col("exact_global"), col("n_types"),
+        (abs(col("est_global") - col("exact_global")).cast("double")
+          / col("exact_global") <= 0.1).as("union_within_bound"))
+  }
+
+  val hllUnionSql: String =
+    """SELECT COUNT(DISTINCT user_id) AS exact_global,
+      |  COUNT(DISTINCT event_type) AS n_types,
+      |  TRUE AS union_within_bound
+      |FROM events""".stripMargin
+
   // ---- set operations ----------------------------------------------------------
 
   /** UNION / INTERSECT / EXCEPT over yearly active customer sets. */
@@ -729,6 +776,8 @@ object Analytics {
     "q_window_running"    -> Q(windowRunningSql)(windowRunning),
     "q_window_funcs"      -> Q(windowFuncsSql)(windowFuncs),
     "q_rollup_sales"      -> Q(rollupSalesSql)(rollupSales),
+    "q_cube_sales"        -> Q(cubeSalesSql)(cubeSales),
+    "q_hll_union"         -> Q(hllUnionSql)(hllUnion),
     "q_quantiles"         -> Q(quantilesSql)(quantiles),
     "q_monthly_revenue"   -> Q(monthlyRevenueSql)(monthlyRevenue),
     "q_corr_stats"        -> Q(corrStatsSql)(corrStats),
