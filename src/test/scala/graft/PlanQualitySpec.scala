@@ -102,6 +102,22 @@ class PlanQualitySpec extends SparkSuite {
           }
         }
       }
+      // media blobs must NEVER shuffle: every multimodal operator's claim
+      // is that decode/hash/sample happens map-side and only small
+      // derived rows reach an exchange — enforce it on the plan, don't
+      // just document it. (BinaryType columns in an exchange's output
+      // would ship the blobs across the cluster at 100 TB.)
+      def exchanges(p: SparkPlan): Seq[SparkPlan] = p.collectWithSubqueries {
+        case a: AdaptiveSparkPlanExec => exchanges(a.inputPlan)
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          Seq(e)
+      }.flatten
+      exchanges(plan).foreach { ex =>
+        val binCols = ex.output.filter(_.dataType ==
+          org.apache.spark.sql.types.BinaryType).map(_.name)
+        assert(binCols.isEmpty,
+          s"$name shuffles binary blob column(s) ${binCols.mkString(", ")}")
+      }
     }
   }
 }
