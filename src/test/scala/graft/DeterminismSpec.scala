@@ -20,7 +20,12 @@ class DeterminismSpec extends SparkSuite {
       // round-2 operators whose shapes are most partitioning-sensitive:
       // window-stitched rank, iterative CC, hash split, trained k-means
       "q_asof_join", "q_window_funcs", "d_dup_clusters", "t_hash_split",
-      "s_kmeans_cells", "t_tfidf_top")
+      "s_kmeans_cells", "t_tfidf_top",
+      // round-4 operators whose CONTRACT is partitioning invariance:
+      // md5-quota sampling, the packing tape, the percent-rank terciles,
+      // and the curve/census queries over shared cached subtrees
+      "t_stratified_sample", "t_pack_assign", "t_lm_buckets",
+      "d_dedup_curve", "s_semdedup", "m_phash_dup")
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     try {
       names.foreach { n =>
