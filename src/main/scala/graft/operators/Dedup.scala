@@ -571,6 +571,69 @@ object Dedup {
        |GROUP BY d.source, k.n_kept""".stripMargin
   }
 
+  // ---- delta-vs-base incremental dedup --------------------------------------
+
+  /** The OPERATIONAL dedup query: a new delta shard (deterministic ~10%
+    * md5 slice of doc_ids, standing in for today's crawl) audited
+    * against the base corpus — how many delta docs are exact duplicates
+    * of a base doc (normalized-token fingerprint) and how many have a
+    * Jaccard ≥ 0.5 near-dup partner in base. At 100 TB ingest never
+    * re-runs all-pairs dedup: it runs THIS, delta×base only — the exact
+    * side is a semi-join on the fingerprint, the near side one
+    * projection of the shared candidate pair list (rare-shingle blocking
+    * already bounds it). */
+  def deltaDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = toks(spark, sfDir)
+      .select(col("doc_id"), fingerprint(col("t")).as("fp"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 10 === 1).as("is_delta"))
+    val base = docs.filter(!col("is_delta"))
+    val delta = docs.filter(col("is_delta"))
+    val exactDup = delta.join(
+      base.select(col("fp")), Seq("fp"), "left_semi")
+    val flags = docs.select(col("doc_id"), col("is_delta"))
+    val near = ngramJaccard(spark, sfDir).filter(col("jaccard") >= 0.5)
+      .join(flags.select(col("doc_id").as("doc_a"), col("is_delta").as("da")),
+        Seq("doc_a"))
+      .join(flags.select(col("doc_id").as("doc_b"), col("is_delta").as("db")),
+        Seq("doc_b"))
+      .filter(col("da") =!= col("db"))
+      .select(when(col("da"), col("doc_a")).otherwise(col("doc_b"))
+        .as("delta_doc"))
+      .distinct()
+    base.agg(count(lit(1)).as("n_base"))
+      .crossJoin(delta.agg(count(lit(1)).as("n_delta")))
+      .crossJoin(exactDup.agg(count(lit(1)).as("n_delta_exact_dup")))
+      .crossJoin(near.agg(count(lit(1)).as("n_delta_near_dup")))
+  }
+
+  val deltaDedupSql: String =
+    s"""WITH $jaccardCtes, flags AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+       |      % 10 = 1 AS is_delta,
+       |    md5(array_to_string(
+       |      regexp_extract_all(lower(text), '[a-z]+'), ' ')) AS fp
+       |  FROM documents
+       |), pairs5 AS (
+       |  SELECT doc_a, doc_b FROM scored WHERE ROUND(c / (nab - c), 6) >= 0.5
+       |), nearx AS (
+       |  SELECT DISTINCT CASE WHEN fa.is_delta THEN p.doc_a ELSE p.doc_b END
+       |    AS delta_doc
+       |  FROM pairs5 p JOIN flags fa ON p.doc_a = fa.doc_id
+       |    JOIN flags fb ON p.doc_b = fb.doc_id
+       |  WHERE fa.is_delta <> fb.is_delta
+       |)
+       |SELECT
+       |  CAST((SELECT COUNT(*) FROM flags WHERE NOT is_delta) AS BIGINT)
+       |    AS n_base,
+       |  CAST((SELECT COUNT(*) FROM flags WHERE is_delta) AS BIGINT)
+       |    AS n_delta,
+       |  CAST((SELECT COUNT(*) FROM flags d WHERE d.is_delta AND EXISTS (
+       |    SELECT 1 FROM flags b WHERE NOT b.is_delta AND b.fp = d.fp))
+       |    AS BIGINT) AS n_delta_exact_dup,
+       |  CAST((SELECT COUNT(*) FROM nearx) AS BIGINT) AS n_delta_near_dup""".stripMargin
+
   // ---- dedup threshold tuning curve -----------------------------------------
 
   /** "Measure before you run" for the dedup threshold itself: pair and
@@ -1080,6 +1143,7 @@ object Dedup {
     "d_simhash_pairs" -> Q(simhashPairsSql)(simhashPairs),
     "d_dedup_corpus"  -> Q(dedupCorpusSql)(dedupCorpus),
     "d_dedup_curve"   -> Q(dedupCurveSql)(dedupCurve),
+    "d_delta_dedup"   -> Q(deltaDedupSql)(deltaDedup),
     "d_dedup_best"    -> Q(dedupBestSql)(dedupBest),
     "d_chunk_dup"     -> Q(chunkDupSql)(chunkDup),
     "d_dup_clusters"  -> Q(dupClustersSql)(dupClusters),

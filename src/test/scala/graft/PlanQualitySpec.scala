@@ -15,7 +15,8 @@ import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 class PlanQualitySpec extends SparkSuite {
 
   private val wideTables = Map(
-    "lineitem" -> 16, "orders" -> 6, "events" -> 6, "customer" -> 5)
+    "lineitem" -> 16, "orders" -> 6, "events" -> 6, "customer" -> 5,
+    "documents" -> 5)
 
   /** All file scans, recursing through AQE wrappers, subqueries, and
     * cached (InMemoryRelation) plans. */

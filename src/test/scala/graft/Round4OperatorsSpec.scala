@@ -159,6 +159,17 @@ class Round4OperatorsSpec extends SparkSuite {
     }
   }
 
+  test("delta-vs-base dedup audits the slice without all-pairs work") {
+    val r = graft.operators.Dedup.deltaDedup(spark, sf0001).collect().head
+    val (nb, nd) = (r.getAs[Long]("n_base"), r.getAs[Long]("n_delta"))
+    assert(nb + nd == 500L, "split must partition the corpus")
+    assert(nd > 0 && nd < nb, "delta is the small slice")
+    assert(r.getAs[Long]("n_delta_exact_dup") <= nd)
+    val near = r.getAs[Long]("n_delta_near_dup")
+    assert(near > 0 && near <= nd,
+      "this corpus has near-dup pairs crossing the split")
+  }
+
   test("gopher repetition fractions are bounded and the gate flags docs") {
     val rows = graft.operators.TextAnalysis
       .gopherRepetition(spark, sf0001).collect()
