@@ -70,8 +70,13 @@ object Bench {
     val results = shared ++ best
     val total = results.map(_._2).sum
 
+    // Locale.ROOT: the f interpolator uses the JVM default locale, and a
+    // comma-decimal locale would emit 0,123 — breaking the very JSON
+    // contract this file exists to honor
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def jsonMap(entries: Seq[(String, Double)]): String =
-      entries.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      entries.map { case (k, v) => "\"" + k + "\":" + num(v) }
         .mkString("{", ",", "}")
 
     // Full per-query detail goes to a FILE: the driver only retains the
@@ -80,7 +85,7 @@ object Bench {
     // line head was truncated, and sbt's default LoggedOutput added an
     // "[info] " prefix that broke json.loads even when it did fit).
     val detail =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n":${results.size},""" +
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","n":${results.size},""" +
         s""""passes":2,"queries":${jsonMap(results)},"sf":"$sfDir"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_details.json"),
@@ -108,7 +113,7 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n":${results.size},""" +
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","n":${results.size},""" +
         s""""detail":"bench_details.json","queries":${jsonMap(head)},"sf":"$sfDir"}""")
   }
 }

@@ -584,7 +584,10 @@ object Analytics {
       .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
     val merged = perType.agg(
       expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est_global"),
-      count(lit(1)).as("n_types"))
+      // countDistinct, not count of groups: the oracle's
+      // COUNT(DISTINCT event_type) excludes a NULL type, a groupBy row
+      // count would include it — keep NULL semantics aligned
+      countDistinct(col("event_type")).as("n_types"))
     val exact = ev.agg(countDistinct(col("user_id")).as("exact_global"))
     merged.crossJoin(exact)
       .select(col("exact_global"), col("n_types"),

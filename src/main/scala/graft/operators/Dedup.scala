@@ -267,7 +267,11 @@ object Dedup {
     minhashMins(spark, sfDir).count(); ()
   }
 
-  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Band-bucket candidate pairs (doc_a, doc_b, n_bands) over the shared
+    * signature table — the stage consumed directly by editNearDup (which
+    * needs only the pairs) and extended with est_jaccard by minhashLsh.
+    * Mirrors the SQL side's `minhashCtes(candName)` factoring. */
+  def minhashCandidates(spark: SparkSession, sfDir: String): DataFrame = {
     val mins = minhashMins(spark, sfDir)
     val bandStructs = (0 until NumHashes / BandSize).map { b =>
       val sig = md5(concat_ws("|",
@@ -277,11 +281,16 @@ object Dedup {
     val bands = mins
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-    val cand = bands.as("a").join(bands.as("b"),
+    bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_bands"))
+  }
+
+  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val mins = minhashMins(spark, sfDir)
+    val cand = minhashCandidates(spark, sfDir)
     val estExpr = (0 until NumHashes).map(i =>
       when(col(s"x.m$i") === col(s"y.m$i"), 1).otherwise(0))
       .reduce(_ + _).cast("double") / NumHashes
@@ -394,7 +403,7 @@ object Dedup {
     * O(corpus² · len²). */
   def editNearDup(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
-    minhashLsh(spark, sfDir).select("doc_a", "doc_b")
+    minhashCandidates(spark, sfDir).select("doc_a", "doc_b")
       .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")),
         Seq("doc_a"))
       .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")),

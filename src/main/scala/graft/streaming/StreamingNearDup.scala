@@ -55,6 +55,12 @@ object StreamingNearDup {
       expr(sig).as(s"band$b")
     }
     docs.withColumn("t", graft.functions.TextFunctions.tokens(col("text")))
+      // docs too short to have a 3-shingle have NO signature (array_min
+      // of an empty list is NULL, and concat_ws would silently collapse
+      // every such doc onto md5('') — one hot state key pairing all
+      // short docs as "near-dups"); the batch minhashLsh likewise emits
+      // nothing for them, so drop them here to keep the twin contract
+      .filter(size(col("t")) >= 3)
       .select(Seq(col("ts"), col("doc_id")) ++ bands: _*)
   }
 
@@ -84,9 +90,15 @@ object StreamingNearDup {
             state.remove()
             Iterator.empty
           } else {
+            val wm = state.getCurrentWatermarkMs()
             val sorted = rows.toSeq.sortBy(r => (r._1.getTime, r._2))
             val out = Seq.newBuilder[Candidate]
+            // a holder whose horizon already passed the watermark is
+            // expired even if its timeout callback hasn't fired yet
+            // (Spark delivers new-data invocations before timeouts) —
+            // never match against it, let the next doc take the band
             var holder = state.getOption
+              .filter(h => h.tsMillis + horizonMs > wm)
             sorted.foreach { case (ts, docId, _) =>
               holder match {
                 case Some(h) if h.docId != docId =>
@@ -96,9 +108,14 @@ object StreamingNearDup {
                   holder = Some(BandHolder(docId, ts.getTime))
               }
             }
-            holder.foreach { h =>
-              state.update(h)
-              state.setTimeoutTimestamp(h.tsMillis + horizonMs)
+            holder match {
+              case Some(h) =>
+                state.update(h)
+                // never earlier than the watermark: setTimeoutTimestamp
+                // throws on a timestamp the watermark already passed
+                state.setTimeoutTimestamp(
+                  math.max(h.tsMillis + horizonMs, wm + 1))
+              case None => state.remove()
             }
             out.result().iterator
           }
