@@ -24,7 +24,8 @@ object SparkEntry {
       Dedup.queries ++
       Similarity.queries ++
       Multimodal.queries ++
-      graft.sources.ParsedRequests.queries
+      graft.sources.ParsedRequests.queries ++
+      graft.sources.BucketedTables.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's core operation: keyed concat/count aggregation over the

@@ -408,6 +408,53 @@ object Analytics {
       |  COUNT(*) AS n
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  // ---- approximate quantiles (rank-error certificate) -------------------------
+
+  /** Sketch quantiles with their rank-error certificate — the 100 TB
+    * companion to the exact `quantiles` above: `approx_percentile`
+    * (GK-style sketch, accuracy 100 → rank error ε ≤ 1%) keeps constant
+    * memory per group where the exact percentile holds every value.
+    * Sketch outputs differ across engines by construction, so (like
+    * q_approx_distinct) the raw sketch value is never oracled — instead
+    * the query re-ranks each sketch value against the data and emits
+    * booleans asserting the GK guarantee held: the returned value's rank
+    * lies within ε·n of the target rank (two-sided, tie-tolerant:
+    * count(≤v) ≥ (q−ε)·n and count(<v) ≤ (q+ε)·n). The oracle checks the
+    * exact interpolated percentiles plus the TRUE certificates. Shape:
+    * one sketch agg, tiny (3-row) re-join AQE broadcasts, one counting
+    * agg — no sort anywhere. */
+  def approxQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val eps = 0.01
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    val sk = li.groupBy(col("l_returnflag"))
+      .agg(expr("approx_percentile(l_extendedprice, array(0.5D, 0.95D), 100)")
+        .as("ap"))
+      .select(col("l_returnflag"),
+        element_at(col("ap"), 1).as("a50"), element_at(col("ap"), 2).as("a95"))
+    li.join(sk, Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_extendedprice") <= col("a50"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("l_extendedprice") < col("a50"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("l_extendedprice") <= col("a95"), 1L).otherwise(0L)).as("le95"),
+        sum(when(col("l_extendedprice") < col("a95"), 1L).otherwise(0L)).as("lt95"),
+        round(expr("percentile(l_extendedprice, 0.5D)"), 4).as("p50_exact"),
+        round(expr("percentile(l_extendedprice, 0.95D)"), 4).as("p95_exact"))
+      .select(col("l_returnflag"), col("n"), col("p50_exact"), col("p95_exact"),
+        (col("le50") >= col("n") * (0.5 - eps) &&
+          col("lt50") <= col("n") * (0.5 + eps)).as("ok50"),
+        (col("le95") >= col("n") * (0.95 - eps) &&
+          col("lt95") <= col("n") * (0.95 + eps)).as("ok95"))
+  }
+
+  val approxQuantilesSql: String =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50_exact,
+      |  ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95_exact,
+      |  TRUE AS ok50, TRUE AS ok95
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   // ---- monthly trend (date functions) ----------------------------------------
 
   /** Monthly revenue trend: date_trunc bucketing + distinct customers. */
@@ -782,6 +829,7 @@ object Analytics {
     "q_cube_sales"        -> Q(cubeSalesSql)(cubeSales),
     "q_hll_union"         -> Q(hllUnionSql)(hllUnion),
     "q_quantiles"         -> Q(quantilesSql)(quantiles),
+    "q_approx_quantiles"  -> Q(approxQuantilesSql)(approxQuantiles),
     "q_monthly_revenue"   -> Q(monthlyRevenueSql)(monthlyRevenue),
     "q_corr_stats"        -> Q(corrStatsSql)(corrStats),
     "q_salted_agg"        -> Q(saltedAggSql)(saltedAgg),

@@ -331,6 +331,45 @@ object TextAnalysis {
       |SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
       |FROM tok GROUP BY term ORDER BY tf DESC, term LIMIT 20""".stripMargin
 
+  /** Count-min-sketch heavy hitters with the CMS certificate — the
+    * fixed-memory path to "which terms dominate the corpus" at 100 TB:
+    * the sketch (w·d counters, here ~2719×7 longs ≈ 150 KB) is built by a
+    * distributed merge (`df.stat.countMinSketch` runs as an aggregate;
+    * partials merge by cell-wise addition, so the result is
+    * partitioning-invariant), and only the tiny sketch plus the top-k
+    * rows (k = 20) ever reach the driver. The CMS guarantee — never
+    * under-estimates, over-estimates by ≤ ε·N with probability ≥ δ — is
+    * emitted as per-term booleans next to the exact counts, same
+    * certificate pattern as q_approx_distinct / q_approx_quantiles: a
+    * sketch regression flips a boolean and fails the hash gate. Seeded,
+    * so deterministic. */
+  def cmsHeavy(spark: SparkSession, sfDir: String): DataFrame = {
+    val eps = 0.001
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val sk = tok.stat.countMinSketch(col("term"), eps, 0.99, 42)
+    val slack = math.ceil(eps * sk.totalCount()).toLong
+    val top = tok.groupBy(col("term")).agg(count(lit(1)).as("exact_tf"))
+      .orderBy(col("exact_tf").desc, col("term")).limit(20)
+      .collect()
+      .map { r =>
+        val (term, tf) = (r.getString(0), r.getLong(1))
+        val est = sk.estimateCount(term)
+        (term, tf, est >= tf, est <= tf + slack)
+      }
+    import spark.implicits._
+    top.toSeq.toDF("term", "exact_tf", "est_ge_exact", "within_bound")
+  }
+
+  val cmsHeavySql: String =
+    """WITH tok AS (
+      |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+      |  FROM documents
+      |)
+      |SELECT term, COUNT(*) AS exact_tf,
+      |  TRUE AS est_ge_exact, TRUE AS within_bound
+      |FROM tok GROUP BY term ORDER BY exact_tf DESC, term LIMIT 20""".stripMargin
+
   /** Per-document top-3 characteristic terms by TF-IDF — the corpus-level
     * statistic a curation pipeline uses for topic drift / boilerplate
     * detection. Shape for scale: explode → (doc, term) hash agg → term-df
@@ -911,6 +950,7 @@ object TextAnalysis {
     "t_fingerprints" -> Q(fingerprintsSql)(fingerprintsQ),
     "t_winnow_fingerprints" -> Q(winnowFingerprintsSql)(winnowFingerprints),
     "t_term_freq"    -> Q(termFreqSql)(termFreq),
+    "t_cms_heavy"    -> Q(cmsHeavySql)(cmsHeavy),
     "t_tfidf_top"    -> Q(tfIdfSql)(tfIdf),
     "t_hash_split"   -> Q(hashSplitSql)(hashSplit),
     "t_length_pct"   -> Q(lengthPercentileSql)(lengthPercentile),

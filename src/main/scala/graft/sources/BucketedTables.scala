@@ -1,0 +1,84 @@
+package graft.sources
+
+import java.nio.file.Files
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.model.Tables
+
+/** Bucketed-layout source: the STORAGE lever for repeated fact-fact joins
+  * at 100 TB. Both sides of a join are written once with
+  * `bucketBy(k, joinKey).sortBy(joinKey)`; every later join on that key
+  * plans with ZERO Exchange and ZERO Sort — each bucket pair joins
+  * locally, the shuffle was paid once at write time and amortizes over
+  * every downstream query. (The reference has no storage layer at all —
+  * it proxies inserts — so this is a pure extension; at cluster scale the
+  * bucket count would be sized to executors × cores, here 8 for
+  * local[32] test data.)
+  *
+  * `BucketedJoinSpec` is the plan gate (asserts no `Exchange`, join is
+  * `SortMergeJoin`); `src_bucketed_join` is the correctness face: same
+  * numbers as the plain parquet join the DuckDB oracle runs.
+  */
+object BucketedTables {
+
+  // one bucketed copy per (sfDir) per JVM; Verify/Bench run many queries
+  // in one session, so creation amortizes exactly like the shared caches
+  private val created = TrieMap.empty[String, (String, String)]
+
+  /** Create (once) bucketed copies of orders+lineitem for this sfDir;
+    * returns the two table names. */
+  def ensure(spark: SparkSession, sfDir: String): (String, String) =
+    created.getOrElseUpdate(sfDir, {
+      val token = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+      val (to, tl) = (s"bk_orders$token", s"bk_lineitem$token")
+      val wh = Files.createTempDirectory("graft-bucketed").toString
+      spark.sql(s"DROP TABLE IF EXISTS $to")
+      spark.sql(s"DROP TABLE IF EXISTS $tl")
+      Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$wh/$to").saveAsTable(to)
+      Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_extendedprice"))
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$wh/$tl").saveAsTable(tl)
+      (to, tl)
+    })
+
+  /** Join the bucketed copies (hint("merge") keeps the fact-fact shape a
+    * broadcast would mask at test scale), roll up per order — the
+    * bucket-aligned agg needs no exchange either, since
+    * HashPartitioning(o_orderkey) already clusters the grouping keys —
+    * then summarize to 16 audit rows. The only shuffle in the whole plan
+    * is the final 16-group summary. */
+  def bucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val (to, tl) = ensure(spark, sfDir)
+    spark.table(to).hint("merge")
+      .join(spark.table(tl), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderpriority"))
+      .agg(sum(col("l_extendedprice")).as("rev"), count(lit(1)).as("n_items"))
+      .groupBy((col("o_orderkey") % 16).as("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("n_items")).as("n_items"),
+        round(sum(col("rev")), 2).as("revenue"))
+  }
+
+  val bucketedJoinSql: String =
+    """WITH per_order AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    SUM(l_extendedprice) AS rev, COUNT(*) AS n_items
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |  GROUP BY 1, 2
+      |)
+      |SELECT o_orderkey % 16 AS bucket,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(n_items) AS BIGINT) AS n_items,
+      |  ROUND(SUM(rev), 2) AS revenue
+      |FROM per_order GROUP BY 1""".stripMargin
+
+  def queries: Map[String, Q] = Map(
+    "src_bucketed_join" -> Q(bucketedJoinSql)(bucketedJoin))
+}

@@ -47,4 +47,30 @@ class BucketedJoinSpec extends SparkSuite {
       s.sql("DROP TABLE IF EXISTS b_lineitem")
     }
   }
+
+  test("src_bucketed_join: only the final 16-group summary shuffles") {
+    val df = graft.sources.BucketedTables.bucketedJoin(spark, sf0001)
+    df.collect() // materialize so AQE finalizes the plan
+    val plan = df.queryExecution.executedPlan
+    // AdaptiveSparkPlanExec is a leaf to collect — unwrap it (the
+    // PlanQualitySpec discipline) or the gate silently asserts nothing
+    def shufflesOf(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p.collectWithSubqueries {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          shufflesOf(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          shufflesOf(s.plan)
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          Seq(e)
+      }.flatten
+    val shuffles = shufflesOf(plan)
+    assert(shuffles.size == 1,
+      s"expected exactly one shuffle (the bucket summary), got ${shuffles.size}:\n$plan")
+    // the shuffle carries 16-group partials, never the joined fact rows
+    assert(shuffles.head.toString.contains("bucket"),
+      s"the one shuffle should be the bucket summary:\n${shuffles.head}")
+    assert(plan.toString.contains("SortMergeJoin"),
+      s"bucketed fact-fact join should sort-merge:\n$plan")
+  }
 }
