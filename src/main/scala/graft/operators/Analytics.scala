@@ -472,6 +472,83 @@ object Analytics {
       |  COUNT(*) AS n_orders
       |FROM orders GROUP BY 1""".stripMargin
 
+  // ---- z-order layout planning ------------------------------------------------
+
+  /** Z-order (Morton-curve) layout audit — the DATA-LAYOUT lever for
+    * multi-dimensional scan pruning at 100 TB: files sorted linearly by
+    * (x, y) bound only x per file, so predicates on y prune nothing; files
+    * sorted by the interleaved z-value bound BOTH dims per file (each
+    * 64-bucket tile here spans 32 of 256 quantized units in x AND y,
+    * where the linear layout's tiles span 4 in x but all 256 in y).
+    * The query quantizes l_partkey/l_suppkey to 8-bit cells against the
+    * global min/max (one tiny broadcast agg), interleaves bits with pure
+    * integer DIV/MOD arithmetic — the identical formula strings run in
+    * both engines, no UDF, stays in whole-stage codegen — and reports
+    * per-layout tile-span statistics. At cluster scale the same z
+    * expression feeds `repartitionByRange(z).sortWithinPartitions(z)`
+    * before the write; this query is the planner that proves the span
+    * math. */
+  private def interleaveExpr(xb: String, yb: String, divOp: String): String =
+    (0 until 8).map { i =>
+      s"(($xb $divOp ${1L << i}) % 2) * ${1L << (2 * i)} + " +
+        s"(($yb $divOp ${1L << i}) % 2) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+
+  def zorderLayout(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey").cast("long").as("x"),
+        col("l_suppkey").cast("long").as("y"))
+    val dims = li.agg(min(col("x")).as("xmin"), max(col("x")).as("xmax"),
+      min(col("y")).as("ymin"), max(col("y")).as("ymax"))
+    val cells = li.crossJoin(broadcast(dims))
+      .withColumn("xb", expr("((x - xmin) * 256) DIV (xmax - xmin + 1)"))
+      .withColumn("yb", expr("((y - ymin) * 256) DIV (ymax - ymin + 1)"))
+      .withColumn("zb", expr(interleaveExpr("xb", "yb", "DIV")))
+    def spans(bucket: String, layout: String) =
+      cells.groupBy(expr(bucket).as("bucket"))
+        .agg((max(col("xb")) - min(col("xb")) + 1).as("x_span"),
+          (max(col("yb")) - min(col("yb")) + 1).as("y_span"),
+          count(lit(1)).as("n"))
+        .agg(lit(layout).as("layout"), count(lit(1)).as("n_buckets"),
+          round(avg(col("x_span")), 4).as("avg_x_span"),
+          round(avg(col("y_span")), 4).as("avg_y_span"),
+          max(col("x_span")).as("max_x_span"),
+          max(col("y_span")).as("max_y_span"),
+          sum(col("n")).as("n_rows"))
+    spans("zb DIV 1024", "zorder").unionAll(spans("xb DIV 4", "linear"))
+  }
+
+  val zorderLayoutSql: String = {
+    val z = interleaveExpr("xb", "yb", "//")
+    s"""WITH dims AS (
+       |  SELECT MIN(l_partkey) AS xmin, MAX(l_partkey) AS xmax,
+       |         MIN(l_suppkey) AS ymin, MAX(l_suppkey) AS ymax
+       |  FROM lineitem
+       |), cells AS (
+       |  SELECT ((l_partkey - xmin) * 256) // (xmax - xmin + 1) AS xb,
+       |         ((l_suppkey - ymin) * 256) // (ymax - ymin + 1) AS yb
+       |  FROM lineitem, dims
+       |), zc AS (
+       |  SELECT xb, yb, $z AS zb FROM cells
+       |), per_bucket AS (
+       |  SELECT bucket, layout,
+       |    MAX(xb) - MIN(xb) + 1 AS x_span,
+       |    MAX(yb) - MIN(yb) + 1 AS y_span, COUNT(*) AS n
+       |  FROM (
+       |    SELECT xb, yb, zb // 1024 AS bucket, 'zorder' AS layout FROM zc
+       |    UNION ALL
+       |    SELECT xb, yb, xb // 4 AS bucket, 'linear' AS layout FROM zc
+       |  ) GROUP BY bucket, layout
+       |)
+       |SELECT layout, COUNT(*) AS n_buckets,
+       |  ROUND(AVG(x_span), 4) AS avg_x_span,
+       |  ROUND(AVG(y_span), 4) AS avg_y_span,
+       |  CAST(MAX(x_span) AS BIGINT) AS max_x_span,
+       |  CAST(MAX(y_span) AS BIGINT) AS max_y_span,
+       |  CAST(SUM(n) AS BIGINT) AS n_rows
+       |FROM per_bucket GROUP BY layout""".stripMargin
+  }
+
   // ---- statistical aggregates -------------------------------------------------
 
   /** Correlation / spread statistics per return flag — corr and
@@ -830,6 +907,7 @@ object Analytics {
     "q_hll_union"         -> Q(hllUnionSql)(hllUnion),
     "q_quantiles"         -> Q(quantilesSql)(quantiles),
     "q_approx_quantiles"  -> Q(approxQuantilesSql)(approxQuantiles),
+    "q_zorder_layout"     -> Q(zorderLayoutSql)(zorderLayout),
     "q_monthly_revenue"   -> Q(monthlyRevenueSql)(monthlyRevenue),
     "q_corr_stats"        -> Q(corrStatsSql)(corrStats),
     "q_salted_agg"        -> Q(saltedAggSql)(saltedAgg),

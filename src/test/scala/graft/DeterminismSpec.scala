@@ -25,7 +25,12 @@ class DeterminismSpec extends SparkSuite {
       // md5-quota sampling, the packing tape, the percent-rank terciles,
       // and the curve/census queries over shared cached subtrees
       "t_stratified_sample", "t_pack_assign", "t_lm_buckets",
-      "d_dedup_curve", "s_semdedup", "m_phash_dup")
+      "d_dedup_curve", "s_semdedup", "m_phash_dup",
+      // round-5 operators: sketch certificates must hold under any
+      // partial-merge order (GK / CMS merges), bucketed layout and the
+      // z-order tile math must not see partitioning at all
+      "q_approx_quantiles", "t_cms_heavy", "src_bucketed_join",
+      "q_zorder_layout")
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     try {
       names.foreach { n =>
