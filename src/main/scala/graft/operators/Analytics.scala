@@ -284,6 +284,32 @@ object Analytics {
       |  FROM lineitem
       |) WHERE rk <= 3""".stripMargin
 
+  /** Same top-3-per-supplier semantics through the custom `TopKPerKey`
+    * operator (`graft.plans.TopKPerKey`: logical node → TopKStrategy →
+    * two bounded-heap exec stages). Where `windowTopK` shuffles and sorts
+    * the WHOLE lineitem table per supplier group, this plan's exchange
+    * carries at most `partitions × suppliers × 3` pre-pruned rows and
+    * nothing is ever sorted — the 100 TB formulation of §2.4's
+    * order-then-limit. TopKPerKeySpec pins exec-stage shape, window
+    * equality, and the key-filter pushdown rule. */
+  def topKCustom(spark: SparkSession, sfDir: String): DataFrame =
+    graft.plans.TopK.perKey(
+      Tables.lineitem(spark, sfDir)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice")),
+      keyCols = Seq("l_suppkey"),
+      orderSpec = Seq(("l_extendedprice", false), ("l_orderkey", true),
+        ("l_linenumber", true)),
+      k = 3)
+
+  val topKCustomSql: String =
+    """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice FROM (
+      |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+      |    row_number() OVER (PARTITION BY l_suppkey
+      |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rk
+      |  FROM lineitem
+      |) WHERE rk <= 3""".stripMargin
+
   /** Running revenue per customer over order history. */
   def windowRunning(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
@@ -900,6 +926,7 @@ object Analytics {
     "q_semi_anti_join"    -> Q(semiAntiSql)(semiAnti),
     "q_outer_join_hist"   -> Q(outerCountSql)(outerCount),
     "q_window_topk"       -> Q(windowTopKSql)(windowTopK),
+    "q_topk_custom"       -> Q(topKCustomSql)(topKCustom),
     "q_window_running"    -> Q(windowRunningSql)(windowRunning),
     "q_window_funcs"      -> Q(windowFuncsSql)(windowFuncs),
     "q_rollup_sales"      -> Q(rollupSalesSql)(rollupSales),

@@ -16,6 +16,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ReplaceFirst.info,
       { args => ReplaceFirst(args(0), args(1), args(2)) }))
     ext.injectOptimizerRule(_ => CanonicalizeCosine)
+    ext.injectOptimizerRule(_ => PushFilterThroughTopK)
+    ext.injectPlannerStrategy(_ => TopKStrategy)
   }
 }
 

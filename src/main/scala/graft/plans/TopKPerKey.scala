@@ -1,0 +1,178 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute,
+  AttributeSet, Descending, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan,
+  UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution,
+  Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.graft.Shim
+
+/** Whole-operator Catalyst extension: exact top-k rows per key WITHOUT a
+  * per-key sort of the full input.
+  *
+  * The window formulation (`row_number() OVER (PARTITION BY key ORDER BY v)
+  * <= k`, SURVEY §2.4 ordering/limits + `Analytics.windowTopK`) shuffles the
+  * ENTIRE table on the key and then sorts every group end-to-end, only to
+  * throw away everything past rank k. At 100 TB that is a full-data shuffle
+  * plus a full-data sort. This operator is the map-side-combine formulation:
+  *
+  *   partial stage (any distribution): one bounded heap of size k per key
+  *     per input partition — at most `inputPartitions × keysPerPartition × k`
+  *     rows survive, and only THOSE shuffle;
+  *   exchange on the key (inserted by EnsureRequirements from the final
+  *     stage's ClusteredDistribution requirement);
+  *   final stage: the same bounded-heap pass per key, now exact because all
+  *     surviving rows of a key are co-located.
+  *
+  * Both stages stream their input; memory is O(keys-in-partition × k), the
+  * same bound as the operator's own output, never O(rows). The partial stage
+  * additionally caps its hash map at `MaxPartialKeys` keys and passes rows of
+  * further keys straight through (correct — the final stage is exact — so a
+  * pathological keys≈rows input degrades to the plain shuffle, never to OOM;
+  * the same posture as HashAggregate's sort-based fallback).
+  *
+  * Ties are impossible by contract: callers supply a total (unique) order —
+  * same discipline as every other deterministic query in this repo.
+  *
+  * This is the architecture path (c) of the build brief: custom
+  * `LogicalPlan` + `Rule` + `SparkStrategy` + `SparkPlan`, registered through
+  * `SparkSessionExtensions` (GraftExtensions) and self-installing via
+  * `spark.experimental.extraStrategies` for sessions built without it.
+  */
+case class TopKPerKey(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  require(k > 0, s"k must be positive, got $k")
+  override def output: Seq[Attribute] = child.output
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKey =
+    copy(child = newChild)
+}
+
+/** Plans the logical node as partial-heap → (exchange) → final-heap. */
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKey(keys, order, k, child) =>
+      TopKPerKeyExec(keys, order, k, partial = false,
+        TopKPerKeyExec(keys, order, k, partial = true, planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Deterministic filters that touch ONLY key columns select or drop whole
+  * key groups, so they commute with per-key top-k — push them below the
+  * operator where Catalyst can carry them further down to the scan
+  * (PushedFilters). Non-key predicates must NOT move: filter-then-topk and
+  * topk-then-filter differ for them, and Catalyst's builtin pushdown rules
+  * correctly refuse to look through an unknown node. */
+object PushFilterThroughTopK extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, t: TopKPerKey)
+        if cond.deterministic &&
+          f.references.subsetOf(AttributeSet(t.keys.flatMap(_.references))) =>
+      t.copy(child = Filter(cond, t.child))
+  }
+}
+
+case class TopKPerKeyExec(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    partial: Boolean,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(keys) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val attrs = child.output
+    val keyExprs = keys
+    val orderExprs = order
+    val kk = k
+    val cap = if (partial) TopKPerKeyExec.MaxPartialKeys else Int.MaxValue
+    child.execute().mapPartitions({ iter =>
+      val toUnsafe = UnsafeProjection.create(attrs, attrs)
+      val keyProj = UnsafeProjection.create(keyExprs, attrs)
+      val cmp = GenerateOrdering.generate(orderExprs, attrs)
+      // PriorityQueue dequeues the MAX per this ordering = the row sorting
+      // LAST under `order` = the current worst of the kept k.
+      val rowOrd = new Ordering[UnsafeRow] {
+        override def compare(a: UnsafeRow, b: UnsafeRow): Int = cmp.compare(a, b)
+      }
+      val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
+      // Streams: rows of capped-out keys are emitted immediately (partial
+      // stage only); kept rows drain from the heaps after input exhausts
+      // (`++` evaluates its right side lazily).
+      val overflow = iter.flatMap { row =>
+        val u = toUnsafe(row)
+        heaps.get(keyProj(u)) match {
+          case Some(pq) =>
+            if (pq.size < kk) pq.enqueue(u.copy())
+            else if (rowOrd.compare(u, pq.head) < 0) {
+              pq.dequeue(); pq.enqueue(u.copy())
+            }
+            None
+          case None if heaps.size < cap =>
+            val pq = mutable.PriorityQueue.empty[UnsafeRow](rowOrd)
+            pq.enqueue(u.copy())
+            heaps.put(keyProj(u).copy(), pq)
+            None
+          case None => Some(u) // cap hit: pass through, final stage is exact
+        }
+      }
+      overflow ++ heaps.valuesIterator.flatMap(_.iterator)
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+}
+
+object TopKPerKeyExec {
+  /** Partial-stage key cap: bounds the per-task hash map at ~2M keys × k
+    * row copies; beyond it the stage degrades to pass-through, never OOM. */
+  val MaxPartialKeys: Int = 1 << 21
+}
+
+/** Column-API entry point (mirrors GraftFunctions): resolves names against
+  * the frame, installs the planner strategy if the session lacks it. */
+object TopK {
+  /** Top-`k` rows per `keyCols` group, first-k under `orderSpec`
+    * ((column, ascending) pairs — supply a unique total order). */
+  def perKey(df: DataFrame, keyCols: Seq[String],
+      orderSpec: Seq[(String, Boolean)], k: Int): DataFrame = {
+    val spark = df.sparkSession
+    ensurePlanner(spark)
+    val plan = df.queryExecution.analyzed
+    def attr(n: String): Attribute =
+      plan.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
+        s"column $n not among ${plan.output.map(_.name).mkString(", ")}"))
+    val order = orderSpec.map { case (n, asc) =>
+      SortOrder(attr(n), if (asc) Ascending else Descending)
+    }
+    Shim.ofRows(spark, TopKPerKey(keyCols.map(attr), order, k, plan))
+  }
+
+  /** Idempotent: GraftExtensions injects TopKStrategy at session build; for
+    * sessions built without the extension this adds it on first use. */
+  def ensurePlanner(spark: SparkSession): Unit = synchronized {
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
+      spark.experimental.extraStrategies =
+        TopKStrategy +: spark.experimental.extraStrategies
+    }
+  }
+}

@@ -30,7 +30,10 @@ class DeterminismSpec extends SparkSuite {
       // partial-merge order (GK / CMS merges), bucketed layout and the
       // z-order tile math must not see partitioning at all
       "q_approx_quantiles", "t_cms_heavy", "src_bucketed_join",
-      "q_zorder_layout")
+      "q_zorder_layout",
+      // custom-operator path: partial heaps see arbitrary row placement,
+      // the final stage must erase it
+      "q_topk_custom")
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     try {
       names.foreach { n =>

@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.plans.{TopK, TopKPerKey, TopKPerKeyExec}
+
+/** The custom whole-operator extension (logical node → strategy → two
+  * bounded-heap exec stages): exact agreement with the window-rank
+  * formulation, the partial→exchange→final plan shape, shuffle-volume
+  * reduction, the key-filter pushdown rule, and edge cases. */
+class TopKPerKeySpec extends SparkSuite {
+
+  private def unwrap(p: SparkPlan): Seq[SparkPlan] =
+    p.collectWithSubqueries {
+      case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
+      case q: QueryStageExec => unwrap(q.plan)
+      case other => Seq(other)
+    }.flatten
+
+  test("agrees exactly with the row_number window formulation") {
+    val custom = graft.operators.Analytics.topKCustom(spark, sf0001)
+      .collect().map(_.toString).sorted.toSeq
+    val window = graft.operators.Analytics.windowTopK(spark, sf0001)
+      .drop("rk").collect().map(_.toString).sorted.toSeq
+    assert(custom.nonEmpty)
+    assert(custom == window)
+  }
+
+  test("plans partial heap -> exchange -> final heap, no sort, no window") {
+    val df = graft.operators.Analytics.topKCustom(spark, sf0001)
+    df.collect()
+    val nodes = unwrap(df.queryExecution.executedPlan)
+    val topks = nodes.collect { case t: TopKPerKeyExec => t }
+    assert(topks.map(_.partial).sorted == Seq(false, true),
+      s"expected one partial and one final TopKPerKeyExec, got $topks")
+    assert(nodes.count(_.isInstanceOf[ShuffleExchangeExec]) == 1,
+      "expected exactly one exchange (between partial and final)")
+    val names = nodes.map(_.nodeName)
+    assert(!names.exists(_.contains("Sort")), s"no sort should appear: $names")
+    assert(!names.exists(_.contains("Window")), s"no window should appear: $names")
+  }
+
+  test("the exchange carries only heap-pruned rows, not the table") {
+    val df = graft.operators.Analytics.topKCustom(spark, sf0001)
+    df.collect()
+    val shuffles = unwrap(df.queryExecution.executedPlan)
+      .collect { case e: ShuffleExchangeExec => e }
+    val written = shuffles.flatMap(_.metrics.collectFirst {
+      case (k, m) if k.toLowerCase.contains("recordswritten") => m.value
+    }).sum
+    val tableRows = Tables.lineitem(spark, sf0001).count()
+    assert(written > 0)
+    assert(written < tableRows / 10,
+      s"partial stage should prune the shuffle: wrote $written of $tableRows")
+  }
+
+  test("key-only filters push through the operator to the scan") {
+    val base = Tables.lineitem(spark, sf0001)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"))
+    val someKey = base.select(col("l_suppkey")).head.getLong(0)
+    val filtered = TopK.perKey(base, Seq("l_suppkey"),
+        Seq(("l_extendedprice", false), ("l_orderkey", true),
+          ("l_linenumber", true)), 3)
+      .filter(col("l_suppkey") === someKey)
+    // the PushFilterThroughTopK rule moves the key predicate below the
+    // node, where the scan picks it up as a pushed filter
+    val optimized = filtered.queryExecution.optimizedPlan
+    val filterAboveTopK = optimized.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.collect { case t: TopKPerKey => t }.nonEmpty => f
+    }
+    assert(filterAboveTopK.isEmpty,
+      s"key filter should sit below TopKPerKey:\n$optimized")
+    assert(filtered.queryExecution.executedPlan.toString
+        .contains(s"EqualTo(l_suppkey,$someKey)"),
+      "key predicate should reach the parquet scan as a pushed filter")
+    // and semantics are unchanged: filter-before == filter-after for keys
+    val pre = TopK.perKey(base.filter(col("l_suppkey") === someKey),
+      Seq("l_suppkey"), Seq(("l_extendedprice", false), ("l_orderkey", true),
+        ("l_linenumber", true)), 3).collect().map(_.toString).sorted.toSeq
+    assert(filtered.collect().map(_.toString).sorted.toSeq == pre)
+    assert(pre.size == 3)
+  }
+
+  test("non-key filters do NOT move below the operator") {
+    val base = Tables.lineitem(spark, sf0001)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"))
+    val topk = TopK.perKey(base, Seq("l_suppkey"),
+      Seq(("l_extendedprice", false), ("l_orderkey", true),
+        ("l_linenumber", true)), 3)
+    val cutoff = 2000.0
+    val filtered = topk.filter(col("l_extendedprice") > cutoff)
+    val filterAboveTopK = filtered.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.collect { case t: TopKPerKey => t }.nonEmpty => f
+    }
+    assert(filterAboveTopK.nonEmpty,
+      "a value filter must stay above TopKPerKey (the semantics differ)")
+    // semantic check: top-3-then-filter keeps a subset of the top-3 rows,
+    // filter-then-top-3 could promote rows from below the cutoff's top 3
+    val expected = topk.collect().filter(_.getDouble(3) > cutoff)
+      .map(_.toString).sorted.toSeq
+    assert(filtered.collect().map(_.toString).sorted.toSeq == expected)
+  }
+
+  test("k >= group size returns whole groups; empty input returns empty") {
+    import spark.implicits._
+    val tiny = Seq((1L, 10.0, 1L), (1L, 20.0, 2L), (2L, 5.0, 3L))
+      .toDF("key", "v", "tie")
+    val all = TopK.perKey(tiny, Seq("key"), Seq(("v", false), ("tie", true)), 10)
+    assert(all.count() == 3)
+    val empty = TopK.perKey(tiny.filter($"key" < 0), Seq("key"),
+      Seq(("v", false), ("tie", true)), 2)
+    assert(empty.count() == 0)
+  }
+
+  test("multi-column keys and ascending order work") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1, 5.0, 1L), ("a", 1, 3.0, 2L), ("a", 1, 4.0, 3L),
+      ("a", 2, 9.0, 4L), ("b", 1, 7.0, 5L), ("b", 1, 8.0, 6L))
+      .toDF("k1", "k2", "v", "tie")
+    val got = TopK.perKey(df, Seq("k1", "k2"), Seq(("v", true), ("tie", true)), 2)
+      .select("k1", "k2", "v").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).sorted.toSeq
+    assert(got == Seq(("a", 1, 3.0), ("a", 1, 4.0), ("a", 2, 9.0),
+      ("b", 1, 7.0), ("b", 1, 8.0)))
+  }
+
+  test("results are invariant to input partitioning") {
+    import spark.implicits._
+    val rows = (1 to 500).map(i => (i % 7L, (i * 37 % 101).toDouble, i.toLong))
+    def run(parts: Int): Seq[String] =
+      TopK.perKey(rows.toDF("key", "v", "tie").repartition(parts),
+        Seq("key"), Seq(("v", false), ("tie", true)), 5)
+        .collect().map(_.toString).sorted.toSeq
+    assert(run(1) == run(13))
+    assert(run(1).size == 35)
+  }
+}
