@@ -830,6 +830,80 @@ object Dedup {
           .as("rate"))
   }
 
+  /** Contamination with a broadcast Bloom-filter prune — the runtime-filter
+    * pattern for the 100 TB asymmetric semi-join. [[contamination]] shuffles
+    * EVERY training shingle to meet the benchmark vocabulary; here the
+    * benchmark side is first condensed into a ~KB bloom sketch (built
+    * distributed: per-partition blooms OR-merged by `stat.bloomFilter`),
+    * shipped to every task inside the codegen'd `BloomFilterMightContain`
+    * predicate, and ~99% of training shingles die row-locally BEFORE the
+    * exchange (fpp=1%). Only bloom survivors shuffle into the exact
+    * LEFT SEMI verify, so false positives never reach the output — the
+    * sketch changes the plan, not the answer (same discipline as Spark's
+    * own InjectRuntimeFilter, here explicit and oracle-checked). Emits
+    * shingle-hit counts alongside doc counts. BloomContamSpec measures the
+    * prune ratio and pins sketch determinism. */
+  def bloomContamination(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = toks(spark, sfDir)
+    val hashed = expr(
+      "transform(" + shinglesSql("t", ContamK) +
+        ", x -> CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT))")
+    val sh = base.select(col("doc_id"), col("source"),
+      explode(hashed).as("h"))
+    val bench = sh.filter(col("source") === BenchSource)
+      .select("h").distinct()
+    val bf = bench.stat.bloomFilter("h", math.max(bench.count(), 1L), 0.01)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val mightContain = graft.plans.GraftFunctions.bloomMightContain(
+      bos.toByteArray, col("h"))
+    val hits = sh.filter(col("source") =!= BenchSource)
+      .filter(mightContain) // row-local prune: no shuffle yet
+      .join(bench, Seq("h"), "left_semi") // exact verify kills bloom FPs
+    base.filter(col("source") =!= BenchSource)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(hits.groupBy(col("source"))
+          .agg(countDistinct(col("doc_id")).as("n_contaminated"),
+            count(lit(1)).as("n_hit_shingles")),
+        Seq("source"), "left_outer")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        coalesce(col("n_hit_shingles"), lit(0L)).as("n_hit_shingles"),
+        round(coalesce(col("n_contaminated"), lit(0L)) / col("n_docs"), 4)
+          .as("rate"))
+  }
+
+  val bloomContaminationSql: String = {
+    val parts = (0 until ContamK).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z]+') AS t
+       |  FROM documents
+       |), sh AS (
+       |  SELECT doc_id, source,
+       |    ('0x' || substr(md5(unnest(list_distinct(list_transform(
+       |      range(1, GREATEST(len(t) - ${ContamK - 2}, 1)),
+       |      i -> $parts)))), 1, 15))::BIGINT AS h
+       |  FROM toks
+       |), bench AS (
+       |  SELECT DISTINCT h FROM sh WHERE source = '$BenchSource'
+       |), cont AS (
+       |  SELECT sh.doc_id, sh.source FROM sh JOIN bench USING (h)
+       |  WHERE sh.source <> '$BenchSource'
+       |), per AS (
+       |  SELECT source, COUNT(*) AS n_docs FROM documents
+       |  WHERE source <> '$BenchSource' GROUP BY source
+       |)
+       |SELECT per.source, per.n_docs,
+       |  COALESCE(c.nd, 0) AS n_contaminated,
+       |  COALESCE(c.nh, 0) AS n_hit_shingles,
+       |  ROUND(COALESCE(c.nd, 0) / per.n_docs, 4) AS rate
+       |FROM per LEFT JOIN (
+       |  SELECT source, COUNT(DISTINCT doc_id) AS nd,
+       |    CAST(COUNT(*) AS BIGINT) AS nh
+       |  FROM cont GROUP BY source
+       |) c ON per.source = c.source""".stripMargin
+  }
+
   val contaminationSql: String = {
     val parts = (0 until ContamK).map(j => s"t[i+$j]").mkString(" || ' ' || ")
     s"""WITH toks AS (
@@ -1161,5 +1235,6 @@ object Dedup {
     "d_source_novelty"-> Q(sourceNoveltySql)(sourceNovelty),
     "d_containment"   -> Q(containmentPairsSql)(containmentPairs),
     "d_edit_neardup"  -> Q(editNearDupSql)(editNearDup),
-    "d_contamination" -> Q(contaminationSql)(contamination))
+    "d_contamination" -> Q(contaminationSql)(contamination),
+    "d_bloom_contam" -> Q(bloomContaminationSql)(bloomContamination))
 }

@@ -30,4 +30,15 @@ object GraftFunctions {
   def replaceFirst(str: Column, search: Column, repl: Column): Column =
     Shim.column(ReplaceFirst(Shim.expression(str), Shim.expression(search),
       Shim.expression(repl)))
+
+  /** Probe a serialized `org.apache.spark.util.sketch.BloomFilter` (built
+    * by `df.stat.bloomFilter` over the same long-hash column) with Spark's
+    * codegen'd BloomFilterMightContain — the explicit form of the
+    * runtime-filter prune: the ~KB sketch travels as a literal in the
+    * predicate, rows die map-side before any exchange. */
+  def bloomMightContain(serialized: Array[Byte], value: Column): Column =
+    Shim.column(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      org.apache.spark.sql.catalyst.expressions.Literal(serialized,
+        org.apache.spark.sql.types.BinaryType),
+      Shim.expression(value)))
 }
