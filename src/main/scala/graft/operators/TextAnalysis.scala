@@ -114,6 +114,33 @@ object TextAnalysis {
        |  $qualityExprSql AS quality
        |FROM toks""".stripMargin
 
+  /** Per-source quality cap — the "cap documents per domain" curation pass
+    * (keep only the best k of each over-represented source), expressed on
+    * the custom `TopKPerKey` operator: the quality composite is computed
+    * row-locally, the partial heaps prune each scan partition to ≤ k rows
+    * per source, and only those shuffle. The window-rank formulation of
+    * the same pass would shuffle and sort every scored document at 100 TB.
+    * Tie-broken by doc_id → a unique total order, engine-reproducible. */
+  def qualityCap(spark: SparkSession, sfDir: String): DataFrame =
+    graft.plans.TopK.perKey(
+      withQuality(Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("source"), col("text")))
+        .select(col("doc_id"), col("source"), col("quality")),
+      keyCols = Seq("source"),
+      orderSpec = Seq(("quality", false), ("doc_id", true)),
+      k = 10)
+
+  val qualityCapSql: String =
+    s"""WITH $toksCte, scored AS (
+       |  SELECT doc_id, source, $qualityExprSql AS quality FROM toks
+       |)
+       |SELECT doc_id, source, quality FROM (
+       |  SELECT doc_id, source, quality,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY quality DESC, doc_id) AS rk
+       |  FROM scored
+       |) WHERE rk <= 10""".stripMargin
+
   // ---- language identification ---------------------------------------------
 
   /** Marker-token language-ID heuristic: score each language by hits from a
@@ -945,6 +972,7 @@ object TextAnalysis {
     "t_boilerplate"  -> Q(boilerplateSql)(boilerplate),
     "t_token_stats"  -> Q(tokenStatsSql)(tokenStats),
     "t_quality_score"-> Q(qualityScoreSql)(qualityScore),
+    "t_quality_cap"  -> Q(qualityCapSql)(qualityCap),
     "t_lang_id"      -> Q(langIdSql)(langId),
     "t_lang_id_accuracy" -> Q(langIdAccuracySql)(langIdAccuracy),
     "t_fingerprints" -> Q(fingerprintsSql)(fingerprintsQ),
