@@ -14,6 +14,7 @@ import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution,
   Distribution, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.graft.Shim
 
 /** Whole-operator Catalyst extension: exact top-k rows per key WITHOUT a
@@ -98,12 +99,23 @@ case class TopKPerKeyExec(
     if (partial) UnspecifiedDistribution :: Nil
     else ClusteredDistribution(keys) :: Nil
 
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext,
+      "number of output rows"),
+    "heapKeys" -> SQLMetrics.createMetric(sparkContext,
+      "distinct keys heaped"),
+    "passThroughRows" -> SQLMetrics.createMetric(sparkContext,
+      "rows passed through at key cap"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val attrs = child.output
     val keyExprs = keys
     val orderExprs = order
     val kk = k
     val cap = if (partial) TopKPerKeyExec.MaxPartialKeys else Int.MaxValue
+    val numOut = longMetric("numOutputRows")
+    val numKeys = longMetric("heapKeys")
+    val numPass = longMetric("passThroughRows")
     child.execute().mapPartitions({ iter =>
       val toUnsafe = UnsafeProjection.create(attrs, attrs)
       val keyProj = UnsafeProjection.create(keyExprs, attrs)
@@ -130,11 +142,16 @@ case class TopKPerKeyExec(
             val pq = mutable.PriorityQueue.empty[UnsafeRow](rowOrd)
             pq.enqueue(u.copy())
             heaps.put(keyProj(u).copy(), pq)
+            numKeys.add(1)
             None
-          case None => Some(u) // cap hit: pass through, final stage is exact
+          case None => // cap hit: pass through, final stage is exact
+            numPass.add(1)
+            Some(u)
         }
       }
-      overflow ++ heaps.valuesIterator.flatMap(_.iterator)
+      (overflow ++ heaps.valuesIterator.flatMap(_.iterator)).map { r =>
+        numOut.add(1); r
+      }
     }, preservesPartitioning = true)
   }
 
