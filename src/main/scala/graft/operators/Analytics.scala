@@ -916,6 +916,40 @@ object Analytics {
       |  COUNT(*) AS cnt
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** Explicit hot-key-split join — the manual skew remedy for when AQE's
+    * skew-split can't save you (it subdivides a sort-merge partition, but
+    * the hot key's rows still all visit reducers; if ONE key carries 10%
+    * of 100 TB, you want it to never enter the exchange at all). Shape:
+    * a cheap aggregate ranks keys by frequency (TakeOrderedAndProject —
+    * no global sort), the top-16 "hot" set broadcasts three ways: to
+    * semi/anti-split the fact scan, and to slice the dim rows joined on
+    * the broadcast path. Hot fact rows join map-side against the
+    * broadcast dim slice; only cold keys — bounded per-key volume by
+    * construction — go through the shuffled join. Union, then aggregate.
+    * The split is invisible to semantics (oracle: the plain join). The
+    * hot set is deterministic (count desc, key asc tiebreak). */
+  def skewJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).select(col("user_id"), col("value"))
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val hot = ev.groupBy(col("user_id")).agg(count(lit(1)).as("_n"))
+      .orderBy(col("_n").desc, col("user_id")).limit(16).select("user_id")
+    val evHot = ev.join(broadcast(hot), Seq("user_id"), "left_semi")
+    val evCold = ev.join(broadcast(hot), Seq("user_id"), "left_anti")
+    val custHot = cust.join(broadcast(hot), Seq("user_id"), "left_semi")
+    evHot.join(broadcast(custHot), Seq("user_id"))
+      .unionByName(evCold.join(cust, Seq("user_id")))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+  }
+
+  val skewJoinSql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_events,
+      |  ROUND(SUM(value), 2) AS sum_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY c_mktsegment""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "q1_pricing_summary"  -> Q(q1Sql)(q1Pricing),
     "q3_shipping_priority"-> Q(q3Sql)(q3Shipping),
@@ -938,6 +972,7 @@ object Analytics {
     "q_monthly_revenue"   -> Q(monthlyRevenueSql)(monthlyRevenue),
     "q_corr_stats"        -> Q(corrStatsSql)(corrStats),
     "q_salted_agg"        -> Q(saltedAggSql)(saltedAgg),
+    "q_skew_join"         -> Q(skewJoinSql)(skewJoin),
     "q_approx_distinct"   -> Q(approxDistinctSql)(approxDistinct),
     "q_outlier_gate"      -> Q(outlierGateSql)(outlierGate),
     "q_setops"            -> Q(setOpsSql)(setOps),
