@@ -950,6 +950,88 @@ object Analytics {
       |FROM events JOIN customer ON user_id = c_custkey
       |GROUP BY c_mktsegment""".stripMargin
 
+  /** UNPIVOT (wide → long) via `stack` — completes the pivot surface
+    * (`q_pivot_hourly` is the long → wide direction). Unpivot happens
+    * AFTER the per-flag aggregation, so the stack multiplies 6 grouped
+    * rows into 18, never the fact table — the right order at 100 TB
+    * (unpivoting raw lineitem would 3× the scan's row stream before the
+    * shuffle for nothing). */
+  def unpivotMeasures(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        count(lit(1)).as("n_items"))
+      .selectExpr("l_returnflag",
+        """stack(3,
+          |  'sum_qty', sum_qty,
+          |  'sum_base_price', sum_base_price,
+          |  'n_items', CAST(n_items AS DOUBLE)) AS (measure, value)""".stripMargin)
+
+  val unpivotMeasuresSql: String =
+    """WITH agg AS (
+      |  SELECT l_returnflag, ROUND(SUM(l_quantity), 2) AS sq,
+      |    ROUND(SUM(l_extendedprice), 2) AS sp, COUNT(*) AS n
+      |  FROM lineitem GROUP BY l_returnflag
+      |)
+      |SELECT l_returnflag, 'sum_qty' AS measure, sq AS value FROM agg
+      |UNION ALL
+      |SELECT l_returnflag, 'sum_base_price' AS measure, sp AS value FROM agg
+      |UNION ALL
+      |SELECT l_returnflag, 'n_items' AS measure, CAST(n AS DOUBLE) AS value
+      |FROM agg""".stripMargin
+
+  /** Time-series gap fill with last-value carry-forward — the resample
+    * primitive for sensor/metric streams: per-user hourly series from
+    * first to last observed hour, missing hours synthesized by a
+    * row-local `sequence` explode of the per-user (min, max) span (the
+    * skeleton is generated where the span row lives — never a cross
+    * join against a calendar table), observed hours left-joined back,
+    * gaps filled by `last(ignoreNulls)` over the per-user hour order,
+    * rolled up to one audit row per user. Shuffles: the hourly agg, the
+    * skeleton join, the per-user window — all on user-bounded data. */
+  def gapFill(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        expr("date_trunc('hour', timestamp_millis(ts div 1000000))").as("h"),
+        col("value"))
+      .groupBy(col("user_id"), col("h"))
+      .agg(round(sum(col("value")), 2).as("v"))
+    val skeleton = hourly.groupBy(col("user_id"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("user_id"),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    skeleton.join(hourly, Seq("user_id", "h"), "left_outer")
+      .withColumn("v_filled", last(col("v"), ignoreNulls = true).over(w))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_hours"),
+        (count(lit(1)) - count(col("v"))).as("n_gaps"),
+        round(sum(col("v_filled")), 2).as("sum_filled"))
+  }
+
+  val gapFillSql: String =
+    """WITH hourly AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS h, ROUND(SUM(value), 2) AS v
+      |  FROM events GROUP BY user_id, date_trunc('hour', ts)
+      |), skeleton AS (
+      |  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      |  FROM (SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM hourly
+      |        GROUP BY user_id)
+      |), filled AS (
+      |  SELECT s.user_id, s.h, hourly.v,
+      |    last_value(hourly.v IGNORE NULLS) OVER (PARTITION BY s.user_id
+      |      ORDER BY s.h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS v_filled
+      |  FROM skeleton s LEFT JOIN hourly
+      |    ON s.user_id = hourly.user_id AND s.h = hourly.h
+      |)
+      |SELECT user_id, COUNT(*) AS n_hours,
+      |  COUNT(*) - COUNT(v) AS n_gaps,
+      |  ROUND(SUM(v_filled), 2) AS sum_filled
+      |FROM filled GROUP BY user_id""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "q1_pricing_summary"  -> Q(q1Sql)(q1Pricing),
     "q3_shipping_priority"-> Q(q3Sql)(q3Shipping),
@@ -973,6 +1055,8 @@ object Analytics {
     "q_corr_stats"        -> Q(corrStatsSql)(corrStats),
     "q_salted_agg"        -> Q(saltedAggSql)(saltedAgg),
     "q_skew_join"         -> Q(skewJoinSql)(skewJoin),
+    "q_unpivot"           -> Q(unpivotMeasuresSql)(unpivotMeasures),
+    "q_gap_fill"          -> Q(gapFillSql)(gapFill),
     "q_approx_distinct"   -> Q(approxDistinctSql)(approxDistinct),
     "q_outlier_gate"      -> Q(outlierGateSql)(outlierGate),
     "q_setops"            -> Q(setOpsSql)(setOps),

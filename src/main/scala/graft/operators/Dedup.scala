@@ -580,6 +580,64 @@ object Dedup {
        |GROUP BY d.source, k.n_kept""".stripMargin
   }
 
+  /** MERGE INTO (upsert) in its scale-right distributed form — the other
+    * half of incremental corpus maintenance next to [[deltaDedup]]: a
+    * delta of revisions (same doc_id, new text) and insertions (new
+    * doc_id) merges into the base corpus with delta-wins semantics. No
+    * full-outer join: base and delta union with a priority column and ONE
+    * shuffle on doc_id picks `row_number() = 1` by priority — at 100 TB
+    * that is a single hash exchange of (id, priority, payload) versus the
+    * join's two-sided shuffle plus null-handling. Ties impossible: one
+    * row per (doc_id, priority) by construction. Output is the per-source
+    * post-merge audit (doc counts, how many rows the delta revised /
+    * inserted, surviving text volume). */
+  def upsertMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val base = docs.withColumn("prio", lit(0))
+    val revisions = docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("text", concat(lit("rev2 "), col("text")))
+      .withColumn("prio", lit(1))
+    val insertions = docs.filter(col("doc_id") % 20 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000)
+      .withColumn("prio", lit(1))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("prio").desc)
+    base.unionByName(revisions).unionByName(insertions)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("text").startsWith("rev2 ") &&
+          col("doc_id") < 1000000, 1)).as("n_revised"),
+        count(when(col("doc_id") >= 1000000, 1)).as("n_inserted"),
+        sum(length(col("text"))).cast("long").as("sum_chars"))
+  }
+
+  val upsertMergeSql: String =
+    """WITH delta AS (
+      |  SELECT doc_id, source, 'rev2 ' || text AS text, 1 AS prio
+      |  FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, source, text, 1 AS prio
+      |  FROM documents WHERE doc_id % 20 = 0
+      |), unioned AS (
+      |  SELECT doc_id, source, text, 0 AS prio FROM documents
+      |  UNION ALL SELECT * FROM delta
+      |), merged AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY prio DESC) AS rn
+      |    FROM unioned
+      |  ) WHERE rn = 1
+      |)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  COUNT(CASE WHEN text LIKE 'rev2 %' AND doc_id < 1000000
+      |    THEN 1 END) AS n_revised,
+      |  COUNT(CASE WHEN doc_id >= 1000000 THEN 1 END) AS n_inserted,
+      |  CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars
+      |FROM merged GROUP BY source""".stripMargin
+
   // ---- delta-vs-base incremental dedup --------------------------------------
 
   /** The OPERATIONAL dedup query: a new delta shard (deterministic ~10%
@@ -1227,6 +1285,7 @@ object Dedup {
     "d_dedup_corpus"  -> Q(dedupCorpusSql)(dedupCorpus),
     "d_dedup_curve"   -> Q(dedupCurveSql)(dedupCurve),
     "d_delta_dedup"   -> Q(deltaDedupSql)(deltaDedup),
+    "d_upsert_merge"  -> Q(upsertMergeSql)(upsertMerge),
     "d_dedup_best"    -> Q(dedupBestSql)(dedupBest),
     "d_chunk_dup"     -> Q(chunkDupSql)(chunkDup),
     "d_dup_clusters"  -> Q(dupClustersSql)(dupClusters),

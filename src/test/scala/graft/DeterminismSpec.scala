@@ -33,7 +33,9 @@ class DeterminismSpec extends SparkSuite {
       "q_zorder_layout",
       // custom-operator path: partial heaps see arbitrary row placement,
       // the final stage must erase it
-      "q_topk_custom")
+      "q_topk_custom",
+      // round-4 continuation: priority-window merge, skeleton-join fill
+      "d_upsert_merge", "q_gap_fill")
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     try {
       names.foreach { n =>
