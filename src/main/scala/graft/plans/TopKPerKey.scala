@@ -53,8 +53,10 @@ case class TopKPerKey(
     keys: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
+    maxPartialKeys: Int,
     child: LogicalPlan) extends UnaryNode {
   require(k > 0, s"k must be positive, got $k")
+  require(maxPartialKeys > 0, s"maxPartialKeys must be positive")
   override def output: Seq[Attribute] = child.output
   override def maxRows: Option[Long] = child.maxRows
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKey =
@@ -64,9 +66,10 @@ case class TopKPerKey(
 /** Plans the logical node as partial-heap → (exchange) → final-heap. */
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKey(keys, order, k, child) =>
-      TopKPerKeyExec(keys, order, k, partial = false,
-        TopKPerKeyExec(keys, order, k, partial = true, planLater(child))) :: Nil
+    case TopKPerKey(keys, order, k, cap, child) =>
+      TopKPerKeyExec(keys, order, k, partial = false, cap,
+        TopKPerKeyExec(keys, order, k, partial = true, cap,
+          planLater(child))) :: Nil
     case _ => Nil
   }
 }
@@ -91,6 +94,7 @@ case class TopKPerKeyExec(
     order: Seq[SortOrder],
     k: Int,
     partial: Boolean,
+    maxPartialKeys: Int,
     child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
@@ -112,7 +116,7 @@ case class TopKPerKeyExec(
     val keyExprs = keys
     val orderExprs = order
     val kk = k
-    val cap = if (partial) TopKPerKeyExec.MaxPartialKeys else Int.MaxValue
+    val cap = if (partial) maxPartialKeys else Int.MaxValue
     val numOut = longMetric("numOutputRows")
     val numKeys = longMetric("heapKeys")
     val numPass = longMetric("passThroughRows")
@@ -169,9 +173,14 @@ object TopKPerKeyExec {
   * the frame, installs the planner strategy if the session lacks it. */
 object TopK {
   /** Top-`k` rows per `keyCols` group, first-k under `orderSpec`
-    * ((column, ascending) pairs — supply a unique total order). */
+    * ((column, ascending) pairs — supply a unique total order).
+    * `maxPartialKeys` bounds the partial stage's per-task hash map
+    * (beyond it rows pass through unpruned; the final stage stays
+    * exact) — the default suits production, tests shrink it to force
+    * the pass-through path. */
   def perKey(df: DataFrame, keyCols: Seq[String],
-      orderSpec: Seq[(String, Boolean)], k: Int): DataFrame = {
+      orderSpec: Seq[(String, Boolean)], k: Int,
+      maxPartialKeys: Int = TopKPerKeyExec.MaxPartialKeys): DataFrame = {
     val spark = df.sparkSession
     ensurePlanner(spark)
     val plan = df.queryExecution.analyzed
@@ -181,7 +190,8 @@ object TopK {
     val order = orderSpec.map { case (n, asc) =>
       SortOrder(attr(n), if (asc) Ascending else Descending)
     }
-    Shim.ofRows(spark, TopKPerKey(keyCols.map(attr), order, k, plan))
+    Shim.ofRows(spark,
+      TopKPerKey(keyCols.map(attr), order, k, maxPartialKeys, plan))
   }
 
   /** Idempotent: GraftExtensions injects TopKStrategy at session build; for

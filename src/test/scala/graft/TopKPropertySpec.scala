@@ -1,0 +1,76 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property test for the custom TopKPerKey operator: on seeded random
+  * datasets (duplicate values within keys, singleton keys, k larger than
+  * some groups, negative and repeated order values all arise), the
+  * operator's output must equal an in-memory groupBy-sortBy-take
+  * reference — the exec's heap/eviction logic and the partial stage's
+  * pass-through cap are the pieces whose correctness isn't visible in
+  * the plan, so they get pinned against an independent implementation. */
+class TopKPropertySpec extends SparkSuite {
+
+  private def reference(rows: Seq[(Long, Double, Long)], k: Int)
+      : Set[(Long, Double, Long)] =
+    rows.groupBy(_._1).flatMap { case (_, g) =>
+      g.sortBy(r => (-r._2, r._3)).take(k)
+    }.toSet
+
+  test("operator equals the in-memory reference on seeded random data") {
+    val s = spark
+    import s.implicits._
+    // ties in v within a key are frequent (v drawn from 6 values); tie
+    // is globally unique so the total order is well-defined
+    val genRows = Gen.chooseNum(1, 60).flatMap { n =>
+      Gen.listOfN(n, Gen.zip(Gen.chooseNum(0L, 6L), Gen.chooseNum(-2, 3)))
+    }
+    val cases = Gen.listOfN(10, Gen.zip(genRows, Gen.chooseNum(1, 5)))
+      .pureApply(Gen.Parameters.default, Seed(11L))
+    cases.zipWithIndex.foreach { case ((raw, k), ci) =>
+      val rows = raw.zipWithIndex.map { case ((key, v), i) =>
+        (key, v.toDouble, i.toLong)
+      }
+      val got = graft.plans.TopK.perKey(
+          rows.toDF("key", "v", "tie").repartition(3 + ci % 4),
+          Seq("key"), Seq(("v", false), ("tie", true)), k)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+      val want = reference(rows, k)
+      assert(got == want, s"case $ci (k=$k, n=${rows.size}):\n" +
+        s" got=${got.toSeq.sorted}\n want=${want.toSeq.sorted}")
+    }
+  }
+
+  test("partial-stage cap pass-through stays correct (cap forced to 2)") {
+    val s = spark
+    import s.implicits._
+    // 12 keys but the partial stage may heap only 2 per task: most rows
+    // take the pass-through branch and reach the final stage unpruned —
+    // the result must not change
+    val rows = (1 to 400).map(i => (i % 12L, (i * 7 % 13).toDouble, i.toLong))
+    val df = graft.plans.TopK.perKey(rows.toDF("key", "v", "tie")
+        .repartition(5), Seq("key"), Seq(("v", false), ("tie", true)), 3,
+      maxPartialKeys = 2)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    val want = reference(rows, 3)
+    assert(got == want)
+    // and the cap really fired: the partial stage reports passed-through
+    // rows in its SQL metric (unwrap AQE wrappers, the suite discipline)
+    def unwrap(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p.collectWithSubqueries {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          unwrap(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          unwrap(q.plan)
+        case other => Seq(other)
+      }.flatten
+    val passed = unwrap(df.queryExecution.executedPlan).collect {
+      case t: graft.plans.TopKPerKeyExec if t.partial =>
+        t.metrics("passThroughRows").value
+    }.sum
+    assert(passed > 0, "expected the partial stage to hit the key cap")
+  }
+}
