@@ -120,7 +120,11 @@ object TextAnalysis {
     * row-locally, the partial heaps prune each scan partition to ≤ k rows
     * per source, and only those shuffle. The window-rank formulation of
     * the same pass would shuffle and sort every scored document at 100 TB.
-    * Tie-broken by doc_id → a unique total order, engine-reproducible. */
+    * Tie-broken by doc_id → a unique total order, engine-reproducible.
+    * Uses the SORTED final stage (`q_topk_custom` covers the heap form):
+    * a spillable sort of the pruned exchange output, then O(1)-memory
+    * first-k-per-contiguous-group forwarding — the form for when
+    * keys-per-reducer × k itself would strain executor memory. */
   def qualityCap(spark: SparkSession, sfDir: String): DataFrame =
     graft.plans.TopK.perKey(
       withQuality(Tables.documents(spark, sfDir)
@@ -128,7 +132,8 @@ object TextAnalysis {
         .select(col("doc_id"), col("source"), col("quality")),
       keyCols = Seq("source"),
       orderSpec = Seq(("quality", false), ("doc_id", true)),
-      k = 10)
+      k = 10,
+      sortedFinal = true)
 
   val qualityCapSql: String =
     s"""WITH $toksCte, scored AS (

@@ -54,6 +54,7 @@ case class TopKPerKey(
     order: Seq[SortOrder],
     k: Int,
     maxPartialKeys: Int,
+    sortedFinal: Boolean,
     child: LogicalPlan) extends UnaryNode {
   require(k > 0, s"k must be positive, got $k")
   require(maxPartialKeys > 0, s"maxPartialKeys must be positive")
@@ -63,13 +64,23 @@ case class TopKPerKey(
     copy(child = newChild)
 }
 
-/** Plans the logical node as partial-heap → (exchange) → final-heap. */
+/** Plans the logical node as partial-heap → (exchange) → final stage.
+  * Two final-stage forms, both exact:
+  *  - heap (default): hash map of per-key heaps, memory O(keys-in-partition
+  *    × k) — no sort anywhere;
+  *  - sorted (`sortedFinal`): declares requiredChildOrdering (keys ++
+  *    order), so EnsureRequirements plants a spillable SortExec over the
+  *    PRUNED exchange output (≤ partitions × keys × k rows — never the
+  *    table); groups then arrive contiguous and already ordered, and the
+  *    final stage just forwards the first k rows of each group in O(1)
+  *    memory. The right form when keys-per-reducer × k itself strains
+  *    memory. */
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKey(keys, order, k, cap, child) =>
-      TopKPerKeyExec(keys, order, k, partial = false, cap,
+    case TopKPerKey(keys, order, k, cap, sortedFinal, child) =>
+      TopKPerKeyExec(keys, order, k, partial = false, cap, sortedFinal,
         TopKPerKeyExec(keys, order, k, partial = true, cap,
-          planLater(child))) :: Nil
+          sortedFinal = false, planLater(child))) :: Nil
     case _ => Nil
   }
 }
@@ -95,6 +106,7 @@ case class TopKPerKeyExec(
     k: Int,
     partial: Boolean,
     maxPartialKeys: Int,
+    sortedFinal: Boolean,
     child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
@@ -102,6 +114,9 @@ case class TopKPerKeyExec(
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) UnspecifiedDistribution :: Nil
     else ClusteredDistribution(keys) :: Nil
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    if (sortedFinal) Seq(keys.map(SortOrder(_, Ascending)) ++ order)
+    else Seq(Nil)
 
   override lazy val metrics: Map[String, SQLMetric] = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext,
@@ -120,6 +135,31 @@ case class TopKPerKeyExec(
     val numOut = longMetric("numOutputRows")
     val numKeys = longMetric("heapKeys")
     val numPass = longMetric("passThroughRows")
+    if (sortedFinal) {
+      // input arrives clustered AND ordered by (keys, order): each group's
+      // first k rows are its exact top-k — forward them, skip the rest.
+      // O(1) memory (one saved key), zero copies of skipped rows.
+      return child.execute().mapPartitions({ iter =>
+        val toUnsafe = UnsafeProjection.create(attrs, attrs)
+        val keyProj = UnsafeProjection.create(keyExprs, attrs)
+        var curKey: UnsafeRow = null
+        var emitted = 0
+        iter.flatMap { row =>
+          val u = toUnsafe(row)
+          val key = keyProj(u)
+          if (curKey == null || key != curKey) {
+            curKey = key.copy()
+            emitted = 0
+            numKeys.add(1)
+          }
+          if (emitted < kk) {
+            emitted += 1
+            numOut.add(1)
+            Some(u)
+          } else None
+        }
+      }, preservesPartitioning = true)
+    }
     child.execute().mapPartitions({ iter =>
       val toUnsafe = UnsafeProjection.create(attrs, attrs)
       val keyProj = UnsafeProjection.create(keyExprs, attrs)
@@ -180,7 +220,8 @@ object TopK {
     * the pass-through path. */
   def perKey(df: DataFrame, keyCols: Seq[String],
       orderSpec: Seq[(String, Boolean)], k: Int,
-      maxPartialKeys: Int = TopKPerKeyExec.MaxPartialKeys): DataFrame = {
+      maxPartialKeys: Int = TopKPerKeyExec.MaxPartialKeys,
+      sortedFinal: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     ensurePlanner(spark)
     val plan = df.queryExecution.analyzed
@@ -190,8 +231,8 @@ object TopK {
     val order = orderSpec.map { case (n, asc) =>
       SortOrder(attr(n), if (asc) Ascending else Descending)
     }
-    Shim.ofRows(spark,
-      TopKPerKey(keyCols.map(attr), order, k, maxPartialKeys, plan))
+    Shim.ofRows(spark, TopKPerKey(keyCols.map(attr), order, k,
+      maxPartialKeys, sortedFinal, plan))
   }
 
   /** Idempotent: GraftExtensions injects TopKStrategy at session build; for

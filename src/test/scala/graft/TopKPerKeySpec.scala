@@ -108,6 +108,31 @@ class TopKPerKeySpec extends SparkSuite {
     assert(filtered.collect().map(_.toString).sorted.toSeq == expected)
   }
 
+  test("sorted final stage: sort sits on the pruned stream, result identical") {
+    val base = Tables.lineitem(spark, sf0001)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"))
+    val spec = Seq(("l_extendedprice", false), ("l_orderkey", true),
+      ("l_linenumber", true))
+    val sorted = TopK.perKey(base, Seq("l_suppkey"), spec, 3,
+      sortedFinal = true)
+    val heap = TopK.perKey(base, Seq("l_suppkey"), spec, 3)
+    assert(sorted.collect().map(_.toString).sorted.toSeq ==
+      heap.collect().map(_.toString).sorted.toSeq)
+    val nodes = unwrap(sorted.queryExecution.executedPlan)
+    val iSort = nodes.indexWhere(_.nodeName.contains("Sort"))
+    val iExchange = nodes.indexWhere(_.isInstanceOf[ShuffleExchangeExec])
+    val iPartial = nodes.indexWhere {
+      case t: TopKPerKeyExec => t.partial
+      case _ => false
+    }
+    // top-down collect order: final topk < sort < exchange < partial topk —
+    // i.e. the sort orders only the heap-pruned exchange output
+    assert(iSort >= 0 && iExchange >= 0 && iPartial >= 0)
+    assert(iSort < iExchange && iExchange < iPartial,
+      s"sort must sit between the exchange and the final stage: $nodes")
+  }
+
   test("k >= group size returns whole groups; empty input returns empty") {
     import spark.implicits._
     val tiny = Seq((1L, 10.0, 1L), (1L, 20.0, 2L), (2L, 5.0, 3L))
