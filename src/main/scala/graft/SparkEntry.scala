@@ -25,7 +25,8 @@ object SparkEntry {
       Similarity.queries ++
       Multimodal.queries ++
       graft.sources.ParsedRequests.queries ++
-      graft.sources.BucketedTables.queries
+      graft.sources.BucketedTables.queries ++
+      graft.sources.OrcRoundTrip.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's core operation: keyed concat/count aggregation over the
