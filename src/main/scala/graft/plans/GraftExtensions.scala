@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       { args => ReplaceFirst(args(0), args(1), args(2)) }))
     ext.injectOptimizerRule(_ => CanonicalizeCosine)
     ext.injectOptimizerRule(_ => PushFilterThroughTopK)
+    ext.injectOptimizerRule(_ => PruneColumnsThroughTopK)
     ext.injectPlannerStrategy(_ => TopKStrategy)
   }
 }

@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute,
   AttributeSet, Descending, Expression, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan,
-  UnaryNode}
+  Project, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution,
   Distribution, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -97,6 +97,24 @@ object PushFilterThroughTopK extends Rule[LogicalPlan] {
         if cond.deterministic &&
           f.references.subsetOf(AttributeSet(t.keys.flatMap(_.references))) =>
       t.copy(child = Filter(cond, t.child))
+  }
+}
+
+/** Column pruning through the opaque node: TopKPerKey's row selection
+  * depends only on its key/order columns, so a Project above it needs the
+  * child to produce just (projected ∪ key ∪ order) attributes — without
+  * this rule Catalyst must conservatively keep EVERY child column alive
+  * and the scan reads the full wide table. Fixed point: once the child is
+  * the pruned Project, `needed` equals the child output and the rule no
+  * longer fires. */
+object PruneColumnsThroughTopK extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case p @ Project(_, t: TopKPerKey) =>
+      val keep = p.references ++ t.references
+      val needed = t.child.output.filter(keep.contains)
+      if (needed.length < t.child.output.length) {
+        p.copy(child = t.copy(child = Project(needed, t.child)))
+      } else p
   }
 }
 

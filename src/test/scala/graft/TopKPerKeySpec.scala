@@ -133,6 +133,26 @@ class TopKPerKeySpec extends SparkSuite {
       s"sort must sit between the exchange and the final stage: $nodes")
   }
 
+  test("projection above the operator prunes the scan to needed columns") {
+    // top-k over the FULL 16-column lineitem, then a 2-column projection:
+    // PruneColumnsThroughTopK must shrink the scan to projected ∪ key ∪
+    // order columns — without it the opaque node pins all 16 alive
+    val full = Tables.lineitem(spark, sf0001)
+    val projected = TopK.perKey(full, Seq("l_suppkey"),
+        Seq(("l_extendedprice", false), ("l_orderkey", true),
+          ("l_linenumber", true)), 3)
+      .select(col("l_suppkey"), col("l_extendedprice"))
+    val scans = unwrap(projected.queryExecution.executedPlan).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.requiredSchema.map(_.name).toSet ==
+      Set("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice"),
+      s"scan should read 4 of 16 columns, got ${scans.head.requiredSchema}")
+    assert(projected.collect().length ==
+      graft.operators.Analytics.topKCustom(spark, sf0001).collect().length)
+  }
+
   test("k >= group size returns whole groups; empty input returns empty") {
     import spark.implicits._
     val tiny = Seq((1L, 10.0, 1L), (1L, 20.0, 2L), (2L, 5.0, 3L))
