@@ -329,6 +329,31 @@ object Analytics {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
       |FROM orders""".stripMargin
 
+  /** RANGE-frame rolling window — completes the frame surface next to the
+    * ROWS frames (`q_window_running`, `q_sliding_window`): per-user
+    * trailing-1-hour event-value sum, frame bounded by the VALUE of the
+    * ordering column (peers at the same second share a frame), not by row
+    * position. Shuffles once on user_id; each user's frame scan is a
+    * sliding two-pointer pass over its partition. */
+  def rangeFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_sec"))
+      .rangeBetween(-3600L, 0L)
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"),
+        // integer div: nanos exceed double's 2^53 mantissa — a float
+        // divide here would mis-bucket seconds
+        expr("ts div 1000000000").as("ts_sec"), col("value"))
+      .withColumn("rolling_1h", round(sum(col("value")).over(w), 2))
+  }
+
+  val rangeFrameSql: String =
+    """SELECT event_id, user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_sec,
+      |  value,
+      |  ROUND(SUM(value) OVER (PARTITION BY user_id
+      |    ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+      |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2) AS rolling_1h
+      |FROM events""".stripMargin
+
   // ---- window-function breadth: lead / ntile / percent_rank -------------------
 
   /** Global percent_rank over a UNIQUE (value, tiebreak) ordering without a
@@ -1044,6 +1069,7 @@ object Analytics {
     "q_window_topk"       -> Q(windowTopKSql)(windowTopK),
     "q_topk_custom"       -> Q(topKCustomSql)(topKCustom),
     "q_window_running"    -> Q(windowRunningSql)(windowRunning),
+    "q_range_frame"       -> Q(rangeFrameSql)(rangeFrame),
     "q_window_funcs"      -> Q(windowFuncsSql)(windowFuncs),
     "q_rollup_sales"      -> Q(rollupSalesSql)(rollupSales),
     "q_cube_sales"        -> Q(cubeSalesSql)(cubeSales),
