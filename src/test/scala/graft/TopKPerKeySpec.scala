@@ -177,6 +177,25 @@ class TopKPerKeySpec extends SparkSuite {
       ("b", 1, 7.0), ("b", 1, 8.0)))
   }
 
+  test("null keys group together; null order values match window semantics") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq[(Option[Long], Option[Double], Long)](
+      (Some(1L), Some(5.0), 1L), (Some(1L), None, 2L),
+      (None, Some(7.0), 3L), (None, None, 4L), (None, Some(1.0), 6L),
+      (Some(1L), Some(2.0), 5L))
+      .toDF("key", "v", "tie")
+    val custom = TopK.perKey(df, Seq("key"), Seq(("v", false), ("tie", true)), 2)
+      .collect().map(_.toString).sorted.toSeq
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("v").desc, col("tie"))
+    val window = df.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2).drop("rk")
+      .collect().map(_.toString).sorted.toSeq
+    assert(custom == window)
+    assert(custom.size == 4, "two groups (null key and key 1) of two rows")
+  }
+
   test("results are invariant to input partitioning") {
     import spark.implicits._
     val rows = (1 to 500).map(i => (i % 7L, (i * 37 % 101).toDouble, i.toLong))
