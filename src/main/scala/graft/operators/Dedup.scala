@@ -598,8 +598,12 @@ object Dedup {
     val revisions = docs.filter(col("doc_id") % 10 === 0)
       .withColumn("text", concat(lit("rev2 "), col("text")))
       .withColumn("prio", lit(1))
+    // insertion ids are NEGATIVE (-id - 1): disjoint from every real
+    // (non-negative) doc_id by construction at ANY scale factor — an
+    // additive offset would collide with real ids once the corpus grows
+    // past it, making the priority window nondeterministic
     val insertions = docs.filter(col("doc_id") % 20 === 0)
-      .withColumn("doc_id", col("doc_id") + 1000000)
+      .withColumn("doc_id", -col("doc_id") - 1)
       .withColumn("prio", lit(1))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("prio").desc)
@@ -609,8 +613,8 @@ object Dedup {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         count(when(col("text").startsWith("rev2 ") &&
-          col("doc_id") < 1000000, 1)).as("n_revised"),
-        count(when(col("doc_id") >= 1000000, 1)).as("n_inserted"),
+          col("doc_id") >= 0, 1)).as("n_revised"),
+        count(when(col("doc_id") < 0, 1)).as("n_inserted"),
         sum(length(col("text"))).cast("long").as("sum_chars"))
   }
 
@@ -619,7 +623,7 @@ object Dedup {
       |  SELECT doc_id, source, 'rev2 ' || text AS text, 1 AS prio
       |  FROM documents WHERE doc_id % 10 = 0
       |  UNION ALL
-      |  SELECT doc_id + 1000000 AS doc_id, source, text, 1 AS prio
+      |  SELECT -doc_id - 1 AS doc_id, source, text, 1 AS prio
       |  FROM documents WHERE doc_id % 20 = 0
       |), unioned AS (
       |  SELECT doc_id, source, text, 0 AS prio FROM documents
@@ -632,9 +636,9 @@ object Dedup {
       |  ) WHERE rn = 1
       |)
       |SELECT source, COUNT(*) AS n_docs,
-      |  COUNT(CASE WHEN text LIKE 'rev2 %' AND doc_id < 1000000
+      |  COUNT(CASE WHEN text LIKE 'rev2 %' AND doc_id >= 0
       |    THEN 1 END) AS n_revised,
-      |  COUNT(CASE WHEN doc_id >= 1000000 THEN 1 END) AS n_inserted,
+      |  COUNT(CASE WHEN doc_id < 0 THEN 1 END) AS n_inserted,
       |  CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars
       |FROM merged GROUP BY source""".stripMargin
 
@@ -908,8 +912,12 @@ object Dedup {
         ", x -> CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT))")
     val sh = base.select(col("doc_id"), col("source"),
       explode(hashed).as("h"))
+    // persisted: the benchmark vocabulary is consumed THREE times (sizing
+    // count, bloom build, exact verify) — without the persist each pass
+    // re-runs the full documents→tokenize→shingle→hash→distinct pipeline
     val bench = sh.filter(col("source") === BenchSource)
       .select("h").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bf = bench.stat.bloomFilter("h", math.max(bench.count(), 1L), 0.01)
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)

@@ -90,12 +90,18 @@ object TopKStrategy extends SparkStrategy {
   * operator where Catalyst can carry them further down to the scan
   * (PushedFilters). Non-key predicates must NOT move: filter-then-topk and
   * topk-then-filter differ for them, and Catalyst's builtin pushdown rules
-  * correctly refuse to look through an unknown node. */
+  * correctly refuse to look through an unknown node.
+  *
+  * Fires only when every key is a bare Attribute: for an expression-valued
+  * key (e.g. `a % 10`), a predicate on `a` is NOT constant within a key
+  * group, so pushing it would change which rows rank — reference-subset
+  * alone is an unsound test there. */
 object PushFilterThroughTopK extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, t: TopKPerKey)
         if cond.deterministic &&
-          f.references.subsetOf(AttributeSet(t.keys.flatMap(_.references))) =>
+          t.keys.forall(_.isInstanceOf[Attribute]) &&
+          f.references.subsetOf(AttributeSet(t.keys)) =>
       t.copy(child = Filter(cond, t.child))
   }
 }
@@ -254,9 +260,11 @@ object TopK {
   }
 
   /** Idempotent: GraftExtensions injects TopKStrategy at session build; for
-    * sessions built without the extension this adds it on first use. */
+    * sessions built without the extension this adds it on first use. The
+    * planner's full strategy list is consulted (not just the experimental
+    * slot) so extension-built sessions don't accumulate a second copy. */
   def ensurePlanner(spark: SparkSession): Unit = synchronized {
-    if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
+    if (!Shim.plannerStrategies(spark).contains(TopKStrategy)) {
       spark.experimental.extraStrategies =
         TopKStrategy +: spark.experimental.extraStrategies
     }

@@ -22,7 +22,17 @@ object OrcRoundTrip {
 
   private def ensure(spark: SparkSession, sfDir: String): String =
     created.getOrElseUpdate(sfDir, {
-      val dir = Files.createTempDirectory("graft-orc").toString + "/documents"
+      val root = Files.createTempDirectory("graft-orc")
+      // the ORC copy is a full materialization of documents — reclaim it
+      // when the JVM exits instead of accumulating one per bench/test run
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files => F}
+        import java.util.Comparator
+        try F.walk(root).sorted(Comparator.reverseOrder())
+          .forEach(p => F.deleteIfExists(p))
+        catch { case _: Exception => () }
+      }))
+      val dir = root.toString + "/documents"
       Tables.documents(spark, sfDir)
         .select(col("doc_id"), col("source"), col("lang"), col("text"))
         .write.mode("overwrite").orc(dir)

@@ -17,4 +17,8 @@ object Shim {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+  /** The session planner's FULL strategy list (builtin + extension-injected
+    * + experimental) — for idempotence checks before registering one. */
+  def plannerStrategies(spark: SparkSession): Seq[Any] =
+    spark.asInstanceOf[classic.SparkSession].sessionState.planner.strategies
 }

@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.functions._
 import graft.model.Tables
 
@@ -10,12 +9,7 @@ import graft.model.Tables
   * a broadcast join so hot keys never enter an exchange. */
 class SkewJoinSpec extends SparkSuite {
 
-  private def unwrap(p: SparkPlan): Seq[SparkPlan] =
-    p.collectWithSubqueries {
-      case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
-      case q: QueryStageExec => unwrap(q.plan)
-      case other => Seq(other)
-    }.flatten
+  private def unwrap(p: SparkPlan): Seq[SparkPlan] = unwrapPlan(p)
 
   test("agrees with the plain join formulation") {
     val split = graft.operators.Analytics.skewJoin(spark, sf0001)

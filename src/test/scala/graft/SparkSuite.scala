@@ -9,6 +9,20 @@ trait SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSuite.session
 
   val sf0001 = "/root/testdata/sf0.001"
+
+  /** Flatten an executed plan through AQE wrappers (AdaptiveSparkPlanExec
+    * and QueryStageExec are LEAF nodes to `collect` — without unwrapping,
+    * plan gates silently assert nothing once a query has an exchange).
+    * Call AFTER an action so `executedPlan` is final. */
+  protected def unwrapPlan(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] =
+    p.collectWithSubqueries {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        unwrapPlan(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        unwrapPlan(q.plan)
+      case other => Seq(other)
+    }.flatten
 }
 
 object SparkSuite {

@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.functions._
 import graft.model.Tables
@@ -13,12 +12,7 @@ import graft.plans.{TopK, TopKPerKey, TopKPerKeyExec}
   * reduction, the key-filter pushdown rule, and edge cases. */
 class TopKPerKeySpec extends SparkSuite {
 
-  private def unwrap(p: SparkPlan): Seq[SparkPlan] =
-    p.collectWithSubqueries {
-      case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
-      case q: QueryStageExec => unwrap(q.plan)
-      case other => Seq(other)
-    }.flatten
+  private def unwrap(p: SparkPlan): Seq[SparkPlan] = unwrapPlan(p)
 
   test("agrees exactly with the row_number window formulation") {
     val custom = graft.operators.Analytics.topKCustom(spark, sf0001)

@@ -58,16 +58,7 @@ class TopKPropertySpec extends SparkSuite {
     assert(got == want)
     // and the cap really fired: the partial stage reports passed-through
     // rows in its SQL metric (unwrap AQE wrappers, the suite discipline)
-    def unwrap(p: org.apache.spark.sql.execution.SparkPlan)
-        : Seq[org.apache.spark.sql.execution.SparkPlan] =
-      p.collectWithSubqueries {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          unwrap(a.executedPlan)
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-          unwrap(q.plan)
-        case other => Seq(other)
-      }.flatten
-    val passed = unwrap(df.queryExecution.executedPlan).collect {
+    val passed = unwrapPlan(df.queryExecution.executedPlan).collect {
       case t: graft.plans.TopKPerKeyExec if t.partial =>
         t.metrics("passThroughRows").value
     }.sum
