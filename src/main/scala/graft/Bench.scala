@@ -54,7 +54,9 @@ object Bench {
       "shared_minhash_mins" ->
         (() => graft.operators.Dedup.materializeMinhash(spark, sfDir)),
       "shared_kmeans_model" ->
-        (() => graft.operators.Similarity.materializeKmeans(spark, sfDir)))
+        (() => graft.operators.Similarity.materializeKmeans(spark, sfDir)),
+      "shared_source_grams" ->
+        (() => graft.operators.Dedup.materializeSourceGrams(spark, sfDir)))
       .map { case (name, f) => name -> timed(f) }
 
     // fixed (sorted) query order, two passes, min-time per query
@@ -96,6 +98,7 @@ object Bench {
     // truncation and parses. `value` is still the FULL suite total.
     val headline = Seq(
       "shared_dedup_pairs", "shared_minhash_mins", "shared_kmeans_model",
+      "shared_source_grams",
       "q1_pricing_summary", "q3_shipping_priority", "q5_nation_revenue",
       "q18_large_orders",
       "o15_format_sniff", "o18_uri_rewrite", "o20_o34_dlq_replay",

@@ -102,6 +102,9 @@ object Dedup {
     minsCache.values.foreach(df => try df.unpersist()
       catch { case _: Exception => () })
     minsCache.clear()
+    sourceGramsCache.values.foreach(df => try df.unpersist()
+      catch { case _: Exception => () })
+    sourceGramsCache.clear()
   }
 
   /** The shared persisted pair list: candidate pairs with RAW (unrounded)
@@ -1127,6 +1130,30 @@ object Dedup {
 
   // ---- cross-source contamination matrix ------------------------------------
 
+  /** Shared distinct (source, 4-gram-hash) table — the reduction both
+    * [[crossContamination]] and [[sourceNovelty]] start from. Persisted
+    * once per (session, SF) like the pair list and minhash signatures;
+    * size is Σ per-source vocabularies (corpus-sublinear), tiny. */
+  private val sourceGramsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def sourceGrams(spark: SparkSession, sfDir: String): DataFrame =
+    sourceGramsCache.getOrElseUpdate((spark, sfDir), {
+      val hashed = expr(
+        "transform(" + shinglesSql("t", ContamK) +
+          ", x -> CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT))")
+      val sh = toks(spark, sfDir)
+        .select(col("source"), explode(hashed).as("h")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sh
+    })
+
+  /** Force the shared (source, gram) table to materialize — Bench times
+    * this as its own entry so consumer queries time steady-state plans. */
+  def materializeSourceGrams(spark: SparkSession, sfDir: String): Unit = {
+    sourceGrams(spark, sfDir).count(); ()
+  }
+
   /** Pairwise source-overlap matrix — the "is source A leaking into
     * source B" audit across the WHOLE corpus, not just one held-out set:
     * distinct 4-gram hashes per source, self-joined on the hash, counted
@@ -1135,11 +1162,7 @@ object Dedup {
     * and the output is |sources|² rows at most — safe at any corpus
     * size; the distinct-per-source reduction happens map-side first. */
   def crossContamination(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = toks(spark, sfDir)
-    val hashed = expr(
-      "transform(" + shinglesSql("t", ContamK) +
-        ", x -> CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT))")
-    val sh = base.select(col("source"), explode(hashed).as("h")).distinct()
+    val sh = sourceGrams(spark, sfDir)
     sh.as("a").join(sh.as("b"),
         col("a.h") === col("b.h") && col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
@@ -1172,11 +1195,7 @@ object Dedup {
     * distinct-(source, hash) reduction as d_cross_contam; the per-hash
     * source count is a second tiny agg, never a join fan-out. */
   def sourceNovelty(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = toks(spark, sfDir)
-    val hashed = expr(
-      "transform(" + shinglesSql("t", ContamK) +
-        ", x -> CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT))")
-    val sh = base.select(col("source"), explode(hashed).as("h")).distinct()
+    val sh = sourceGrams(spark, sfDir)
     val spread = sh.groupBy(col("h")).agg(count(lit(1)).as("n_sources"))
     sh.join(spread, Seq("h"))
       .groupBy(col("source"))
