@@ -34,8 +34,10 @@ class DeterminismSpec extends SparkSuite {
       // custom-operator path: partial heaps see arbitrary row placement,
       // the final stage must erase it
       "q_topk_custom",
-      // round-4 continuation: priority-window merge, skeleton-join fill
-      "d_upsert_merge", "q_gap_fill")
+      // round-4 continuation: priority-window merge, skeleton-join fill,
+      // hot-set split, post-agg unpivot, value-bounded frame, ORC reread
+      "d_upsert_merge", "q_gap_fill", "q_skew_join", "q_unpivot",
+      "q_range_frame", "src_orc_roundtrip")
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     try {
       names.foreach { n =>

@@ -171,6 +171,20 @@ class TopKPerKeySpec extends SparkSuite {
       ("b", 1, 7.0), ("b", 1, 8.0)))
   }
 
+  test("ensurePlanner never double-registers on an extensions session") {
+    // the suite session carries TopKStrategy via GraftExtensions'
+    // injectPlannerStrategy: repeated TopK.perKey calls must not stack
+    // copies into experimental.extraStrategies
+    val before = spark.experimental.extraStrategies
+      .count(_ == graft.plans.TopKStrategy)
+    TopK.ensurePlanner(spark)
+    TopK.ensurePlanner(spark)
+    val after = spark.experimental.extraStrategies
+      .count(_ == graft.plans.TopKStrategy)
+    assert(after == before,
+      s"extension session gained $after experimental copies (had $before)")
+  }
+
   test("null keys group together; null order values match window semantics") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
