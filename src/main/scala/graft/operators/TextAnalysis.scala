@@ -146,6 +146,49 @@ object TextAnalysis {
        |  FROM scored
        |) WHERE rk <= 10""".stripMargin
 
+  private val ChunkW = 64
+  private val ChunkS = 48
+
+  /** RAG-style overlapping chunk windows — the retrieval-index preparation
+    * pass (distinct from [[graft.operators.Dedup]]'s NON-overlapping
+    * dedup chunks): stride-48 windows of 64 tokens, so consecutive chunks
+    * share 16 tokens of context and the final window clips to the doc
+    * tail (start sequence stops at size − (W−S), guaranteeing full
+    * coverage with one window for short docs). Entirely row-local until
+    * the output: sequence → explode → slice all inside one codegen stage
+    * over the scan, no shuffle at all — the chunk table is the artifact.
+    * Each chunk carries a 60-bit md5 fingerprint (the cross-engine hash
+    * discipline) for downstream index/dedup joins. */
+  def chunkWindows(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("source"), col("t"),
+        explode(expr(
+          s"sequence(1, greatest(size(t) - ${ChunkW - ChunkS}, 1), $ChunkS)"))
+          .as("start"))
+      .select(col("doc_id"), col("source"), col("start").cast("long").as("start"),
+        slice(col("t"), col("start"), lit(ChunkW)).as("w"))
+      .select(col("doc_id"), col("source"), col("start"),
+        size(col("w")).cast("long").as("n_tok"),
+        conv(substring(md5(concat_ws(" ", col("w"))), 1, 15), 16, 10)
+          .cast("long").as("chunk_fp"))
+
+  val chunkWindowsSql: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z]+') AS t
+       |  FROM documents
+       |), st AS (
+       |  SELECT doc_id, source, t,
+       |    unnest(generate_series(1,
+       |      GREATEST(len(t) - ${ChunkW - ChunkS}, 1), $ChunkS)) AS start
+       |  FROM tk
+       |)
+       |SELECT doc_id, source, start,
+       |  len(t[start : start + ${ChunkW - 1}]) AS n_tok,
+       |  ('0x' || substr(md5(array_to_string(
+       |    t[start : start + ${ChunkW - 1}], ' ')), 1, 15))::BIGINT AS chunk_fp
+       |FROM st""".stripMargin
+
   // ---- language identification ---------------------------------------------
 
   /** Marker-token language-ID heuristic: score each language by hits from a
@@ -978,6 +1021,7 @@ object TextAnalysis {
     "t_token_stats"  -> Q(tokenStatsSql)(tokenStats),
     "t_quality_score"-> Q(qualityScoreSql)(qualityScore),
     "t_quality_cap"  -> Q(qualityCapSql)(qualityCap),
+    "t_chunk_windows"-> Q(chunkWindowsSql)(chunkWindows),
     "t_lang_id"      -> Q(langIdSql)(langId),
     "t_lang_id_accuracy" -> Q(langIdAccuracySql)(langIdAccuracy),
     "t_fingerprints" -> Q(fingerprintsSql)(fingerprintsQ),
