@@ -915,12 +915,13 @@ object Dedup {
         ", x -> CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT))")
     val sh = base.select(col("doc_id"), col("source"),
       explode(hashed).as("h"))
-    // persisted: the benchmark vocabulary is consumed THREE times (sizing
-    // count, bloom build, exact verify) — without the persist each pass
-    // re-runs the full documents→tokenize→shingle→hash→distinct pipeline
-    val bench = sh.filter(col("source") === BenchSource)
-      .select("h").distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the benchmark vocabulary is consumed THREE times (sizing count,
+    // bloom build, exact verify): derive it from the TRACKED shared
+    // (source, gram) cache — one persisted reduction serves this query,
+    // the contamination matrix, and the novelty profile, and
+    // clearPairCache keeps its release/refresh contract
+    val bench = sourceGrams(spark, sfDir)
+      .filter(col("source") === BenchSource).select("h")
     val bf = bench.stat.bloomFilter("h", math.max(bench.count(), 1L), 0.01)
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)

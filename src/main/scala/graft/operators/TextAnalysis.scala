@@ -185,8 +185,9 @@ object TextAnalysis {
        |)
        |SELECT doc_id, source, start,
        |  len(t[start : start + ${ChunkW - 1}]) AS n_tok,
-       |  ('0x' || substr(md5(array_to_string(
-       |    t[start : start + ${ChunkW - 1}], ' ')), 1, 15))::BIGINT AS chunk_fp
+       |  ('0x' || substr(md5(COALESCE(array_to_string(
+       |    t[start : start + ${ChunkW - 1}], ' '), '')), 1, 15))::BIGINT
+       |    AS chunk_fp
        |FROM st""".stripMargin
 
   // ---- language identification ---------------------------------------------
