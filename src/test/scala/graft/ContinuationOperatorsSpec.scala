@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.model.Tables
+
+/** Value-level invariants for the round-4 continuation operators —
+  * semantic properties derivable from first principles, checked
+  * independently of the DuckDB oracles (the Round4OperatorsSpec
+  * discipline). */
+class ContinuationOperatorsSpec extends SparkSuite {
+
+  test("gap fill: hours span observed hours, gaps reconcile, fill only adds") {
+    val rows = graft.operators.Analytics.gapFill(spark, sf0001).collect()
+    val hourly = Tables.events(spark, sf0001)
+      .select(col("user_id"),
+        expr("date_trunc('hour', timestamp_millis(ts div 1000000))").as("h"),
+        col("value"))
+      .groupBy(col("user_id"))
+      .agg(countDistinct(col("h")).as("n_obs"),
+        round(sum(col("value")), 2).as("sum_obs"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows.length == hourly.size, "one audit row per user")
+    rows.foreach { r =>
+      val (user, nHours, nGaps, sumFilled) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      val (nObs, sumObs) = hourly(user)
+      assert(nHours - nGaps == nObs,
+        s"user $user: observed-hour reconciliation failed")
+      assert(nHours >= nObs, s"user $user: span must cover observations")
+      // carry-forward re-counts earlier (positive) values, never removes
+      assert(sumFilled >= sumObs - 0.01,
+        s"user $user: fill lost value ($sumFilled < $sumObs)")
+    }
+  }
+
+  test("chunk windows: stride anchoring, width cap, exact tail coverage") {
+    val chunks = graft.operators.TextAnalysis.chunkWindows(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    val sizes = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chunks.nonEmpty)
+    chunks.foreach { case (doc, cs) =>
+      val n = sizes(doc)
+      val starts = cs.map(_._2).sorted
+      assert(starts.head == 1L, s"doc $doc: first window anchors at 1")
+      assert(starts.sliding(2).filter(_.size == 2)
+        .forall(p => p(1) - p(0) == 48L), s"doc $doc: stride must be 48")
+      assert(cs.forall(_._3 <= 64L), s"doc $doc: width cap 64")
+      // exact tail coverage: the last window ends at the last token (or
+      // the doc is empty and the single window is empty)
+      val lastEnd = cs.map(c => c._2 + c._3 - 1).max
+      if (n > 0) assert(lastEnd == n, s"doc $doc: tail uncovered ($lastEnd/$n)")
+      // overlap design: every token index is inside >= 1 window because
+      // stride (48) < width (64) and the start sequence stops at n-16
+      assert(cs.forall(c => c._3 == 64L || c._2 + c._3 - 1 == n),
+        s"doc $doc: only the tail window may be short")
+    }
+  }
+
+  test("upsert merge: counts reconcile with the delta construction") {
+    val out = graft.operators.Dedup.upsertMerge(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("source"))
+    val expected = docs.groupBy(col("source")).agg(
+        count(lit(1)).as("n_base"),
+        count(when(col("doc_id") % 10 === 0, 1)).as("n_rev"),
+        count(when(col("doc_id") % 20 === 0, 1)).as("n_ins"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.keySet == expected.keySet)
+    out.foreach { case (src, (nDocs, nRevised, nInserted)) =>
+      val (nBase, nRev, nIns) = expected(src)
+      assert(nDocs == nBase + nIns,
+        s"$src: merged corpus = base + insertions ($nDocs vs $nBase+$nIns)")
+      assert(nRevised == nRev, s"$src: every %10 doc must surface revised")
+      assert(nInserted == nIns, s"$src: every %20 doc must surface inserted")
+    }
+  }
+
+  test("range frame: rolling sum equals a hand-computed frame for one user") {
+    val rows = graft.operators.Analytics.rangeFrame(spark, sf0001)
+      .filter(col("user_id") === 3L)
+      .select("ts_sec", "value", "rolling_1h")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, _, rolling) =>
+      val want = BigDecimal(rows.filter(r => r._1 >= t - 3600 && r._1 <= t)
+        .map(_._2).sum).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      assert((BigDecimal(rolling) - want).abs <= BigDecimal(0.01),
+        s"t=$t: rolling=$rolling want=$want")
+    }
+  }
+}
