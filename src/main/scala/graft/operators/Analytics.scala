@@ -622,6 +622,31 @@ object Analytics {
       |  COUNT(*) AS n
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  /** Linear-regression aggregates — completes the statistical-agg surface
+    * next to [[corrStats]]: per event type, OLS slope/intercept/R² of
+    * event value against hour-of-day, plus the pair count. All four are
+    * single-pass partial+final aggregates over (Σx, Σy, Σxy, Σx², Σy², n)
+    * — constant state per group at any scale, the same shape as
+    * sum/corr. Both engines compute from identical sums (UTC hour). */
+  def regression(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        hour(expr("timestamp_millis(ts div 1000000)")).cast("double").as("hr"),
+        col("value"))
+      .groupBy(col("event_type"))
+      .agg(round(expr("regr_slope(value, hr)"), 4).as("slope"),
+        round(expr("regr_intercept(value, hr)"), 4).as("intercept"),
+        round(expr("regr_r2(value, hr)"), 6).as("r2"),
+        expr("regr_count(value, hr)").as("n_pairs"))
+
+  val regressionSql: String =
+    """SELECT event_type,
+      |  ROUND(regr_slope(value, EXTRACT(hour FROM ts)), 4) AS slope,
+      |  ROUND(regr_intercept(value, EXTRACT(hour FROM ts)), 4) AS intercept,
+      |  ROUND(regr_r2(value, EXTRACT(hour FROM ts)), 6) AS r2,
+      |  CAST(regr_count(value, EXTRACT(hour FROM ts)) AS BIGINT) AS n_pairs
+      |FROM events GROUP BY event_type""".stripMargin
+
   // ---- salted aggregation (skew lever, with correctness proof) ---------------
 
   /** Two-phase SALTED aggregation over an extremely skewed key space
@@ -1079,6 +1104,7 @@ object Analytics {
     "q_zorder_layout"     -> Q(zorderLayoutSql)(zorderLayout),
     "q_monthly_revenue"   -> Q(monthlyRevenueSql)(monthlyRevenue),
     "q_corr_stats"        -> Q(corrStatsSql)(corrStats),
+    "q_regression"        -> Q(regressionSql)(regression),
     "q_salted_agg"        -> Q(saltedAggSql)(saltedAgg),
     "q_skew_join"         -> Q(skewJoinSql)(skewJoin),
     "q_unpivot"           -> Q(unpivotMeasuresSql)(unpivotMeasures),
