@@ -647,6 +647,92 @@ object Analytics {
       |  CAST(regr_count(value, EXTRACT(hour FROM ts)) AS BIGINT) AS n_pairs
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** Sampled aggregate estimation — the 100 TB exploratory pattern: a
+    * DETERMINISTIC 10% md5-hash sample (the [[graft.operators.TextAnalysis]]
+    * hash-split discipline: same rows in every engine, under any
+    * partitioning — seeded RNG sampling is neither) scans alongside the
+    * exact aggregate; the output carries both, so the estimate is
+    * auditable row-for-row. At scale the sampled branch reads 10% of the
+    * bytes (the filter pushes to the scan); here both run for the
+    * comparison. SampleEstimateSpec asserts the statistical bound;
+    * the oracle checks exact equality of both sides. */
+  def sampleEstimate(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_orderkey"), col("l_linenumber"))
+    val inSample = conv(substring(md5(concat_ws("|",
+      col("l_orderkey"), col("l_linenumber"))), 1, 8), 16, 10)
+      .cast("long") % 10 === 0
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_exact"),
+        round(sum(col("l_extendedprice")), 2).as("sum_exact"))
+    val sampled = li.filter(inSample).groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_sample"),
+        round(sum(col("l_extendedprice")), 2).as("sum_sample"))
+    exact.join(sampled, Seq("l_returnflag"))
+  }
+
+  val sampleEstimateSql: String =
+    """WITH tagged AS (
+      |  SELECT l_returnflag, l_extendedprice,
+      |    ('0x' || substr(md5(l_orderkey || '|' || l_linenumber), 1, 8))::BIGINT
+      |      % 10 = 0 AS in_sample
+      |  FROM lineitem
+      |)
+      |SELECT l_returnflag,
+      |  COUNT(*) AS n_exact,
+      |  ROUND(SUM(l_extendedprice), 2) AS sum_exact,
+      |  CAST(COUNT(CASE WHEN in_sample THEN 1 END) AS BIGINT) AS n_sample,
+      |  ROUND(SUM(CASE WHEN in_sample THEN l_extendedprice END), 2)
+      |    AS sum_sample
+      |FROM tagged GROUP BY l_returnflag""".stripMargin
+
+  /** Ordered conversion funnel (signup → purchase within 24 h) — the
+    * event-sequence analytics op: first-signup per user (one agg), then
+    * purchases gated on strictly-after-signup inside the window (one
+    * shuffled join on user + one agg), rolled up to a single audit row.
+    * No per-user event list is ever materialized — state per user is two
+    * timestamps, so the shape holds at any event volume. */
+  def funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val dayNs = 86400L * 1000000000L
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val firstSignup = ev.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "signup", col("ts")))
+        .as("first_signup"))
+    val converted = ev.filter(col("event_type") === "purchase")
+      .join(firstSignup, Seq("user_id"))
+      .filter(col("first_signup").isNotNull &&
+        col("ts") > col("first_signup") &&
+        col("ts") <= col("first_signup") + dayNs)
+      .select(col("user_id")).distinct()
+    firstSignup.agg(
+        count(lit(1)).as("n_users"),
+        count(col("first_signup")).as("n_with_signup"))
+      .crossJoin(broadcast(converted.agg(count(lit(1)).as("n_converted"))))
+      .select(col("n_users"), col("n_with_signup"), col("n_converted"),
+        round(col("n_converted") / col("n_with_signup"), 4).as("conv_rate"))
+  }
+
+  val funnelSql: String =
+    """WITH fs AS (
+      |  SELECT user_id,
+      |    MIN(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup
+      |  FROM events GROUP BY user_id
+      |), conv AS (
+      |  SELECT DISTINCT e.user_id
+      |  FROM events e JOIN fs ON e.user_id = fs.user_id
+      |  WHERE e.event_type = 'purchase' AND fs.first_signup IS NOT NULL
+      |    AND e.ts > fs.first_signup
+      |    AND e.ts <= fs.first_signup + INTERVAL 1 DAY
+      |)
+      |SELECT
+      |  (SELECT COUNT(*) FROM fs) AS n_users,
+      |  (SELECT COUNT(first_signup) FROM fs) AS n_with_signup,
+      |  (SELECT COUNT(*) FROM conv) AS n_converted,
+      |  ROUND((SELECT COUNT(*) FROM conv)
+      |    / (SELECT COUNT(first_signup) FROM fs), 4) AS conv_rate""".stripMargin
+
   // ---- salted aggregation (skew lever, with correctness proof) ---------------
 
   /** Two-phase SALTED aggregation over an extremely skewed key space
@@ -1105,6 +1191,8 @@ object Analytics {
     "q_monthly_revenue"   -> Q(monthlyRevenueSql)(monthlyRevenue),
     "q_corr_stats"        -> Q(corrStatsSql)(corrStats),
     "q_regression"        -> Q(regressionSql)(regression),
+    "q_sample_estimate"   -> Q(sampleEstimateSql)(sampleEstimate),
+    "q_funnel"            -> Q(funnelSql)(funnel),
     "q_salted_agg"        -> Q(saltedAggSql)(saltedAgg),
     "q_skew_join"         -> Q(skewJoinSql)(skewJoin),
     "q_unpivot"           -> Q(unpivotMeasuresSql)(unpivotMeasures),

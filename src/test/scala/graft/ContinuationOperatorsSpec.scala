@@ -82,6 +82,33 @@ class ContinuationOperatorsSpec extends SparkSuite {
     }
   }
 
+  test("sample estimate: 10x-scaled sample lands within the statistical bound") {
+    val rows = graft.operators.Analytics.sampleEstimate(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nExact, sumExact) = (r.getLong(1).toDouble, r.getDouble(2))
+      val (nSample, sumSample) = (r.getLong(3).toDouble, r.getDouble(4))
+      assert(nSample > 0, "each flag must draw sample rows")
+      // ~binomial(n, 0.1): 5-sigma relative bound ≈ 5·sqrt(0.9/(0.1·n))
+      val bound = 5.0 * math.sqrt(0.9 / (0.1 * nExact))
+      assert(math.abs(nSample * 10 - nExact) / nExact <= bound,
+        s"${r.getString(0)}: count estimate off (${nSample * 10} vs $nExact)")
+      assert(math.abs(sumSample * 10 - sumExact) / sumExact <= bound * 1.5,
+        s"${r.getString(0)}: sum estimate off (${sumSample * 10} vs $sumExact)")
+    }
+  }
+
+  test("funnel: converted users are a subset of signed-up users") {
+    val r = graft.operators.Analytics.funnel(spark, sf0001).head
+    val (users, signed, converted, rate) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    assert(signed <= users)
+    assert(converted <= signed, "conversion requires a prior signup")
+    assert(converted > 0, "the synthetic corpus has converting users")
+    assert(math.abs(rate - converted.toDouble / signed) < 1e-3)
+  }
+
   test("range frame: rolling sum equals a hand-computed frame for one user") {
     val rows = graft.operators.Analytics.rangeFrame(spark, sf0001)
       .filter(col("user_id") === 3L)

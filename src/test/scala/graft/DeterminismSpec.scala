@@ -37,7 +37,9 @@ class DeterminismSpec extends SparkSuite {
       // round-4 continuation: priority-window merge, skeleton-join fill,
       // hot-set split, post-agg unpivot, value-bounded frame, ORC reread
       "d_upsert_merge", "q_gap_fill", "q_skew_join", "q_unpivot",
-      "q_range_frame", "src_orc_roundtrip")
+      "q_range_frame", "src_orc_roundtrip",
+      // hash sampling must not see partitioning (the whole point)
+      "q_sample_estimate")
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     try {
       names.foreach { n =>
