@@ -733,6 +733,39 @@ object Analytics {
       |  ROUND((SELECT COUNT(*) FROM conv)
       |    / (SELECT COUNT(first_signup) FROM fs), 4) AS conv_rate""".stripMargin
 
+  private val ProfileCols = Seq("l_quantity", "l_extendedprice",
+    "l_discount", "l_tax")
+
+  /** Single-pass column profiling — the ANALYZE-TABLE primitive that
+    * feeds a cost-based optimizer: null count, distinct count, min, max
+    * for every profiled column in ONE scan + ONE aggregate (Spark's
+    * Expand handles the multi-distinct), then a row-local `stack` to the
+    * long (column, stats) form. At 100 TB the exact distincts would
+    * switch to approx_count_distinct partials ([[approxDistinct]] is
+    * that operator); the one-pass shape is the point. */
+  def tableProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val aggs = ProfileCols.flatMap { c =>
+      Seq(count(when(col(c).isNull, 1)).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_distinct"),
+        min(col(c)).cast("double").as(s"${c}_min"),
+        max(col(c)).cast("double").as(s"${c}_max"))
+    }
+    val stackArgs = ProfileCols.map(c =>
+      s"'$c', ${c}_nulls, ${c}_distinct, ${c}_min, ${c}_max").mkString(", ")
+    Tables.lineitem(spark, sfDir)
+      .agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${ProfileCols.size}, $stackArgs) " +
+        "AS (column_name, n_nulls, n_distinct, min_v, max_v)")
+  }
+
+  val tableProfileSql: String = ProfileCols.map(c =>
+    s"""SELECT '$c' AS column_name,
+       |  COUNT(CASE WHEN $c IS NULL THEN 1 END) AS n_nulls,
+       |  COUNT(DISTINCT $c) AS n_distinct,
+       |  CAST(MIN($c) AS DOUBLE) AS min_v,
+       |  CAST(MAX($c) AS DOUBLE) AS max_v
+       |FROM lineitem""".stripMargin).mkString("\nUNION ALL\n")
+
   // ---- salted aggregation (skew lever, with correctness proof) ---------------
 
   /** Two-phase SALTED aggregation over an extremely skewed key space
@@ -1192,6 +1225,7 @@ object Analytics {
     "q_corr_stats"        -> Q(corrStatsSql)(corrStats),
     "q_regression"        -> Q(regressionSql)(regression),
     "q_sample_estimate"   -> Q(sampleEstimateSql)(sampleEstimate),
+    "q_table_profile"     -> Q(tableProfileSql)(tableProfile),
     "q_funnel"            -> Q(funnelSql)(funnel),
     "q_salted_agg"        -> Q(saltedAggSql)(saltedAgg),
     "q_skew_join"         -> Q(skewJoinSql)(skewJoin),
