@@ -647,29 +647,33 @@ object Analytics {
       |  CAST(regr_count(value, EXTRACT(hour FROM ts)) AS BIGINT) AS n_pairs
       |FROM events GROUP BY event_type""".stripMargin
 
-  /** Sampled aggregate estimation — the 100 TB exploratory pattern: a
+  /** Sampled aggregate estimation — the exploratory pattern: a
     * DETERMINISTIC 10% md5-hash sample (the [[graft.operators.TextAnalysis]]
     * hash-split discipline: same rows in every engine, under any
-    * partitioning — seeded RNG sampling is neither) scans alongside the
-    * exact aggregate; the output carries both, so the estimate is
-    * auditable row-for-row. At scale the sampled branch reads 10% of the
-    * bytes (the filter pushes to the scan); here both run for the
-    * comparison. SampleEstimateSpec asserts the statistical bound;
-    * the oracle checks exact equality of both sides. */
+    * partitioning — seeded RNG sampling is neither) aggregated SIDE BY
+    * SIDE with the exact answer in one conditional-aggregation pass —
+    * one scan, one shuffle, and groups whose sample happens to be empty
+    * still surface (n_sample = 0), keeping the estimate auditable.
+    * Honest cost model: a row-hash predicate prunes downstream COMPUTE
+    * (the 90% non-sampled rows never reach later joins/aggs of a real
+    * exploration query), not scan bytes — byte-level sampling needs
+    * file/partition selection, which is what the md5 BUCKET layout of
+    * `t_hash_split`-partitioned data provides at rest.
+    * SampleEstimateSpec asserts the statistical bound; the oracle checks
+    * exact equality of both sides. */
   def sampleEstimate(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = Tables.lineitem(spark, sfDir)
-      .select(col("l_returnflag"), col("l_extendedprice"),
-        col("l_orderkey"), col("l_linenumber"))
     val inSample = conv(substring(md5(concat_ws("|",
       col("l_orderkey"), col("l_linenumber"))), 1, 8), 16, 10)
       .cast("long") % 10 === 0
-    val exact = li.groupBy(col("l_returnflag"))
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        inSample.as("in_sample"))
+      .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_exact"),
-        round(sum(col("l_extendedprice")), 2).as("sum_exact"))
-    val sampled = li.filter(inSample).groupBy(col("l_returnflag"))
-      .agg(count(lit(1)).as("n_sample"),
-        round(sum(col("l_extendedprice")), 2).as("sum_sample"))
-    exact.join(sampled, Seq("l_returnflag"))
+        round(sum(col("l_extendedprice")), 2).as("sum_exact"),
+        count(when(col("in_sample"), 1)).as("n_sample"),
+        round(sum(when(col("in_sample"), col("l_extendedprice"))), 2)
+          .as("sum_sample"))
   }
 
   val sampleEstimateSql: String =
@@ -694,17 +698,22 @@ object Analytics {
     * No per-user event list is ever materialized — state per user is two
     * timestamps, so the shape holds at any event volume. */
   def funnel(spark: SparkSession, sfDir: String): DataFrame = {
-    val dayNs = 86400L * 1000000000L
+    val dayMs = 86400000L
+    // ms normalization on BOTH sides (the TemporalJoins discipline):
+    // Spark sees the parquet TIMESTAMP(NANOS) as raw nanos, DuckDB reads
+    // it microsecond-truncated — comparing at full precision would
+    // classify window-boundary events differently across engines
     val ev = Tables.events(spark, sfDir)
-      .select(col("user_id"), col("event_type"), col("ts"))
+      .select(col("user_id"), col("event_type"),
+        expr("ts div 1000000").as("ts_ms"))
     val firstSignup = ev.groupBy(col("user_id"))
-      .agg(min(when(col("event_type") === "signup", col("ts")))
+      .agg(min(when(col("event_type") === "signup", col("ts_ms")))
         .as("first_signup"))
     val converted = ev.filter(col("event_type") === "purchase")
       .join(firstSignup, Seq("user_id"))
       .filter(col("first_signup").isNotNull &&
-        col("ts") > col("first_signup") &&
-        col("ts") <= col("first_signup") + dayNs)
+        col("ts_ms") > col("first_signup") &&
+        col("ts_ms") <= col("first_signup") + dayMs)
       .select(col("user_id")).distinct()
     firstSignup.agg(
         count(lit(1)).as("n_users"),
@@ -717,14 +726,15 @@ object Analytics {
   val funnelSql: String =
     """WITH fs AS (
       |  SELECT user_id,
-      |    MIN(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup
+      |    MIN(CASE WHEN event_type = 'signup' THEN epoch_ms(ts) END)
+      |      AS first_signup
       |  FROM events GROUP BY user_id
       |), conv AS (
       |  SELECT DISTINCT e.user_id
       |  FROM events e JOIN fs ON e.user_id = fs.user_id
       |  WHERE e.event_type = 'purchase' AND fs.first_signup IS NOT NULL
-      |    AND e.ts > fs.first_signup
-      |    AND e.ts <= fs.first_signup + INTERVAL 1 DAY
+      |    AND epoch_ms(e.ts) > fs.first_signup
+      |    AND epoch_ms(e.ts) <= fs.first_signup + 86400000
       |)
       |SELECT
       |  (SELECT COUNT(*) FROM fs) AS n_users,
