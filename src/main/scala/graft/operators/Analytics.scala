@@ -776,6 +776,35 @@ object Analytics {
        |  CAST(MAX($c) AS DOUBLE) AS max_v
        |FROM lineitem""".stripMargin).mkString("\nUNION ALL\n")
 
+  /** Event-transition matrix — the Markov-chain view of user behavior
+    * (which event follows which): per user, events ordered by
+    * (ms-normalized ts, event_id — a unique total order), `lag` pairs
+    * each event with its predecessor, and the (prev, next) pairs count
+    * up globally. One shuffle on user for the window, one for the 5×5
+    * count — per-user window state is a single row (lag 1). */
+  def transitions(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000000").as("ts_ms"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+  }
+
+  val transitionsSql: String =
+    """WITH ordered AS (
+      |  SELECT event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_ms(ts), event_id) AS prev_type
+      |  FROM events
+      |)
+      |SELECT prev_type, event_type, COUNT(*) AS n_transitions
+      |FROM ordered WHERE prev_type IS NOT NULL
+      |GROUP BY prev_type, event_type""".stripMargin
+
   // ---- salted aggregation (skew lever, with correctness proof) ---------------
 
   /** Two-phase SALTED aggregation over an extremely skewed key space
@@ -1237,6 +1266,7 @@ object Analytics {
     "q_sample_estimate"   -> Q(sampleEstimateSql)(sampleEstimate),
     "q_table_profile"     -> Q(tableProfileSql)(tableProfile),
     "q_funnel"            -> Q(funnelSql)(funnel),
+    "q_transitions"       -> Q(transitionsSql)(transitions),
     "q_salted_agg"        -> Q(saltedAggSql)(saltedAgg),
     "q_skew_join"         -> Q(skewJoinSql)(skewJoin),
     "q_unpivot"           -> Q(unpivotMeasuresSql)(unpivotMeasures),
