@@ -109,6 +109,17 @@ class ContinuationOperatorsSpec extends SparkSuite {
     assert(math.abs(rate - converted.toDouble / signed) < 1e-3)
   }
 
+  test("transitions: matrix total equals events minus one per active user") {
+    val total = graft.operators.Analytics.transitions(spark, sf0001)
+      .agg(sum(col("n_transitions"))).head.getLong(0)
+    val perUser = Tables.events(spark, sf0001)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .agg(sum(col("n") - 1)).head.getLong(0)
+    assert(total == perUser,
+      s"every event except each user's first must appear as a transition " +
+        s"($total vs $perUser)")
+  }
+
   test("range frame: rolling sum equals a hand-computed frame for one user") {
     val rows = graft.operators.Analytics.rangeFrame(spark, sf0001)
       .filter(col("user_id") === 3L)

@@ -39,7 +39,9 @@ class DeterminismSpec extends SparkSuite {
       "d_upsert_merge", "q_gap_fill", "q_skew_join", "q_unpivot",
       "q_range_frame", "src_orc_roundtrip",
       // hash sampling must not see partitioning (the whole point)
-      "q_sample_estimate")
+      "q_sample_estimate",
+      // lag over a unique (ts_ms, event_id) order: placement-free
+      "q_transitions")
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     try {
       names.foreach { n =>
