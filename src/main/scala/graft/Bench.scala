@@ -16,6 +16,10 @@ import org.apache.spark.sql.SparkSession
   *    steady-state plans, not one arbitrary victim paying the build.
   *  - TWO passes per query, min-time reported — damps the 49-69 s
   *    box-scheduler variance observed across round-2 runs.
+  *  - Shared builds are WARMED at sf0.001 first (round-5 fix): their
+  *    timed entries previously ran cold-JIT single-pass while queries
+  *    got min-of-two warm passes, so 44% of the round-4 driver total
+  *    sat under a different methodology than the rest of the suite.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -28,16 +32,37 @@ object Bench {
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The ≤64-row offset windows (percent-rank range-bucketing, replay
+    // offsets) intentionally run partition-less ABOVE an aggregate —
+    // PlanQualitySpec proves no unaggregated global window exists — so
+    // WindowExec's single-partition warning is pure noise here; silence
+    // that one category so the driver's bench tail shows signal.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
     // steady-state warmup (JIT + codegen + parquet reader init) at the
     // smallest SF so per-query timings aren't dominated by first-query
-    // JVM startup; the warmup SF is 100x smaller than the timed one
+    // JVM startup; the warmup SF is 100x smaller than the timed one.
+    // The shared builds warm here too (their caches key on (session,
+    // sfDir), so the sf0.001 build exercises the same code paths without
+    // pre-materializing the timed sf entry) — round 4 showed the cold
+    // single-pass shared entries absorbing 44% of the driver total under
+    // a different methodology than the min-of-two-warm-passes queries.
     try {
       val warmSf = "/root/testdata/sf0.001"
       Seq("o15_format_sniff", "q1_pricing_summary", "s_lsh_ann_topk",
-        "d_simhash_pairs").foreach { q =>
+        "d_simhash_pairs", "o27_fused_concat", "t_boilerplate").foreach { q =>
         try SparkEntry.queries(q)(spark, warmSf).count()
         catch { case _: Throwable => () }
       }
+      try graft.operators.Dedup.ngramJaccard(spark, warmSf).count()
+      catch { case _: Throwable => () }
+      try graft.operators.Dedup.materializeMinhash(spark, warmSf)
+      catch { case _: Throwable => () }
+      try graft.operators.Similarity.materializeKmeans(spark, warmSf)
+      catch { case _: Throwable => () }
+      try graft.operators.Dedup.materializeSourceGrams(spark, warmSf)
+      catch { case _: Throwable => () }
     } catch { case _: Throwable => () }
 
     def timed(f: () => Unit): Double = {

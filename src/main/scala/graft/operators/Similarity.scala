@@ -428,8 +428,19 @@ object Similarity {
       val w = Window.partitionBy(col("vec_id")).orderBy(col("d"), col("cell"))
       asg = dist.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1).select(col("vec_id"), col("cell"), col("d"))
+      // per-round materialization — the same lesson dupClusters already
+      // applies (Dedup.scala clusterLabels): without an action per round
+      // the final lineage nests KmIters windows + joins + aggregates and
+      // both optimization and execution cost compound (measured 27.6 s
+      // for the 3-round tree vs ~1 s materialized, on 17 MB). The
+      // centroid table is K·dim rows, so the eager localCheckpoint is a
+      // sub-millisecond job that truncates the round's whole lineage —
+      // and at scale it also stops round N from re-running rounds 1..N-1
+      // (including re-scanning the embeddings) from scratch.
       cent = ex.join(asg.select("vec_id", "cell"), Seq("vec_id"))
         .groupBy(col("cell"), col("i")).agg(round(avg(col("x")), 6).as("cx"))
+        .coalesce(1)
+        .localCheckpoint(true)
     }
     (centUsed, asg)
   }
