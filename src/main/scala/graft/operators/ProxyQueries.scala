@@ -120,9 +120,11 @@ object ProxyQueries {
        |  CAST(SUM(LENGTH(body)) AS BIGINT) AS bytes_received
        |FROM requests GROUP BY uri""".stripMargin
 
-  /** O-27/O-28 through the FUSED custom Aggregator
-    * (graft.functions.ConcatCountAgg — single-buffer append+count, the
-    * reference's exact execution shape). Concat order is arrival order
+  /** O-27/O-28 through the FUSED custom aggregate
+    * (org.apache.spark.sql.graft.ConcatCount, a TypedImperativeAggregate —
+    * single-buffer append+count, the reference's exact execution shape,
+    * raw-binary partial buffers instead of kryo). Concat order is arrival
+    * order
     * (nondeterministic across partitions, like the reference under
     * concurrency), so the checked outputs are the order-invariant
     * aggregates: batch byte length, row count, request count. */

@@ -42,15 +42,11 @@ object IngestPipeline {
   /** Per-micro-batch aggregation — the reference's buffer map as one
     * hash-agg over the batch: group by full URI, concatenate bodies with
     * the format delimiter, count rows with raw-substring semantics. One
-    * pass through the fused [[graft.functions.ConcatCountAgg]] Aggregator
-    * (append+count in a single buffer, like the reference's
-    * `Buffer{rowcount, buffer}` — no intermediate collect_list array). */
+    * pass through the fused [[org.apache.spark.sql.graft.ConcatCount]]
+    * TypedImperativeAggregate (append+count in a single buffer, like the
+    * reference's `Buffer{rowcount, buffer}` — no intermediate collect_list
+    * array, and no kryo at the partial/final boundary). */
   def aggregateBatch(batch: DataFrame): DataFrame = {
-    val fused = udaf(graft.functions.ConcatCountAgg,
-      org.apache.spark.sql.Encoders.tuple(
-        org.apache.spark.sql.Encoders.STRING,
-        org.apache.spark.sql.Encoders.scalaLong,
-        org.apache.spark.sql.Encoders.STRING))
     batch
       // O-14 (main.go:219-221): empty bodies are rejected at ingest (the
       // reference answers 405 and buffers nothing)
@@ -59,10 +55,11 @@ object IngestPipeline {
         rowCount(col("uri"), col("body")).as("rows_in"),
         delimiterOf(col("uri")).as("delim"))
       .groupBy(col("uri"))
-      .agg(fused(col("body"), col("rows_in"), col("delim")).as("cc"),
+      .agg(org.apache.spark.sql.graft.ConcatCount(
+          col("body"), col("rows_in"), col("delim")).as("cc"),
         sum(length(col("body"))).cast("long").as("bytes_in"))
-      .select(col("uri"), col("cc._1").as("body"), col("cc._2").as("rows"),
-        col("cc._3").as("reqs"), col("bytes_in"))
+      .select(col("uri"), col("cc.body").as("body"), col("cc.rows").as("rows"),
+        col("cc.reqs").as("reqs"), col("bytes_in"))
   }
 
   /** Serializes every DLQ append in this JVM: the live stream's failure
