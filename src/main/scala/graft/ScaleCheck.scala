@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical sf0.1 → sf1 scaling check (VERDICT r5 task 2): generates a
+  * 10× corpus for `documents`/`embeddings`/`events` and measures the
+  * heaviest operator families at both SFs, reporting the scaling exponent
+  * `log10(t_sf1 / t_sf01)` per family (1.0 = perfectly linear; logs push
+  * it slightly above).
+  *
+  * The 10× corpus must preserve the STATISTICAL SHAPE of the original or
+  * the measurement answers the wrong question:
+  *  - `documents`: 10 replicas, replica k rotating every letter by k (a
+  *    Caesar cipher via `translate`). Lengths, punctuation, line
+  *    structure, and the within-replica document-frequency distribution
+  *    are preserved exactly, while replicas get disjoint vocabularies —
+  *    naive exact replication would instead mint 10 near-dup clones of
+  *    every document and inflate the candidate-pair volume ~45×, turning
+  *    a linear engine measurement into a quadratic corpus artifact.
+  *  - `embeddings`: replica k shifts every coordinate by k·0.0013 —
+  *    distinct vectors, same geometry per replica.
+  *  - `events`: replica k remaps user/event ids; per-user event sequences
+  *    (session structure) are preserved per replica.
+  *
+  * Run: `sbt "runMain graft.ScaleCheck"` (add `generate` / `measure` to
+  * do one phase). Writes sf1 parquet under `target/sf1/` (never touches
+  * /root/testdata) and prints one JSON line per family. */
+object ScaleCheck {
+
+  private val Sf01 = "/root/testdata/sf0.1"
+  private val Sf1 = "target/sf1"
+  private val Replicas = 10
+
+  def main(args: Array[String]): Unit = {
+    val mode = args.headOption.getOrElse("all")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    if (mode == "all" || mode == "generate") generate(spark)
+    if (mode == "all" || mode == "measure") measure(spark)
+    spark.stop()
+  }
+
+  def generate(spark: SparkSession): Unit = {
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    def rot(k: Int): String = alpha.drop(k) + alpha.take(k)
+
+    val docs = spark.read.parquet(s"$Sf01/documents.parquet")
+    (0 until Replicas).map { k =>
+      docs.select(
+        (col("doc_id") * Replicas + k).as("doc_id"),
+        translate(translate(col("text"), alpha, rot(k)),
+          alpha.toUpperCase, rot(k).toUpperCase).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$Sf1/documents.parquet")
+
+    val emb = spark.read.parquet(s"$Sf01/embeddings.parquet")
+    (0 until Replicas).map { k =>
+      emb.select(
+        (col("vec_id") * Replicas + k).as("vec_id"),
+        expr(s"transform(embedding, v -> CAST(v + $k * 0.0013D AS FLOAT))")
+          .as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$Sf1/embeddings.parquet")
+
+    // ts is TIMESTAMP(NANOS) parquet; read through the same legacy conf
+    // the Tables loader uses so queries see the identical long-typed ts
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$Sf01/events.parquet")
+    (0 until Replicas).map { k =>
+      ev.select(
+        (col("event_id") * Replicas + k).as("event_id"), col("ts"),
+        (col("user_id") * Replicas + k).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$Sf1/events.parquet")
+
+    println(s"""{"generated":"$Sf1","replicas":$Replicas}""")
+  }
+
+  /** Family → action. Each runs via the exact production query path; the
+    * operator caches key on (session, sfDir), so sf0.1 and sf1 builds
+    * never share work. */
+  private def families: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    "dedup_pairs" -> ((s, d) =>
+      { graft.operators.Dedup.ngramJaccard(s, d).count(); () }),
+    "tfidf" -> ((s, d) =>
+      { SparkEntry.queries("t_tfidf_top")(s, d).count(); () }),
+    "boilerplate" -> ((s, d) =>
+      { SparkEntry.queries("t_boilerplate")(s, d).count(); () }),
+    "kmeans_model" -> ((s, d) =>
+      graft.operators.Similarity.materializeKmeans(s, d)),
+    "ivf_trained" -> ((s, d) =>
+      { SparkEntry.queries("s_ivf_trained_topk")(s, d).count(); () }),
+    "sessionize" -> ((s, d) =>
+      { SparkEntry.queries("q_sessionize")(s, d).count(); () }))
+
+  def measure(spark: SparkSession): Unit = {
+    // JIT/codegen warmup at the smallest SF, same discipline as Bench
+    families.foreach { case (_, f) =>
+      try f(spark, "/root/testdata/sf0.001") catch { case _: Throwable => () }
+    }
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime()
+      f
+      (System.nanoTime() - t0) / 1e9
+    }
+    val rows = families.map { case (name, f) =>
+      val t01 = timed(f(spark, Sf01))
+      val t1 = timed(f(spark, Sf1))
+      val exp = math.log10(t1 / t01)
+      println(f"""{"family":"$name","sf0.1_sec":$t01%.2f,"sf1_sec":$t1%.2f,"exponent":$exp%.2f}""")
+      (name, t01, t1, exp)
+    }
+    val worst = rows.maxBy(_._4)
+    println(f"""{"worst_family":"${worst._1}","worst_exponent":${worst._4}%.2f}""")
+  }
+}

@@ -114,8 +114,14 @@ object Dedup {
     * serves the Jaccard family AND the subset-containment query. */
   private def pairList(spark: SparkSession, sfDir: String): DataFrame =
     pairCache.getOrElseUpdate((spark, sfDir), {
-      val df = pairListCompute(spark, sfDir)
+      val (df, intermediates) = pairListCompute(spark, sfDir)
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // materialize eagerly so the build-only intermediates (hashed
+      // shingle sets, rare-shingle explode) can be freed immediately —
+      // they are several times larger than the pair list they produce
+      df.count()
+      intermediates.foreach(d => try d.unpersist()
+        catch { case _: Exception => () })
       df
     })
 
@@ -138,7 +144,14 @@ object Dedup {
         round(col("jaccard"), 6).as("jaccard"),
         round(col("containment"), 6).as("containment"))
 
-  private def pairListCompute(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Builds the pair list; returns it UNpersisted plus the build-only
+    * persisted intermediates the caller must unpersist once the result is
+    * materialized. Without these persists the tokenize+shingle+md5 subtree
+    * re-ran 2-3× (once per side of the rare self-join plus the df
+    * aggregate) — AQE exchange reuse caught only part of it, and the entry
+    * regressed to the suite's largest (round-5 finding). */
+  private def pairListCompute(
+      spark: SparkSession, sfDir: String): (DataFrame, Seq[DataFrame]) = {
     val base = toks(spark, sfDir)
     // everything downstream works on 60-bit md5-prefix hashes of the
     // shingles: long join keys and long-array intersects instead of
@@ -147,11 +160,19 @@ object Dedup {
     val hashShingles = expr(
       "transform(" + shinglesSql("t", 3) +
         ", x -> CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT))")
-    val ex = base.select(col("doc_id"), explode(hashShingles).as("h"))
+    // hash ONCE: the persisted (doc_id, hashed-shingle-set) table feeds
+    // the candidate-generation explode below AND both verify-phase joins,
+    // so tokenize+shingle+md5 runs a single time over the corpus
+    val shH = base.select(col("doc_id"), hashShingles.as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = shH.select(col("doc_id"), explode(col("s")).as("h"))
+    // persisted before the self-join so the explode+df-filter subtree runs
+    // once, not once per join side
     val rare = ex.join(
       ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= MaxShingleDf).select("h"),
       Seq("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = rare.as("a").join(rare.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -163,8 +184,7 @@ object Dedup {
     // the corpus and would OOM a forced broadcast at 100 TB; unhinted, AQE
     // broadcasts when it genuinely fits and shuffles on doc_id otherwise
     // (still O(candidates)).
-    val shH = base.select(col("doc_id"), hashShingles.as("s"))
-    cand
+    val scored = cand
       .join(shH.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(shH.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
@@ -175,6 +195,7 @@ object Dedup {
         (col("c") / (col("na") + col("nb") - col("c"))).as("jaccard"),
         (col("c") / least(col("na"), col("nb"))).as("containment"))
       .filter(col("jaccard") >= 0.1 || col("containment") >= 0.5)
+    (scored, Seq(shH, rare))
   }
 
   /** Shared oracle CTE chain: shingles → rare-shingle candidate pairs →

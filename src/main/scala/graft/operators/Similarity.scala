@@ -418,6 +418,10 @@ object Similarity {
       .select(col("vec_id").as("cell"), col("i"), round(col("x"), 6).as("cx"))
     var centUsed = cent
     var asg: DataFrame = null
+    // the checkpoint two rounds back: its only consumer (the previous
+    // round's assignment) folded into the latest materialized centroid
+    // table, so its executor blocks are dead weight — free them
+    var staleCkpt: DataFrame = null
     for (_ <- 1 to KmIters) {
       centUsed = cent
       val dist = vecs.crossJoin(broadcast(centArrays(cent)))
@@ -437,13 +441,32 @@ object Similarity {
       // sub-millisecond job that truncates the round's whole lineage —
       // and at scale it also stops round N from re-running rounds 1..N-1
       // (including re-scanning the embeddings) from scratch.
+      // Caveat (at-scale): localCheckpoint blocks are executor-local and
+      // NOT replicated — under executor loss or dynamic allocation a lost
+      // round is unrecoverable and fails the job instead of recomputing.
+      // On a real cluster swap in reliable `checkpoint()` (HDFS-backed,
+      // needs setCheckpointDir) for the same K·dim-row table; local mode
+      // has no executor churn, so the cheaper form is safe here.
       cent = ex.join(asg.select("vec_id", "cell"), Seq("vec_id"))
         .groupBy(col("cell"), col("i")).agg(round(avg(col("x")), 6).as("cx"))
         .coalesce(1)
         .localCheckpoint(true)
+      if (staleCkpt != null) freeLocalCheckpoint(staleCkpt)
+      staleCkpt = centUsed
     }
     (centUsed, asg)
   }
+
+  /** Frees the executor blocks of a localCheckpoint'ed frame. The returned
+    * `(centUsed, asg)` pair keeps the last two rounds' checkpoints alive
+    * (asg's lineage reads centUsed), so only older rounds pass through
+    * here. No-op for non-checkpointed plans (the round-0 seed). */
+  private def freeLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
 
   def kmeansCells(spark: SparkSession, sfDir: String): DataFrame = {
     val (_, asg) = kmeansTrain(spark, sfDir)

@@ -58,6 +58,12 @@ case class TopKPerKey(
     child: LogicalPlan) extends UnaryNode {
   require(k > 0, s"k must be positive, got $k")
   require(maxPartialKeys > 0, s"maxPartialKeys must be positive")
+  require(keys.nonEmpty, "TopKPerKey requires at least one key expression")
+  // an empty order would silently degrade to arbitrary-k-per-key — the
+  // heaps would keep whichever k rows arrived first — violating the
+  // operator's tie-free determinism contract; refuse at construction
+  require(order.nonEmpty, "TopKPerKey requires a non-empty ordering " +
+    "(an empty order selects arbitrary rows per key)")
   override def output: Seq[Attribute] = child.output
   override def maxRows: Option[Long] = child.maxRows
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKey =
@@ -250,8 +256,18 @@ object TopK {
     ensurePlanner(spark)
     val plan = df.queryExecution.analyzed
     def attr(n: String): Attribute =
-      plan.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
-        s"column $n not among ${plan.output.map(_.name).mkString(", ")}"))
+      plan.output.filter(_.name == n) match {
+        case Seq(a) => a
+        case Seq() => throw new IllegalArgumentException(
+          s"column $n not among ${plan.output.map(_.name).mkString(", ")}")
+        case many => throw new IllegalArgumentException(
+          // first-match here would silently bind one of the duplicates —
+          // e.g. after a join that carried both sides' `id` — and rank or
+          // group on the wrong column with no error
+          s"column $n is ambiguous: ${many.size} attributes share the name " +
+            s"(${many.map(_.qualifiedName).mkString(", ")}); " +
+            "rename with toDF/alias before TopK.perKey")
+      }
     val order = orderSpec.map { case (n, asc) =>
       SortOrder(attr(n), if (asc) Ascending else Descending)
     }

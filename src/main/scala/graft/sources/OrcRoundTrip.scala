@@ -20,8 +20,30 @@ object OrcRoundTrip {
 
   private val created = TrieMap.empty[String, String]
 
+  /** Cache key = sfDir + a fingerprint of the source parquet (file names,
+    * sizes, mtimes). Keying on sfDir alone served a stale ORC snapshot if
+    * the parquet under a cached dir was regenerated in-session; with the
+    * fingerprint a regenerate simply misses the cache and re-copies. Old
+    * snapshots stay on disk until the JVM shutdown hook sweeps them —
+    * bounded by the number of regenerations, acceptable for a session-
+    * scoped test/bench artifact. */
+  private def cacheKey(sfDir: String): String = {
+    val src = java.nio.file.Paths.get(sfDir, "documents.parquet")
+    val fp =
+      try {
+        val s = java.nio.file.Files.walk(src)
+        try s.sorted().map[String](p =>
+            s"$p:${java.nio.file.Files.size(p)}:" +
+              java.nio.file.Files.getLastModifiedTime(p).toMillis)
+          .reduce("", (a, b) => a + "|" + b)
+        finally s.close()
+      } catch { case _: Exception => "unreadable" }
+    sfDir + "#" + java.security.MessageDigest.getInstance("MD5")
+      .digest(fp.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
   private def ensure(spark: SparkSession, sfDir: String): String =
-    created.getOrElseUpdate(sfDir, {
+    created.getOrElseUpdate(cacheKey(sfDir), {
       val root = Files.createTempDirectory("graft-orc")
       // the ORC copy is a full materialization of documents — reclaim it
       // when the JVM exits instead of accumulating one per bench/test run

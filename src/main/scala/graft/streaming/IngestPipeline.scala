@@ -173,7 +173,13 @@ object IngestPipeline {
     * snapshotted up front, so batches spilled concurrently by the live
     * stream are untouched; escalations are appended BEFORE the source file
     * is deleted, so a crash in between duplicates (at-least-once) but never
-    * loses. Driver memory is bounded by one spill file at a time.
+    * loses. Rows stream to the driver via `toLocalIterator` (one partition
+    * resident at a time — a multi-GB failed batch never collects whole)
+    * and failures re-spill in [[RespillChunk]]-row chunks, so driver
+    * memory is bounded by max(one partition, one chunk) regardless of
+    * spill-file size. Sends stay sequential on the driver — that is what
+    * preserves the reference's strict oldest-first replay order and its
+    * 1-per-second pacing (parallel executor-side sends would break both).
     *
     * `paceMillis` throttles sends (reference sleeps 1 s between replays,
     * main.go:480 — O-35); `maxFiles` bounds one pass over a large backlog.
@@ -185,29 +191,50 @@ object IngestPipeline {
     var sent = 0L
     var respilled = 0L
     liveFiles(dir).take(maxFiles).foreach { case (lvl, f) =>
-      val rows = spark.read.parquet(f.getAbsolutePath)
+      // Spark-side sort + toLocalIterator: rows arrive oldest-first
+      // (O-34) one partition at a time, never the whole file at once
+      val it = spark.read.parquet(f.getAbsolutePath)
         .select("uri", "body", "rows", "ts_nano")
-        .collect()
-        .sortBy(_.getAs[Long]("ts_nano")) // O-34: oldest first within file
-      val failed = rows.filter { r =>
+        .sort("ts_nano")
+        .toLocalIterator()
+      val failedBuf =
+        scala.collection.mutable.ArrayBuffer.empty[(String, String, Long, Int)]
+      var nRows = 0L
+      var nFailed = 0L
+      while (it.hasNext) {
+        val r = it.next()
+        nRows += 1
         if (paceMillis > 0) Thread.sleep(paceMillis)
         // faithful quirk: the reference replays with rowcount=1 regardless
         // of the batch's true row count (main.go:479), under-reporting
         // rows_sent for replayed batches — reproduced, not fixed (§3.3)
-        !sink.send(r.getAs[String]("uri"), r.getAs[String]("body"), rows = 1L)
+        val ok =
+          sink.send(r.getAs[String]("uri"), r.getAs[String]("body"), rows = 1L)
+        if (!ok) {
+          nFailed += 1
+          failedBuf += ((r.getAs[String]("uri"), r.getAs[String]("body"),
+            r.getAs[Long]("rows"), lvl + 1))
+          if (failedBuf.length >= RespillChunk) {
+            spill(spark, failedBuf.toSeq, dlqDir)
+            failedBuf.clear()
+          }
+        }
       }
-      if (failed.nonEmpty) spill(spark, failed.toSeq.map(r =>
-        (r.getAs[String]("uri"), r.getAs[String]("body"),
-          r.getAs[Long]("rows"), lvl + 1)), dlqDir)
+      if (failedBuf.nonEmpty) spill(spark, failedBuf.toSeq, dlqDir)
       if (!f.delete())
         throw new java.io.IOException(
           s"DLQ replay: processed but could not delete $f — " +
             "stopping to avoid double-replay")
-      sent += rows.length - failed.length
-      respilled += failed.length
+      sent += nRows - nFailed
+      respilled += nFailed
     }
     (sent, respilled)
   }
+
+  /** Failed replay rows re-spill to the DLQ in chunks of this many rows,
+    * bounding driver memory during an all-fail replay (downstream still
+    * down) to one chunk instead of one whole spill file. */
+  private val RespillChunk = 10000
 
   /** O-3: DLQ backlog → HTTP status (main.go:228-245). Counts only live
     * files (robust to drained-empty `level=` dirs). The replayer deletes

@@ -6,7 +6,7 @@ import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.trees.TernaryLike
@@ -28,6 +28,10 @@ final class ConcatCountBuffer {
   var rows: Long = 0L
   var reqs: Long = 0L
   var delim: Array[Byte] = Array.emptyByteArray
+  // explicit "delimiter captured" flag: an empty delimiter is legitimate
+  // (TSV/CSV groups), so emptiness cannot double as the unset sentinel —
+  // that would re-evaluate the delimiter child on every row of the group
+  var delimSet: Boolean = false
 }
 
 /** The reference's per-key Buffer as ONE fused typed aggregate
@@ -56,7 +60,7 @@ case class ConcatCount(first: Expression, second: Expression,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[ConcatCountBuffer]
-  with TernaryLike[Expression] with ExpectsInputTypes {
+  with TernaryLike[Expression] with ImplicitCastInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] =
     Seq(StringType, LongType, StringType)
@@ -82,9 +86,12 @@ case class ConcatCount(first: Expression, second: Expression,
       val r = second.eval(input)
       if (r != null) buf.rows += r.asInstanceOf[Long]
       buf.reqs += 1L
-      if (buf.delim.isEmpty) {
+      if (!buf.delimSet) {
         val d = third.eval(input)
-        if (d != null) buf.delim = d.asInstanceOf[UTF8String].copy().getBytes
+        if (d != null) {
+          buf.delim = d.asInstanceOf[UTF8String].copy().getBytes
+          buf.delimSet = true
+        }
       }
     }
     buf
@@ -96,7 +103,7 @@ case class ConcatCount(first: Expression, second: Expression,
     a.totalBytes += b.totalBytes
     a.rows += b.rows
     a.reqs += b.reqs
-    if (a.delim.isEmpty && b.delim.nonEmpty) a.delim = b.delim
+    if (!a.delimSet && b.delimSet) { a.delim = b.delim; a.delimSet = true }
     a
   }
 
@@ -122,12 +129,19 @@ case class ConcatCount(first: Expression, second: Expression,
   }
 
   // raw length-prefixed layout — no kryo, no reflection:
-  // [delimLen][delim][rows][reqs][nParts] then per part [len][bytes]
+  // [delimSet][delimLen][delim][rows][reqs][nParts] then per part [len][bytes]
   override def serialize(buf: ConcatCountBuffer): Array[Byte] = {
-    val bos = new ByteArrayOutputStream(
-      16 + 4 + buf.delim.length + 8 + 8 + 4 + buf.totalBytes.toInt
-        + 4 * buf.parts.length)
+    // same descriptive guard as eval(): without it a ~2 GiB partial buffer
+    // turns the Int size arithmetic negative and throws an opaque
+    // IllegalArgumentException from ByteArrayOutputStream
+    val estimate = 32L + buf.delim.length + buf.totalBytes +
+      4L * buf.parts.length
+    require(estimate <= Int.MaxValue,
+      s"partial concat buffer exceeds 2 GiB ($estimate bytes serialized) — " +
+        "split the group")
+    val bos = new ByteArrayOutputStream(estimate.toInt)
     val out = new DataOutputStream(bos)
+    out.writeBoolean(buf.delimSet)
     out.writeInt(buf.delim.length)
     out.write(buf.delim)
     out.writeLong(buf.rows)
@@ -141,6 +155,7 @@ case class ConcatCount(first: Expression, second: Expression,
   override def deserialize(bytes: Array[Byte]): ConcatCountBuffer = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val buf = new ConcatCountBuffer
+    buf.delimSet = in.readBoolean()
     val dLen = in.readInt()
     buf.delim = new Array[Byte](dLen); in.readFully(buf.delim)
     buf.rows = in.readLong()

@@ -36,6 +36,16 @@ object SparkSuite {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+      // The 4.1 checkpoint checksum manager deadlocks under this suite's
+      // workload (dozens of short-lived streaming queries in one JVM):
+      // observed all executor slots parked in
+      // ChecksumCancellableFSDataOutputStream.close awaiting futures while
+      // every ChecksumCheckpointFileManager pool thread sat idle — the
+      // state-store commit then never finishes and the suite hangs. The
+      // feature only guards against checkpoint file corruption, worthless
+      // for throwaway tmp-dir checkpoints; production sessions keep the
+      // default.
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -201,6 +201,39 @@ class StreamingIngestSpec extends SparkSuite {
       Seq("/a1", "/a2", "/a3", "/b1", "/b2", "/b3"))
   }
 
+  test("replay streams a 100k-row spill file without collecting it whole") {
+    val s = spark
+    val dlqDir = tmp("dlq")
+    // one spill generation = one level-1 file with 100k rows — the
+    // "single multi-GB failed batch" shape scaled to test size. replayOnce
+    // reads it via sort + toLocalIterator (one partition resident at a
+    // time, asserted by construction in the implementation); this spec
+    // pins the semantics at that size: every row sent once, file deleted.
+    IngestPipeline.spill(s,
+      (1 to 100000).map(i => (s"/u", s"($i)", 1L, 1)), dlqDir)
+    val sink = TestSink()
+    assert(IngestPipeline.replayOnce(s, dlqDir, sink) == ((100000L, 0L)))
+    assert(sink.sent.size == 100000)
+    assert(IngestPipeline.dlqStatus(s, dlqDir) == 200)
+    // drained: a second pass finds nothing live
+    assert(IngestPipeline.replayOnce(s, dlqDir, TestSink()) == ((0L, 0L)))
+  }
+
+  test("all-fail replay re-spills in bounded chunks, escalated one level") {
+    val s = spark
+    val dlqDir = tmp("dlq")
+    IngestPipeline.spill(s,
+      (1 to 25000).map(i => (s"/u$i", s"($i)", 1L, 1)), dlqDir)
+    // downstream still down: every send fails → the respill path must
+    // flush its buffer in RespillChunk-sized chunks (25k rows = 3 flushes)
+    // rather than holding all failures until the file ends
+    val down = TestSink(failUris = _ => true)
+    assert(IngestPipeline.replayOnce(s, dlqDir, down) == ((0L, 25000L)))
+    val left = s.read.parquet(dlqDir).groupBy("level").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(left == Map(2 -> 25000L)) // all escalated to level 2, none lost
+  }
+
   test("metric flush loop pushes and clears on its own trigger (metric.go:21-50)") {
     val s = spark
     val metrics = new graft.sinks.MetricStorage("h", "cnt", "avg")

@@ -66,4 +66,64 @@ class StreamingTopKSpec extends SparkSuite {
         (1L, 1, 6.0, 11L), (1L, 2, 5.0, 12L), (1L, 3, 4.0, 10L)).sorted)
     } finally q.stop()
   }
+
+  test("idle TTL evicts a key's board; a re-appearing key restarts empty") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val stream = MemoryStream[(Long, Double, Long)]
+    // With ProcessingTimeTimeout the engine runs no-data batches forever
+    // (FlatMapGroupsWithStateExec.shouldRunAnotherBatch is
+    // unconditionally true) — `processAllAvailable` NEVER returns on such
+    // a query, so this spec polls the sink against a deadline instead,
+    // and throttles the perpetual batch loop with a real trigger.
+    val q = StreamingTopK.topK(stream.toDF().toDF("key", "v", "tie"),
+        k = 1, idleTtlMillis = Some(200L))
+      .writeStream.format("memory").queryName("stopk3")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(50L))
+      .start()
+    def awaitRows(expect: Set[(Long, Int, Double, Long)]): Unit = {
+      val deadline = System.currentTimeMillis() + 30000
+      while (System.currentTimeMillis() < deadline &&
+        collectRows("stopk3").toSet != expect) Thread.sleep(50)
+      assert(collectRows("stopk3").toSet == expect)
+    }
+    try {
+      stream.addData(Seq((1L, 9.0, 1L)))
+      awaitRows(Set((1L, 1, 9.0, 1L)))
+      // key 1 sits idle well past the TTL: a no-data batch fires its
+      // timeout and drops the board (emitting nothing: eviction is state
+      // cleanup, not output)
+      Thread.sleep(1000)
+      stream.addData(Seq((2L, 5.0, 2L)))
+      awaitRows(Set((1L, 1, 9.0, 1L), (2L, 1, 5.0, 2L)))
+      // a WORSE key-1 row now debuts at rank 1: only an evicted (empty)
+      // board admits it — surviving state [9.0] would have stayed silent
+      stream.addData(Seq((1L, 1.0, 3L)))
+      awaitRows(Set((1L, 1, 9.0, 1L), (2L, 1, 5.0, 2L), (1L, 1, 1.0, 3L)))
+    } finally q.stop()
+  }
+
+  test("without a TTL, an idle key's board survives (default unchanged)") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val stream = MemoryStream[(Long, Double, Long)]
+    val q = StreamingTopK.topK(stream.toDF().toDF("key", "v", "tie"), k = 1)
+      .writeStream.format("memory").queryName("stopk4")
+      .outputMode("update").start()
+    try {
+      stream.addData(Seq((1L, 9.0, 1L)))
+      q.processAllAvailable()
+      Thread.sleep(500)
+      stream.addData(Seq((2L, 5.0, 2L)))
+      q.processAllAvailable()
+      // below-the-bar row for the long-idle key: state survived, so no emit
+      stream.addData(Seq((1L, 1.0, 3L)))
+      q.processAllAvailable()
+      assert(collectRows("stopk4").toSet ==
+        Set((1L, 1, 9.0, 1L), (2L, 1, 5.0, 2L)))
+    } finally q.stop()
+  }
 }

@@ -214,4 +214,33 @@ class TopKPerKeySpec extends SparkSuite {
     assert(run(1) == run(13))
     assert(run(1).size == 35)
   }
+
+  test("empty keys and empty order are rejected at construction") {
+    import spark.implicits._
+    val df = Seq((1L, 2.0, 3L)).toDF("key", "v", "tie")
+    // an empty order would silently keep whichever k rows arrived first —
+    // the node's determinism contract forbids it, so it must throw, not
+    // degrade
+    val e1 = intercept[IllegalArgumentException] {
+      TopK.perKey(df, Seq("key"), Seq.empty, 1)
+    }
+    assert(e1.getMessage.contains("order"))
+    val e2 = intercept[IllegalArgumentException] {
+      TopK.perKey(df, Seq.empty, Seq(("v", false)), 1)
+    }
+    assert(e2.getMessage.contains("key"))
+  }
+
+  test("duplicate column names are ambiguous, not first-match") {
+    import spark.implicits._
+    val a = Seq((1L, 5.0)).toDF("id", "v")
+    val b = Seq((1L, 7.0)).toDF("id", "w")
+    // the join output carries BOTH sides' `id` — binding either one
+    // silently would group on an arbitrary column
+    val joined = a.join(b, a("id") === b("id"))
+    val e = intercept[IllegalArgumentException] {
+      TopK.perKey(joined, Seq("id"), Seq(("v", false)), 1)
+    }
+    assert(e.getMessage.contains("ambiguous"))
+  }
 }
