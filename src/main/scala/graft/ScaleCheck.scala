@@ -44,7 +44,25 @@ object ScaleCheck {
     spark.sparkContext.setLogLevel("WARN")
     if (mode == "all" || mode == "generate") generate(spark)
     if (mode == "all" || mode == "measure") measure(spark)
+    if (mode == "volumes") volumes(spark)
     spark.stop()
+  }
+
+  /** Structural-volume anchor for the timing claims: proves the sf1
+    * corpus carries ~10× the sf0.1 WORK (rows, near-dup pairs, distinct
+    * terms), i.e. the sublinear wall-clock exponents reflect engine
+    * headroom at these absolute sizes, not a degenerate scaled corpus. */
+  def volumes(spark: SparkSession): Unit = {
+    Seq("sf0.1" -> Sf01, "sf1" -> Sf1).foreach { case (label, d) =>
+      val docs = spark.read.parquet(s"$d/documents.parquet").count()
+      val pairs = graft.operators.Dedup.ngramJaccard(spark, d).count()
+      graft.operators.Dedup.clearPairCache()
+      val terms = graft.operators.TextAnalysis.tfIdf(spark, d)
+        .agg(count(lit(1))).head().getLong(0)
+      val vecs = spark.read.parquet(s"$d/embeddings.parquet").count()
+      println(s"""{"sf":"$label","docs":$docs,"jaccard_pairs":$pairs,""" +
+        s""""tfidf_rows":$terms,"vecs":$vecs}""")
+    }
   }
 
   def generate(spark: SparkSession): Unit = {
@@ -113,9 +131,24 @@ object ScaleCheck {
       f
       (System.nanoTime() - t0) / 1e9
     }
+    // Bench discipline: min of two passes per (family, SF) — single-pass
+    // numbers on this box swing several-x under scheduler/GC noise (a
+    // first measurement run recorded kmeans 3.1 s, a second 94 s at the
+    // SAME sf0.1). The build-once caches (pair list, k-means model) are
+    // DROPPED between passes so both passes time the real build, not a
+    // cache read.
+    def minOf2(f: (SparkSession, String) => Unit, d: String): Double = {
+      val a = timed(f(spark, d))
+      graft.operators.Dedup.clearPairCache()
+      graft.operators.Similarity.clearKmeansCache()
+      val b = timed(f(spark, d))
+      graft.operators.Dedup.clearPairCache()
+      graft.operators.Similarity.clearKmeansCache()
+      math.min(a, b)
+    }
     val rows = families.map { case (name, f) =>
-      val t01 = timed(f(spark, Sf01))
-      val t1 = timed(f(spark, Sf1))
+      val t01 = minOf2(f, Sf01)
+      val t1 = minOf2(f, Sf1)
       val exp = math.log10(t1 / t01)
       println(f"""{"family":"$name","sf0.1_sec":$t01%.2f,"sf1_sec":$t1%.2f,"exponent":$exp%.2f}""")
       (name, t01, t1, exp)

@@ -373,6 +373,17 @@ object Similarity {
   private val kmCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), (DataFrame, DataFrame)]
 
+  /** Drop all cached trained models (unpersisting both frames) — the
+    * Dedup.clearPairCache counterpart, for regenerated parquet or
+    * measurement harnesses that must re-time the build. */
+  def clearKmeansCache(): Unit = {
+    kmCache.values.foreach { case (cent, asg) =>
+      try { cent.unpersist(); asg.unpersist(); () }
+      catch { case _: Exception => () }
+    }
+    kmCache.clear()
+  }
+
   /** Lloyd training loop shared by the cell summary and the trained-IVF
     * probe path. Returns (centroids the final assignment was computed
     * against: (cell, i, cx), final assignment: (vec_id, cell, d)). */
