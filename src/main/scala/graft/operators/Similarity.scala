@@ -471,8 +471,10 @@ object Similarity {
   /** Frees the executor blocks of a localCheckpoint'ed frame. The returned
     * `(centUsed, asg)` pair keeps the last two rounds' checkpoints alive
     * (asg's lineage reads centUsed), so only older rounds pass through
-    * here. No-op for non-checkpointed plans (the round-0 seed). */
-  private def freeLocalCheckpoint(df: DataFrame): Unit =
+    * here. No-op for non-checkpointed plans (the round-0 seed).
+    * private[graft] so the spec can prove the LogicalRDD match actually
+    * fires (a silent no-op here would be an invisible leak). */
+  private[graft] def freeLocalCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false); ()
