@@ -61,6 +61,8 @@ object Bench {
       catch { case _: Throwable => () }
       try graft.operators.Similarity.materializeKmeans(spark, warmSf)
       catch { case _: Throwable => () }
+      try graft.operators.Similarity.materializePq(spark, warmSf)
+      catch { case _: Throwable => () }
       try graft.operators.Dedup.materializeSourceGrams(spark, warmSf)
       catch { case _: Throwable => () }
     } catch { case _: Throwable => () }
@@ -80,6 +82,8 @@ object Bench {
         (() => graft.operators.Dedup.materializeMinhash(spark, sfDir)),
       "shared_kmeans_model" ->
         (() => graft.operators.Similarity.materializeKmeans(spark, sfDir)),
+      "shared_pq_model" ->
+        (() => graft.operators.Similarity.materializePq(spark, sfDir)),
       "shared_source_grams" ->
         (() => graft.operators.Dedup.materializeSourceGrams(spark, sfDir)))
       .map { case (name, f) => name -> timed(f) }

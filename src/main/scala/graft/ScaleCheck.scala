@@ -141,9 +141,11 @@ object ScaleCheck {
       val a = timed(f(spark, d))
       graft.operators.Dedup.clearPairCache()
       graft.operators.Similarity.clearKmeansCache()
+      graft.operators.Similarity.clearPqCache()
       val b = timed(f(spark, d))
       graft.operators.Dedup.clearPairCache()
       graft.operators.Similarity.clearKmeansCache()
+      graft.operators.Similarity.clearPqCache()
       math.min(a, b)
     }
     val rows = families.map { case (name, f) =>

@@ -982,8 +982,285 @@ object Similarity {
        |  COUNT(*) AS n_queries
        |FROM qs LEFT JOIN h USING (q_id)""".stripMargin
 
+  // ---- product quantization (PQ): trained codebooks + ADC top-k -------------
+
+  /** PQ geometry: Dim=64 splits into PqM=4 subspaces of PqSubDim=16 dims;
+    * each subspace trains PqK=4 codes with PqIters=2 Lloyd rounds. A
+    * corpus vector compresses to 4 codes (PqM·log2(PqK) = 8 bits vs
+    * 64 floats = 256 bytes — the 256× memory dial a 100 TB vector store
+    * actually turns; production raises PqK to 256, same shape). */
+  private val PqM = 4
+  private val PqSubDim = Dim / PqM
+  private val PqK = 4
+  private val PqIters = 2
+
+  /** (vec_id, sub, sxs): each vector exploded into its PqM sub-vectors
+    * (double arrays) — PqM rows per vector, the unit PQ trains on. */
+  private def subVecs(spark: SparkSession, sfDir: String): DataFrame =
+    emb(spark, sfDir)
+      .select(col("vec_id"),
+        expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("xs"))
+      .select(col("vec_id"), explode(expr(
+        s"transform(sequence(0, ${PqM - 1}), s -> struct(s AS sub, " +
+          s"slice(xs, s * $PqSubDim + 1, $PqSubDim) AS sxs))")).as("t"))
+      .select(col("vec_id"), col("t.sub").as("sub"), col("t.sxs").as("sxs"))
+
+  /** Per-(sub, cell) centroid arrays in local-dim order — the broadcast
+    * side of every PQ distance step (PqM·PqK rows, always tiny). */
+  private def pqCentArrays(cent: DataFrame): DataFrame =
+    cent.groupBy(col("sub"), col("cell"))
+      .agg(expr("transform(array_sort(collect_list(struct(j, cx))), " +
+        "s -> s.cx)").as("cxs"))
+
+  /** One trained PQ model per (session, SF) — s_pq_cells, s_pq_topk and
+    * s_pq_recall all consume the same training (same shared-intermediate
+    * pattern as kmCache). */
+  private val pqCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+
+  /** Drop all cached PQ models (clearKmeansCache counterpart). */
+  def clearPqCache(): Unit = {
+    pqCache.values.foreach { case (cent, codes) =>
+      try { cent.unpersist(); codes.unpersist(); () }
+      catch { case _: Exception => () }
+    }
+    pqCache.clear()
+  }
+
+  /** Force the shared PQ model to materialize (Bench's shared_pq_model
+    * entry, so the three consumers time steady-state plans). */
+  def materializePq(spark: SparkSession, sfDir: String): Unit = {
+    val (cent, codes) = pqTrain(spark, sfDir)
+    cent.count(); codes.count(); ()
+  }
+
+  private def pqTrain(spark: SparkSession,
+      sfDir: String): (DataFrame, DataFrame) =
+    pqCache.getOrElseUpdate((spark, sfDir), {
+      val (cent, codes) = pqTrainCompute(spark, sfDir)
+      cent.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      codes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (cent, codes)
+    })
+
+  /** Per-subspace Lloyd — ONE training chain for all PqM subspaces at
+    * once: adding `sub` to every key turns the k-means recurrence into
+    * PqM independent trainings sharing each shuffle (vs looping subspaces
+    * driver-side, which would schedule PqM× the jobs for the same rows).
+    * Determinism discipline is kmeansTrainCompute's: every distance and
+    * centroid mean rounds to 6 decimals per round, argmin ranks on
+    * (rounded d, cell), seeds are the first PqK vectors' sub-vectors.
+    * Returns (codebook the final assignment was computed against:
+    * (sub, cell, j, cx) with j the LOCAL dim 1..PqSubDim, final codes:
+    * (vec_id, sub, cell, d)). Same per-round localCheckpoint
+    * materialization (and the same executor-loss caveat — swap in
+    * reliable checkpoint() on a real cluster). */
+  private def pqTrainCompute(spark: SparkSession,
+      sfDir: String): (DataFrame, DataFrame) = {
+    val sv = subVecs(spark, sfDir)
+    // exploded (vec_id, sub, local dim j, x) — the centroid-mean side
+    val exs = sv.select(col("vec_id"), col("sub"), posexplode(col("sxs")))
+      .select(col("vec_id"), col("sub"), (col("pos") + 1).as("j"),
+        col("col").as("x"))
+    var cent = exs.filter(col("vec_id") < PqK)
+      .select(col("sub"), col("vec_id").as("cell"), col("j"),
+        round(col("x"), 6).as("cx"))
+    var asg: DataFrame = null
+    var staleCkpt: DataFrame = null
+    for (k <- 1 to PqIters) {
+      val dist = sv.join(broadcast(pqCentArrays(cent)), Seq("sub"))
+        .select(col("vec_id"), col("sub"), col("cell"),
+          round(expr("aggregate(zip_with(sxs, cxs, " +
+            "(a, b) -> (a - b) * (a - b)), 0D, (s, v) -> s + v)"), 6)
+            .as("d"))
+      val w = Window.partitionBy(col("vec_id"), col("sub"))
+        .orderBy(col("d"), col("cell"))
+      asg = dist.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("sub"), col("cell"), col("d"))
+      // the final assignment IS the model output — no round-PqIters
+      // centroid recompute (kmeansTrainCompute pays one; here the skipped
+      // job also avoids leaking an unconsumed checkpoint's blocks)
+      if (k < PqIters) {
+        val next = exs
+          .join(asg.select("vec_id", "sub", "cell"), Seq("vec_id", "sub"))
+          .groupBy(col("sub"), col("cell"), col("j"))
+          .agg(round(avg(col("x")), 6).as("cx"))
+          .coalesce(1)
+          .localCheckpoint(true)
+        if (staleCkpt != null) freeLocalCheckpoint(staleCkpt)
+        staleCkpt = cent
+        cent = next
+      }
+    }
+    (cent, asg)
+  }
+
+  /** Training summary: per (sub, cell) membership + quantization error
+    * after the final round — the codebook-health census (an empty or
+    * bloated cell here is what re-seeding/splitting heuristics act on). */
+  def pqCells(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, codes) = pqTrain(spark, sfDir)
+    codes.groupBy(col("sub"), col("cell"))
+      .agg(count(lit(1)).as("n_vecs"), round(sum(col("d")), 3).as("sq_err"))
+  }
+
+  /** ADC (asymmetric distance computation) top-5: the query keeps its
+    * exact sub-vectors; each corpus vector is represented ONLY by its PqM
+    * codes, and its distance is the sum of the query's precomputed
+    * sub-distances to the coded centroids. Plan shape for 100 TB: the
+    * per-query distance table qcd is Q·PqM·PqK rows (always broadcast);
+    * the corpus side scans the CODES table — PqM small ints per vector,
+    * the 256×-compressed representation, never the float embeddings —
+    * and one partial-aggregated shuffle of Q·n grouped rows ranks the
+    * candidates. ADC ties are inherent (PqK^PqM = 256 distinct code
+    * words) and break on vec_id, so the output is total-ordered. */
+  def pqAdcTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val (cent, codes) = pqTrain(spark, sfDir)
+    val qcd = subVecs(spark, sfDir).filter(col("vec_id") < 50)
+      .join(broadcast(pqCentArrays(cent)), Seq("sub"))
+      .select(col("vec_id").as("q_id"), col("sub"), col("cell"),
+        round(expr("aggregate(zip_with(sxs, cxs, " +
+          "(a, b) -> (a - b) * (a - b)), 0D, (s, v) -> s + v)"), 6)
+          .as("qd"))
+    val adc = codes.select(col("vec_id"), col("sub"), col("cell"))
+      .join(broadcast(qcd), Seq("sub", "cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(round(sum(col("qd")), 6).as("adc"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
+    adc.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("adc"),
+        col("rk"))
+  }
+
+  /** Recall@5 of ADC top-5 vs the exact euclidean top-5 (same metric PQ
+    * approximates) — the compression-vs-recall dial read as query output,
+    * companion to s_int8_recall (scalar) and s_probe_curve (IVF). */
+  def pqRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val vecs = emb(spark, sfDir)
+      .select(col("vec_id"),
+        expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("xs"))
+    val q = vecs.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("xs").as("qxs"))
+    val wE = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("vec_id"))
+    val exactTop = vecs.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("d2", round(expr("aggregate(zip_with(xs, qxs, " +
+        "(a, b) -> (a - b) * (a - b)), 0D, (s, v) -> s + v)"), 6))
+      .withColumn("rk", row_number().over(wE))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"))
+    val pqTop = pqAdcTopK(spark, sfDir).select(col("q_id"), col("neighbor_id"))
+    val hits = exactTop.join(pqTop, Seq("q_id", "neighbor_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+    exactTop.select(col("q_id")).distinct()
+      .join(hits, Seq("q_id"), "left_outer")
+      .select(coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .agg(round(avg(col("n_hits")) / 5.0, 4).as("avg_recall_at_5"),
+        count(lit(1)).as("n_queries"))
+      .withColumn("method", lit(s"pq_m${PqM}_k$PqK"))
+      .select("method", "avg_recall_at_5", "n_queries")
+  }
+
+  /** Shared DuckDB chain: sub-exploded vectors `sx(vec_id, sub, j, x)`,
+    * seed `pcent0`, unrolled rounds ending at final codes `pasg2`
+    * (computed against `pcent1`). Mirrors kmeansChainSql with `sub` added
+    * to every key. */
+  private val pqChainSql: String = {
+    def asg(k: Int): String =
+      s"""pasg$k AS (
+         |  SELECT vec_id, sub, cell, d FROM (
+         |    SELECT vec_id, sub, cell, d, row_number() OVER (
+         |      PARTITION BY vec_id, sub ORDER BY d, cell) AS rn
+         |    FROM (
+         |      SELECT s.vec_id, s.sub, c.cell,
+         |        ROUND(SUM((s.x - c.cx) * (s.x - c.cx)), 6) AS d
+         |      FROM sx s JOIN pcent${k - 1} c ON s.sub = c.sub AND s.j = c.j
+         |      GROUP BY 1, 2, 3)
+         |  ) WHERE rn = 1
+         |)""".stripMargin
+    def cent(k: Int): String =
+      s"""pcent$k AS (
+         |  SELECT a.sub, a.cell, s.j, ROUND(AVG(s.x), 6) AS cx
+         |  FROM sx s JOIN pasg$k a ON s.vec_id = a.vec_id AND s.sub = a.sub
+         |  GROUP BY a.sub, a.cell, s.j
+         |)""".stripMargin
+    s"""$embCte, exf AS (
+       |  SELECT ex.vec_id, ex.i, ex.x FROM ex
+       |  JOIN nrm ON ex.vec_id = nrm.vec_id WHERE nrm.nrm > 0
+       |), sx AS (
+       |  SELECT vec_id, CAST((i - 1) // $PqSubDim AS INT) AS sub,
+       |    CAST(i - ((i - 1) // $PqSubDim) * $PqSubDim AS INT) AS j, x
+       |  FROM exf
+       |), pcent0 AS (
+       |  SELECT sub, vec_id AS cell, j, ROUND(x, 6) AS cx
+       |  FROM sx WHERE vec_id < $PqK
+       |), ${asg(1)}, ${cent(1)}, ${asg(2)}""".stripMargin
+  }
+
+  /** qcd + adc: query sub-distances to the final codebook, summed over
+    * the corpus codes. */
+  private val pqAdcCtes: String =
+    s"""qcd AS (
+       |  SELECT s.vec_id AS q_id, s.sub, c.cell,
+       |    ROUND(SUM((s.x - c.cx) * (s.x - c.cx)), 6) AS qd
+       |  FROM sx s JOIN pcent${PqIters - 1} c ON s.sub = c.sub AND s.j = c.j
+       |  WHERE s.vec_id < 50 GROUP BY 1, 2, 3
+       |), adc AS (
+       |  SELECT q.q_id, a.vec_id, ROUND(SUM(q.qd), 6) AS adc
+       |  FROM pasg$PqIters a JOIN qcd q ON a.sub = q.sub AND a.cell = q.cell
+       |  WHERE a.vec_id <> q.q_id GROUP BY 1, 2
+       |)""".stripMargin
+
+  val pqCellsSql: String =
+    s"""WITH $pqChainSql
+       |SELECT sub, cell, COUNT(*) AS n_vecs, ROUND(SUM(d), 3) AS sq_err
+       |FROM pasg$PqIters GROUP BY sub, cell""".stripMargin
+
+  val pqAdcTopKSql: String =
+    s"""WITH $pqChainSql, $pqAdcCtes
+       |SELECT q_id, neighbor_id, adc, rk FROM (
+       |  SELECT q_id, vec_id AS neighbor_id, adc,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY adc, vec_id) AS INT) AS rk
+       |  FROM adc
+       |) WHERE rk <= 5""".stripMargin
+
+  val pqRecallSql: String =
+    s"""WITH $pqChainSql, $pqAdcCtes, ed AS (
+       |  SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+       |    ROUND(SUM((a.x - b.x) * (a.x - b.x)), 6) AS d2
+       |  FROM exf a JOIN exf b ON a.i = b.i AND a.vec_id < 50
+       |    AND b.vec_id <> a.vec_id
+       |  GROUP BY 1, 2
+       |), exact_top AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT q_id, neighbor_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY d2, neighbor_id) AS rk FROM ed
+       |  ) WHERE rk <= 5
+       |), pq_top AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT q_id, vec_id AS neighbor_id, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY adc, vec_id) AS rk
+       |    FROM adc
+       |  ) WHERE rk <= 5
+       |), qs AS (SELECT DISTINCT q_id FROM exact_top),
+       |h AS (
+       |  SELECT e.q_id, COUNT(*) AS n FROM exact_top e
+       |  JOIN pq_top l ON e.q_id = l.q_id AND e.neighbor_id = l.neighbor_id
+       |  GROUP BY 1
+       |)
+       |SELECT 'pq_m${PqM}_k$PqK' AS method,
+       |  ROUND(AVG(COALESCE(n, 0)) / 5.0, 4) AS avg_recall_at_5,
+       |  COUNT(*) AS n_queries
+       |FROM qs LEFT JOIN h USING (q_id)""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "s_cosine_topk"   -> Q(cosineTopKSql)(cosineTopK),
+    "s_pq_cells"      -> Q(pqCellsSql)(pqCells),
+    "s_pq_topk"       -> Q(pqAdcTopKSql)(pqAdcTopK),
+    "s_pq_recall"     -> Q(pqRecallSql)(pqRecall),
     "s_int8_recall"   -> Q(int8RecallSql)(int8Recall),
     "s_kmeans_cells"  -> Q(kmeansCellsSql)(kmeansCells),
     "s_ivf_trained_topk" -> Q(ivfTrainedTopKSql)(ivfTrainedTopK),

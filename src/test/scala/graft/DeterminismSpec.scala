@@ -41,7 +41,10 @@ class DeterminismSpec extends SparkSuite {
       // hash sampling must not see partitioning (the whole point)
       "q_sample_estimate",
       // lag over a unique (ts_ms, event_id) order: placement-free
-      "q_transitions")
+      "q_transitions",
+      // round-6: PQ census over the shared cached model (the non-vacuous
+      // cache-cleared training invariance lives in PQSpec)
+      "s_pq_cells")
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     try {
       names.foreach { n =>
