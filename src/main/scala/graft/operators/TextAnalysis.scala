@@ -815,6 +815,87 @@ object TextAnalysis {
        |  ROUND(MAX(doc_surprisal), 6) AS max_surprisal
        |FROM per_doc GROUP BY source""".stripMargin
 
+  // ---- bigram LM surprisal (smoothed conditional, unigram's sharper twin) ---
+
+  /** Laplace smoothing mass for unseen bigrams. */
+  private val BigramAlpha = 0.5
+
+  /** Corpus-bigram-LM surprisal per document, rolled up per source — the
+    * next LM order up from t_unigram_lm: score(doc) = mean over adjacent
+    * token pairs of −ln P(w2|w1), with P = (c(w1,w2) + α) /
+    * (c(w1·) + α·V) (add-α smoothing over the corpus vocabulary V).
+    * A doc can be unigram-plausible but bigram-gibberish (shuffled
+    * common words) — this filter catches exactly that class.
+    *
+    * Shape for scale: bigrams derive from a zip-with-next INSIDE the
+    * token array (no self-join on position — the row never leaves its
+    * partition to meet its neighbor); the stream then joins the
+    * (w1,w2)-count and (w1)-context tables on their keys (AQE
+    * broadcasts small LMs, shuffles big ones) and V crosses in as a
+    * 1-row broadcast. Per-doc scores round at 6 before the per-source
+    * rollup, the unigram/TF-IDF-proven cross-engine ln discipline. */
+  def bigramSurprisal(spark: SparkSession, sfDir: String): DataFrame = {
+    val arrs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("arr"))
+    val big = arrs
+      .select(col("doc_id"), col("source"),
+        explode(expr("zip_with(slice(arr, 1, greatest(size(arr) - 1, 0)), " +
+          "slice(arr, 2, greatest(size(arr) - 1, 0)), " +
+          "(a, b) -> struct(a AS w1, b AS w2))")).as("bg"))
+      .select(col("doc_id"), col("source"),
+        col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c2 = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val cctx = big.groupBy(col("w1")).agg(count(lit(1)).as("cctx"))
+    val vocab = arrs.select(explode(col("arr")).as("tk"))
+      .agg(countDistinct(col("tk")).cast("double").as("v"))
+    big.join(c2, Seq("w1", "w2")).join(cctx, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("source"),
+        (-log((col("c2") + BigramAlpha)
+          / (col("cctx") + col("v") * BigramAlpha))).as("s"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(round(avg(col("s")), 6).as("doc_surprisal"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("doc_surprisal")), 4).as("avg_surprisal"),
+        round(max(col("doc_surprisal")), 6).as("max_surprisal"))
+  }
+
+  val bigramSurprisalSql: String =
+    s"""WITH lists AS (
+       |  SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z]+')
+       |    AS arr
+       |  FROM documents
+       |), tokpos AS (
+       |  SELECT doc_id, source, unnest(arr) AS tk,
+       |    generate_subscripts(arr, 1) AS pos
+       |  FROM lists
+       |), big AS (
+       |  SELECT doc_id, source, w1, tk AS w2 FROM (
+       |    SELECT doc_id, source, tk, lag(tk) OVER (
+       |      PARTITION BY doc_id ORDER BY pos) AS w1
+       |    FROM tokpos
+       |  ) WHERE w1 IS NOT NULL
+       |), c2 AS (
+       |  SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY 1, 2
+       |), cctx AS (
+       |  SELECT w1, COUNT(*) AS cctx FROM big GROUP BY 1
+       |), vocab AS (
+       |  SELECT CAST(COUNT(DISTINCT tk) AS DOUBLE) AS v
+       |  FROM (SELECT unnest(arr) AS tk FROM lists)
+       |), per_doc AS (
+       |  SELECT doc_id, source,
+       |    ROUND(AVG(-ln((c2 + $BigramAlpha) / (cctx + $BigramAlpha * v))), 6)
+       |      AS doc_surprisal
+       |  FROM big JOIN c2 USING (w1, w2) JOIN cctx USING (w1)
+       |    CROSS JOIN vocab
+       |  GROUP BY doc_id, source
+       |)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  ROUND(AVG(doc_surprisal), 4) AS avg_surprisal,
+       |  ROUND(MAX(doc_surprisal), 6) AS max_surprisal
+       |FROM per_doc GROUP BY source""".stripMargin
+
   // ---- LM-quality tercile buckets (CCNet-style head/middle/tail) ------------
 
   /** CCNet-style corpus partitioning: rank every document by its unigram
@@ -1015,6 +1096,7 @@ object TextAnalysis {
     "t_mixture_weights"   -> Q(mixtureWeightsSql)(mixtureWeights),
     "t_stratified_sample" -> Q(stratifiedSampleSql)(stratifiedSample),
     "t_unigram_lm"   -> Q(unigramSurprisalSql)(unigramSurprisal),
+    "t_bigram_lm"    -> Q(bigramSurprisalSql)(bigramSurprisal),
     "t_pack_stats"   -> Q(packStatsSql)(packStats),
     "t_pack_assign"  -> Q(packAssignSql)(packAssign),
     "t_pii_scrub"    -> Q(piiScrubSql)(piiScrub),

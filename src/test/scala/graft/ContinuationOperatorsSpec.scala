@@ -134,4 +134,26 @@ class ContinuationOperatorsSpec extends SparkSuite {
         s"t=$t: rolling=$rolling want=$want")
     }
   }
+
+  test("bigram LM: doc census matches >=2-token docs; surprisal bounded") {
+    val rows = graft.operators.TextAnalysis.bigramSurprisal(spark, sf0001)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    // independent recomputation of the census: a doc contributes iff it
+    // has at least one bigram, i.e. >= 2 letter-run tokens
+    val want = Tables.documents(spark, sf0001)
+      .select(col("source"), size(tokens(col("text"))).as("n"))
+      .filter(col("n") >= 2)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.view.mapValues(_._1).toMap == want,
+      "per-source doc counts must equal docs with >= 2 tokens")
+    // smoothed -ln P is bounded: P <= c2+a / (cctx+a) <= 1 up to the aV
+    // denominator, so surprisal > 0; and avg <= max by construction
+    rows.foreach { case (src, (_, avg, mx)) =>
+      assert(avg > 0.0 && mx > 0.0, s"$src: surprisal must be positive")
+      assert(avg <= mx + 1e-9, s"$src: avg exceeds max")
+    }
+  }
 }

@@ -43,8 +43,9 @@ class DeterminismSpec extends SparkSuite {
       // lag over a unique (ts_ms, event_id) order: placement-free
       "q_transitions",
       // round-6: PQ census over the shared cached model (the non-vacuous
-      // cache-cleared training invariance lives in PQSpec)
-      "s_pq_cells")
+      // cache-cleared training invariance lives in PQSpec); bigram LM
+      // (zip-with-next inside the array, then key-joined counts)
+      "s_pq_cells", "t_bigram_lm")
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     try {
       names.foreach { n =>
