@@ -23,6 +23,7 @@ object SparkEntry {
       TextAnalysis.queries ++
       Dedup.queries ++
       Similarity.queries ++
+      Curation.queries ++
       Multimodal.queries ++
       graft.sources.ParsedRequests.queries ++
       graft.sources.BucketedTables.queries ++

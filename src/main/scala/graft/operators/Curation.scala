@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.model.Tables
+
+/** The end-to-end curation deliverable: one funnel that chains the four
+  * standard training-data passes — quality gate, exact dedup, text
+  * near-dup, semantic (embedding) dedup — over the SAME corpus the
+  * individual operators are verified on, emitting the per-source
+  * survivor census after each stage. This is the query a dataset curator
+  * actually runs: every stage reuses the already-oracled primitive
+  * (withQuality / the shared Jaccard pair list / embedNearDup), so the
+  * funnel's cost at 100 TB is three anti-joins and a fingerprint window
+  * on top of artifacts the pipeline builds anyway.
+  *
+  * Drop-set semantics are dedupCorpus's conservative keep-first: a doc
+  * is dropped if it is the higher id of a duplicate pair, regardless of
+  * whether its partner survived an earlier stage (a doc similar only to
+  * an already-dropped doc still drops). Stages apply in order, so each
+  * census column is the size of the intersection of keep-sets up to that
+  * stage — the funnel reads left to right as attrition.
+  */
+object Curation {
+
+  /** Logistic-composite floor for the quality gate: sits just below the
+    * corpus median (~0.68 at sf0.01), so the gate is a real filter at
+    * every SF rather than a pass-through. */
+  private val QualityFloor = 0.6
+
+  /** Jaccard floor for the text near-dup drop (dedupCorpus's). */
+  private val JaccardFloor = 0.5
+
+  def curationFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text"))
+    // stage 1: quality gate (row-local score, no shuffle)
+    val s1 = TextAnalysis.withQuality(docs)
+      .filter(col("quality") >= QualityFloor)
+      .select(col("doc_id"), col("source"))
+    // stage 2: exact dedup — keep the lowest doc_id per md5(text)
+    // fingerprint; one hash shuffle of (fp, id), the drop set anti-joins
+    val exactDrop = docs
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+      .withColumn("mn", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+      .filter(col("doc_id") > col("mn"))
+      .select(col("doc_id"))
+    val s2 = s1.join(exactDrop, Seq("doc_id"), "left_anti")
+    // stage 3: text near-dup — the SHARED persisted Jaccard pair list
+    val nearDrop = Dedup.ngramJaccard(spark, sfDir)
+      .filter(col("jaccard") >= JaccardFloor)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val s3 = s2.join(nearDrop, Seq("doc_id"), "left_anti")
+    // stage 4: semantic dedup — LSH-blocked embedding near-dup pairs
+    // (vec_id aligns 1:1 with doc_id by the data contract)
+    val semDrop = Similarity.embedNearDup(spark, sfDir)
+      .select(col("vec_b").as("doc_id")).distinct()
+    val s4 = s3.join(semDrop, Seq("doc_id"), "left_anti")
+
+    def census(df: DataFrame, name: String): DataFrame =
+      df.groupBy(col("source")).agg(count(lit(1)).as(name))
+    docs.groupBy(col("source")).agg(count(lit(1)).as("n_raw"))
+      .join(census(s1, "n_quality"), Seq("source"), "left_outer")
+      .join(census(s2, "n_exact"), Seq("source"), "left_outer")
+      .join(census(s3, "n_neardup"), Seq("source"), "left_outer")
+      .join(census(s4, "n_final"), Seq("source"), "left_outer")
+      .select(col("source"), col("n_raw"),
+        coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        coalesce(col("n_neardup"), lit(0L)).as("n_neardup"),
+        coalesce(col("n_final"), lit(0L)).as("n_final"))
+  }
+
+  /** Oracle composed by WRAPPING the three finished sibling oracles as
+    * sub-CTEs (DuckDB allows a WITH inside a CTE body) — no textual
+    * surgery on their internals, so a rewording of any stage's oracle
+    * flows through here automatically. */
+  val curationFunnelSql: String =
+    s"""WITH qsc AS (
+       |${TextAnalysis.qualityScoreSql}
+       |), jp AS (
+       |${Dedup.ngramJaccardSql}
+       |), ep AS (
+       |${Similarity.embedNearDupSql}
+       |), fp AS (
+       |  SELECT doc_id, md5(text) AS fp FROM documents
+       |), exact_drop AS (
+       |  SELECT DISTINCT a.doc_id FROM fp a
+       |  JOIN fp b ON a.fp = b.fp AND b.doc_id < a.doc_id
+       |), s1 AS (
+       |  SELECT d.doc_id, d.source FROM documents d
+       |  JOIN qsc ON d.doc_id = qsc.doc_id WHERE qsc.quality >= $QualityFloor
+       |), s2 AS (
+       |  SELECT * FROM s1
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM exact_drop)
+       |), s3 AS (
+       |  SELECT * FROM s2 WHERE doc_id NOT IN (
+       |    SELECT DISTINCT doc_b FROM jp WHERE jaccard >= $JaccardFloor)
+       |), s4 AS (
+       |  SELECT * FROM s3 WHERE doc_id NOT IN (SELECT DISTINCT vec_b FROM ep)
+       |)
+       |SELECT r.source, r.n_raw,
+       |  COALESCE(c1.n, 0) AS n_quality, COALESCE(c2.n, 0) AS n_exact,
+       |  COALESCE(c3.n, 0) AS n_neardup, COALESCE(c4.n, 0) AS n_final
+       |FROM (SELECT source, COUNT(*) AS n_raw FROM documents GROUP BY 1) r
+       |LEFT JOIN (SELECT source, COUNT(*) AS n FROM s1 GROUP BY 1) c1
+       |  USING (source)
+       |LEFT JOIN (SELECT source, COUNT(*) AS n FROM s2 GROUP BY 1) c2
+       |  USING (source)
+       |LEFT JOIN (SELECT source, COUNT(*) AS n FROM s3 GROUP BY 1) c3
+       |  USING (source)
+       |LEFT JOIN (SELECT source, COUNT(*) AS n FROM s4 GROUP BY 1) c4
+       |  USING (source)""".stripMargin
+
+  def queries: Map[String, Q] = Map(
+    "d_curation_funnel" -> Q(curationFunnelSql)(curationFunnel))
+}

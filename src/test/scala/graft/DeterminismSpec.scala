@@ -45,7 +45,10 @@ class DeterminismSpec extends SparkSuite {
       // round-6: PQ census over the shared cached model (the non-vacuous
       // cache-cleared training invariance lives in PQSpec); bigram LM
       // (zip-with-next inside the array, then key-joined counts)
-      "s_pq_cells", "t_bigram_lm")
+      "s_pq_cells", "t_bigram_lm",
+      // the four-stage funnel composes three drop sets + a quality gate;
+      // any placement sensitivity in a stage would surface here
+      "d_curation_funnel")
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     try {
       names.foreach { n =>
