@@ -27,7 +27,8 @@ object SparkEntry {
       Multimodal.queries ++
       graft.sources.ParsedRequests.queries ++
       graft.sources.BucketedTables.queries ++
-      graft.sources.OrcRoundTrip.queries
+      graft.sources.OrcRoundTrip.queries ++
+      graft.sources.IvfLayout.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's core operation: keyed concat/count aggregation over the

@@ -523,10 +523,19 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"), col("rk"))
   }
 
+  /** The trained coarse-quantizer assignment (vec_id, cell, d) — the
+    * shared model's corpus-side half, for consumers outside this object
+    * (the IVF storage layout writes the corpus partitioned by it). */
+  private[graft] def kmeansAssignment(spark: SparkSession,
+      sfDir: String): DataFrame = kmeansTrain(spark, sfDir)._2
+
+  /** Name of the chain's final-assignment CTE, for composing oracles. */
+  private[graft] val kmeansFinalAsgCte: String = s"asg$KmIters"
+
   /** Shared CTE chain: exploded+filtered vectors, cent0 seed, and the
     * unrolled asg1/cent1/asg2/cent2/asg3 training rounds (asg3 is the
     * final assignment, computed against cent2). */
-  private val kmeansChainSql: String = {
+  private[graft] val kmeansChainSql: String = {
     def asg(k: Int): String =
       s"""asg$k AS (
          |  SELECT vec_id, cell, d FROM (
