@@ -896,6 +896,118 @@ object TextAnalysis {
        |  ROUND(MAX(doc_surprisal), 6) AS max_surprisal
        |FROM per_doc GROUP BY source""".stripMargin
 
+  // ---- BPE merge induction (tokenizer training, first R merges) -------------
+
+  private val BpeRounds = 3
+
+  /** Learn the first BpeRounds BPE merges over the corpus — the actual
+    * artifact a tokenizer trainer produces. Classic word-type-weighted
+    * BPE: vocabulary = distinct letter-run tokens with frequencies;
+    * each round counts adjacent symbol pairs (weighted by word count),
+    * picks the max — ties broken lexically on (left, right), so the
+    * trajectory is deterministic — and applies the merge greedy-left.
+    *
+    * The merge-application trick that makes this ENGINE-REPRODUCIBLE
+    * with no UDF: symbol sequences encode as `||a||b||c||` (double-pipe
+    * separators, pipes can never appear inside a symbol) and a merge is
+    * `replace(s, '|l||r|', '|lr|')`. Left-to-right non-overlapping
+    * replace semantics — identical in Spark and DuckDB — consume one
+    * pipe from each boundary, so consecutive disjoint pairs all merge
+    * (`||a||b||a||b||` → `||ab||ab||`) while overlapping runs merge
+    * greedy-left (`||a||a||a||` → `||aa||a||`): exactly BPE's rule.
+    *
+    * Shape for scale: rounds iterate over the WORD-TYPE table (distinct
+    * tokens), never the token stream — the corpus tokenization reduces
+    * once. Per round: one pair-count aggregate (partial+final), a
+    * 1-row TakeOrdered winner broadcast into the rewrite, and a
+    * per-round localCheckpoint so round N does not recompute rounds
+    * 1..N-1 (the kmeans/dupClusters iterative-query lesson; same
+    * reliable-checkpoint caveat on a real cluster). */
+  def bpeMerges(spark: SparkSession, sfDir: String): DataFrame = {
+    var cur = Tables.documents(spark, sfDir)
+      .select(explode(tokens(col("text"))).as("tk"))
+      .groupBy(col("tk")).agg(count(lit(1)).as("wc"))
+      .select(concat(lit("||"),
+        array_join(expr("regexp_extract_all(tk, '.', 0)"), "||"),
+        lit("||")).as("s"), col("wc"))
+      .localCheckpoint(true)
+    var rounds: Seq[DataFrame] = Nil
+    for (r <- 1 to BpeRounds) {
+      val syms = cur.select(col("wc"),
+        expr("filter(split(s, '\\\\|\\\\|'), x -> x <> '')").as("syms"))
+      val pairs = syms
+        .select(col("wc"), explode(expr(
+          "zip_with(slice(syms, 1, greatest(size(syms) - 1, 0)), " +
+            "slice(syms, 2, greatest(size(syms) - 1, 0)), " +
+            "(a, b) -> struct(a AS l, b AS r))")).as("p"))
+        .groupBy(col("p.l").as("l_sym"), col("p.r").as("r_sym"))
+        .agg(sum(col("wc")).as("pair_count"))
+      val win = pairs
+        .orderBy(col("pair_count").desc, col("l_sym"), col("r_sym"))
+        .limit(1)
+        .withColumn("merged", concat(col("l_sym"), col("r_sym")))
+        .localCheckpoint(true)
+      rounds = rounds :+ win.withColumn("merge_round", lit(r))
+      // the final round's winner IS the output — no dead vocab rewrite
+      if (r < BpeRounds) {
+        val stale = cur
+        cur = cur
+          .crossJoin(broadcast(
+            win.select(col("l_sym"), col("r_sym"), col("merged"))))
+          .select(expr("replace(s, '|' || l_sym || '||' || r_sym || '|', " +
+            "'|' || merged || '|')").as("s"), col("wc"))
+          .localCheckpoint(true)
+        graft.operators.Similarity.freeLocalCheckpoint(stale)
+      }
+    }
+    rounds.reduce(_ unionByName _)
+      .select(col("merge_round"), col("l_sym"), col("r_sym"),
+        col("merged"), col("pair_count"))
+  }
+
+  /** Oracle: the same unrolled trajectory. Pair extraction per round is
+    * unnest+generate_subscripts with a lag window partitioned by the
+    * (unique-per-word) encoded string — the t_bigram_lm idiom. */
+  val bpeMergesSql: String = {
+    def round(k: Int): String =
+      s"""sy$k AS (
+         |  SELECT s, wc,
+         |    unnest(list_filter(string_split(s, '||'), x -> x <> '')) AS sym,
+         |    generate_subscripts(
+         |      list_filter(string_split(s, '||'), x -> x <> ''), 1) AS pos
+         |  FROM w$k
+         |), p$k AS (
+         |  SELECT l_sym, sym AS r_sym, wc FROM (
+         |    SELECT s, wc, sym, pos,
+         |      lag(sym) OVER (PARTITION BY s ORDER BY pos) AS l_sym
+         |    FROM sy$k
+         |  ) WHERE l_sym IS NOT NULL
+         |), c$k AS (
+         |  SELECT l_sym, r_sym, CAST(SUM(wc) AS BIGINT) AS pair_count
+         |  FROM p$k GROUP BY 1, 2
+         |), win$k AS (
+         |  SELECT l_sym, r_sym, l_sym || r_sym AS merged, pair_count
+         |  FROM c$k ORDER BY pair_count DESC, l_sym, r_sym LIMIT 1
+         |), w${k + 1} AS (
+         |  SELECT replace(s, '|' || l_sym || '||' || r_sym || '|',
+         |    '|' || merged || '|') AS s, wc
+         |  FROM w$k CROSS JOIN win$k
+         |)""".stripMargin
+    s"""WITH words AS (
+       |  SELECT tk, COUNT(*) AS wc FROM (
+       |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tk
+       |    FROM documents
+       |  ) GROUP BY tk
+       |), w1 AS (
+       |  SELECT '||' || array_to_string(regexp_extract_all(tk, '.'), '||')
+       |    || '||' AS s, wc
+       |  FROM words
+       |), ${(1 to BpeRounds).map(round).mkString(", ")}
+       |${(1 to BpeRounds).map(k =>
+            s"SELECT $k AS merge_round, l_sym, r_sym, merged, pair_count " +
+              s"FROM win$k").mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   // ---- LM-quality tercile buckets (CCNet-style head/middle/tail) ------------
 
   /** CCNet-style corpus partitioning: rank every document by its unigram
@@ -1097,6 +1209,7 @@ object TextAnalysis {
     "t_stratified_sample" -> Q(stratifiedSampleSql)(stratifiedSample),
     "t_unigram_lm"   -> Q(unigramSurprisalSql)(unigramSurprisal),
     "t_bigram_lm"    -> Q(bigramSurprisalSql)(bigramSurprisal),
+    "t_bpe_merges"   -> Q(bpeMergesSql)(bpeMerges),
     "t_pack_stats"   -> Q(packStatsSql)(packStats),
     "t_pack_assign"  -> Q(packAssignSql)(packAssign),
     "t_pii_scrub"    -> Q(piiScrubSql)(piiScrub),

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** BPE merge-induction invariants, plus a golden check of the
+  * double-separator replace encoding the whole operator rests on. */
+class BpeSpec extends SparkSuite {
+
+  /** Apply one merge to an encoded symbol string the way the operator
+    * does — via the engine's replace, not a reimplementation. */
+  private def mergeOnce(s: String, l: String, r: String): String =
+    spark.range(1).select(
+      expr(s"replace('$s', '|$l||$r|', '|$l$r|')").as("s"))
+      .collect()(0).getString(0)
+
+  test("double-separator replace implements greedy-left BPE merging") {
+    // disjoint consecutive pairs all merge
+    assert(mergeOnce("||a||b||a||b||", "a", "b") == "||ab||ab||")
+    // overlapping run merges greedy-left: aaa -> (aa)a, aaaa -> (aa)(aa)
+    assert(mergeOnce("||a||a||a||", "a", "a") == "||aa||a||")
+    assert(mergeOnce("||a||a||a||a||", "a", "a") == "||aa||aa||")
+    // no mid-symbol false positives: 'ba','ab' must not merge as (a,a)
+    assert(mergeOnce("||ba||ab||", "a", "a") == "||ba||ab||")
+    // merged symbols are atomic next round: (ab,b) does not chain
+    assert(mergeOnce("||ab||b||b||", "ab", "b") == "||abb||b||")
+  }
+
+  test("learned merges: concat integrity, monotone counts, full rounds") {
+    val rows = graft.operators.TextAnalysis.bpeMerges(spark, sf0001)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 3))
+    rows.foreach { case (rd, l, r, m, c) =>
+      assert(m == l + r, s"round $rd: merged '$m' != '$l'+'$r'")
+      assert(c > 0, s"round $rd: non-positive pair count")
+    }
+    // each round's winner count cannot exceed the previous round's: any
+    // new pair (x, lr) inherits from a subset of (x, l) occurrences, and
+    // old pairs only lose mass to the merge
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._5 <= a._5,
+        s"round ${b._1} count ${b._5} exceeds round ${a._1} count ${a._5}")
+    }
+  }
+}

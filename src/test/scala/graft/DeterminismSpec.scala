@@ -48,7 +48,10 @@ class DeterminismSpec extends SparkSuite {
       "s_pq_cells", "t_bigram_lm",
       // the four-stage funnel composes three drop sets + a quality gate;
       // any placement sensitivity in a stage would surface here
-      "d_curation_funnel")
+      "d_curation_funnel",
+      // BPE induction: the argmax-per-round trajectory must not see
+      // partitioning (ties break lexically, counts are exact)
+      "t_bpe_merges")
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     try {
       names.foreach { n =>
