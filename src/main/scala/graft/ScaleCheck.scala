@@ -119,7 +119,16 @@ object ScaleCheck {
     "ivf_trained" -> ((s, d) =>
       { SparkEntry.queries("s_ivf_trained_topk")(s, d).count(); () }),
     "sessionize" -> ((s, d) =>
-      { SparkEntry.queries("q_sessionize")(s, d).count(); () }))
+      { SparkEntry.queries("q_sessionize")(s, d).count(); () }),
+    // round-6 continuation families
+    "pq_model" -> ((s, d) =>
+      graft.operators.Similarity.materializePq(s, d)),
+    "pq_topk" -> ((s, d) =>
+      { SparkEntry.queries("s_pq_topk")(s, d).count(); () }),
+    "curation_funnel" -> ((s, d) =>
+      { SparkEntry.queries("d_curation_funnel")(s, d).count(); () }),
+    "bpe_merges" -> ((s, d) =>
+      { SparkEntry.queries("t_bpe_merges")(s, d).count(); () }))
 
   def measure(spark: SparkSession): Unit = {
     // JIT/codegen warmup at the smallest SF, same discipline as Bench
