@@ -114,6 +114,48 @@ object Curation {
        |LEFT JOIN (SELECT source, COUNT(*) AS n FROM s4 GROUP BY 1) c4
        |  USING (source)""".stripMargin
 
+  /** Cross-modal dup-detector agreement: of all near-dup PAIRS found by
+    * either detector, how many does each modality see? `text_only` pairs
+    * are surface dups below the embedding radius (templates, boilerplate
+    * edits); `semantic_only` are paraphrase/re-encode dups token overlap
+    * can't see; `both` is the overlap. Curators read this to decide
+    * whether one pass can be dropped at 100 TB — the shape is two
+    * already-built pair lists full-outer-joined on the (lo, hi) pair
+    * key, so the query costs one join of two small artifacts. */
+  def modalAgreement(spark: SparkSession, sfDir: String): DataFrame = {
+    val tp = Dedup.ngramJaccard(spark, sfDir)
+      .filter(col("jaccard") >= JaccardFloor)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("t"))
+    val sp = Similarity.embedNearDup(spark, sfDir)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"),
+        lit(1).as("s"))
+    tp.join(sp, Seq("doc_a", "doc_b"), "full_outer")
+      .select(when(col("t").isNotNull && col("s").isNotNull, "both")
+        .when(col("t").isNotNull, "text_only")
+        .otherwise("semantic_only").as("modality"))
+      .groupBy(col("modality")).agg(count(lit(1)).as("n_pairs"))
+  }
+
+  val modalAgreementSql: String =
+    s"""WITH jp AS (
+       |${Dedup.ngramJaccardSql}
+       |), ep AS (
+       |${Similarity.embedNearDupSql}
+       |), tpair AS (
+       |  SELECT doc_a, doc_b FROM jp WHERE jaccard >= $JaccardFloor
+       |), spair AS (
+       |  SELECT vec_a AS doc_a, vec_b AS doc_b FROM ep
+       |)
+       |SELECT modality, COUNT(*) AS n_pairs FROM (
+       |  SELECT CASE
+       |    WHEN t.doc_a IS NOT NULL AND s.doc_a IS NOT NULL THEN 'both'
+       |    WHEN t.doc_a IS NOT NULL THEN 'text_only'
+       |    ELSE 'semantic_only' END AS modality
+       |  FROM tpair t FULL OUTER JOIN spair s
+       |    ON t.doc_a = s.doc_a AND t.doc_b = s.doc_b
+       |) GROUP BY modality""".stripMargin
+
   def queries: Map[String, Q] = Map(
-    "d_curation_funnel" -> Q(curationFunnelSql)(curationFunnel))
+    "d_curation_funnel" -> Q(curationFunnelSql)(curationFunnel),
+    "d_modal_agreement" -> Q(modalAgreementSql)(modalAgreement))
 }

@@ -60,4 +60,24 @@ class CurationSpec extends SparkSuite {
       s"driver-side funnel recomputation (${survivors.size}) " +
         s"disagrees with the query ($total)")
   }
+
+  test("modal agreement partitions the union of the two pair lists") {
+    val s = spark
+    val rows = Curation.modalAgreement(s, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet.subsetOf(Set("both", "text_only", "semantic_only")))
+    val tPairs = Dedup.ngramJaccard(s, sf0001)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sPairs = Similarity.embedNearDup(s, sf0001)
+      .select(col("vec_a"), col("vec_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.getOrElse("both", 0L) == (tPairs & sPairs).size.toLong)
+    assert(rows.getOrElse("text_only", 0L) == (tPairs -- sPairs).size.toLong)
+    assert(rows.getOrElse("semantic_only", 0L)
+      == (sPairs -- tPairs).size.toLong)
+    assert(rows.values.sum == (tPairs | sPairs).size.toLong,
+      "categories must partition the pair union")
+  }
 }
