@@ -63,6 +63,8 @@ object Bench {
       catch { case _: Throwable => () }
       try graft.operators.Similarity.materializePq(spark, warmSf)
       catch { case _: Throwable => () }
+      try graft.operators.TextAnalysis.materializeBpe(spark, warmSf)
+      catch { case _: Throwable => () }
       try graft.operators.Dedup.materializeSourceGrams(spark, warmSf)
       catch { case _: Throwable => () }
     } catch { case _: Throwable => () }
@@ -84,6 +86,8 @@ object Bench {
         (() => graft.operators.Similarity.materializeKmeans(spark, sfDir)),
       "shared_pq_model" ->
         (() => graft.operators.Similarity.materializePq(spark, sfDir)),
+      "shared_bpe_model" ->
+        (() => graft.operators.TextAnalysis.materializeBpe(spark, sfDir)),
       "shared_source_grams" ->
         (() => graft.operators.Dedup.materializeSourceGrams(spark, sfDir)))
       .map { case (name, f) => name -> timed(f) }

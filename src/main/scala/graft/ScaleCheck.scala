@@ -151,10 +151,12 @@ object ScaleCheck {
       graft.operators.Dedup.clearPairCache()
       graft.operators.Similarity.clearKmeansCache()
       graft.operators.Similarity.clearPqCache()
+      graft.operators.TextAnalysis.clearBpeCache()
       val b = timed(f(spark, d))
       graft.operators.Dedup.clearPairCache()
       graft.operators.Similarity.clearKmeansCache()
       graft.operators.Similarity.clearPqCache()
+      graft.operators.TextAnalysis.clearBpeCache()
       math.min(a, b)
     }
     val rows = families.map { case (name, f) =>

@@ -44,4 +44,23 @@ class BpeSpec extends SparkSuite {
         s"round ${b._1} count ${b._5} exceeds round ${a._1} count ${a._5}")
     }
   }
+
+  test("tokenize census conserves symbols against the merge counts") {
+    val census = graft.operators.TextAnalysis.bpeTokenize(spark, sf0001)
+      .collect()(0)
+    val (types, before, after, ratio) =
+      (census.getLong(0), census.getLong(1), census.getLong(2),
+        census.getDouble(3))
+    assert(types > 0 && before > after && after > 0)
+    // each applied merge removes exactly one symbol; greedy-left skips
+    // overlapping occurrences, so removals are bounded by the counted
+    // pair mass but must be positive
+    val pairMass = graft.operators.TextAnalysis.bpeMerges(spark, sf0001)
+      .collect().map(_.getLong(4)).sum
+    assert(before - after <= pairMass,
+      s"removed ${before - after} symbols > counted pair mass $pairMass")
+    assert(ratio == BigDecimal(1.0 - after.toDouble / before)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble ||
+      math.abs(ratio - (1.0 - after.toDouble / before)) < 1e-4)
+  }
 }

@@ -51,7 +51,7 @@ class DeterminismSpec extends SparkSuite {
       "d_curation_funnel",
       // BPE induction: the argmax-per-round trajectory must not see
       // partitioning (ties break lexically, counts are exact)
-      "t_bpe_merges", "d_modal_agreement")
+      "t_bpe_merges", "t_bpe_tokenize", "d_modal_agreement")
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     try {
       names.foreach { n =>
