@@ -529,6 +529,12 @@ object Similarity {
   private[graft] def kmeansAssignment(spark: SparkSession,
       sfDir: String): DataFrame = kmeansTrain(spark, sfDir)._2
 
+  /** The trained centroid table (cell, i, cx) the final assignment was
+    * computed against — the model's broadcast half, for the streaming
+    * quantizer. */
+  private[graft] def kmeansCentroids(spark: SparkSession,
+      sfDir: String): DataFrame = kmeansTrain(spark, sfDir)._1
+
   /** Name of the chain's final-assignment CTE, for composing oracles. */
   private[graft] val kmeansFinalAsgCte: String = s"asg$KmIters"
 

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming IVF assignment — the serving-time twin of the trained
+  * batch quantizer: vectors arriving on a stream are assigned to their
+  * nearest trained centroid in-flight, so downstream routing (which
+  * serving shard / which layout partition a vector lands in) happens at
+  * ingest, with the SAME cell ids the batch training produced.
+  *
+  * Scale design: the centroid table is K·dim rows, collapsed to a
+  * single broadcast row of (cell, cxs) structs; assignment is a
+  * row-local `array_min` over the K distance structs — STATELESS, so
+  * the stream needs no shuffle, no state store, and no watermark for
+  * the assignment itself (the optional per-cell census is one windowed
+  * count downstream). Determinism matches the batch path exactly:
+  * distances round to 6 decimals and ties break on cell via struct
+  * ordering, the same (d, cell) argmin the Lloyd loop ranks on. */
+object StreamingQuantizer {
+
+  /** One-row broadcastable model: `cents` = array of (cell, cxs). */
+  def modelFor(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Similarity.kmeansCentroids(spark, sfDir)
+      .groupBy(col("cell"))
+      .agg(expr("transform(array_sort(collect_list(struct(i, cx))), " +
+        "s -> s.cx)").as("cxs"))
+      .agg(expr("array_sort(collect_list(struct(cell, cxs)))").as("cents"))
+
+  /** `vecs` is a (streaming or batch) DataFrame with an `embedding`
+    * Array[Float] column; appends (cell, d) with the trained assignment
+    * semantics and passes every other input column through (a router
+    * needs the payload next to the cell). */
+  def assign(vecs: DataFrame, model: DataFrame): DataFrame =
+    vecs
+      .withColumn("xs",
+        expr("transform(embedding, v -> CAST(v AS DOUBLE))"))
+      .crossJoin(broadcast(model))
+      .withColumn("asg", expr(
+        "array_min(transform(cents, c -> struct(" +
+          "round(aggregate(zip_with(xs, c.cxs, " +
+          "(a, b) -> (a - b) * (a - b)), 0D, (s, v) -> s + v), 6) AS d, " +
+          "c.cell AS cell)))"))
+      .withColumn("cell", col("asg.cell"))
+      .withColumn("d", col("asg.d"))
+      .drop("xs", "cents", "asg", "embedding")
+
+  /** Optional downstream census: per-(window, cell) arrival counts —
+    * the live fill-rate view a serving operator watches for hot cells. */
+  def cellCensus(assigned: DataFrame, tsCol: String,
+      window: String = "1 minute", horizon: String = "5 minutes"): DataFrame =
+    assigned
+      .withWatermark(tsCol, horizon)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window),
+        col("cell"))
+      .agg(count(lit(1)).as("n_vecs"))
+}
