@@ -108,16 +108,19 @@ object TextFunctions {
     * concatenated to a bitstring. Axis-aligned random-hyperplane LSH —
     * deterministic, engine-portable, and the bucket count (2^nBits) is the
     * scale knob for blocked near-dup / ANN. Dimensions past the vector's
-    * actual length read as 0 (sign bit "1") via try_element_at, so a
-    * short or ragged vector degrades to a coarser bucket instead of
-    * failing the scan task — on full-length vectors the behavior is
-    * byte-identical (DegenerateCorpusSpec forced this: the hard
-    * element_at killed the whole job on one 4-dim vector). */
+    * actual length read bit "0" via try_element_at (NULL ≥ 0 is null →
+    * the otherwise branch), so a short or ragged vector degrades to a
+    * coarser bucket instead of failing the scan task — and the bit
+    * matches the DuckDB oracle exactly, whose out-of-range
+    * `embedding[k] >= 0` is also NULL → ELSE '0'. On full-length
+    * vectors the behavior is byte-identical (DegenerateCorpusSpec
+    * forced this: the hard element_at killed the whole job on one
+    * 4-dim vector). */
   def signBucket(vecCol: String, dim: Int, nBits: Int): Column = {
     val stride = dim / nBits
     val bits = (0 until nBits).map { j =>
-      when(coalesce(expr(s"try_element_at($vecCol, ${1 + j * stride})"),
-        lit(0f)) >= 0f, "1").otherwise("0")
+      when(expr(s"try_element_at($vecCol, ${1 + j * stride})") >= 0f, "1")
+        .otherwise("0")
     }
     concat(bits: _*)
   }

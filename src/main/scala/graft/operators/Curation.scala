@@ -13,8 +13,9 @@ import graft.model.Tables
   * survivor census after each stage. This is the query a dataset curator
   * actually runs: every stage reuses the already-oracled primitive
   * (withQuality / the shared Jaccard pair list / embedNearDup), so the
-  * funnel's cost at 100 TB is three anti-joins and a fingerprint window
-  * on top of artifacts the pipeline builds anyway.
+  * funnel's cost at 100 TB is three drop-set joins, one fingerprint
+  * window and a single conditional aggregate over one corpus pass, on
+  * top of artifacts the pipeline builds anyway.
   *
   * Drop-set semantics are dedupCorpus's conservative keep-first: a doc
   * is dropped if it is the higher id of a duplicate pair, regardless of
@@ -36,41 +37,43 @@ object Curation {
   def curationFunnel(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"), col("text"))
-    // stage 1: quality gate (row-local score, no shuffle)
-    val s1 = TextAnalysis.withQuality(docs)
-      .filter(col("quality") >= QualityFloor)
-      .select(col("doc_id"), col("source"))
+    // stage 1: quality gate (row-local score, no shuffle) as a FLAG —
+    // all five census columns come from one conditional aggregate over
+    // one pass, so the quality scoring / fingerprint window / drop-set
+    // joins each run once (a per-stage census join re-derived the
+    // shared prefix once per branch)
+    val scored = TextAnalysis.withQuality(docs)
+      .select(col("doc_id"), col("source"),
+        (col("quality") >= QualityFloor).as("q_ok"))
     // stage 2: exact dedup — keep the lowest doc_id per md5(text)
-    // fingerprint; one hash shuffle of (fp, id), the drop set anti-joins
+    // fingerprint; one hash shuffle of (fp, id)
     val exactDrop = docs
       .select(col("doc_id"), md5(col("text")).as("fp"))
       .withColumn("mn", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
       .filter(col("doc_id") > col("mn"))
-      .select(col("doc_id"))
-    val s2 = s1.join(exactDrop, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit(true).as("xd"))
     // stage 3: text near-dup — the SHARED persisted Jaccard pair list
     val nearDrop = Dedup.ngramJaccard(spark, sfDir)
       .filter(col("jaccard") >= JaccardFloor)
       .select(col("doc_b").as("doc_id")).distinct()
-    val s3 = s2.join(nearDrop, Seq("doc_id"), "left_anti")
+      .withColumn("nd", lit(true))
     // stage 4: semantic dedup — LSH-blocked embedding near-dup pairs
     // (vec_id aligns 1:1 with doc_id by the data contract)
     val semDrop = Similarity.embedNearDup(spark, sfDir)
       .select(col("vec_b").as("doc_id")).distinct()
-    val s4 = s3.join(semDrop, Seq("doc_id"), "left_anti")
-
-    def census(df: DataFrame, name: String): DataFrame =
-      df.groupBy(col("source")).agg(count(lit(1)).as(name))
-    docs.groupBy(col("source")).agg(count(lit(1)).as("n_raw"))
-      .join(census(s1, "n_quality"), Seq("source"), "left_outer")
-      .join(census(s2, "n_exact"), Seq("source"), "left_outer")
-      .join(census(s3, "n_neardup"), Seq("source"), "left_outer")
-      .join(census(s4, "n_final"), Seq("source"), "left_outer")
-      .select(col("source"), col("n_raw"),
-        coalesce(col("n_quality"), lit(0L)).as("n_quality"),
-        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
-        coalesce(col("n_neardup"), lit(0L)).as("n_neardup"),
-        coalesce(col("n_final"), lit(0L)).as("n_final"))
+      .withColumn("sd", lit(true))
+    val keepEx = col("q_ok") && col("xd").isNull
+    val keepNd = keepEx && col("nd").isNull
+    scored
+      .join(exactDrop, Seq("doc_id"), "left_outer")
+      .join(nearDrop, Seq("doc_id"), "left_outer")
+      .join(semDrop, Seq("doc_id"), "left_outer")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_raw"),
+        count(when(col("q_ok"), 1)).as("n_quality"),
+        count(when(keepEx, 1)).as("n_exact"),
+        count(when(keepNd, 1)).as("n_neardup"),
+        count(when(keepNd && col("sd").isNull, 1)).as("n_final"))
   }
 
   /** Oracle composed by WRAPPING the three finished sibling oracles as

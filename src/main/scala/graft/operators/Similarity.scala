@@ -31,6 +31,17 @@ object Similarity {
   private val Dim = 64
   private val LshBits = 8
 
+  /** Squared euclidean distance over the dims PRESENT IN BOTH arrays —
+    * zip_with pads the shorter side with nulls and a single null
+    * poisons the whole aggregate (a ragged vector would then rank
+    * NULLS-FIRST and silently claim cell 0), so null terms are filtered
+    * before the fold. Matches the oracle's join-on-dimension semantics
+    * (`ON s.j = c.j` sums present-in-both dims) and is a no-op on
+    * uniform-length corpora. */
+  private[graft] def sqDistSql(a: String, b: String): String =
+    s"aggregate(filter(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), " +
+      "v -> v IS NOT NULL), 0D, (s, v) -> s + v)"
+
   private def emb(spark: SparkSession, sfDir: String): DataFrame =
     Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"), col("label"),
@@ -378,8 +389,15 @@ object Similarity {
     * measurement harnesses that must re-time the build. */
   def clearKmeansCache(): Unit = {
     kmCache.values.foreach { case (cent, asg) =>
-      try { cent.unpersist(); asg.unpersist(); () }
-      catch { case _: Exception => () }
+      try {
+        cent.unpersist(); asg.unpersist()
+        // unpersist drops only the persist()-level cache entry; the
+        // centroid frame is ALSO a localCheckpoint whose RDD blocks
+        // leak without an explicit free (CheckpointHygieneSpec proves
+        // the mechanism)
+        freeLocalCheckpoint(cent)
+        ()
+      } catch { case _: Exception => () }
     }
     kmCache.clear()
   }
@@ -437,8 +455,7 @@ object Similarity {
       centUsed = cent
       val dist = vecs.crossJoin(broadcast(centArrays(cent)))
         .select(col("vec_id"), col("cell"),
-          round(expr("aggregate(zip_with(xs, cxs, " +
-            "(a, b) -> (a - b) * (a - b)), 0D, (s, v) -> s + v)"), 6)
+          round(expr(sqDistSql("xs", "cxs")), 6)
             .as("d"))
       val w = Window.partitionBy(col("vec_id")).orderBy(col("d"), col("cell"))
       asg = dist.withColumn("rn", row_number().over(w))
@@ -1036,8 +1053,13 @@ object Similarity {
   /** Drop all cached PQ models (clearKmeansCache counterpart). */
   def clearPqCache(): Unit = {
     pqCache.values.foreach { case (cent, codes) =>
-      try { cent.unpersist(); codes.unpersist(); () }
-      catch { case _: Exception => () }
+      try {
+        cent.unpersist(); codes.unpersist()
+        // same double-backing as clearKmeansCache: the codebook is a
+        // localCheckpoint under a persist — free both
+        freeLocalCheckpoint(cent)
+        ()
+      } catch { case _: Exception => () }
     }
     pqCache.clear()
   }
@@ -1081,12 +1103,10 @@ object Similarity {
       .select(col("sub"), col("vec_id").as("cell"), col("j"),
         round(col("x"), 6).as("cx"))
     var asg: DataFrame = null
-    var staleCkpt: DataFrame = null
     for (k <- 1 to PqIters) {
       val dist = sv.join(broadcast(pqCentArrays(cent)), Seq("sub"))
         .select(col("vec_id"), col("sub"), col("cell"),
-          round(expr("aggregate(zip_with(sxs, cxs, " +
-            "(a, b) -> (a - b) * (a - b)), 0D, (s, v) -> s + v)"), 6)
+          round(expr(sqDistSql("sxs", "cxs")), 6)
             .as("d"))
       val w = Window.partitionBy(col("vec_id"), col("sub"))
         .orderBy(col("d"), col("cell"))
@@ -1096,16 +1116,16 @@ object Similarity {
       // the final assignment IS the model output — no round-PqIters
       // centroid recompute (kmeansTrainCompute pays one; here the skipped
       // job also avoids leaking an unconsumed checkpoint's blocks)
+      // with PqIters=2 only round 1 recomputes, and the seed it
+      // replaces is a plain plan (nothing to free) — no stale-checkpoint
+      // bookkeeping like the 3-round kmeans loop needs
       if (k < PqIters) {
-        val next = exs
+        cent = exs
           .join(asg.select("vec_id", "sub", "cell"), Seq("vec_id", "sub"))
           .groupBy(col("sub"), col("cell"), col("j"))
           .agg(round(avg(col("x")), 6).as("cx"))
           .coalesce(1)
           .localCheckpoint(true)
-        if (staleCkpt != null) freeLocalCheckpoint(staleCkpt)
-        staleCkpt = cent
-        cent = next
       }
     }
     (cent, asg)
@@ -1135,8 +1155,7 @@ object Similarity {
     val qcd = subVecs(spark, sfDir).filter(col("vec_id") < 50)
       .join(broadcast(pqCentArrays(cent)), Seq("sub"))
       .select(col("vec_id").as("q_id"), col("sub"), col("cell"),
-        round(expr("aggregate(zip_with(sxs, cxs, " +
-          "(a, b) -> (a - b) * (a - b)), 0D, (s, v) -> s + v)"), 6)
+        round(expr(sqDistSql("sxs", "cxs")), 6)
           .as("qd"))
     val adc = codes.select(col("vec_id"), col("sub"), col("cell"))
       .join(broadcast(qcd), Seq("sub", "cell"))
@@ -1161,8 +1180,7 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("xs").as("qxs"))
     val wE = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("vec_id"))
     val exactTop = vecs.join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .withColumn("d2", round(expr("aggregate(zip_with(xs, qxs, " +
-        "(a, b) -> (a - b) * (a - b)), 0D, (s, v) -> s + v)"), 6))
+      .withColumn("d2", round(expr(sqDistSql("xs", "qxs")), 6))
       .withColumn("rk", row_number().over(wE))
       .filter(col("rk") <= 5)
       .select(col("q_id"), col("vec_id").as("neighbor_id"))

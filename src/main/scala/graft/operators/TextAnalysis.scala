@@ -928,13 +928,18 @@ object TextAnalysis {
     * intermediate pattern). Stores (merge table, initial vocab, vocab
     * after all merges). */
   private val bpeCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), (DataFrame, DataFrame, DataFrame)]
+    .empty[(SparkSession, String),
+      (DataFrame, DataFrame, DataFrame, Seq[DataFrame])]
 
-  /** Drop cached BPE trajectories (the clearPqCache counterpart). */
+  /** Drop cached BPE trajectories (the clearPqCache counterpart). The
+    * per-round winner frames are checkpoints too — tracked separately
+    * because the union/withColumn wrapping of `merges` hides their
+    * LogicalRDDs from freeLocalCheckpoint. */
   def clearBpeCache(): Unit = {
-    bpeCache.values.foreach { case (_, v0, vf) =>
+    bpeCache.values.foreach { case (_, v0, vf, wins) =>
       graft.operators.Similarity.freeLocalCheckpoint(v0)
       graft.operators.Similarity.freeLocalCheckpoint(vf)
+      wins.foreach(graft.operators.Similarity.freeLocalCheckpoint)
     }
     bpeCache.clear()
   }
@@ -942,16 +947,16 @@ object TextAnalysis {
   /** Force the shared trajectory to materialize (Bench's shared_bpe_model
     * entry). */
   def materializeBpe(spark: SparkSession, sfDir: String): Unit = {
-    val (m, v0, vf) = bpeTrain(spark, sfDir)
+    val (m, v0, vf, _) = bpeTrain(spark, sfDir)
     m.count(); v0.count(); vf.count(); ()
   }
 
-  private def bpeTrain(spark: SparkSession,
-      sfDir: String): (DataFrame, DataFrame, DataFrame) =
+  private def bpeTrain(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame, DataFrame, Seq[DataFrame]) =
     bpeCache.getOrElseUpdate((spark, sfDir), bpeTrainCompute(spark, sfDir))
 
-  private def bpeTrainCompute(spark: SparkSession,
-      sfDir: String): (DataFrame, DataFrame, DataFrame) = {
+  private def bpeTrainCompute(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame, DataFrame, Seq[DataFrame]) = {
     val vocab0 = Tables.documents(spark, sfDir)
       .select(explode(tokens(col("text"))).as("tk"))
       .groupBy(col("tk")).agg(count(lit(1)).as("wc"))
@@ -961,6 +966,9 @@ object TextAnalysis {
       .localCheckpoint(true)
     var cur = vocab0
     var rounds: Seq[DataFrame] = Nil
+    // the RAW checkpointed winners — freeLocalCheckpoint matches a bare
+    // LogicalRDD, which the withColumn/union wrapping in `rounds` hides
+    var winsRaw: Seq[DataFrame] = Nil
     for (r <- 1 to BpeRounds) {
       val syms = cur.select(col("wc"),
         expr("filter(split(s, '\\\\|\\\\|'), x -> x <> '')").as("syms"))
@@ -977,22 +985,32 @@ object TextAnalysis {
         .withColumn("merged", concat(col("l_sym"), col("r_sym")))
         .localCheckpoint(true)
       rounds = rounds :+ win.withColumn("merge_round", lit(r))
-      // every round rewrites (the final vocab is the census consumer's
-      // input); intermediates free once the next round materializes,
-      // but round 0 stays — it is the census baseline
-      val stale = cur
-      cur = cur
-        .crossJoin(broadcast(
-          win.select(col("l_sym"), col("r_sym"), col("merged"))))
-        .select(expr("replace(s, '|' || l_sym || '||' || r_sym || '|', " +
-          "'|' || merged || '|')").as("s"), col("wc"))
-        .localCheckpoint(true)
-      if (stale ne vocab0) graft.operators.Similarity.freeLocalCheckpoint(stale)
+      winsRaw = winsRaw :+ win
+      // a dry round (no pairs left) yields an EMPTY winner; the
+      // crossJoin rewrite would then annihilate the vocabulary and the
+      // census would report a null/empty corpus — keep the last real
+      // vocab instead (win is a checkpointed ≤1-row frame, so the
+      // emptiness probe is a sub-ms local scan)
+      if (!win.isEmpty) {
+        // every live round rewrites (the final vocab is the census
+        // consumer's input); intermediates free once the next round
+        // materializes, but round 0 stays — it is the census baseline
+        val stale = cur
+        cur = cur
+          .crossJoin(broadcast(
+            win.select(col("l_sym"), col("r_sym"), col("merged"))))
+          .select(expr("replace(s, '|' || l_sym || '||' || r_sym || '|', " +
+            "'|' || merged || '|')").as("s"), col("wc"))
+          .localCheckpoint(true)
+        if (stale ne vocab0) {
+          graft.operators.Similarity.freeLocalCheckpoint(stale)
+        }
+      }
     }
     val merges = rounds.reduce(_ unionByName _)
       .select(col("merge_round"), col("l_sym"), col("r_sym"),
         col("merged"), col("pair_count"))
-    (merges, vocab0, cur)
+    (merges, vocab0, cur, winsRaw)
   }
 
   def bpeMerges(spark: SparkSession, sfDir: String): DataFrame =
@@ -1003,7 +1021,7 @@ object TextAnalysis {
     * and after the BpeRounds merges, and the fraction merged away. The
     * number a tokenizer team actually tracks per merge budget. */
   def bpeTokenize(spark: SparkSession, sfDir: String): DataFrame = {
-    val (_, v0, vf) = bpeTrain(spark, sfDir)
+    val (_, v0, vf, _) = bpeTrain(spark, sfDir)
     def census(df: DataFrame, n: String): DataFrame =
       df.select((col("wc") * size(expr(
         "filter(split(s, '\\\\|\\\\|'), x -> x <> '')"))).as("syms"),

@@ -38,9 +38,8 @@ object StreamingQuantizer {
       .crossJoin(broadcast(model))
       .withColumn("asg", expr(
         "array_min(transform(cents, c -> struct(" +
-          "round(aggregate(zip_with(xs, c.cxs, " +
-          "(a, b) -> (a - b) * (a - b)), 0D, (s, v) -> s + v), 6) AS d, " +
-          "c.cell AS cell)))"))
+          s"round(${graft.operators.Similarity.sqDistSql("xs", "c.cxs")}, 6)" +
+          " AS d, c.cell AS cell)))"))
       .withColumn("cell", col("asg.cell"))
       .withColumn("d", col("asg.d"))
       .drop("xs", "cents", "asg", "embedding")

@@ -61,6 +61,60 @@ class DegenerateCorpusSpec extends SparkSuite {
     }
   }
 
+  test("BPE census survives the pair table running dry (vocab not annihilated)") {
+    // vocabulary {ab×2, cd, x}: rounds 1-2 merge (a,b) and (c,d), round 3
+    // is dry — the census must reflect the two real merges, not an
+    // empty/NULL corpus from a rewrite against the empty winner
+    val r = graft.operators.TextAnalysis.bpeTokenize(spark, tinyDir)
+      .collect()(0)
+    assert(r.getLong(0) == 3L, s"word types: ${r.getLong(0)}")
+    assert(r.getLong(1) == 7L, s"symbols before: ${r.getLong(1)}")
+    assert(r.getLong(2) == 4L, s"symbols after: ${r.getLong(2)}")
+    assert(math.abs(r.getDouble(3) - 0.4286) < 1e-4)
+  }
+
+  private lazy val raggedDir: String = {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-ragged").toString
+    Seq(
+      (0L, Array(1.0f, 0.0f, 0.5f, 0.25f), 0),
+      (1L, Array(0.9f, 0.1f, 0.5f, 0.25f), 1),
+      (2L, Array(-1.0f, 0.5f, -0.5f, 0.0f), 0),
+      (3L, Array(0.8f, 0.2f), 1)) // ragged: shorter than its peers
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("ragged vectors survive PQ, LSH bucketing, and streaming assignment") {
+    graft.operators.Similarity.clearPqCache()
+    try {
+      // PQ: a null-poisoned distance would rank NULLS FIRST and claim
+      // cell 0 silently; the filtered fold must yield real distances
+      val top = graft.operators.Similarity.pqAdcTopK(spark, raggedDir)
+        .collect()
+      assert(top.nonEmpty)
+      assert(top.forall(!_.isNullAt(2)), "ADC must never be null")
+      val cells = graft.operators.Similarity.pqCells(spark, raggedDir)
+        .collect()
+      assert(cells.forall(!_.isNullAt(3)), "sq_err must never be null")
+      // LSH bucket: missing dims read bit 0, never a task failure
+      val buckets = graft.operators.Similarity
+        .embedNearDup(spark, raggedDir).collect() // must not throw
+      assert(buckets.forall(!_.isNullAt(2)))
+      // streaming quantizer: the ragged vector gets a real assignment
+      val model = graft.streaming.StreamingQuantizer.modelFor(spark, raggedDir)
+      val assigned = graft.streaming.StreamingQuantizer.assign(
+        graft.model.Tables.embeddings(spark, raggedDir)
+          .select(org.apache.spark.sql.functions.col("vec_id"),
+            org.apache.spark.sql.functions.col("embedding")), model)
+        .collect()
+      assert(assigned.length == 4)
+      assert(assigned.forall(r => !r.isNullAt(1) && !r.isNullAt(2)))
+    } finally graft.operators.Similarity.clearPqCache()
+  }
+
   test("PQ trains and serves with fewer vectors than seeds or queries") {
     graft.operators.Similarity.clearPqCache()
     try {
