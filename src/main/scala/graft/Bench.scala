@@ -15,7 +15,12 @@ import org.apache.spark.sql.SparkSession
   *    s_kmeans_cells/s_ivf_trained_topk), so consumer queries time
   *    steady-state plans, not one arbitrary victim paying the build.
   *  - TWO passes per query, min-time reported — damps the 49-69 s
-  *    box-scheduler variance observed across round-2 runs.
+  *    box-scheduler variance observed across round-2 runs. Round 7: the
+  *    shared builds get the SAME min-of-two treatment (build all, clear
+  *    all model caches, rebuild all, min per entry) — round 6's
+  *    single-pass cold shared timing put 37 s of box cold-pass swing into
+  *    the headline on code whose warm steady state is ~5 s (BENCH_NOTES
+  *    round 6/7).
   *  - Shared builds are WARMED at sf0.001 first (round-5 fix): their
   *    timed entries previously ran cold-JIT single-pass while queries
   *    got min-of-two warm passes, so 44% of the round-4 driver total
@@ -75,9 +80,19 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // shared subtrees first, as their own entries (single pass: they are
-    // build-once-per-session by construction)
-    val shared = Seq[(String, () => Unit)](
+    // Shared subtrees first, as their own entries. Round-7 fix: they are
+    // timed MIN-OF-TWO like every query — round 6 timed them single-pass
+    // cold, and BENCH_NOTES documents 7-27× cold-pass swings on this box
+    // (46-94 s for a 3.5 s-warm kmeans build), which made the round-6
+    // headline a measurement artifact. Discipline is ScaleCheck's: build
+    // all six (pass 1), clear EVERY model cache, rebuild all six (pass 2),
+    // report per-entry min. Clearing between rounds — not between the two
+    // passes of one entry — matters because the clears are coarse
+    // (clearPairCache drops pairs+minhash+grams together); per-entry
+    // clearing would silently evict a sibling's just-timed build and make
+    // its consumers re-pay it inside their timed pass. After pass 2 all
+    // caches are populated, so consumer queries time steady-state plans.
+    val sharedBuilds = Seq[(String, () => Unit)](
       "shared_dedup_pairs" ->
         (() => { graft.operators.Dedup.ngramJaccard(spark, sfDir).count(); () }),
       "shared_minhash_mins" ->
@@ -90,7 +105,18 @@ object Bench {
         (() => graft.operators.TextAnalysis.materializeBpe(spark, sfDir)),
       "shared_source_grams" ->
         (() => graft.operators.Dedup.materializeSourceGrams(spark, sfDir)))
-      .map { case (name, f) => name -> timed(f) }
+    val sharedPass1 = sharedBuilds.map { case (name, f) => name -> timed(f) }
+    try {
+      graft.operators.Dedup.clearPairCache()
+      graft.operators.Similarity.clearKmeansCache()
+      graft.operators.Similarity.clearPqCache()
+      graft.operators.TextAnalysis.clearBpeCache()
+    } catch { case _: Throwable => () }
+    val sharedPass2 = sharedBuilds.map { case (name, f) => name -> timed(f) }
+    val shared = sharedBuilds.map { case (name, _) =>
+      name -> math.min(sharedPass1.toMap.apply(name),
+        sharedPass2.toMap.apply(name))
+    }
 
     // fixed (sorted) query order, two passes, min-time per query
     val names = SparkEntry.queries.keys.toSeq.sorted

@@ -53,14 +53,14 @@ object Analytics {
 
   // ---- TPC-H Q3: broadcast dim join + top-k ---------------------------------
 
-  /** customer (dim, broadcast) ⋈ orders ⋈ lineitem; deterministic top-10 by
-    * rounded revenue with orderkey tiebreak.
+  /** customer ⋈ orders ⋈ lineitem; deterministic top-10 by rounded
+    * revenue with orderkey tiebreak.
     *
-    * Only the customer dim carries a broadcast hint: the orders-side filter
-    * (o_orderdate < 1998-03-15) keeps ~97% of the table, so forcing it
-    * broadcast would OOM at scale — lineitem⋈orders shuffles on orderkey,
-    * and AQE still picks broadcast at small SF where the side genuinely
-    * fits. */
+    * No broadcast hints: every input grows with SF (customer keeps ~1/5
+    * after the segment filter, orders ~97%), so a forced broadcast of any
+    * of them is an OOM at cluster scale. AQE still picks broadcast-hash
+    * at small SF where a side genuinely fits under the threshold, and
+    * falls back to shuffled joins on orderkey/custkey when it doesn't. */
   def q3Shipping(spark: SparkSession, sfDir: String): DataFrame = {
     val c = Tables.customer(spark, sfDir)
       .filter(col("c_mktsegment") === "BUILDING")
@@ -71,7 +71,7 @@ object Analytics {
     val l = Tables.lineitem(spark, sfDir)
       .filter(col("l_shipdate") > to_timestamp(lit("1998-03-15")))
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
-    l.join(o.join(broadcast(c), o("o_custkey") === c("c_custkey")),
+    l.join(o.join(c, o("o_custkey") === c("c_custkey")),
         l("l_orderkey") === o("o_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
@@ -102,8 +102,12 @@ object Analytics {
       .select("l_orderkey", "l_extendedprice", "l_discount")
     val n = Tables.nation(spark, sfDir)
     val r = Tables.region(spark, sfDir)
+    // customer grows with SF — no broadcast hint: AQE picks broadcast at
+    // small SF and shuffle-hash at cluster scale (a forced broadcast here
+    // is an OOM at 100 TB, and was the round-6 3.3 s regression).
+    // nation (25 rows) and region (5 rows) are fixed-size: hint them.
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
@@ -159,7 +163,9 @@ object Analytics {
       .select("l_partkey", "l_extendedprice", "l_discount")
     val p = Tables.part(spark, sfDir).select("p_partkey", "p_type")
     val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
-    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    // part grows with SF (unlike nation/region) — unhinted so AQE
+    // broadcasts only while it fits and shuffles on partkey when it doesn't
+    l.join(p, col("l_partkey") === col("p_partkey"))
       .agg(round(lit(100.0) * sum(when(col("p_type") === "PROMO", rev)
           .otherwise(lit(0.0))) / sum(rev), 4).as("promo_share_pct"),
         count(lit(1)).as("n_items"))
@@ -188,8 +194,12 @@ object Analytics {
     val o = Tables.orders(spark, sfDir)
       .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
     val c = Tables.customer(spark, sfDir).select("c_custkey", "c_name")
+    // customer grows with SF — unhinted. After the HAVING join the left
+    // side is a handful of rows, and AQE's runtime stats see that and
+    // broadcast the TINY side into customer (the direction a planner-time
+    // hint on c can't express).
     o.join(big, o("o_orderkey") === big("l_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .select(col("c_name"), col("o_orderkey"),
         to_date(col("o_orderdate")).as("order_date"),
         round(col("o_totalprice"), 2).as("total_price"),

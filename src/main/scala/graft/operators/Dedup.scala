@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Q
+import graft.Checkpoints.LineageOps
 import graft.model.Tables
 import graft.functions.TextFunctions._
 
@@ -806,11 +807,11 @@ object Dedup {
     val edges = pairs.unionByName(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .coalesce(8)
-      .localCheckpoint(true)
+      .truncateLineage(true)
     var labels = edges.select(col("doc_a").as("doc"))
       .distinct().withColumn("lbl", col("doc"))
       .coalesce(8)
-      .localCheckpoint(true)
+      .truncateLineage(true)
     // convergence check without a join: labels only ever DECREASE, so the
     // label sum strictly decreases until fixpoint — one cheap aggregate
     // per round instead of a join + filter + count. The LAZY checkpoint
@@ -836,7 +837,7 @@ object Dedup {
         .select(col("doc"),
           least(col("lbl"), coalesce(col("p_lbl"), col("lbl"))).as("lbl"))
         .coalesce(8)
-        .localCheckpoint(false)
+        .truncateLineage(false)
       // coalesce: sum over an EMPTY frame is null — a corpus with no
       // near-dup pair must yield zero clusters, not an NPE
       val nextSum = next.agg(coalesce(sum("lbl"), lit(0L))).head().getLong(0)
@@ -1287,14 +1288,14 @@ object Dedup {
   /** Generic large-star/small-star component labels over an undirected
     * pair list (columns u, v). Returns (u, lbl = component min). */
   def starComponents(pairs: DataFrame): DataFrame = {
-    var edges = symmetrize(pairs).coalesce(8).localCheckpoint(true)
+    var edges = symmetrize(pairs).coalesce(8).truncateLineage(true)
     var prevSum = Long.MinValue
     var prevCnt = -1L
     var rounds = 0
     var converged = false
     while (!converged && rounds < 50) {
       val next = symmetrize(smallStar(symmetrize(largeStar(edges))))
-        .coalesce(8).localCheckpoint(false)
+        .coalesce(8).truncateLineage(false)
       // convergence: edge-set checksum (count + order-independent
       // bit_xor of per-edge hashes — xor can't overflow under ANSI) —
       // stable set ⇒ star graphs reached; the checksum action is also

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Q
+import graft.Checkpoints.LineageOps
 import graft.model.Tables
 import graft.functions.TextFunctions._
 import graft.plans.GraftFunctions.cosineSim
@@ -381,24 +382,30 @@ object Similarity {
     * frames are tiny (K·dim centroids + one row per vector) — persist
     * them once instead of re-deriving the 3-round tree per consumer
     * (same shared-intermediate pattern as Dedup's pair list). */
+  // value carries the source fingerprint it was trained on: IvfLayout
+  // keys its partitioned artifact on the same fingerprint, so the model
+  // cache must miss-and-retrain when the parquet is regenerated
+  // in-session — otherwise ensure() would join NEW embeddings to STALE
+  // trained cells while the oracle retrains from the new data
   private val kmCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+    .empty[(SparkSession, String), (String, DataFrame, DataFrame)]
+
+  private def unpersistModel(a: DataFrame, b: DataFrame): Unit =
+    try {
+      a.unpersist(); b.unpersist()
+      // unpersist drops only the persist()-level cache entry; the
+      // centroid frame is ALSO a localCheckpoint whose RDD blocks
+      // leak without an explicit free (CheckpointHygieneSpec proves
+      // the mechanism)
+      freeLocalCheckpoint(a)
+      ()
+    } catch { case _: Exception => () }
 
   /** Drop all cached trained models (unpersisting both frames) — the
     * Dedup.clearPairCache counterpart, for regenerated parquet or
     * measurement harnesses that must re-time the build. */
   def clearKmeansCache(): Unit = {
-    kmCache.values.foreach { case (cent, asg) =>
-      try {
-        cent.unpersist(); asg.unpersist()
-        // unpersist drops only the persist()-level cache entry; the
-        // centroid frame is ALSO a localCheckpoint whose RDD blocks
-        // leak without an explicit free (CheckpointHygieneSpec proves
-        // the mechanism)
-        freeLocalCheckpoint(cent)
-        ()
-      } catch { case _: Exception => () }
-    }
+    kmCache.values.foreach { case (_, cent, asg) => unpersistModel(cent, asg) }
     kmCache.clear()
   }
 
@@ -406,13 +413,19 @@ object Similarity {
     * probe path. Returns (centroids the final assignment was computed
     * against: (cell, i, cx), final assignment: (vec_id, cell, d)). */
   private def kmeansTrain(spark: SparkSession,
-      sfDir: String): (DataFrame, DataFrame) =
-    kmCache.getOrElseUpdate((spark, sfDir), {
-      val (cent, asg) = kmeansTrainCompute(spark, sfDir)
-      cent.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      asg.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      (cent, asg)
-    })
+      sfDir: String): (DataFrame, DataFrame) = kmCache.synchronized {
+    val fp = graft.sources.SourceFingerprint.key(sfDir, "embeddings.parquet")
+    kmCache.get((spark, sfDir)) match {
+      case Some((`fp`, cent, asg)) => (cent, asg)
+      case stale =>
+        stale.foreach { case (_, cent, asg) => unpersistModel(cent, asg) }
+        val (cent, asg) = kmeansTrainCompute(spark, sfDir)
+        cent.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        asg.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        kmCache.put((spark, sfDir), (fp, cent, asg))
+        (cent, asg)
+    }
+  }
 
   /** Force the shared trained model to materialize — Bench times this as
     * its own entry so the consumers' per-query times are steady-state. */
@@ -451,7 +464,7 @@ object Similarity {
     // round's assignment) folded into the latest materialized centroid
     // table, so its executor blocks are dead weight — free them
     var staleCkpt: DataFrame = null
-    for (_ <- 1 to KmIters) {
+    for (iter <- 1 to KmIters) {
       centUsed = cent
       val dist = vecs.crossJoin(broadcast(centArrays(cent)))
         .select(col("vec_id"), col("cell"),
@@ -475,10 +488,18 @@ object Similarity {
       // On a real cluster swap in reliable `checkpoint()` (HDFS-backed,
       // needs setCheckpointDir) for the same K·dim-row table; local mode
       // has no executor churn, so the cheaper form is safe here.
-      cent = ex.join(asg.select("vec_id", "cell"), Seq("vec_id"))
-        .groupBy(col("cell"), col("i")).agg(round(avg(col("x")), 6).as("cx"))
-        .coalesce(1)
-        .localCheckpoint(true)
+      // the FINAL round returns (centUsed, asg) — recomputing cent there
+      // would be a full corpus-scale eager job whose output nobody reads
+      // and whose checkpoint blocks nothing frees (the PQ loop has the
+      // same guard); skipping it changes no output
+      if (iter < KmIters) {
+        cent = ex.join(asg.select("vec_id", "cell"), Seq("vec_id"))
+          .groupBy(col("cell"), col("i")).agg(round(avg(col("x")), 6).as("cx"))
+          .coalesce(1)
+          .truncateLineage(true)
+      }
+      // safe on the final round too: asg reads centUsed, whose checkpoint
+      // truncated its lineage — the round-before-last's blocks are dead
       if (staleCkpt != null) freeLocalCheckpoint(staleCkpt)
       staleCkpt = centUsed
     }
@@ -1047,20 +1068,18 @@ object Similarity {
   /** One trained PQ model per (session, SF) — s_pq_cells, s_pq_topk and
     * s_pq_recall all consume the same training (same shared-intermediate
     * pattern as kmCache). */
+  // fingerprint-keyed like kmCache (same regeneration-staleness hazard:
+  // the streaming-codes twin and any layout built on PQ codes must never
+  // pair new vectors with a codebook trained on the old bytes)
   private val pqCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+    .empty[(SparkSession, String), (String, DataFrame, DataFrame)]
 
   /** Drop all cached PQ models (clearKmeansCache counterpart). */
   def clearPqCache(): Unit = {
-    pqCache.values.foreach { case (cent, codes) =>
-      try {
-        cent.unpersist(); codes.unpersist()
-        // same double-backing as clearKmeansCache: the codebook is a
-        // localCheckpoint under a persist — free both
-        freeLocalCheckpoint(cent)
-        ()
-      } catch { case _: Exception => () }
-    }
+    // same double-backing as clearKmeansCache: the codebook is a
+    // localCheckpoint under a persist — unpersistModel frees both
+    pqCache.values.foreach { case (_, cent, codes) =>
+      unpersistModel(cent, codes) }
     pqCache.clear()
   }
 
@@ -1072,13 +1091,19 @@ object Similarity {
   }
 
   private def pqTrain(spark: SparkSession,
-      sfDir: String): (DataFrame, DataFrame) =
-    pqCache.getOrElseUpdate((spark, sfDir), {
-      val (cent, codes) = pqTrainCompute(spark, sfDir)
-      cent.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      codes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      (cent, codes)
-    })
+      sfDir: String): (DataFrame, DataFrame) = pqCache.synchronized {
+    val fp = graft.sources.SourceFingerprint.key(sfDir, "embeddings.parquet")
+    pqCache.get((spark, sfDir)) match {
+      case Some((`fp`, cent, codes)) => (cent, codes)
+      case stale =>
+        stale.foreach { case (_, cent, codes) => unpersistModel(cent, codes) }
+        val (cent, codes) = pqTrainCompute(spark, sfDir)
+        cent.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        codes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        pqCache.put((spark, sfDir), (fp, cent, codes))
+        (cent, codes)
+    }
+  }
 
   /** Per-subspace Lloyd — ONE training chain for all PqM subspaces at
     * once: adding `sub` to every key turns the k-means recurrence into
@@ -1125,7 +1150,7 @@ object Similarity {
           .groupBy(col("sub"), col("cell"), col("j"))
           .agg(round(avg(col("x")), 6).as("cx"))
           .coalesce(1)
-          .localCheckpoint(true)
+          .truncateLineage(true)
       }
     }
     (cent, asg)

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Q
+import graft.Checkpoints.LineageOps
 import graft.model.Tables
 import graft.functions.TextFunctions._
 
@@ -963,7 +964,7 @@ object TextAnalysis {
       .select(concat(lit("||"),
         array_join(expr("regexp_extract_all(tk, '.', 0)"), "||"),
         lit("||")).as("s"), col("wc"))
-      .localCheckpoint(true)
+      .truncateLineage(true)
     var cur = vocab0
     var rounds: Seq[DataFrame] = Nil
     // the RAW checkpointed winners — freeLocalCheckpoint matches a bare
@@ -983,7 +984,7 @@ object TextAnalysis {
         .orderBy(col("pair_count").desc, col("l_sym"), col("r_sym"))
         .limit(1)
         .withColumn("merged", concat(col("l_sym"), col("r_sym")))
-        .localCheckpoint(true)
+        .truncateLineage(true)
       rounds = rounds :+ win.withColumn("merge_round", lit(r))
       winsRaw = winsRaw :+ win
       // a dry round (no pairs left) yields an EMPTY winner; the
@@ -1001,7 +1002,7 @@ object TextAnalysis {
             win.select(col("l_sym"), col("r_sym"), col("merged"))))
           .select(expr("replace(s, '|' || l_sym || '||' || r_sym || '|', " +
             "'|' || merged || '|')").as("s"), col("wc"))
-          .localCheckpoint(true)
+          .truncateLineage(true)
         if (stale ne vocab0) {
           graft.operators.Similarity.freeLocalCheckpoint(stale)
         }
@@ -1114,7 +1115,7 @@ object TextAnalysis {
     // so materialize the tiny (doc, score) frame once and rank THAT —
     // same trick as the CC loops, one eager localCheckpoint
     val perDoc = docSurprisal(spark, sfDir)
-      .coalesce(8).localCheckpoint(true)
+      .coalesce(8).truncateLineage(true)
     val ranked = Analytics.distributedPercentRank(
       perDoc, col("doc_surprisal"), col("doc_id"), "pr")
     ranked

@@ -29,20 +29,13 @@ object IvfLayout {
 
   private val created = TrieMap.empty[String, String]
 
-  private def cacheKey(sfDir: String): String = {
-    val src = java.nio.file.Paths.get(sfDir, "embeddings.parquet")
-    val fp =
-      try {
-        val s = java.nio.file.Files.walk(src)
-        try s.sorted().map[String](p =>
-            s"$p:${java.nio.file.Files.size(p)}:" +
-              java.nio.file.Files.getLastModifiedTime(p).toMillis)
-          .reduce("", (a, b) => a + "|" + b)
-        finally s.close()
-      } catch { case _: Exception => "unreadable" }
-    sfDir + "#" + java.security.MessageDigest.getInstance("MD5")
-      .digest(fp.getBytes("UTF-8")).map("%02x".format(_)).mkString
-  }
+  // Coupling note: the layout is embeddings JOIN the trained kmeans
+  // assignment, so fingerprint-keying THIS cache is only regeneration-
+  // safe because Similarity's kmCache re-keys on the SAME fingerprint —
+  // a regenerated parquet misses both caches together and the rewrite
+  // joins new vectors to a freshly trained model, never to stale cells.
+  private def cacheKey(sfDir: String): String =
+    SourceFingerprint.key(sfDir, "embeddings.parquet")
 
   private[graft] def ensure(spark: SparkSession, sfDir: String): String =
     created.getOrElseUpdate(cacheKey(sfDir), {

@@ -27,20 +27,8 @@ object OrcRoundTrip {
     * snapshots stay on disk until the JVM shutdown hook sweeps them —
     * bounded by the number of regenerations, acceptable for a session-
     * scoped test/bench artifact. */
-  private def cacheKey(sfDir: String): String = {
-    val src = java.nio.file.Paths.get(sfDir, "documents.parquet")
-    val fp =
-      try {
-        val s = java.nio.file.Files.walk(src)
-        try s.sorted().map[String](p =>
-            s"$p:${java.nio.file.Files.size(p)}:" +
-              java.nio.file.Files.getLastModifiedTime(p).toMillis)
-          .reduce("", (a, b) => a + "|" + b)
-        finally s.close()
-      } catch { case _: Exception => "unreadable" }
-    sfDir + "#" + java.security.MessageDigest.getInstance("MD5")
-      .digest(fp.getBytes("UTF-8")).map("%02x".format(_)).mkString
-  }
+  private def cacheKey(sfDir: String): String =
+    SourceFingerprint.key(sfDir, "documents.parquet")
 
   private def ensure(spark: SparkSession, sfDir: String): String =
     created.getOrElseUpdate(cacheKey(sfDir), {

@@ -51,6 +51,56 @@ class PlanQualitySpec extends SparkSuite {
           if w.partitionSpec.isEmpty => Seq(w)
     }.flatten
 
+  // ---- broadcast-hint allowlist gate ----------------------------------------
+  // A forced `broadcast()` on an SF-growing table is the one hint that turns
+  // into an executor OOM at 100 TB (round 6's q5 regression: a forced
+  // customer broadcast that also forbade AQE from picking the shuffle join
+  // scale needs). Plan-level checks can't see this at sf0.001 — the small
+  // side legitimately broadcasts there — so gate the SOURCE: every
+  // `broadcast(<arg>)` in main code must name an expression from this
+  // allowlist of provably bounded frames (fixed-size dims, 1-row/K-row
+  // aggregates, literal band tables, limit-k sets, trained models). Adding a
+  // new broadcast hint means adding its (file, head-identifier) here with
+  // the same justification discipline.
+  test("broadcast() hints only on provably bounded frames") {
+    val bounded: Map[String, Set[String]] = Map(
+      "TemporalJoins.scala" -> Set("dim"), // 7-band literal, exploded ≤ O(bands)
+      "Analytics.scala" -> Set(
+        "n", "r", // nation 25 / region 5 rows — fixed regardless of SF
+        "stats", "offsets", "converted", // 1-row / K-bucket aggregates
+        "dims", // rollup dimension literal fan-out
+        "hot", "custHot"), // limit(16) hot keys + ≤16-row dim slice
+      "Dedup.scala" -> Set("thr"), // 4-threshold literal
+      "Similarity.scala" -> Set(
+        "q", "probes", // fixed query/probe sets
+        "cent", "centArrays", "pqCentArrays", "qcd"), // K-row trained models
+      "DlqQueries.scala" -> Set("offsets"), // per-level offsets, ≤ 10 rows
+      "TextAnalysis.scala" -> Set(
+        "nDocs", "total", "vocab", "tot", "minTok", // 1-row aggregates
+        "win", // the single winning BPE merge pair
+        "rates"), // per-source rates, bounded by #sources
+      "StreamingQuantizer.scala" -> Set("model")) // K-row trained model
+    val srcRoot = java.nio.file.Paths.get("src/main/scala")
+    val broadcastRe =
+      """broadcast\(\s*([A-Za-z_][A-Za-z0-9_]*)""".r
+    val violations = scala.collection.mutable.ArrayBuffer[String]()
+    java.nio.file.Files.walk(srcRoot).forEach { p =>
+      if (p.toString.endsWith(".scala")) {
+        val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        val fname = p.getFileName.toString
+        broadcastRe.findAllMatchIn(text).foreach { m =>
+          val arg = m.group(1)
+          if (!bounded.getOrElse(fname, Set.empty).contains(arg))
+            violations += s"$fname: broadcast($arg…)"
+        }
+      }
+    }
+    assert(violations.isEmpty,
+      "broadcast() of a frame not in the bounded allowlist (SF-growing " +
+        "table? add it here only with a boundedness argument): " +
+        violations.mkString("; "))
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name: no cartesian product, wide scans pruned") {
       val plan = fn(spark, sf0001).queryExecution.executedPlan
