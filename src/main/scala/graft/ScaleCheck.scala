@@ -101,6 +101,33 @@ object ScaleCheck {
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$Sf1/events.parquet")
 
+    // TPC-H tables, for the FULL-suite sf1 bench (BENCH_SF1.json): replica
+    // k remaps every surrogate key by ·Replicas+k, so each replica is a
+    // closed key universe — per-key join fan-out, orders-per-customer and
+    // lines-per-order distributions are preserved exactly, while naive
+    // replication without remap would multiply every join match 10×.
+    // nation/region are fixed-size dims at EVERY SF and copy unchanged.
+    val keyCols = Map(
+      "customer" -> Set("c_custkey"),
+      "orders" -> Set("o_orderkey", "o_custkey"),
+      "lineitem" -> Set("l_orderkey", "l_partkey", "l_suppkey"),
+      "part" -> Set("p_partkey"),
+      "supplier" -> Set("s_suppkey"))
+    keyCols.keys.toSeq.sorted.foreach { t =>
+      val df = spark.read.parquet(s"$Sf01/$t.parquet")
+      (0 until Replicas).map { k =>
+        df.select(df.columns.toSeq.map { c =>
+          if (keyCols(t).contains(c)) (col(c) * Replicas + k).as(c)
+          else col(c)
+        }: _*)
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$Sf1/$t.parquet")
+    }
+    Seq("nation", "region").foreach { t =>
+      spark.read.parquet(s"$Sf01/$t.parquet")
+        .write.mode("overwrite").parquet(s"$Sf1/$t.parquet")
+    }
+
     println(s"""{"generated":"$Sf1","replicas":$Replicas}""")
   }
 

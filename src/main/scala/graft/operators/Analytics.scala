@@ -98,23 +98,32 @@ object Analytics {
   def q5NationRevenue(spark: SparkSession, sfDir: String): DataFrame = {
     val c = Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey")
     val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
-    val l = Tables.lineitem(spark, sfDir)
-      .select("l_orderkey", "l_extendedprice", "l_discount")
     val n = Tables.nation(spark, sfDir)
     val r = Tables.region(spark, sfDir)
+    // Pre-aggregate lineitem per orderkey BEFORE any join: the orderkey
+    // shuffle happens either way (for the join), but grouping first means
+    // ~4× fewer rows flow through the orders/customer/nation/region joins
+    // — at 100 TB that is billions of rows that never enter a join. Sums
+    // stay RAW here (rounding per-order first would change the total);
+    // the final group rounds once, like the oracle.
+    val lAgg = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("_rev"),
+        count(lit(1)).as("_n"))
     // customer grows with SF — no broadcast hint: AQE picks broadcast at
     // small SF and shuffle-hash at cluster scale (a forced broadcast here
     // is an OOM at 100 TB, and was the round-6 3.3 s regression).
     // nation (25 rows) and region (5 rows) are fixed-size: hint them.
-    l.join(o, l("l_orderkey") === o("o_orderkey"))
+    lAgg.join(o, lAgg("l_orderkey") === o("o_orderkey"))
       .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("revenue"),
-        count(lit(1)).as("n_items"))
+        round(sum(col("_rev")), 2).as("revenue"),
+        sum(col("_n")).as("n_items"))
   }
 
   val q5Sql: String =

@@ -158,7 +158,133 @@ object Curation {
        |    ON t.doc_a = s.doc_a AND t.doc_b = s.doc_b
        |) GROUP BY modality""".stripMargin
 
+  // ---- Right-to-be-forgotten propagation audit -------------------------------
+
+  /** Share of each derived artifact a deletion request invalidates — the
+    * audit a pipeline owner runs BEFORE promising GDPR-style erasure.
+    * The purge set is a deterministic 5% slice (md5 of the stable doc
+    * key, salt "forget" — stands in for an external delete-list table;
+    * the query shape is identical for a real one). Each artifact is the
+    * already-oracled derived table, counted total vs rows TOUCHING a
+    * purged doc: per-doc rows (tfidf) purge by key, pair artifacts
+    * (jaccard / semantic near-dup) purge when EITHER endpoint is purged
+    * — the fan-out number that makes naive "delete the row" erasure
+    * wrong at 100 TB and motivates tombstone-join replay. Cost: one
+    * anti-ish left join per artifact against a corpus-derived purge set;
+    * the pair artifacts are already-built shared frames. */
+  def purgeAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket =
+      (conv(substring(md5(concat(lit("forget"), col("doc_id"))), 1, 8), 16, 10)
+        .cast("long") % 100)
+    val purged = Tables.documents(spark, sfDir)
+      .select(col("doc_id")).filter(bucket < 5)
+      .withColumn("p", lit(true))
+    def one(name: String, df: DataFrame, hit: org.apache.spark.sql.Column) =
+      df.agg(count(lit(1)).as("n_rows"),
+          sum(when(hit, 1L).otherwise(0L)).as("n_purged"))
+        .select(lit(name).as("artifact"), col("n_rows"), col("n_purged"))
+    val docs = Tables.documents(spark, sfDir).select("doc_id")
+      .join(purged, Seq("doc_id"), "left_outer")
+    val tfr = TextAnalysis.tfIdf(spark, sfDir).select("doc_id")
+      .join(purged, Seq("doc_id"), "left_outer")
+    val jp = Dedup.ngramJaccard(spark, sfDir)
+      .join(purged.as("pa"), col("doc_a") === col("pa.doc_id"), "left_outer")
+      .join(purged.as("pb"), col("doc_b") === col("pb.doc_id"), "left_outer")
+    val ep = Similarity.embedNearDup(spark, sfDir)
+      .join(purged.as("pa"), col("vec_a") === col("pa.doc_id"), "left_outer")
+      .join(purged.as("pb"), col("vec_b") === col("pb.doc_id"), "left_outer")
+    one("documents", docs, col("p").isNotNull)
+      .unionByName(one("tfidf_rows", tfr, col("p").isNotNull))
+      .unionByName(one("jaccard_pairs", jp,
+        col("pa.p").isNotNull || col("pb.p").isNotNull))
+      .unionByName(one("semantic_pairs", ep,
+        col("pa.p").isNotNull || col("pb.p").isNotNull))
+  }
+
+  val purgeAuditSql: String =
+    s"""WITH tf AS (
+       |${TextAnalysis.tfIdfSql}
+       |), jp AS (
+       |${Dedup.ngramJaccardSql}
+       |), ep AS (
+       |${Similarity.embedNearDupSql}
+       |), pg AS (
+       |  SELECT doc_id FROM documents
+       |  WHERE ('0x' || substr(md5('forget' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+       |    % 100 < 5
+       |)
+       |SELECT 'documents' AS artifact, COUNT(*) AS n_rows,
+       |  CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM pg)
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_purged
+       |FROM documents
+       |UNION ALL
+       |SELECT 'tfidf_rows', COUNT(*),
+       |  CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM pg)
+       |    THEN 1 ELSE 0 END) AS BIGINT)
+       |FROM tf
+       |UNION ALL
+       |SELECT 'jaccard_pairs', COUNT(*),
+       |  CAST(SUM(CASE WHEN doc_a IN (SELECT doc_id FROM pg)
+       |    OR doc_b IN (SELECT doc_id FROM pg) THEN 1 ELSE 0 END) AS BIGINT)
+       |FROM jp
+       |UNION ALL
+       |SELECT 'semantic_pairs', COUNT(*),
+       |  CAST(SUM(CASE WHEN vec_a IN (SELECT doc_id FROM pg)
+       |    OR vec_b IN (SELECT doc_id FROM pg) THEN 1 ELSE 0 END) AS BIGINT)
+       |FROM ep""".stripMargin
+
+  // ---- Quality × near-dup calibration ----------------------------------------
+
+  /** Near-dup rate per quality decile — the calibration table behind the
+    * standing curation question "does the quality gate already remove
+    * the duplicates?" (If dup rate concentrates in low deciles, the
+    * near-dup pass can run AFTER the quality cut on the survivors —
+    * a large corpus-scan saving at 100 TB; if it's flat, it can't.)
+    * Reuses the row-local quality score and the shared pair list; the
+    * dup flag is membership in any jaccard ≥ $JaccardFloor pair, either
+    * side (unlike the funnel's keep-first drop set — a calibration
+    * counts BOTH members as duplicated material). */
+  def qualityDupCorr(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = TextAnalysis.withQuality(
+        Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("source"), col("text")))
+      .select(col("doc_id"),
+        least(floor(col("quality") * 10), lit(9L)).as("decile"))
+    val pairs = Dedup.ngramJaccard(spark, sfDir)
+      .filter(col("jaccard") >= JaccardFloor)
+    val dup = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id")))
+      .distinct().withColumn("dp", lit(true))
+    scored.join(dup, Seq("doc_id"), "left_outer")
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("dp").isNotNull, 1L).otherwise(0L)).as("n_dup"),
+        round(sum(when(col("dp").isNotNull, 1L).otherwise(0L))
+          .cast("double") / count(lit(1)), 4).as("dup_rate"))
+  }
+
+  val qualityDupCorrSql: String =
+    s"""WITH qsc AS (
+       |${TextAnalysis.qualityScoreSql}
+       |), jp AS (
+       |${Dedup.ngramJaccardSql}
+       |), dup AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT doc_a AS doc_id FROM jp WHERE jaccard >= $JaccardFloor
+       |    UNION SELECT doc_b FROM jp WHERE jaccard >= $JaccardFloor)
+       |)
+       |SELECT CAST(LEAST(FLOOR(quality * 10), 9) AS BIGINT) AS decile,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dup,
+       |  ROUND(SUM(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    / CAST(COUNT(*) AS DOUBLE), 4) AS dup_rate
+       |FROM qsc LEFT JOIN dup ON qsc.doc_id = dup.doc_id
+       |GROUP BY 1""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "d_curation_funnel" -> Q(curationFunnelSql)(curationFunnel),
-    "d_modal_agreement" -> Q(modalAgreementSql)(modalAgreement))
+    "d_modal_agreement" -> Q(modalAgreementSql)(modalAgreement),
+    "d_purge_audit" -> Q(purgeAuditSql)(purgeAudit),
+    "d_quality_dup_corr" -> Q(qualityDupCorrSql)(qualityDupCorr))
 }

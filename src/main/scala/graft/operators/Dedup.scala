@@ -1326,6 +1326,126 @@ object Dedup {
       .groupBy(col("lbl").as("cluster_id"))
       .agg(count(lit(1)).as("n_docs"))
 
+  // ---- Split-leakage audit ---------------------------------------------------
+
+  /** Near-dup pairs that CROSS a train/val/test boundary — the
+    * contamination a hash split cannot prevent (hashing assigns each doc
+    * independently, so the two halves of a near-dup pair land in
+    * different splits with p ≈ 2·p_train·p_test). Reuses the SHARED
+    * persisted pair list and the exact split-bucket formula of
+    * t_hash_split (md5 of the stable doc key — reproducible on any
+    * cluster/partitioning), so at 100 TB this audit costs two doc_id
+    * joins against an artifact the pipeline already built. Rows with
+    * split_lo ≠ split_hi are the leakage; n_dedup_tier counts the pairs
+    * a jaccard ≥ 0.5 dedup pass would have caught — the actionable
+    * number (run dedup BEFORE splitting, or move those docs). No
+    * broadcast hint on the split frame: it grows with the corpus. */
+  def splitLeakage(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket =
+      (conv(substring(md5(concat(lit("doc"), col("doc_id"))), 1, 8), 16, 10)
+        .cast("long") % 100)
+    val split = graft.model.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        when(bucket < 80, "train").when(bucket < 90, "val")
+          .otherwise("test").as("split"))
+    pairList(spark, sfDir).filter(col("jaccard") >= 0.1)
+      .join(split.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(split.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(least(col("sa.split"), col("sb.split")).as("split_lo"),
+        greatest(col("sa.split"), col("sb.split")).as("split_hi"),
+        col("jaccard"))
+      .groupBy(col("split_lo"), col("split_hi"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("jaccard") >= 0.5, 1L).otherwise(0L)).as("n_dedup_tier"))
+  }
+
+  val splitLeakageSql: String =
+    s"""WITH $jaccardCtes, sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN bucket < 80 THEN 'train'
+       |         WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+       |  FROM (
+       |    SELECT doc_id,
+       |      ('0x' || substr(md5('doc' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+       |        % 100 AS bucket
+       |    FROM documents)
+       |)
+       |SELECT LEAST(sa.split, sb.split) AS split_lo,
+       |  GREATEST(sa.split, sb.split) AS split_hi,
+       |  COUNT(*) AS n_pairs,
+       |  CAST(SUM(CASE WHEN c / (nab - c) >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dedup_tier
+       |FROM scored
+       |  JOIN sp sa ON doc_a = sa.doc_id
+       |  JOIN sp sb ON doc_b = sb.doc_id
+       |WHERE c / (nab - c) >= 0.1
+       |GROUP BY 1, 2""".stripMargin
+
+  // ---- Detector-ensemble agreement -------------------------------------------
+
+  /** Three-detector ensemble census at the dedup tier: every pair flagged
+    * by exact-Jaccard (≥ 0.5), MinHash-LSH (est ≥ 0.5) or SimHash
+    * (hamming ≤ $SimHamMax), counted by WHICH detectors found it
+    * (votes 1-3 plus a per-detector bitmask string like "J+M"). The
+    * 3-detector generalization of d_modal_agreement, and the table a
+    * curator reads to pick the production detector set at 100 TB: pairs
+    * at votes=3 are safe to dedup on the cheapest detector alone; a fat
+    * single-detector row means that detector's threshold is the outlier.
+    * All three pair lists are already-built artifacts (the Jaccard side
+    * is the shared persisted list), so the census costs two full-outer
+    * joins of small pair tables. */
+  def detectorVotes(spark: SparkSession, sfDir: String): DataFrame = {
+    val j = ngramJaccard(spark, sfDir).filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("j"))
+    val m = minhashLsh(spark, sfDir).filter(col("est_jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("m"))
+    val s = simhashPairs(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("s"))
+    j.join(m, Seq("doc_a", "doc_b"), "full_outer")
+      .join(s, Seq("doc_a", "doc_b"), "full_outer")
+      .select(
+        concat_ws("+",
+          when(col("j").isNotNull, "J"), when(col("m").isNotNull, "M"),
+          when(col("s").isNotNull, "S")).as("detectors"),
+        (coalesce(col("j"), lit(0)) + coalesce(col("m"), lit(0)) +
+          coalesce(col("s"), lit(0))).cast("long").as("votes"))
+      .groupBy(col("detectors"), col("votes"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  val detectorVotesSql: String =
+    s"""WITH jq AS (
+       |$ngramJaccardSql
+       |), mq AS (
+       |$minhashLshSql
+       |), sq AS (
+       |$simhashPairsSql
+       |), jp AS (
+       |  SELECT doc_a, doc_b, 1 AS j FROM jq WHERE jaccard >= 0.5
+       |), mp AS (
+       |  SELECT doc_a, doc_b, 1 AS m FROM mq WHERE est_jaccard >= 0.5
+       |), spp AS (
+       |  SELECT doc_a, doc_b, 1 AS s FROM sq
+       |), u AS (
+       |  SELECT doc_a, doc_b FROM jp
+       |  UNION SELECT doc_a, doc_b FROM mp
+       |  UNION SELECT doc_a, doc_b FROM spp
+       |), v AS (
+       |  SELECT u.doc_a, u.doc_b, jp.j, mp.m, spp.s
+       |  FROM u
+       |    LEFT JOIN jp ON u.doc_a = jp.doc_a AND u.doc_b = jp.doc_b
+       |    LEFT JOIN mp ON u.doc_a = mp.doc_a AND u.doc_b = mp.doc_b
+       |    LEFT JOIN spp ON u.doc_a = spp.doc_a AND u.doc_b = spp.doc_b
+       |)
+       |SELECT concat_ws('+',
+       |    CASE WHEN j IS NOT NULL THEN 'J' END,
+       |    CASE WHEN m IS NOT NULL THEN 'M' END,
+       |    CASE WHEN s IS NOT NULL THEN 'S' END) AS detectors,
+       |  CAST(COALESCE(j, 0) + COALESCE(m, 0) + COALESCE(s, 0) AS BIGINT)
+       |    AS votes,
+       |  COUNT(*) AS n_pairs
+       |FROM v GROUP BY 1, 2""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "d_exact_stats"   -> Q(exactStatsSql)(exactStats),
     "d_ngram_jaccard" -> Q(ngramJaccardSql)(ngramJaccard),
@@ -1345,5 +1465,7 @@ object Dedup {
     "d_containment"   -> Q(containmentPairsSql)(containmentPairs),
     "d_edit_neardup"  -> Q(editNearDupSql)(editNearDup),
     "d_contamination" -> Q(contaminationSql)(contamination),
-    "d_bloom_contam" -> Q(bloomContaminationSql)(bloomContamination))
+    "d_bloom_contam" -> Q(bloomContaminationSql)(bloomContamination),
+    "d_split_leakage" -> Q(splitLeakageSql)(splitLeakage),
+    "d_detector_votes" -> Q(detectorVotesSql)(detectorVotes))
 }

@@ -1042,8 +1042,8 @@ object Similarity {
     * corpus vector compresses to 4 codes (PqM·log2(PqK) = 8 bits vs
     * 64 floats = 256 bytes — the 256× memory dial a 100 TB vector store
     * actually turns; production raises PqK to 256, same shape). */
-  private val PqM = 4
-  private val PqSubDim = Dim / PqM
+  private[graft] val PqM = 4
+  private[graft] val PqSubDim = Dim / PqM
   private val PqK = 4
   private val PqIters = 2
 
@@ -1089,6 +1089,16 @@ object Similarity {
     val (cent, codes) = pqTrain(spark, sfDir)
     cent.count(); codes.count(); ()
   }
+
+  /** The trained PQ codebook (sub, cell, j, cx) — the model's broadcast
+    * half, for the streaming encoder (kmeansCentroids counterpart). */
+  private[graft] def pqCodebook(spark: SparkSession,
+      sfDir: String): DataFrame = pqTrain(spark, sfDir)._1
+
+  /** The trained PQ codes (vec_id, sub, cell, d) — the corpus-side half,
+    * for batch-parity checks against the streaming encoder. */
+  private[graft] def pqTrainedCodes(spark: SparkSession,
+      sfDir: String): DataFrame = pqTrain(spark, sfDir)._2
 
   private def pqTrain(spark: SparkSession,
       sfDir: String): (DataFrame, DataFrame) = pqCache.synchronized {
@@ -1314,7 +1324,52 @@ object Similarity {
        |  COUNT(*) AS n_queries
        |FROM qs LEFT JOIN h USING (q_id)""".stripMargin
 
+  // ---- Cluster-quota balanced sampling ---------------------------------------
+
+  /** Cluster-balanced downsampling census — the "cap the over-represented
+    * modes" pass of embedding-space curation (the cluster-quota idea
+    * behind SemDeDup-style pruning and DoReMi-ish rebalancing): every
+    * vector's trained cell, capped at quota = ⌈N / 2K⌉ (half the mean
+    * cell size), with the kept set chosen by a REPRODUCIBLE per-cell
+    * rank (md5 of the stable vec key — the same any-cluster/any-
+    * partitioning discipline as t_hash_split; Spark's sample() would
+    * change selection on repartition). Hot cells are capped hard, cold
+    * cells keep everything — the output per cell is (size, kept), i.e.
+    * the balance report a curator reads before the cut. At 100 TB: one
+    * window over the already-trained assignment, partitioned by cell —
+    * no new corpus pass, and the 1-row total is the only broadcast. */
+  def cellQuota(spark: SparkSession, sfDir: String): DataFrame = {
+    val asg = kmeansAssignment(spark, sfDir).select("vec_id", "cell")
+    val tot = asg.agg(count(lit(1)).as("n_total"))
+    val hsh =
+      conv(substring(md5(concat(lit("vec"), col("vec_id"))), 1, 8), 16, 10)
+        .cast("long")
+    val w = Window.partitionBy(col("cell")).orderBy(col("hsh"), col("vec_id"))
+    asg.withColumn("hsh", hsh)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("rk") <= ceil(col("n_total") / lit(2.0 * KmK)), 1L)
+          .otherwise(0L)).as("n_kept"))
+  }
+
+  val cellQuotaSql: String =
+    s"""WITH $kmeansChainSql, tot AS (
+       |  SELECT COUNT(*) AS n_total FROM $kmeansFinalAsgCte
+       |), rk AS (
+       |  SELECT cell, row_number() OVER (PARTITION BY cell ORDER BY
+       |    ('0x' || substr(md5('vec' || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT,
+       |    vec_id) AS rk
+       |  FROM $kmeansFinalAsgCte
+       |)
+       |SELECT cell, COUNT(*) AS n_vecs,
+       |  CAST(SUM(CASE WHEN rk <= CEIL(n_total / ${2.0 * KmK}) THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_kept
+       |FROM rk CROSS JOIN tot GROUP BY cell""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "s_cell_quota"    -> Q(cellQuotaSql)(cellQuota),
     "s_cosine_topk"   -> Q(cosineTopKSql)(cosineTopK),
     "s_pq_cells"      -> Q(pqCellsSql)(pqCells),
     "s_pq_topk"       -> Q(pqAdcTopKSql)(pqAdcTopK),

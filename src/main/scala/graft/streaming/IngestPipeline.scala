@@ -76,7 +76,14 @@ object IngestPipeline {
     // wall-clock nanos (not System.nanoTime, whose origin is arbitrary per
     // JVM): oldest-first replay order must survive a process restart, like
     // the reference's time.Now().UnixNano() filenames (main.go:365-373)
-    val df = rows.toDF("uri", "body", "rows", "level")
+    // parallelize with bounded slices, NOT rows.toDF: a LocalRelation
+    // ships the WHOLE row set inside every task binary (Spark warns
+    // "task of very large size" at ~2 MB for a 100k-row spill, and the
+    // pattern becomes a driver/task OOM as spills grow); sliced
+    // parallelize serializes each task only its own rows
+    val slices = math.max(1, math.min(32, rows.length / 8192))
+    val df = spark.sparkContext.parallelize(rows, slices)
+      .toDF("uri", "body", "rows", "level")
       .withColumn("ts_nano", lit(System.currentTimeMillis() * 1000000L))
     dlqWriteLock.synchronized {
       df.write.mode("append").partitionBy("level").parquet(dlqDir)

@@ -44,6 +44,46 @@ object StreamingQuantizer {
       .withColumn("d", col("asg.d"))
       .drop("xs", "cents", "asg", "embedding")
 
+  /** One-row broadcastable PQ model: `subs` = array of (sub, cells),
+    * each cells = array of (cell, cxs) — the trained codebook nested so
+    * the whole model rides one broadcast row next to the coarse model. */
+  def pqModelFor(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Similarity.pqCodebook(spark, sfDir)
+      .groupBy(col("sub"), col("cell"))
+      .agg(expr("transform(array_sort(collect_list(struct(j, cx))), " +
+        "s -> s.cx)").as("cxs"))
+      .groupBy(col("sub"))
+      .agg(expr("array_sort(collect_list(struct(cell, cxs)))").as("cells"))
+      .agg(expr("array_sort(collect_list(struct(sub, cells)))").as("subs"))
+
+  /** PQ-encode in-flight vectors against the trained codebook — the
+    * write-path of a streaming vector index: each arriving vector
+    * compresses to its PqM codes (the 256×-smaller representation the
+    * ADC scan reads) AT INGEST, so the serving tier appends codes, never
+    * raw vectors. Stateless like assign(): one broadcast row, a
+    * row-local nested transform/array_min, no shuffle, no state store.
+    * Emits `codes` = array of (sub, cell, d) with EXACTLY the batch
+    * trainer's semantics (sub-vector slicing, 6-decimal rounding,
+    * (d, cell) tie-break) — StreamingQuantizerSpec pins streamed codes
+    * == pqTrain codes for the same vectors. */
+  def encodePq(vecs: DataFrame, pqModel: DataFrame): DataFrame = {
+    val subDim = graft.operators.Similarity.PqSubDim
+    val subSlice = s"slice(xs, CAST(s.sub AS INT) * $subDim + 1, $subDim)"
+    vecs
+      .withColumn("xs",
+        expr("transform(embedding, v -> CAST(v AS DOUBLE))"))
+      .crossJoin(broadcast(pqModel))
+      // inner transform: per sub, ONE argmin struct over its codes;
+      // outer transform: flatten to (sub, cell, d)
+      .withColumn("codes", expr(
+        "transform(transform(subs, s -> struct(s.sub AS sub, " +
+          "array_min(transform(s.cells, c -> struct(" +
+          s"round(${graft.operators.Similarity.sqDistSql(subSlice, "c.cxs")}, 6)" +
+          " AS d, c.cell AS cell))) AS best)), " +
+          "t -> struct(t.sub AS sub, t.best.cell AS cell, t.best.d AS d))"))
+      .drop("xs", "subs", "embedding")
+  }
+
   /** Optional downstream census: per-(window, cell) arrival counts —
     * the live fill-rate view a serving operator watches for hot cells. */
   def cellCensus(assigned: DataFrame, tsCol: String,

@@ -73,13 +73,16 @@ class PlanQualitySpec extends SparkSuite {
       "Dedup.scala" -> Set("thr"), // 4-threshold literal
       "Similarity.scala" -> Set(
         "q", "probes", // fixed query/probe sets
-        "cent", "centArrays", "pqCentArrays", "qcd"), // K-row trained models
+        "cent", "centArrays", "pqCentArrays", "qcd", // K-row trained models
+        "tot"), // 1-row corpus-count aggregate (cellQuota)
       "DlqQueries.scala" -> Set("offsets"), // per-level offsets, ≤ 10 rows
       "TextAnalysis.scala" -> Set(
         "nDocs", "total", "vocab", "tot", "minTok", // 1-row aggregates
         "win", // the single winning BPE merge pair
         "rates"), // per-source rates, bounded by #sources
-      "StreamingQuantizer.scala" -> Set("model")) // K-row trained model
+      "StreamingQuantizer.scala" ->
+        Set("model", // K-row trained coarse model
+          "pqModel")) // 1-row nested codebook, PqM×PqK×subDim floats
     val srcRoot = java.nio.file.Paths.get("src/main/scala")
     val broadcastRe =
       """broadcast\(\s*([A-Za-z_][A-Za-z0-9_]*)""".r

@@ -47,6 +47,44 @@ class StreamingQuantizerSpec extends SparkSuite {
     }
   }
 
+  test("streamed PQ codes match the batch trained codes exactly") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val pqModel = StreamingQuantizer.pqModelFor(s, sf0001)
+    // batch truth: (vec_id, sub) -> (cell, d) from the trained codes
+    val batch = graft.operators.Similarity.pqTrainedCodes(s, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    val vecs = graft.model.Tables.embeddings(s, sf0001)
+      .filter(col("vec_id") < 40)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val stream = MemoryStream[(Long, Array[Float])]
+    val out = StreamingQuantizer.encodePq(
+      stream.toDF().toDF("vec_id", "embedding"), pqModel)
+      .select(col("vec_id"), explode(col("codes")).as("c"))
+      .select(col("vec_id"), col("c.sub"), col("c.cell"), col("c.d"))
+    val q = out.writeStream.format("memory")
+      .queryName("spq").outputMode("append").start()
+    try {
+      stream.addData(vecs.take(20).toSeq)
+      q.processAllAvailable()
+      stream.addData(vecs.drop(20).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = s.sql("SELECT vec_id, sub, cell, d FROM spq")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(streamed.size == vecs.length * graft.operators.Similarity.PqM,
+      s"expected PqM codes per vector, got ${streamed.size}")
+    streamed.foreach { case (k, code) =>
+      assert(batch(k) == code, s"vec/sub $k: streamed $code != batch ${batch(k)}")
+    }
+  }
+
   test("cell census windows arrivals with bounded state") {
     val s = spark
     import s.implicits._
