@@ -68,6 +68,8 @@ object Bench {
       catch { case _: Throwable => () }
       try graft.operators.Similarity.materializePq(spark, warmSf)
       catch { case _: Throwable => () }
+      try graft.operators.Similarity.materializeIvfPq(spark, warmSf)
+      catch { case _: Throwable => () }
       try graft.operators.TextAnalysis.materializeBpe(spark, warmSf)
       catch { case _: Throwable => () }
       try graft.operators.Dedup.materializeSourceGrams(spark, warmSf)
@@ -101,6 +103,8 @@ object Bench {
         (() => graft.operators.Similarity.materializeKmeans(spark, sfDir)),
       "shared_pq_model" ->
         (() => graft.operators.Similarity.materializePq(spark, sfDir)),
+      "shared_ivfpq_model" ->
+        (() => graft.operators.Similarity.materializeIvfPq(spark, sfDir)),
       "shared_bpe_model" ->
         (() => graft.operators.TextAnalysis.materializeBpe(spark, sfDir)),
       "shared_source_grams" ->

@@ -1446,7 +1446,50 @@ object Dedup {
        |  COUNT(*) AS n_pairs
        |FROM v GROUP BY 1, 2""".stripMargin
 
+  // ---- normalization-sensitivity audit --------------------------------------
+
+  /** How much exact dedup depends on text canonicalization, per source:
+    * duplicate counts under three progressively looser keys — the raw
+    * bytes, a whitespace-canonical form (lowercase + runs of whitespace
+    * collapsed + trimmed), and the token fingerprint d_exact_stats
+    * dedups on. `ws_only_dups` / `token_only_dups` are the duplicates
+    * each normalization step newly exposes; a big `token_only_dups`
+    * says punctuation/formatting variants dominate the dup mass and a
+    * byte-keyed (or case-keyed) dedup pass would silently keep them.
+    * Shape for scale: one corpus pass, three codegen'd md5 keys folded
+    * in a single per-source aggregate — no joins, no shuffle beyond the
+    * source-grain rollup. */
+  def normSensitivity(spark: SparkSession, sfDir: String): DataFrame =
+    toks(spark, sfDir)
+      .select(col("source"), col("text"), fingerprint(col("t")).as("fp"),
+        md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+          .as("wfp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        (count(lit(1)) - countDistinct(col("text"))).as("raw_dups"),
+        (count(lit(1)) - countDistinct(col("wfp"))).as("ws_dups"),
+        (count(lit(1)) - countDistinct(col("fp"))).as("token_dups"))
+      .withColumn("ws_only_dups", col("ws_dups") - col("raw_dups"))
+      .withColumn("token_only_dups", col("token_dups") - col("ws_dups"))
+
+  val normSensitivitySql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  COUNT(*) - COUNT(DISTINCT text) AS raw_dups,
+      |  COUNT(*) - COUNT(DISTINCT md5(trim(
+      |    regexp_replace(lower(text), '\s+', ' ', 'g')))) AS ws_dups,
+      |  COUNT(*) - COUNT(DISTINCT md5(array_to_string(
+      |    regexp_extract_all(lower(text), '[a-z]+'), ' '))) AS token_dups,
+      |  (COUNT(*) - COUNT(DISTINCT md5(trim(
+      |    regexp_replace(lower(text), '\s+', ' ', 'g')))))
+      |    - (COUNT(*) - COUNT(DISTINCT text)) AS ws_only_dups,
+      |  (COUNT(*) - COUNT(DISTINCT md5(array_to_string(
+      |    regexp_extract_all(lower(text), '[a-z]+'), ' '))))
+      |    - (COUNT(*) - COUNT(DISTINCT md5(trim(
+      |      regexp_replace(lower(text), '\s+', ' ', 'g'))))) AS token_only_dups
+      |FROM documents GROUP BY source""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "d_norm_sensitivity" -> Q(normSensitivitySql)(normSensitivity),
     "d_exact_stats"   -> Q(exactStatsSql)(exactStats),
     "d_ngram_jaccard" -> Q(ngramJaccardSql)(ngramJaccard),
     "d_minhash_lsh"   -> Q(minhashLshSql)(minhashLsh),

@@ -43,6 +43,30 @@ object Similarity {
     s"aggregate(filter(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), " +
       "v -> v IS NOT NULL), 0D, (s, v) -> s + v)"
 
+  /** Squared distance in integer PICOUNITS (1e-12): each squared-diff
+    * term rounds to an integral picounit count BEFORE the fold, so the
+    * sum is exact long arithmetic — bit-identical in any engine
+    * regardless of summation order. The rounded-6 `round(d, 6)`-of-a-
+    * double-sum discipline is order-SENSITIVE: engines that fold the
+    * same terms in different orders drift a ulp, and a half-ulp
+    * boundary then rounds to different 6th decimals (observed 1e-6
+    * diffs in the IVF-PQ ADC table). Per-term rounding has no such
+    * boundary: both engines see the identical IEEE product, and
+    * round-to-integer of identical doubles agrees. Null discipline
+    * matches sqDistSql (ragged dims filtered, not poisoning). */
+  private[graft] def sqDistPicoSql(a: String, b: String): String =
+    s"aggregate(filter(zip_with($a, $b, " +
+      "(x, y) -> CAST(round((x - y) * (x - y) * 1e12, 0) AS BIGINT)), " +
+      "v -> v IS NOT NULL), CAST(0 AS BIGINT), (s, v) -> s + v)"
+
+  /** Squared distance between two LONG (microunit) arrays — pure integer
+    * arithmetic, exact in any engine. A microunit coordinate is ≤ ~1e6,
+    * so a term is ≤ ~1e12 and a 64-dim sum ≤ ~1e14: far inside long
+    * range. The unit of the result is picounits (micro²). */
+  private[graft] def sqDistLongSql(a: String, b: String): String =
+    s"aggregate(filter(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), " +
+      "v -> v IS NOT NULL), CAST(0 AS BIGINT), (s, v) -> s + v)"
+
   private def emb(spark: SparkSession, sfDir: String): DataFrame =
     Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"), col("label"),
@@ -407,6 +431,10 @@ object Similarity {
   def clearKmeansCache(): Unit = {
     kmCache.values.foreach { case (_, cent, asg) => unpersistModel(cent, asg) }
     kmCache.clear()
+    // the IVF-PQ model is DERIVED from this one (residuals against the
+    // trained centroids); letting it outlive the coarse model would pair
+    // stale residual codes with a retrained quantizer
+    clearIvfPqCache()
   }
 
   /** Lloyd training loop shared by the cell summary and the trained-IVF
@@ -1060,7 +1088,7 @@ object Similarity {
 
   /** Per-(sub, cell) centroid arrays in local-dim order — the broadcast
     * side of every PQ distance step (PqM·PqK rows, always tiny). */
-  private def pqCentArrays(cent: DataFrame): DataFrame =
+  private[graft] def pqCentArrays(cent: DataFrame): DataFrame =
     cent.groupBy(col("sub"), col("cell"))
       .agg(expr("transform(array_sort(collect_list(struct(j, cx))), " +
         "s -> s.cx)").as("cxs"))
@@ -1128,20 +1156,45 @@ object Similarity {
     * materialization (and the same executor-loss caveat — swap in
     * reliable checkpoint() on a real cluster). */
   private def pqTrainCompute(spark: SparkSession,
-      sfDir: String): (DataFrame, DataFrame) = {
-    val sv = subVecs(spark, sfDir)
+      sfDir: String): (DataFrame, DataFrame) =
+    pqLloyd(subVecs(spark, sfDir))
+
+  /** The PqM-subspaces-in-one-chain Lloyd recurrence over any
+    * (vec_id, sub, sxs) frame — shared by the plain-PQ training (sub-
+    * vectors of the raw embeddings) and the IVF-PQ training (sub-vectors
+    * of the coarse-cell RESIDUALS).
+    *
+    * `micro = false` (plain PQ, double sxs): the kmeans determinism
+    * discipline — distances and centroid means round at 6 decimals.
+    * That is safe there because the inputs are raw float-cast doubles,
+    * whose rounded values land on half-ulp decimal boundaries with
+    * negligible probability.
+    *
+    * `micro = true` (IVF-PQ, long microunit sxs): residuals are EXACT
+    * 6-decimal values, so a centroid mean (sum of exact decimals / n)
+    * sits EXACTLY on the 6th-decimal half boundary with ~10% per-
+    * coordinate probability — and there, cross-engine ulp noise in a
+    * double AVG flips ROUND(·, 6) (observed: one codebook entry off by
+    * 1e-6 poisoning every downstream ADC row for its code). So this
+    * path stays in integer microunits end-to-end: distances are exact
+    * long sums (no rounding anywhere), and the centroid mean divides
+    * two exactly-representable longs — both engines round the SAME
+    * IEEE double, which is deterministic even exactly on a boundary. */
+  private def pqLloyd(sv: DataFrame,
+      micro: Boolean = false): (DataFrame, DataFrame) = {
     // exploded (vec_id, sub, local dim j, x) — the centroid-mean side
     val exs = sv.select(col("vec_id"), col("sub"), posexplode(col("sxs")))
       .select(col("vec_id"), col("sub"), (col("pos") + 1).as("j"),
         col("col").as("x"))
     var cent = exs.filter(col("vec_id") < PqK)
       .select(col("sub"), col("vec_id").as("cell"), col("j"),
-        round(col("x"), 6).as("cx"))
+        (if (micro) col("x") else round(col("x"), 6)).as("cx"))
     var asg: DataFrame = null
     for (k <- 1 to PqIters) {
       val dist = sv.join(broadcast(pqCentArrays(cent)), Seq("sub"))
         .select(col("vec_id"), col("sub"), col("cell"),
-          round(expr(sqDistSql("sxs", "cxs")), 6)
+          (if (micro) expr(sqDistLongSql("sxs", "cxs"))
+           else round(expr(sqDistSql("sxs", "cxs")), 6))
             .as("d"))
       val w = Window.partitionBy(col("vec_id"), col("sub"))
         .orderBy(col("d"), col("cell"))
@@ -1158,7 +1211,9 @@ object Similarity {
         cent = exs
           .join(asg.select("vec_id", "sub", "cell"), Seq("vec_id", "sub"))
           .groupBy(col("sub"), col("cell"), col("j"))
-          .agg(round(avg(col("x")), 6).as("cx"))
+          .agg((if (micro)
+              round(sum(col("x")) / count(lit(1)), 0).cast("long")
+            else round(avg(col("x")), 6)).as("cx"))
           .coalesce(1)
           .truncateLineage(true)
       }
@@ -1324,6 +1379,283 @@ object Similarity {
        |  COUNT(*) AS n_queries
        |FROM qs LEFT JOIN h USING (q_id)""".stripMargin
 
+  // ---- IVF-PQ (coarse cells + residual codes, the Faiss IVFADC shape) -------
+
+  /** Coarse cells probed per query in the IVF-PQ search. */
+  private val IvfPqProbes = 2
+
+  /** Per-cell centroid arrays in dimension order — the broadcast side of
+    * the coarse probe and of the residual computation (KmK rows). */
+  private[graft] def coarseCentArrays(cent: DataFrame): DataFrame =
+    cent.groupBy(col("cell"))
+      .agg(expr("transform(array_sort(collect_list(struct(i, cx))), " +
+        "s -> s.cx)").as("cxs"))
+
+  /** Sub-vector explode of an `rxs` residual column — the same PqM-slice
+    * shape subVecs gives raw embeddings. */
+  private[graft] def subExplode: Column =
+    explode(expr(
+      s"transform(sequence(0, ${PqM - 1}), s -> struct(s AS sub, " +
+        s"slice(rxs, s * $PqSubDim + 1, $PqSubDim) AS sxs))"))
+
+  /** A residual coordinate in integer MICROUNITS — round((a−b)·1e6) of
+    * two identical doubles is the same long in any engine, and all
+    * downstream arithmetic on it is exact (see pqLloyd's micro doc). */
+  private val residMicro: String =
+    "zip_with(xs, cxs, (a, b) -> CAST(round((a - b) * 1e6, 0) AS BIGINT))"
+
+  /** (vec_id, sub, sxs) of the COARSE-CELL RESIDUALS (vec − its trained
+    * centroid) in integer microunits — what IVF-PQ trains its codebook
+    * on. */
+  private[graft] def residualSubVecs(spark: SparkSession, sfDir: String): DataFrame = {
+    val (cent, asg) = kmeansTrain(spark, sfDir)
+    emb(spark, sfDir)
+      .select(col("vec_id"),
+        expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("xs"))
+      .join(asg.select("vec_id", "cell"), Seq("vec_id"))
+      .join(broadcast(coarseCentArrays(cent)), Seq("cell"))
+      .select(col("vec_id"), expr(residMicro).as("rxs"))
+      .select(col("vec_id"), subExplode.as("t"))
+      .select(col("vec_id"), col("t.sub").as("sub"), col("t.sxs").as("sxs"))
+  }
+
+  // fingerprint-keyed like kmCache/pqCache; the codes side carries each
+  // vector's coarse cell so serving never re-joins the corpus assignment
+  private val ivfpqCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (String, DataFrame, DataFrame)]
+
+  /** Drop all cached IVF-PQ models. Also called by clearKmeansCache: the
+    * residual model is DERIVED from the coarse model, and surviving it
+    * would pair stale residual codes with a retrained quantizer. */
+  def clearIvfPqCache(): Unit = {
+    ivfpqCache.values.foreach { case (_, cent, codes) =>
+      unpersistModel(cent, codes) }
+    ivfpqCache.clear()
+  }
+
+  /** Force the shared IVF-PQ model to materialize (Bench's
+    * shared_ivfpq_model entry). */
+  def materializeIvfPq(spark: SparkSession, sfDir: String): Unit = {
+    val (cent, codes) = ivfpqTrain(spark, sfDir)
+    cent.count(); codes.count(); ()
+  }
+
+  private[graft] def ivfpqTrain(spark: SparkSession,
+      sfDir: String): (DataFrame, DataFrame) = ivfpqCache.synchronized {
+    val fp = graft.sources.SourceFingerprint.key(sfDir, "embeddings.parquet")
+    ivfpqCache.get((spark, sfDir)) match {
+      case Some((`fp`, cent, codes)) => (cent, codes)
+      case stale =>
+        stale.foreach { case (_, cent, codes) => unpersistModel(cent, codes) }
+        val (rcent, rasg) = pqLloyd(residualSubVecs(spark, sfDir),
+          micro = true)
+        val codes = rasg.join(
+          kmeansAssignment(spark, sfDir)
+            .select(col("vec_id"), col("cell").as("ccell")), Seq("vec_id"))
+        rcent.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        codes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        ivfpqCache.put((spark, sfDir), (fp, rcent, codes))
+        (rcent, codes)
+    }
+  }
+
+  /** IVF-PQ top-5 — the Faiss IVFADC serving shape, the combination a
+    * 100 TB vector store actually deploys: the coarse quantizer prunes
+    * the corpus to IvfPqProbes of KmK cells (pair it with the E-94
+    * partition layout and the pruning happens at directory metadata),
+    * and within probed cells each vector is represented ONLY by its PqM
+    * residual codes (the 256× compression dial) scored via ADC against
+    * a per-(query, probed-cell) distance table. The residual trick is
+    * why this beats flat PQ at equal bits: subtracting the cell
+    * centroid shrinks the vector distribution each codebook must cover.
+    * Plan shape: query side is ≤ Q·probes·PqM·PqK rows (broadcast);
+    * corpus side scans the cached codes table once, the probe filter is
+    * the (ccell = pcell) key of the broadcast-hash join — no shuffle of
+    * the corpus, one partial-aggregated shuffle at (q, vec) grain. */
+  def ivfpqTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val (rcent, codes) = ivfpqTrain(spark, sfDir)
+    val cArr = coarseCentArrays(kmeansCentroids(spark, sfDir))
+    val q = emb(spark, sfDir).filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"),
+        expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("xs"))
+    val cqd = q.crossJoin(broadcast(cArr))
+      .select(col("q_id"), col("cell"),
+        expr(sqDistPicoSql("xs", "cxs")).as("qd"))
+    val wP = Window.partitionBy(col("q_id")).orderBy(col("qd"), col("cell"))
+    val probed = cqd.withColumn("prk", row_number().over(wP))
+      .filter(col("prk") <= IvfPqProbes).select(col("q_id"), col("cell"))
+    val rqcd = probed.join(q, Seq("q_id"))
+      .join(broadcast(cArr), Seq("cell"))
+      .select(col("q_id"), col("cell").as("ccell"),
+        expr(residMicro).as("rxs"))
+      .select(col("q_id"), col("ccell"), subExplode.as("t"))
+      .select(col("q_id"), col("ccell"), col("t.sub").as("sub"),
+        col("t.sxs").as("sxs"))
+      .join(broadcast(pqCentArrays(rcent)), Seq("sub"))
+      .select(col("q_id"), col("ccell"), col("sub"),
+        col("cell").as("code"),
+        expr(sqDistLongSql("sxs", "cxs")).as("qd_pico"))
+    // the whole ADC path is exact long arithmetic in picounits (see
+    // sqDistPicoSql) — the one division back to a double divides the
+    // SAME long in both engines, so the emitted adc is bit-identical
+    val adc = codes
+      .select(col("vec_id"), col("sub"), col("cell").as("code"), col("ccell"))
+      .join(broadcast(rqcd), Seq("ccell", "sub", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg((sum(col("qd_pico")) / lit(1.0e12)).as("adc"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
+    adc.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("adc"),
+        col("rk"))
+  }
+
+  /** Recall@5 of IVF-PQ vs the exact euclidean top-5 — reads BOTH
+    * approximation losses at once (probe misses + code quantization);
+    * compare against s_pq_recall (code loss only) and s_probe_curve
+    * (probe loss only) to attribute a recall drop to its knob. */
+  def ivfpqRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val vecs = emb(spark, sfDir)
+      .select(col("vec_id"),
+        expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("xs"))
+    val q = vecs.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("xs").as("qxs"))
+    val wE = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("vec_id"))
+    val exactTop = vecs.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("d2", expr(sqDistPicoSql("xs", "qxs")))
+      .withColumn("rk", row_number().over(wE))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"))
+    val itop = ivfpqTopK(spark, sfDir).select(col("q_id"), col("neighbor_id"))
+    val hits = exactTop.join(itop, Seq("q_id", "neighbor_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+    exactTop.select(col("q_id")).distinct()
+      .join(hits, Seq("q_id"), "left_outer")
+      .select(coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .agg(round(avg(col("n_hits")) / 5.0, 4).as("avg_recall_at_5"),
+        count(lit(1)).as("n_queries"))
+      .withColumn("method", lit(s"ivfpq_m${PqM}_k${PqK}_p$IvfPqProbes"))
+      .select("method", "avg_recall_at_5", "n_queries")
+  }
+
+  /** DuckDB twin: the coarse kmeans chain, then residual sub-vectors
+    * `rsx`, the residual codebook rounds rcent0/rasg1/rcent1/rasg2, and
+    * the probe + ADC CTEs. */
+  /** The residual chain mirrors pqLloyd's `micro = true` discipline:
+    * residual coords are integer MICROUNITS, distances exact long sums
+    * (no rounding), and centroid means divide two exact longs — the
+    * only place engines could disagree on a rounded-6 double AVG of
+    * exact decimals (see pqLloyd's micro doc). */
+  private val ivfpqChainSql: String = {
+    def asg(k: Int): String =
+      s"""rasg$k AS (
+         |  SELECT vec_id, sub, cell, d FROM (
+         |    SELECT vec_id, sub, cell, d, row_number() OVER (
+         |      PARTITION BY vec_id, sub ORDER BY d, cell) AS rn
+         |    FROM (
+         |      SELECT s.vec_id, s.sub, c.cell,
+         |        CAST(SUM((s.x - c.cx) * (s.x - c.cx)) AS BIGINT) AS d
+         |      FROM rsx s JOIN rcent${k - 1} c ON s.sub = c.sub AND s.j = c.j
+         |      GROUP BY 1, 2, 3)
+         |  ) WHERE rn = 1
+         |)""".stripMargin
+    def cent(k: Int): String =
+      s"""rcent$k AS (
+         |  SELECT a.sub, a.cell, s.j,
+         |    CAST(ROUND(CAST(SUM(s.x) AS DOUBLE) / COUNT(*), 0) AS BIGINT)
+         |      AS cx
+         |  FROM rsx s JOIN rasg$k a ON s.vec_id = a.vec_id AND s.sub = a.sub
+         |  GROUP BY a.sub, a.cell, s.j
+         |)""".stripMargin
+    s"""$kmeansChainSql, rsx AS (
+       |  SELECT e.vec_id,
+       |    CAST((e.i - 1) // $PqSubDim AS INT) AS sub,
+       |    CAST(e.i - ((e.i - 1) // $PqSubDim) * $PqSubDim AS INT) AS j,
+       |    CAST(ROUND((e.x - c.cx) * 1e6, 0) AS BIGINT) AS x
+       |  FROM exf e
+       |  JOIN $kmeansFinalAsgCte a ON e.vec_id = a.vec_id
+       |  JOIN cent${KmIters - 1} c ON a.cell = c.cell AND e.i = c.i
+       |), rcent0 AS (
+       |  SELECT sub, vec_id AS cell, j, x AS cx
+       |  FROM rsx WHERE vec_id < $PqK
+       |), ${asg(1)}, ${cent(1)}, ${asg(2)}""".stripMargin
+  }
+
+  private val ivfpqAdcCtes: String =
+    s"""cqd AS (
+       |  SELECT e.vec_id AS q_id, c.cell,
+       |    CAST(SUM(CAST(ROUND((e.x - c.cx) * (e.x - c.cx) * 1e12, 0)
+       |      AS BIGINT)) AS BIGINT) AS qd
+       |  FROM exf e JOIN cent${KmIters - 1} c ON e.i = c.i
+       |  WHERE e.vec_id < 50 GROUP BY 1, 2
+       |), probedq AS (
+       |  SELECT q_id, cell FROM (
+       |    SELECT q_id, cell, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY qd, cell) AS prk FROM cqd
+       |  ) WHERE prk <= $IvfPqProbes
+       |), rq AS (
+       |  SELECT p.q_id, p.cell AS pcell,
+       |    CAST((e.i - 1) // $PqSubDim AS INT) AS sub,
+       |    CAST(e.i - ((e.i - 1) // $PqSubDim) * $PqSubDim AS INT) AS j,
+       |    CAST(ROUND((e.x - c.cx) * 1e6, 0) AS BIGINT) AS rx
+       |  FROM probedq p
+       |  JOIN exf e ON e.vec_id = p.q_id
+       |  JOIN cent${KmIters - 1} c ON c.cell = p.cell AND c.i = e.i
+       |), rqcd AS (
+       |  SELECT r.q_id, r.pcell, r.sub, c.cell AS code,
+       |    CAST(SUM((r.rx - c.cx) * (r.rx - c.cx)) AS BIGINT) AS qd_pico
+       |  FROM rq r JOIN rcent${PqIters - 1} c ON r.sub = c.sub AND r.j = c.j
+       |  GROUP BY 1, 2, 3, 4
+       |), radc AS (
+       |  SELECT q.q_id, a.vec_id,
+       |    CAST(SUM(q.qd_pico) AS BIGINT) / 1000000000000.0 AS adc
+       |  FROM rasg$PqIters a
+       |  JOIN $kmeansFinalAsgCte m ON a.vec_id = m.vec_id
+       |  JOIN rqcd q ON q.pcell = m.cell AND q.sub = a.sub AND q.code = a.cell
+       |  WHERE a.vec_id <> q.q_id
+       |  GROUP BY 1, 2
+       |)""".stripMargin
+
+  val ivfpqTopKSql: String =
+    s"""WITH $ivfpqChainSql, $ivfpqAdcCtes
+       |SELECT q_id, neighbor_id, adc, rk FROM (
+       |  SELECT q_id, vec_id AS neighbor_id, adc,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY adc, vec_id) AS INT) AS rk
+       |  FROM radc
+       |) WHERE rk <= 5""".stripMargin
+
+  val ivfpqRecallSql: String =
+    s"""WITH $ivfpqChainSql, $ivfpqAdcCtes, ed AS (
+       |  SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+       |    CAST(SUM(CAST(ROUND((a.x - b.x) * (a.x - b.x) * 1e12, 0)
+       |      AS BIGINT)) AS BIGINT) AS d2
+       |  FROM exf a JOIN exf b ON a.i = b.i AND a.vec_id < 50
+       |    AND b.vec_id <> a.vec_id
+       |  GROUP BY 1, 2
+       |), exact_top AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT q_id, neighbor_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY d2, neighbor_id) AS rk FROM ed
+       |  ) WHERE rk <= 5
+       |), ivf_top AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT q_id, vec_id AS neighbor_id, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY adc, vec_id) AS rk
+       |    FROM radc
+       |  ) WHERE rk <= 5
+       |), qs AS (SELECT DISTINCT q_id FROM exact_top),
+       |h AS (
+       |  SELECT e.q_id, COUNT(*) AS n FROM exact_top e
+       |  JOIN ivf_top l ON e.q_id = l.q_id AND e.neighbor_id = l.neighbor_id
+       |  GROUP BY 1
+       |)
+       |SELECT 'ivfpq_m${PqM}_k${PqK}_p$IvfPqProbes' AS method,
+       |  ROUND(AVG(COALESCE(n, 0)) / 5.0, 4) AS avg_recall_at_5,
+       |  COUNT(*) AS n_queries
+       |FROM qs LEFT JOIN h USING (q_id)""".stripMargin
+
   // ---- Cluster-quota balanced sampling ---------------------------------------
 
   /** Cluster-balanced downsampling census — the "cap the over-represented
@@ -1369,6 +1701,8 @@ object Similarity {
        |FROM rk CROSS JOIN tot GROUP BY cell""".stripMargin
 
   def queries: Map[String, Q] = Map(
+    "s_ivfpq_topk"    -> Q(ivfpqTopKSql)(ivfpqTopK),
+    "s_ivfpq_recall"  -> Q(ivfpqRecallSql)(ivfpqRecall),
     "s_cell_quota"    -> Q(cellQuotaSql)(cellQuota),
     "s_cosine_topk"   -> Q(cosineTopKSql)(cosineTopK),
     "s_pq_cells"      -> Q(pqCellsSql)(pqCells),

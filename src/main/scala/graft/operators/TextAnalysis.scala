@@ -1293,7 +1293,183 @@ object TextAnalysis {
       |  MAX(rate) AS rate
       |FROM h GROUP BY source""".stripMargin
 
+  // ---- DSIR-style importance weights ----------------------------------------
+
+  /** Smoothing mass for the two feature LMs (same α as the bigram LM). */
+  private val DsirAlpha = 0.5
+
+  /** Importance-resampling weight census (the data-selection shape of
+    * Xie et al.'s DSIR): every document scored by how much more likely
+    * its tokens are under a TARGET-domain unigram LM than under the LM
+    * of the rest of the corpus — w(doc) = mean ln(p_t(w)/p_r(w)) with
+    * both LMs add-α smoothed over the corpus vocabulary. Positive means
+    * "looks like the target domain"; selection samples ∝ exp(w). The
+    * target here is the fixed source `src0`, so the output doubles as a
+    * domain-classifier calibration: src0 must self-score highest.
+    *
+    * Shape for scale: the token stream joins the two (token → count)
+    * LM tables on the token key, both unhinted (AQE broadcasts a small
+    * vocab, shuffles a big one); the three scalar totals cross in as one
+    * 1-row broadcast. Per-doc means round at 6 before the per-source
+    * rollup — the LM-family cross-engine ln discipline. */
+  def dsirWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("tk"))
+    val ct = tok.filter(col("source") === "src0")
+      .groupBy(col("tk")).agg(count(lit(1)).as("ct"))
+    val cr = tok.filter(col("source") =!= "src0")
+      .groupBy(col("tk")).agg(count(lit(1)).as("cr"))
+    val tot = tok.agg(
+      sum(when(col("source") === "src0", 1L).otherwise(0L))
+        .cast("double").as("tt"),
+      sum(when(col("source") =!= "src0", 1L).otherwise(0L))
+        .cast("double").as("tr"),
+      countDistinct(col("tk")).cast("double").as("v"))
+    tok.join(ct, Seq("tk"), "left_outer").join(cr, Seq("tk"), "left_outer")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("source"),
+        (log((coalesce(col("ct"), lit(0L)) + DsirAlpha)
+            / (col("tt") + col("v") * DsirAlpha))
+          - log((coalesce(col("cr"), lit(0L)) + DsirAlpha)
+            / (col("tr") + col("v") * DsirAlpha))).as("s"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(round(avg(col("s")), 6).as("w"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("w")), 4).as("avg_weight"),
+        round(max(col("w")), 6).as("max_weight"),
+        round(sum(when(col("w") > 0, 1.0).otherwise(0.0))
+          / count(lit(1)), 4).as("pos_frac"))
+  }
+
+  val dsirWeightsSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, source,
+       |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tk
+       |  FROM documents
+       |), ct AS (
+       |  SELECT tk, COUNT(*) AS ct FROM tok WHERE source = 'src0' GROUP BY tk
+       |), cr AS (
+       |  SELECT tk, COUNT(*) AS cr FROM tok WHERE source <> 'src0' GROUP BY tk
+       |), tot AS (
+       |  SELECT CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS DOUBLE)
+       |      AS tt,
+       |    CAST(SUM(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS DOUBLE)
+       |      AS tr,
+       |    CAST(COUNT(DISTINCT tk) AS DOUBLE) AS v
+       |  FROM tok
+       |), per_doc AS (
+       |  SELECT doc_id, source,
+       |    ROUND(AVG(
+       |      ln((COALESCE(ct, 0) + $DsirAlpha) / (tt + v * $DsirAlpha))
+       |      - ln((COALESCE(cr, 0) + $DsirAlpha) / (tr + v * $DsirAlpha))), 6)
+       |      AS w
+       |  FROM tok LEFT JOIN ct USING (tk) LEFT JOIN cr USING (tk)
+       |    CROSS JOIN tot
+       |  GROUP BY doc_id, source
+       |)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  ROUND(AVG(w), 4) AS avg_weight,
+       |  ROUND(MAX(w), 6) AS max_weight,
+       |  ROUND(SUM(CASE WHEN w > 0 THEN 1.0 ELSE 0.0 END) / COUNT(*), 4)
+       |    AS pos_frac
+       |FROM per_doc GROUP BY source""".stripMargin
+
+  // ---- vocabulary coverage curve --------------------------------------------
+
+  /** Corpus-token coverage of a top-k vocabulary at k ∈ {100, 1000,
+    * 10000} — the tokenizer-design dial: what fraction of the token
+    * stream a k-entry word vocabulary captures (the remainder is what
+    * subword fallback must carry). Read with t_bpe_tokenize it brackets
+    * the word-level vs learned-merge compression trade.
+    *
+    * Shape for scale: the rank window is partition-less but sits ABOVE
+    * the vocabulary aggregate (vocab grain, not corpus grain — bounded
+    * by distinct [a-z]+ runs; for open vocabularies swap in the
+    * t_lm_buckets distributed percent-rank). One token-count aggregate
+    * serves all three curve points via an explode of the k list. */
+  def vocabCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.documents(spark, sfDir)
+      .select(explode(tokens(col("text"))).as("tk"))
+      .groupBy(col("tk")).agg(count(lit(1)).as("c"))
+    val tot = counts.agg(sum(col("c")).cast("double").as("total"),
+      count(lit(1)).as("v"))
+    val ranked = counts.withColumn("rk",
+      row_number().over(Window.orderBy(col("c").desc, col("tk"))))
+    ranked.crossJoin(broadcast(tot))
+      .select(explode(expr("array(100, 1000, 10000)")).as("k"),
+        col("rk"), col("c"), col("total"), col("v"))
+      .groupBy(col("k"))
+      .agg(least(max(col("v")), max(col("k")).cast("long")).as("vocab_size"),
+        round(sum(when(col("rk") <= col("k"), col("c")).otherwise(0L))
+          / max(col("total")), 6).as("coverage"))
+  }
+
+  val vocabCoverageSql: String =
+    """WITH tok AS (
+      |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tk
+      |  FROM documents
+      |), counts AS (
+      |  SELECT tk, COUNT(*) AS c FROM tok GROUP BY tk
+      |), tot AS (
+      |  SELECT CAST(SUM(c) AS DOUBLE) AS total, COUNT(*) AS v FROM counts
+      |), ranked AS (
+      |  SELECT c, row_number() OVER (ORDER BY c DESC, tk) AS rk FROM counts
+      |)
+      |SELECT k, LEAST(MAX(v), MAX(k)) AS vocab_size,
+      |  ROUND(SUM(CASE WHEN rk <= k THEN c ELSE 0 END) / MAX(total), 6)
+      |    AS coverage
+      |FROM ranked CROSS JOIN tot
+      |  CROSS JOIN (VALUES (100), (1000), (10000)) ks(k)
+      |GROUP BY k""".stripMargin
+
+  // ---- shard-mix diversity census -------------------------------------------
+
+  /** Number of hash shards in the mix census. */
+  private val MixShards = 16
+
+  /** Domain-mix census of hashed training shards: docs assigned to
+    * MixShards shards by the t_hash_split md5 discipline, each shard
+    * reporting its source count and source-distribution entropy (nats).
+    * A healthy hash shard carries every domain at near the corpus mix —
+    * a low-entropy shard means domain-clumped training batches; this is
+    * the check a pipeline runs BEFORE trusting "shuffle by hash" to mix
+    * domains at 100 TB. Shape: one corpus aggregate to (shard, source)
+    * grain (≤ MixShards·|sources| rows), then entropy folds shard-local
+    * — no window, no second corpus pass. */
+  def shardMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val bySrc = Tables.documents(spark, sfDir)
+      .select((conv(substring(md5(concat(lit("doc"),
+          col("doc_id"))), 1, 8), 16, 10)
+        .cast("long") % MixShards).as("shard"), col("source"))
+      .groupBy(col("shard"), col("source")).agg(count(lit(1)).as("c"))
+    val tot = bySrc.groupBy(col("shard")).agg(sum(col("c")).as("n"))
+    bySrc.join(tot, Seq("shard"))
+      .groupBy(col("shard"))
+      .agg(max(col("n")).as("n_docs"),
+        count(lit(1)).as("n_sources"),
+        round(sum(-(col("c") / col("n"))
+          * log(col("c") / col("n"))), 4).as("entropy"))
+  }
+
+  val shardMixSql: String =
+    s"""WITH by_src AS (
+       |  SELECT ('0x' || substr(md5('doc' || CAST(doc_id AS VARCHAR)), 1, 8))
+       |      ::BIGINT % $MixShards AS shard,
+       |    source, COUNT(*) AS c
+       |  FROM documents GROUP BY 1, 2
+       |), tot AS (
+       |  SELECT shard, SUM(c) AS n FROM by_src GROUP BY shard
+       |)
+       |SELECT shard, CAST(MAX(n) AS BIGINT) AS n_docs, COUNT(*) AS n_sources,
+       |  ROUND(SUM(-(c / CAST(n AS DOUBLE))
+       |    * ln(c / CAST(n AS DOUBLE))), 4) AS entropy
+       |FROM by_src JOIN tot USING (shard) GROUP BY shard""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "t_dsir_weights"      -> Q(dsirWeightsSql)(dsirWeights),
+    "t_vocab_coverage"    -> Q(vocabCoverageSql)(vocabCoverage),
+    "t_shard_mix"         -> Q(shardMixSql)(shardMix),
     "t_lm_buckets"        -> Q(lmBucketsSql)(lmBuckets),
     "t_gopher_repetition" -> Q(gopherRepetitionSql)(gopherRepetition),
     "t_mixture_weights"   -> Q(mixtureWeightsSql)(mixtureWeights),

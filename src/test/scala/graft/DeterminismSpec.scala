@@ -51,7 +51,13 @@ class DeterminismSpec extends SparkSuite {
       "d_curation_funnel",
       // BPE induction: the argmax-per-round trajectory must not see
       // partitioning (ties break lexically, counts are exact)
-      "t_bpe_merges", "t_bpe_tokenize", "d_modal_agreement")
+      "t_bpe_merges", "t_bpe_tokenize", "d_modal_agreement",
+      // round-7: IVF-PQ's integer-micro residual chain (training +
+      // probe + ADC must be placement-free by construction — exact long
+      // sums), the DSIR LM joins, the global vocab-rank window, the
+      // hash-shard entropy census, and the three-key dedup audit
+      "s_ivfpq_topk", "t_dsir_weights", "t_vocab_coverage",
+      "t_shard_mix", "d_norm_sensitivity")
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     try {
       names.foreach { n =>
