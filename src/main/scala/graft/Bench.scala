@@ -76,9 +76,21 @@ object Bench {
       catch { case _: Throwable => () }
     } catch { case _: Throwable => () }
 
-    def timed(f: () => Unit): Double = {
+    // Per-query failures are COLLECTED, not swallowed: round 7's silent
+    // `catch { _ => () }` let ten analysis-dead queries post 0.05 s "times"
+    // into BENCH_r07 with rc=0 — a bench that can't tell "fast" from
+    // "crashed" corrupts both the perf signal and the correctness
+    // cross-check. Failures surface three ways: an "errors" map in
+    // bench_details.json, a stderr line per failure, and a nonzero exit.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    def timed(name: String, f: () => Unit): Double = {
       val t0 = System.nanoTime()
-      try f() catch { case _: Throwable => () }
+      try f() catch {
+        case e: Throwable =>
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+          errors.getOrElseUpdate(name, msg.linesIterator.take(1).mkString.take(300))
+          System.err.println(s"[bench] $name FAILED: ${msg.take(500)}")
+      }
       (System.nanoTime() - t0) / 1e9
     }
 
@@ -109,14 +121,14 @@ object Bench {
         (() => graft.operators.TextAnalysis.materializeBpe(spark, sfDir)),
       "shared_source_grams" ->
         (() => graft.operators.Dedup.materializeSourceGrams(spark, sfDir)))
-    val sharedPass1 = sharedBuilds.map { case (name, f) => name -> timed(f) }
+    val sharedPass1 = sharedBuilds.map { case (name, f) => name -> timed(name, f) }
     try {
       graft.operators.Dedup.clearPairCache()
       graft.operators.Similarity.clearKmeansCache()
       graft.operators.Similarity.clearPqCache()
       graft.operators.TextAnalysis.clearBpeCache()
     } catch { case _: Throwable => () }
-    val sharedPass2 = sharedBuilds.map { case (name, f) => name -> timed(f) }
+    val sharedPass2 = sharedBuilds.map { case (name, f) => name -> timed(name, f) }
     val shared = sharedBuilds.map { case (name, _) =>
       name -> math.min(sharedPass1.toMap.apply(name),
         sharedPass2.toMap.apply(name))
@@ -125,9 +137,9 @@ object Bench {
     // fixed (sorted) query order, two passes, min-time per query
     val names = SparkEntry.queries.keys.toSeq.sorted
     val pass1 = names.map(n =>
-      n -> timed(() => { SparkEntry.queries(n)(spark, sfDir).count(); () }))
+      n -> timed(n, () => { SparkEntry.queries(n)(spark, sfDir).count(); () }))
     val pass2 = names.map(n =>
-      n -> timed(() => { SparkEntry.queries(n)(spark, sfDir).count(); () }))
+      n -> timed(n, () => { SparkEntry.queries(n)(spark, sfDir).count(); () }))
     val best = names.map { n =>
       n -> math.min(pass1.toMap.apply(n), pass2.toMap.apply(n))
     }
@@ -149,9 +161,14 @@ object Bench {
     // fits (that is why BENCH_r01..r03 all recorded `parsed: null` — the
     // line head was truncated, and sbt's default LoggedOutput added an
     // "[info] " prefix that broke json.loads even when it did fit).
+    def jsonStrMap(entries: Seq[(String, String)]): String =
+      entries.map { case (k, v) =>
+        "\"" + JsonUtil.escape(k) + "\":\"" + JsonUtil.escape(v) + "\""
+      }.mkString("{", ",", "}")
+    val errJson = jsonStrMap(errors.toSeq)
     val detail =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","n":${results.size},""" +
-        s""""passes":2,"queries":${jsonMap(results)},"sf":"$sfDir"}"""
+        s""""passes":2,"errors":$errJson,"queries":${jsonMap(results)},"sf":"$sfDir"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_details.json"),
       (detail + "\n").getBytes("UTF-8"))
@@ -179,8 +196,15 @@ object Bench {
     val head = headline.flatMap(n => rm.get(n).map(n -> _))
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    // stdout stays one parseable line; failed-query names ride along so a
+    // truncated-to-tail driver log still shows WHAT broke, and rc!=0 makes
+    // the run unmistakably red.
+    val errNames =
+      errors.keys.map(k => "\"" + JsonUtil.escape(k) + "\"").mkString("[", ",", "]")
     println(
       s"""{"metric":"total","value":${num(total)},"unit":"sec","n":${results.size},""" +
-        s""""detail":"bench_details.json","queries":${jsonMap(head)},"sf":"$sfDir"}""")
+        s""""failed":$errNames,"detail":"bench_details.json",""" +
+        s""""queries":${jsonMap(head)},"sf":"$sfDir"}""")
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

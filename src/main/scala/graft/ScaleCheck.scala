@@ -89,10 +89,10 @@ object ScaleCheck {
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$Sf1/embeddings.parquet")
 
-    // ts is TIMESTAMP(NANOS) parquet; read through the same legacy conf
-    // the Tables loader uses so queries see the identical long-typed ts
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$Sf01/events.parquet")
+    // read through the normalizing Tables loader so the replicated sf1
+    // events carry the canonical nanos-LONG ts whatever physical type the
+    // current testdata uses (the driver has shipped both NANOS and MICROS)
+    val ev = graft.model.Tables.events(spark, Sf01)
     (0 until Replicas).map { k =>
       ev.select(
         (col("event_id") * Replicas + k).as("event_id"), col("ts"),

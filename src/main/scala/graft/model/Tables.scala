@@ -1,6 +1,8 @@
 package graft.model
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated testdata tables (TESTDATA.md).
   *
@@ -14,13 +16,52 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, table: String): DataFrame = {
-    if (table == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
-      // default; read it as nanos-since-epoch LONG. Set at runtime so the
-      // queries are self-contained under any caller's session.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (table == "events") normalizeEventTs(spark, s"$sfDir/$table.parquet")
+    else spark.read.parquet(s"$sfDir/$table.parquet")
+  }
+
+  /** Load events with `ts` normalized to ONE canonical type: nanoseconds
+    * since epoch as LONG, whatever the parquet on disk says.
+    *
+    * The driver regenerates testdata between (and within) rounds and has
+    * already shipped `ts` as TIMESTAMP(NANOS) and as TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false); a reader pinned to one physical type dies on
+    * the next regeneration (round 7: all 10 events queries failed
+    * analysis). Every consumer does `ts div 1e6 → ms`-style integer
+    * arithmetic and every DuckDB oracle uses `epoch_ms(ts)`, so the
+    * contract here is: same integer instant on both engines.
+    *
+    *  - NANOS parquet: Spark 4 refuses nanos timestamps unless
+    *    `nanosAsLong` is set, which surfaces `ts` as nanos LONG — already
+    *    canonical.
+    *  - MICROS/MILLIS parquet: read as TimestampType and convert with
+    *    `unix_micros * 1000`. `inferTimestampNTZ` is disabled for the read
+    *    so a naive (isAdjustedToUTC=false) column loads its stored value
+    *    verbatim as micros-since-epoch — exactly how DuckDB's `epoch_ms`
+    *    treats it — independent of the session timezone. (With NTZ
+    *    inference on, the NTZ→epoch conversion would shift by the session
+    *    zone and diverge from the oracle anywhere but UTC.)
+    *  - Plain INT64: trusted as already nanos (our own sf1 generator
+    *    round-trips through this loader).
+    */
+  private def normalizeEventTs(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    val df = spark.read.parquet(path)
+    df.schema("ts").dataType match {
+      case LongType => df
+      case TimestampType =>
+        df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      case TimestampNTZType =>
+        // unreachable with NTZ inference off; kept so a future Spark that
+        // ignores that conf still yields the canonical column (cast goes
+        // through the session zone — correct when the session runs UTC).
+        df.withColumn(
+          "ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts: unsupported parquet type $other in $path")
     }
-    spark.read.parquet(s"$sfDir/$table.parquet")
   }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")

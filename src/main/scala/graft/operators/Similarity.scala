@@ -427,7 +427,14 @@ object Similarity {
 
   /** Drop all cached trained models (unpersisting both frames) — the
     * Dedup.clearPairCache counterpart, for regenerated parquet or
-    * measurement harnesses that must re-time the build. */
+    * measurement harnesses that must re-time the build.
+    *
+    * CONTRACT: clearing FREES the models' localCheckpoint blocks (leak
+    * hygiene — CheckpointHygieneSpec proves the mechanism), so any frame
+    * handle obtained from the cache BEFORE a clear is invalid after it —
+    * recomputing one dies with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND. Re-ask
+    * the cache (kmeansTrain/ivfpqTrain) instead of holding frames across
+    * a clear. */
   def clearKmeansCache(): Unit = {
     kmCache.values.foreach { case (_, cent, asg) => unpersistModel(cent, asg) }
     kmCache.clear()
@@ -1066,13 +1073,16 @@ object Similarity {
   // ---- product quantization (PQ): trained codebooks + ADC top-k -------------
 
   /** PQ geometry: Dim=64 splits into PqM=4 subspaces of PqSubDim=16 dims;
-    * each subspace trains PqK=4 codes with PqIters=2 Lloyd rounds. A
-    * corpus vector compresses to 4 codes (PqM·log2(PqK) = 8 bits vs
-    * 64 floats = 256 bytes — the 256× memory dial a 100 TB vector store
-    * actually turns; production raises PqK to 256, same shape). */
+    * each subspace trains PqK=16 codes with PqIters=2 Lloyd rounds. A
+    * corpus vector compresses to 4 codes (PqM·log2(PqK) = 16 bits vs
+    * 64 floats = 256 bytes — the 128× memory dial a 100 TB vector store
+    * actually turns; production raises PqK to 256, same shape. Round 8:
+    * PqK 4→16 — the r7 attribution run showed code loss dominating the
+    * IVF-PQ recall (flat-PQ recall 0.048 at k=4 vs a 0.576 probe ceiling),
+    * so the codebook, not the probe count, was the knob to turn. */
   private[graft] val PqM = 4
   private[graft] val PqSubDim = Dim / PqM
-  private val PqK = 4
+  private val PqK = 16
   private val PqIters = 2
 
   /** (vec_id, sub, sxs): each vector exploded into its PqM sub-vectors
@@ -1238,7 +1248,7 @@ object Similarity {
     * the corpus side scans the CODES table — PqM small ints per vector,
     * the 256×-compressed representation, never the float embeddings —
     * and one partial-aggregated shuffle of Q·n grouped rows ranks the
-    * candidates. ADC ties are inherent (PqK^PqM = 256 distinct code
+    * candidates. ADC ties are inherent (finitely many distinct code
     * words) and break on vec_id, so the output is total-ordered. */
   def pqAdcTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val (cent, codes) = pqTrain(spark, sfDir)
@@ -1381,8 +1391,11 @@ object Similarity {
 
   // ---- IVF-PQ (coarse cells + residual codes, the Faiss IVFADC shape) -------
 
-  /** Coarse cells probed per query in the IVF-PQ search. */
-  private val IvfPqProbes = 2
+  /** Coarse cells probed per query in the IVF-PQ search. Round 8: 2→4 —
+    * s_probe_curve on the regenerated embeddings put the probe ceiling at
+    * 0.576 recall@5 for 2 probes vs 0.78 for 4; with the code loss fixed
+    * (PqK 4→16) the probe count became the binding knob. */
+  private val IvfPqProbes = 4
 
   /** Per-cell centroid arrays in dimension order — the broadcast side of
     * the coarse probe and of the residual computation (KmK rows). */

@@ -45,8 +45,8 @@ class IvfPqSpec extends SparkSuite {
     assert(rows.map(r => (r.getLong(0), r.getInt(1))).distinct.length ==
       rows.length, "duplicate (vec, sub) code")
     assert(rows.forall { r =>
-      r.getLong(2) >= 0 && r.getLong(2) < 4 && // PqK codes
-        r.getLong(3) >= 0 && r.getLong(3) < 8  // KmK coarse cells
+      r.getLong(2) >= 0 && r.getLong(2) < 16 && // PqK codes
+        r.getLong(3) >= 0 && r.getLong(3) < 8   // KmK coarse cells
     })
   }
 
@@ -56,21 +56,33 @@ class IvfPqSpec extends SparkSuite {
     // same cache entry on a plain re-ask
     val (rcent2, _) = Similarity.ivfpqTrain(s, sfDir = sf0001)
     assert(rcent1 eq rcent2, "cache did not serve the same trained frame")
+    // SNAPSHOT before the clear: clearKmeansCache deliberately frees the
+    // model's localCheckpoint blocks (leak hygiene, CheckpointHygieneSpec),
+    // so a frame handle held across a clear is use-after-free by contract —
+    // collecting rcent1 after the clear dies with
+    // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND (this spec's round-7 failure mode).
+    val c1 = canon(rcent1)
     Similarity.clearKmeansCache()
     val (rcent3, _) = Similarity.ivfpqTrain(s, sf0001)
     assert(!(rcent1 eq rcent3),
       "derived IVF-PQ model survived the coarse-model clear")
     // the retrained codebook is bit-identical (deterministic training)
-    assert(canon(rcent1) == canon(rcent3))
+    assert(c1 == canon(rcent3))
   }
 
   test("recall@5 is well-formed and the compressed index finds neighbors") {
     val r = Similarity.ivfpqRecall(spark, sf0001).collect()
     assert(r.length == 1)
     val recall = r(0).getDouble(1)
-    // 2-of-8 probes + 4x4 codes is a lossy index; the floor just proves
-    // the plumbing ranks real neighbors, not noise
-    assert(recall > 0.2 && recall <= 1.0, s"recall@5 = $recall")
+    // Floor calibrated on the current testdata via the attribution trio
+    // (round-8): s_probe_curve puts the 4-of-8 probe ceiling at 0.78;
+    // s_pq_recall puts the code-loss bound (m4_k16 = 16 bits/vector, full
+    // corpus scan) at 0.172; IVF-PQ measures 0.176 — the residual coding
+    // recovers MORE than the probe pruning costs, so the code budget, not
+    // the plumbing, is the binding loss. Random ranking would score
+    // ~5/n ≈ 0.005; the 0.1 floor proves the index ranks real neighbors
+    // with ~20× margin over noise while tolerating testdata regeneration.
+    assert(recall > 0.1 && recall <= 1.0, s"recall@5 = $recall")
     assert(r(0).getLong(2) == 50) // n_queries
   }
 }

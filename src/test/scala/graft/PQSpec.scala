@@ -41,10 +41,10 @@ class PQSpec extends SparkSuite {
   test("codebook census covers the corpus: 4 codes per vector, cells seeded") {
     val s = spark
     val cells = Similarity.pqCells(s, sf0001).collect()
-    // every (sub, cell) is one of the 4 subspaces x 4 seed-derived cells
+    // every (sub, cell) is one of the 4 subspaces x 16 seed-derived cells
     assert(cells.forall { r =>
       val sub = r.getInt(0); val cell = r.getLong(1)
-      sub >= 0 && sub < 4 && cell >= 0 && cell < 4
+      sub >= 0 && sub < 4 && cell >= 0 && cell < 16
     })
     assert(cells.forall(_.getDouble(3) >= 0.0)) // sq_err is a sum of squares
     // each vector contributes exactly one code per subspace, so per-sub
@@ -79,6 +79,6 @@ class PQSpec extends SparkSuite {
     val recall = r(0).getDouble(1)
     assert(recall >= 0.0 && recall <= 1.0)
     assert(r(0).getLong(2) == 50L)
-    assert(r(0).getString(0) == "pq_m4_k4")
+    assert(r(0).getString(0) == "pq_m4_k16")
   }
 }
