@@ -926,22 +926,28 @@ object TextAnalysis {
     * reliable-checkpoint caveat on a real cluster). */
   /** One trained BPE trajectory per (session, SF): t_bpe_merges and
     * t_bpe_tokenize consume the same rounds (the kmCache/pqCache shared-
-    * intermediate pattern). Stores (merge table, initial vocab, vocab
-    * after all merges). */
+    * intermediate pattern). Stores (source fingerprint, merge table,
+    * initial vocab, vocab after all merges) — fingerprint-keyed like
+    * kmCache/pqCache/ivfpqCache: the driver regenerates testdata
+    * in-session, and a path-only key would tokenize NEW documents with
+    * merges trained on the old bytes. */
   private val bpeCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String),
-      (DataFrame, DataFrame, DataFrame, Seq[DataFrame])]
+      (String, DataFrame, DataFrame, DataFrame, Seq[DataFrame])]
 
-  /** Drop cached BPE trajectories (the clearPqCache counterpart). The
-    * per-round winner frames are checkpoints too — tracked separately
-    * because the union/withColumn wrapping of `merges` hides their
-    * LogicalRDDs from freeLocalCheckpoint. */
+  private def freeBpeEntry(
+      e: (String, DataFrame, DataFrame, DataFrame, Seq[DataFrame])): Unit = {
+    // the per-round winner frames are checkpoints too — tracked separately
+    // because the union/withColumn wrapping of `merges` hides their
+    // LogicalRDDs from freeLocalCheckpoint
+    graft.operators.Similarity.freeLocalCheckpoint(e._3)
+    graft.operators.Similarity.freeLocalCheckpoint(e._4)
+    e._5.foreach(graft.operators.Similarity.freeLocalCheckpoint)
+  }
+
+  /** Drop cached BPE trajectories (the clearPqCache counterpart). */
   def clearBpeCache(): Unit = {
-    bpeCache.values.foreach { case (_, v0, vf, wins) =>
-      graft.operators.Similarity.freeLocalCheckpoint(v0)
-      graft.operators.Similarity.freeLocalCheckpoint(vf)
-      wins.foreach(graft.operators.Similarity.freeLocalCheckpoint)
-    }
+    bpeCache.values.foreach(freeBpeEntry)
     bpeCache.clear()
   }
 
@@ -954,7 +960,17 @@ object TextAnalysis {
 
   private def bpeTrain(spark: SparkSession, sfDir: String)
       : (DataFrame, DataFrame, DataFrame, Seq[DataFrame]) =
-    bpeCache.getOrElseUpdate((spark, sfDir), bpeTrainCompute(spark, sfDir))
+    bpeCache.synchronized {
+      val fp = graft.sources.SourceFingerprint.key(sfDir, "documents.parquet")
+      bpeCache.get((spark, sfDir)) match {
+        case Some((`fp`, m, v0, vf, wins)) => (m, v0, vf, wins)
+        case stale =>
+          stale.foreach(freeBpeEntry)
+          val t = bpeTrainCompute(spark, sfDir)
+          bpeCache.put((spark, sfDir), (fp, t._1, t._2, t._3, t._4))
+          t
+      }
+    }
 
   private def bpeTrainCompute(spark: SparkSession, sfDir: String)
       : (DataFrame, DataFrame, DataFrame, Seq[DataFrame]) = {

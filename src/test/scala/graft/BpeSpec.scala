@@ -25,6 +25,32 @@ class BpeSpec extends SparkSuite {
     assert(mergeOnce("||ab||b||b||", "ab", "b") == "||abb||b||")
   }
 
+  test("regenerated documents invalidate the cached BPE trajectory") {
+    // the OrcStalenessSpec pattern: the cache key carries a fingerprint of
+    // the source parquet (names + sizes + mtimes), so an in-session
+    // regeneration under the SAME path must retrain, not serve merges
+    // learned on the old bytes (the driver regenerates testdata mid-round)
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe-stale")
+    dir.toFile.deleteOnExit()
+    def write(texts: Seq[String]): Unit =
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, "web", "en", t) }
+        .toDF("doc_id", "source", "lang", "text")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def topMerge(): (String, String) = {
+      val r = graft.operators.TextAnalysis.bpeMerges(s, dir.toString)
+        .filter(col("merge_round") === 1).collect()(0)
+      (r.getAs[String]("l_sym"), r.getAs[String]("r_sym"))
+    }
+    write(Seq.fill(8)("xy"))
+    assert(topMerge() == ("x", "y"))
+    write(Seq.fill(8)("qr"))
+    assert(topMerge() == ("q", "r"),
+      "stale BPE merges served after the source parquet was regenerated")
+  }
+
   test("learned merges: concat integrity, monotone counts, full rounds") {
     val rows = graft.operators.TextAnalysis.bpeMerges(spark, sf0001)
       .collect()
