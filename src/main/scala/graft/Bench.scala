@@ -83,16 +83,31 @@ object Bench {
     // cross-check. Failures surface three ways: an "errors" map in
     // bench_details.json, a stderr line per failure, and a nonzero exit.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    def timed(name: String, f: () => Unit): Double = {
+    // (seconds, succeeded) — a pass that threw is not a measurement, so
+    // min-of-two must only consider successful passes: a fast crash in
+    // pass 1 followed by a real pass 2 would otherwise report the crash
+    // time as the query's "best" (the run still exits nonzero either way)
+    def timed(name: String, f: () => Unit): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try f() catch {
-        case e: Throwable =>
-          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
-          errors.getOrElseUpdate(name, msg.linesIterator.take(1).mkString.take(300))
-          System.err.println(s"[bench] $name FAILED: ${msg.take(500)}")
-      }
-      (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { f(); true } catch {
+          case e: Throwable =>
+            val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+            errors.getOrElseUpdate(name, msg.linesIterator.take(1).mkString.take(300))
+            System.err.println(s"[bench] $name FAILED: ${msg.take(500)}")
+            false
+        }
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
+    // best of two (time, ok) passes: min over successful ones; if both
+    // failed, the failure time still fills the entry (flagged via errors)
+    def bestOf(a: (Double, Boolean), b: (Double, Boolean)): Double =
+      (a, b) match {
+        case ((ta, true), (tb, true))  => math.min(ta, tb)
+        case ((ta, true), (_, false))  => ta
+        case ((_, false), (tb, true))  => tb
+        case ((ta, false), (tb, false)) => math.min(ta, tb)
+      }
 
     // Shared subtrees first, as their own entries. Round-7 fix: they are
     // timed MIN-OF-TWO like every query — round 6 timed them single-pass
@@ -130,7 +145,7 @@ object Bench {
     } catch { case _: Throwable => () }
     val sharedPass2 = sharedBuilds.map { case (name, f) => name -> timed(name, f) }
     val shared = sharedBuilds.map { case (name, _) =>
-      name -> math.min(sharedPass1.toMap.apply(name),
+      name -> bestOf(sharedPass1.toMap.apply(name),
         sharedPass2.toMap.apply(name))
     }
 
@@ -141,7 +156,7 @@ object Bench {
     val pass2 = names.map(n =>
       n -> timed(n, () => { SparkEntry.queries(n)(spark, sfDir).count(); () }))
     val best = names.map { n =>
-      n -> math.min(pass1.toMap.apply(n), pass2.toMap.apply(n))
+      n -> bestOf(pass1.toMap.apply(n), pass2.toMap.apply(n))
     }
 
     val results = shared ++ best
