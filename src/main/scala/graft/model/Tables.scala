@@ -43,6 +43,12 @@ object Tables {
     *    zone and diverge from the oracle anywhere but UTC.)
     *  - Plain INT64: trusted as already nanos (our own sf1 generator
     *    round-trips through this loader).
+    *
+    * Tradeoff: on the timestamp-typed encodings the canonical column is a
+    * projection, so a raw `ts` range predicate no longer pushes into the
+    * parquet scan (the registry's events queries all do bucket arithmetic,
+    * not ts-range scans — and a scan-heavy consumer at 100 TB should
+    * partition events by time, making pruning directory-level anyway).
     */
   private def normalizeEventTs(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
