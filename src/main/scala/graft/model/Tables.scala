@@ -2,7 +2,7 @@ package graft.model
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated testdata tables (TESTDATA.md).
   *
@@ -16,8 +16,36 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, table: String): DataFrame = {
-    if (table == "events") normalizeEventTs(spark, s"$sfDir/$table.parquet")
-    else spark.read.parquet(s"$sfDir/$table.parquet")
+    val path = s"$sfDir/$table.parquet"
+    table match {
+      case "events"     => normalizeEventTs(spark, path)
+      case "embeddings" => normalizeEmbedding(spark, path)
+      case _            => spark.read.parquet(path)
+    }
+  }
+
+  /** Load embeddings with `embedding` normalized to ONE canonical element
+    * type: `array<float>`, whatever the parquet on disk says (the events-ts
+    * lesson applied to the other typed column the driver could drift).
+    *
+    * A silent `array<double>` drift would otherwise be poison: the codegen
+    * `cosine_sim` expression declares float inputs, so Spark would
+    * implicit-CAST each element down to float while the DuckDB oracles
+    * compute from the raw doubles — rounded-6 hash mismatches across the
+    * similarity family instead of one loud failure. The cross-engine
+    * contract is FLOAT precision: this loader pins the Spark side, and the
+    * oracle SQL reads `CAST(embedding[i] AS FLOAT)` before widening — both
+    * no-ops on today's float parquet, bit-identical under drift. */
+  private def normalizeEmbedding(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    df.schema("embedding").dataType match {
+      case ArrayType(FloatType, _) => df
+      case ArrayType(DoubleType, _) =>
+        df.withColumn("embedding", col("embedding").cast(ArrayType(FloatType)))
+      case other =>
+        throw new IllegalStateException(
+          s"embeddings.embedding: unsupported parquet type $other in $path")
+    }
   }
 
   /** Load events with `ts` normalized to ONE canonical type: nanoseconds

@@ -73,10 +73,15 @@ object Similarity {
         l2Norm("embedding").as("nrm"))
       .filter(col("nrm") > 0)
 
-  /** DuckDB twin: exploded (vec_id, i, x-as-double) + per-vector norms. */
+  /** DuckDB twin: exploded (vec_id, i, x-as-double) + per-vector norms.
+    * The inner FLOAT cast pins the cross-engine contract at float
+    * precision (Tables.normalizeEmbedding is the Spark half): a no-op on
+    * today's float parquet, bit-identical under an array-of-double
+    * testdata drift. */
   private val embCte: String =
     """ex AS (
-      |  SELECT vec_id, i, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+      |  SELECT vec_id, i,
+      |    CAST(CAST(embedding[CAST(i AS INT)] AS FLOAT) AS DOUBLE) AS x
       |  FROM embeddings, range(1, 65) r(i)
       |), nrm AS (
       |  SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM ex GROUP BY vec_id
@@ -143,7 +148,8 @@ object Similarity {
   }
 
   private val bucketExpr: String = (0 until LshBits)
-    .map(j => s"CASE WHEN embedding[${1 + j * (Dim / LshBits)}] >= 0 THEN '1' ELSE '0' END")
+    .map(j => s"CASE WHEN CAST(embedding[${1 + j * (Dim / LshBits)}] " +
+      "AS FLOAT) >= 0 THEN '1' ELSE '0' END")
     .mkString(" || ")
 
   val lshAnnTopKSql: String =
@@ -858,8 +864,8 @@ object Similarity {
     }: _*)
 
   private def bucket4Sql(t: Int): String = (0 until 4)
-    .map(j => s"CASE WHEN embedding[${t * 16 + 1 + j * 4}] >= 0 " +
-      "THEN '1' ELSE '0' END").mkString(" || ")
+    .map(j => s"CASE WHEN CAST(embedding[${t * 16 + 1 + j * 4}] AS FLOAT) " +
+      ">= 0 THEN '1' ELSE '0' END").mkString(" || ")
 
   /** Recall@5 of sign-LSH ANN against exact brute-force top-5, for TWO
     * designs: the single 8-bit table (AND-amplified — tiny candidate

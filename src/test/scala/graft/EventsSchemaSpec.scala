@@ -41,6 +41,22 @@ class EventsSchemaSpec extends SparkSuite {
     assert(v == (epochMicros / 1000) * 1000000L) // millis precision in ctor
   }
 
+  test("timestamp-millis parquet normalizes to nanos long") {
+    val s = spark
+    import s.implicits._
+    val d = dir()
+    val prev = s.conf.get("spark.sql.parquet.outputTimestampType")
+    try {
+      s.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
+      Seq((1L, new Timestamp(epochMicros / 1000), 7L, "click", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$d/events.parquet")
+    } finally s.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    val (tpe, v) = loadTs(d.toString)
+    assert(tpe == LongType)
+    assert(v == (epochMicros / 1000) * 1000000L)
+  }
+
   test("plain int64 ts (our sf1 generator round-trip) passes through as nanos") {
     val s = spark
     import s.implicits._
