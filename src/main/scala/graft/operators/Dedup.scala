@@ -88,23 +88,29 @@ object Dedup {
     * subtree is the most expensive in the suite, and BOTH d_ngram_jaccard
     * and d_dedup_corpus need it — share one MEMORY_AND_DISK materialization
     * instead of recomputing it per query (the 100 TB version of "don't run
-    * your most expensive subquery twice"). */
-  private val pairCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    * your most expensive subquery twice"). Values carry the documents
+    * source fingerprint like kmCache/pqCache/bpeCache: the driver
+    * regenerates testdata in-session, and a path-only key would serve
+    * pairs mined from the old bytes. */
+  private val pairCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (String, DataFrame)]
+
+  private def docsFp(sfDir: String): String =
+    graft.sources.SourceFingerprint.key(sfDir, "documents.parquet")
+
+  private def unpersistQuiet(df: DataFrame): Unit =
+    try { df.unpersist(); () } catch { case _: Exception => () }
 
   /** Drop all cached pair lists (unpersisting each). Call when the parquet
     * under a cached sfDir is regenerated in-session, or to release the
     * MEMORY_AND_DISK blocks — entries otherwise live for the session
     * (bounded: one small pair list per (session, SF) actually queried). */
   def clearPairCache(): Unit = {
-    pairCache.values.foreach(df => try df.unpersist()
-      catch { case _: Exception => () })
+    pairCache.values.foreach { case (_, df) => unpersistQuiet(df) }
     pairCache.clear()
-    minsCache.values.foreach(df => try df.unpersist()
-      catch { case _: Exception => () })
+    minsCache.values.foreach { case (_, df) => unpersistQuiet(df) }
     minsCache.clear()
-    sourceGramsCache.values.foreach(df => try df.unpersist()
-      catch { case _: Exception => () })
+    sourceGramsCache.values.foreach { case (_, df) => unpersistQuiet(df) }
     sourceGramsCache.clear()
   }
 
@@ -114,17 +120,23 @@ object Dedup {
     * on their own measure and round on output, so the one materialization
     * serves the Jaccard family AND the subset-containment query. */
   private def pairList(spark: SparkSession, sfDir: String): DataFrame =
-    pairCache.getOrElseUpdate((spark, sfDir), {
-      val (df, intermediates) = pairListCompute(spark, sfDir)
-      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // materialize eagerly so the build-only intermediates (hashed
-      // shingle sets, rare-shingle explode) can be freed immediately —
-      // they are several times larger than the pair list they produce
-      df.count()
-      intermediates.foreach(d => try d.unpersist()
-        catch { case _: Exception => () })
-      df
-    })
+    pairCache.synchronized {
+      val fp = docsFp(sfDir)
+      pairCache.get((spark, sfDir)) match {
+        case Some((`fp`, df)) => df
+        case stale =>
+          stale.foreach { case (_, df) => unpersistQuiet(df) }
+          val (df, intermediates) = pairListCompute(spark, sfDir)
+          df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          // materialize eagerly so the build-only intermediates (hashed
+          // shingle sets, rare-shingle explode) can be freed immediately —
+          // they are several times larger than the pair list they produce
+          df.count()
+          intermediates.foreach(unpersistQuiet)
+          pairCache.put((spark, sfDir), (fp, df))
+          df
+      }
+    }
 
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
     pairList(spark, sfDir)
@@ -269,22 +281,30 @@ object Dedup {
     * by d_minhash_lsh, d_minhash_recall and d_edit_neardup — 16 longs per
     * doc, the textbook "signature matrix you keep, raw shingles you
     * don't" artifact, so the cache is corpus-linear and tiny. */
-  private val minsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  // fingerprint-keyed like pairCache (same regeneration-staleness hazard)
+  private val minsCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (String, DataFrame)]
 
   private def minhashMins(spark: SparkSession, sfDir: String): DataFrame =
-    minsCache.getOrElseUpdate((spark, sfDir), {
-      val hx = toks(spark, sfDir)
-        .select(col("doc_id"), explode(shingles("t", 3)).as("shingle"))
-        .select(col("doc_id"),
-          conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long").as("h1"),
-          conv(substring(md5(col("shingle")), 9, 8), 16, 10).cast("long").as("h2"))
-      val minCols = (0 until NumHashes).map(i =>
-        min((col("h1") + lit(i.toLong) * col("h2")) % MinHashP).as(s"m$i"))
-      val mins = hx.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
-      mins.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      mins
-    })
+    minsCache.synchronized {
+      val fp = docsFp(sfDir)
+      minsCache.get((spark, sfDir)) match {
+        case Some((`fp`, df)) => df
+        case stale =>
+          stale.foreach { case (_, df) => unpersistQuiet(df) }
+          val hx = toks(spark, sfDir)
+            .select(col("doc_id"), explode(shingles("t", 3)).as("shingle"))
+            .select(col("doc_id"),
+              conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long").as("h1"),
+              conv(substring(md5(col("shingle")), 9, 8), 16, 10).cast("long").as("h2"))
+          val minCols = (0 until NumHashes).map(i =>
+            min((col("h1") + lit(i.toLong) * col("h2")) % MinHashP).as(s"m$i"))
+          val mins = hx.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+          mins.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          minsCache.put((spark, sfDir), (fp, mins))
+          mins
+      }
+    }
 
   /** Force the shared signature table to materialize — Bench times this
     * as its own entry so consumer queries time steady-state plans. */
@@ -1157,19 +1177,27 @@ object Dedup {
     * [[crossContamination]] and [[sourceNovelty]] start from. Persisted
     * once per (session, SF) like the pair list and minhash signatures;
     * size is Σ per-source vocabularies (corpus-sublinear), tiny. */
-  private val sourceGramsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  // fingerprint-keyed like pairCache (same regeneration-staleness hazard)
+  private val sourceGramsCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (String, DataFrame)]
 
   private def sourceGrams(spark: SparkSession, sfDir: String): DataFrame =
-    sourceGramsCache.getOrElseUpdate((spark, sfDir), {
-      val hashed = expr(
-        "transform(" + shinglesSql("t", ContamK) +
-          ", x -> CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT))")
-      val sh = toks(spark, sfDir)
-        .select(col("source"), explode(hashed).as("h")).distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      sh
-    })
+    sourceGramsCache.synchronized {
+      val fp = docsFp(sfDir)
+      sourceGramsCache.get((spark, sfDir)) match {
+        case Some((`fp`, df)) => df
+        case stale =>
+          stale.foreach { case (_, df) => unpersistQuiet(df) }
+          val hashed = expr(
+            "transform(" + shinglesSql("t", ContamK) +
+              ", x -> CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT))")
+          val sh = toks(spark, sfDir)
+            .select(col("source"), explode(hashed).as("h")).distinct()
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          sourceGramsCache.put((spark, sfDir), (fp, sh))
+          sh
+      }
+    }
 
   /** Force the shared (source, gram) table to materialize — Bench times
     * this as its own entry so consumer queries time steady-state plans. */
