@@ -25,13 +25,21 @@ import graft.model.Tables
 object BucketedTables {
 
   // one bucketed copy per (sfDir) per JVM; Verify/Bench run many queries
-  // in one session, so creation amortizes exactly like the shared caches
+  // in one session, so creation amortizes exactly like the shared caches.
+  // Keyed on the SOURCE FINGERPRINT of both inputs (the IvfLayout
+  // pattern), not the path alone: a driver regeneration of
+  // orders/lineitem under the same sfDir must rewrite the bucketed copy,
+  // not serve a layout of the old bytes while the oracle reads the new.
   private val created = TrieMap.empty[String, (String, String)]
+
+  private def cacheKey(sfDir: String): String =
+    SourceFingerprint.key(sfDir, "orders.parquet") + "|" +
+      SourceFingerprint.key(sfDir, "lineitem.parquet")
 
   /** Create (once) bucketed copies of orders+lineitem for this sfDir;
     * returns the two table names. */
   def ensure(spark: SparkSession, sfDir: String): (String, String) =
-    created.getOrElseUpdate(sfDir, {
+    created.getOrElseUpdate(cacheKey(sfDir), {
       val token = sfDir.replaceAll("[^A-Za-z0-9]", "_")
       val (to, tl) = (s"bk_orders$token", s"bk_lineitem$token")
       val wh = Files.createTempDirectory("graft-bucketed").toString

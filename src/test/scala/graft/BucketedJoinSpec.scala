@@ -73,4 +73,31 @@ class BucketedJoinSpec extends SparkSuite {
     assert(plan.toString.contains("SortMergeJoin"),
       s"bucketed fact-fact join should sort-merge:\n$plan")
   }
+
+  test("regenerated source parquet rebuilds the bucketed copies") {
+    // the ensure() cache keys on the source fingerprint (IvfLayout
+    // pattern): rewriting orders/lineitem under the same dir must rebuild
+    // the layout, not serve buckets of the old bytes while the oracle
+    // reads the new parquet
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-bucket-stale")
+    dir.toFile.deleteOnExit()
+    def write(price: Double): Unit = {
+      Seq((1L, "1-URGENT"), (2L, "2-HIGH"))
+        .toDF("o_orderkey", "o_orderpriority")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      Seq((1L, price), (2L, price))
+        .toDF("l_orderkey", "l_extendedprice")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    }
+    def revenue(): Double =
+      graft.sources.BucketedTables.bucketedJoin(s, dir.toString)
+        .agg(sum(col("revenue"))).head().getDouble(0)
+    write(10.0)
+    assert(revenue() == 20.0)
+    write(35.0)
+    assert(revenue() == 70.0,
+      "stale bucketed layout served after the source parquet was regenerated")
+  }
 }
