@@ -76,7 +76,11 @@ class EventsSchemaSpec extends SparkSuite {
     val df = graft.model.Tables.events(spark, sf0001)
     assert(df.schema("ts").dataType == LongType)
     val ms = df.select((col("ts") / lit(1000000L)).cast("long")).head().getLong(0)
-    // testdata events start 2024-01-01; any TZ mishandling shifts by hours
-    assert(ms >= 1704067200000L && ms < 1704067200000L + 86400000L * 400)
+    // a units slip (nanos-vs-micros confusion) is a 1000× shift that lands
+    // millennia away, so a wide window catches it without pinning the
+    // corpus epoch the driver may regenerate; exact instant agreement
+    // (incl. timezone handling) is proven by the oracle hash gate, not here
+    val y2020 = 1577836800000L; val y2040 = 2208988800000L
+    assert(ms >= y2020 && ms < y2040, s"ts epoch-ms $ms outside [2020, 2040)")
   }
 }
