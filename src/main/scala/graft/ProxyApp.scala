@@ -42,6 +42,7 @@ object ProxyApp {
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
+    graft.model.Tables.bootstrap(spark)
 
     val hostname = java.net.InetAddress.getLocalHost.getHostName
     val metrics = new MetricStorage(hostname)

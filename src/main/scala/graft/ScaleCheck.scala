@@ -41,6 +41,7 @@ object ScaleCheck {
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
+    graft.model.Tables.bootstrap(spark)
     spark.sparkContext.setLogLevel("WARN")
     if (mode == "all" || mode == "generate") generate(spark)
     if (mode == "all" || mode == "measure") measure(spark)

@@ -6,6 +6,7 @@ object TimeQ {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.plans.GraftExtensions).getOrCreate()
+    graft.model.Tables.bootstrap(spark)
     spark.sparkContext.setLogLevel("ERROR")
     val sf = "/root/testdata/sf0.1"
     args.foreach { q => SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count() } // warm

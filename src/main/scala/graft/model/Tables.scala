@@ -15,6 +15,38 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Session-wide parquet confs the events loader DEPENDS on but no longer
+    * sets (round-9 fix: a loader that flips session-global conf as a side
+    * effect silently changes how every later parquet read in the session
+    * surfaces nanos/NTZ timestamp columns). Every graft entrypoint applies
+    * these once at session bootstrap via [[bootstrap]]; `normalizeEventTs`
+    * asserts them and performs no conf writes.
+    *
+    *  - `nanosAsLong`: Spark 4 refuses TIMESTAMP(NANOS) parquet unless set;
+    *    with it, a nanos column surfaces as nanos-since-epoch LONG — the
+    *    canonical `ts` type.
+    *  - NTZ inference off: a naive (isAdjustedToUTC=false) column loads as
+    *    TimestampType holding its stored micros verbatim, so `unix_micros`
+    *    is timezone-independent and matches DuckDB's `epoch_ms`. */
+  val sessionConfs: Seq[(String, String)] = Seq(
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.parquet.inferTimestampNTZ.enabled" -> "false")
+
+  /** Apply [[sessionConfs]]; call ONCE right after `getOrCreate()` in every
+    * entrypoint (Bench, Verify, ScaleCheck, ProxyApp, tools, test suite). */
+  def bootstrap(spark: SparkSession): SparkSession = {
+    sessionConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    spark
+  }
+
+  private def assertBootstrapped(spark: SparkSession): Unit =
+    sessionConfs.foreach { case (k, v) =>
+      val actual = spark.conf.getOption(k)
+      require(actual.contains(v),
+        s"events loader requires session conf $k=$v (call " +
+          s"Tables.bootstrap(spark) at session startup); found $actual")
+    }
+
   def load(spark: SparkSession, sfDir: String, table: String): DataFrame = {
     val path = s"$sfDir/$table.parquet"
     table match {
@@ -63,7 +95,8 @@ object Tables {
     *    `nanosAsLong` is set, which surfaces `ts` as nanos LONG — already
     *    canonical.
     *  - MICROS/MILLIS parquet: read as TimestampType and convert with
-    *    `unix_micros * 1000`. `inferTimestampNTZ` is disabled for the read
+    *    `unix_micros * 1000`. `inferTimestampNTZ` is disabled session-wide
+    *    (see [[sessionConfs]]; asserted here, not set here)
     *    so a naive (isAdjustedToUTC=false) column loads its stored value
     *    verbatim as micros-since-epoch — exactly how DuckDB's `epoch_ms`
     *    treats it — independent of the session timezone. (With NTZ
@@ -79,8 +112,7 @@ object Tables {
     * partition events by time, making pruning directory-level anyway).
     */
   private def normalizeEventTs(spark: SparkSession, path: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    assertBootstrapped(spark)
     val df = spark.read.parquet(path)
     df.schema("ts").dataType match {
       case LongType => df

@@ -106,12 +106,22 @@ object Dedup {
     * MEMORY_AND_DISK blocks — entries otherwise live for the session
     * (bounded: one small pair list per (session, SF) actually queried). */
   def clearPairCache(): Unit = {
-    pairCache.values.foreach { case (_, df) => unpersistQuiet(df) }
-    pairCache.clear()
-    minsCache.values.foreach { case (_, df) => unpersistQuiet(df) }
-    minsCache.clear()
-    sourceGramsCache.values.foreach { case (_, df) => unpersistQuiet(df) }
-    sourceGramsCache.clear()
+    // each clear takes the SAME monitor its builder holds (pairList /
+    // minhashMins / sourceGrams synchronize on their cache), so a clear
+    // racing a build can neither unpersist an in-use frame nor strand a
+    // just-built entry (round-9 ADVICE fix)
+    pairCache.synchronized {
+      pairCache.values.foreach { case (_, df) => unpersistQuiet(df) }
+      pairCache.clear()
+    }
+    minsCache.synchronized {
+      minsCache.values.foreach { case (_, df) => unpersistQuiet(df) }
+      minsCache.clear()
+    }
+    sourceGramsCache.synchronized {
+      sourceGramsCache.values.foreach { case (_, df) => unpersistQuiet(df) }
+      sourceGramsCache.clear()
+    }
   }
 
   /** The shared persisted pair list: candidate pairs with RAW (unrounded)

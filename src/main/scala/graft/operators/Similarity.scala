@@ -442,8 +442,12 @@ object Similarity {
     * the cache (kmeansTrain/ivfpqTrain) instead of holding frames across
     * a clear. */
   def clearKmeansCache(): Unit = {
-    kmCache.values.foreach { case (_, cent, asg) => unpersistModel(cent, asg) }
-    kmCache.clear()
+    // take the builder's monitor (kmeansTrain synchronizes on kmCache) so
+    // a clear racing a train can't unpersist an in-use model
+    kmCache.synchronized {
+      kmCache.values.foreach { case (_, cent, asg) => unpersistModel(cent, asg) }
+      kmCache.clear()
+    }
     // the IVF-PQ model is DERIVED from this one (residuals against the
     // trained centroids); letting it outlive the coarse model would pair
     // stale residual codes with a retrained quantizer
@@ -1121,10 +1125,13 @@ object Similarity {
   /** Drop all cached PQ models (clearKmeansCache counterpart). */
   def clearPqCache(): Unit = {
     // same double-backing as clearKmeansCache: the codebook is a
-    // localCheckpoint under a persist — unpersistModel frees both
-    pqCache.values.foreach { case (_, cent, codes) =>
-      unpersistModel(cent, codes) }
-    pqCache.clear()
+    // localCheckpoint under a persist — unpersistModel frees both.
+    // Builder monitor held, like clearKmeansCache.
+    pqCache.synchronized {
+      pqCache.values.foreach { case (_, cent, codes) =>
+        unpersistModel(cent, codes) }
+      pqCache.clear()
+    }
   }
 
   /** Force the shared PQ model to materialize (Bench's shared_pq_model
@@ -1447,9 +1454,11 @@ object Similarity {
     * residual model is DERIVED from the coarse model, and surviving it
     * would pair stale residual codes with a retrained quantizer. */
   def clearIvfPqCache(): Unit = {
-    ivfpqCache.values.foreach { case (_, cent, codes) =>
-      unpersistModel(cent, codes) }
-    ivfpqCache.clear()
+    ivfpqCache.synchronized {
+      ivfpqCache.values.foreach { case (_, cent, codes) =>
+        unpersistModel(cent, codes) }
+      ivfpqCache.clear()
+    }
   }
 
   /** Force the shared IVF-PQ model to materialize (Bench's

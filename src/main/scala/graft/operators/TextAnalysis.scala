@@ -947,8 +947,12 @@ object TextAnalysis {
 
   /** Drop cached BPE trajectories (the clearPqCache counterpart). */
   def clearBpeCache(): Unit = {
-    bpeCache.values.foreach(freeBpeEntry)
-    bpeCache.clear()
+    // builder monitor held (bpeTrain synchronizes on bpeCache) — a clear
+    // racing a train can neither free an in-use trajectory nor strand one
+    bpeCache.synchronized {
+      bpeCache.values.foreach(freeBpeEntry)
+      bpeCache.clear()
+    }
   }
 
   /** Force the shared trajectory to materialize (Bench's shared_bpe_model

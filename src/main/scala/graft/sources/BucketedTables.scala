@@ -24,37 +24,64 @@ import graft.model.Tables
   */
 object BucketedTables {
 
-  // one bucketed copy per (sfDir) per JVM; Verify/Bench run many queries
+  // one bucketed copy per sfDir per JVM; Verify/Bench run many queries
   // in one session, so creation amortizes exactly like the shared caches.
-  // Keyed on the SOURCE FINGERPRINT of both inputs (the IvfLayout
-  // pattern), not the path alone: a driver regeneration of
-  // orders/lineitem under the same sfDir must rewrite the bucketed copy,
-  // not serve a layout of the old bytes while the oracle reads the new.
-  private val created = TrieMap.empty[String, (String, String)]
+  // Keyed by sfDir with the SOURCE FINGERPRINT of both inputs in the
+  // VALUE (the Dedup-cache pattern, round-9 ADVICE fix): a driver
+  // regeneration of orders/lineitem under the same sfDir misses the
+  // fingerprint check, so the stale entry — and its temp warehouse dir —
+  // is evicted and the bucketed copy rewritten, instead of a fresh key
+  // accreting next to an orphaned layout of the old bytes. Creation runs
+  // under the cache monitor (TrieMap.getOrElseUpdate could run the
+  // builder twice concurrently, colliding on DROP/saveAsTable of the
+  // shared bk_* names).
+  private val created = TrieMap.empty[String, (String, String, String, String)]
 
-  private def cacheKey(sfDir: String): String =
+  private def sourcesFp(sfDir: String): String =
     SourceFingerprint.key(sfDir, "orders.parquet") + "|" +
       SourceFingerprint.key(sfDir, "lineitem.parquet")
 
-  /** Create (once) bucketed copies of orders+lineitem for this sfDir;
-    * returns the two table names. */
+  private def deleteQuiet(dir: String): Unit =
+    try {
+      import java.nio.file.{Files => F, Paths}
+      import java.util.Comparator
+      F.walk(Paths.get(dir)).sorted(Comparator.reverseOrder())
+        .forEach(p => F.deleteIfExists(p))
+    } catch { case _: Exception => () }
+
+  /** Create (once per source fingerprint) bucketed copies of
+    * orders+lineitem for this sfDir; returns the two table names. */
   def ensure(spark: SparkSession, sfDir: String): (String, String) =
-    created.getOrElseUpdate(cacheKey(sfDir), {
-      val token = sfDir.replaceAll("[^A-Za-z0-9]", "_")
-      val (to, tl) = (s"bk_orders$token", s"bk_lineitem$token")
-      val wh = Files.createTempDirectory("graft-bucketed").toString
-      spark.sql(s"DROP TABLE IF EXISTS $to")
-      spark.sql(s"DROP TABLE IF EXISTS $tl")
-      Tables.orders(spark, sfDir)
-        .select(col("o_orderkey"), col("o_orderpriority"))
-        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .option("path", s"$wh/$to").saveAsTable(to)
-      Tables.lineitem(spark, sfDir)
-        .select(col("l_orderkey"), col("l_extendedprice"))
-        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .option("path", s"$wh/$tl").saveAsTable(tl)
-      (to, tl)
-    })
+    created.synchronized {
+      val fp = sourcesFp(sfDir)
+      created.get(sfDir) match {
+        case Some((`fp`, to, tl, _)) => (to, tl)
+        case stale =>
+          stale.foreach { case (_, to, tl, wh) =>
+            try spark.sql(s"DROP TABLE IF EXISTS $to")
+            catch { case _: Exception => () }
+            try spark.sql(s"DROP TABLE IF EXISTS $tl")
+            catch { case _: Exception => () }
+            deleteQuiet(wh)
+            created.remove(sfDir)
+          }
+          val token = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+          val (to, tl) = (s"bk_orders$token", s"bk_lineitem$token")
+          val wh = Files.createTempDirectory("graft-bucketed").toString
+          spark.sql(s"DROP TABLE IF EXISTS $to")
+          spark.sql(s"DROP TABLE IF EXISTS $tl")
+          Tables.orders(spark, sfDir)
+            .select(col("o_orderkey"), col("o_orderpriority"))
+            .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+            .option("path", s"$wh/$to").saveAsTable(to)
+          Tables.lineitem(spark, sfDir)
+            .select(col("l_orderkey"), col("l_extendedprice"))
+            .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+            .option("path", s"$wh/$tl").saveAsTable(tl)
+          created.put(sfDir, (fp, to, tl, wh))
+          (to, tl)
+      }
+    }
 
   /** Join the bucketed copies (hint("merge") keeps the fact-fact shape a
     * broadcast would mask at test scale), roll up per order — the

@@ -83,4 +83,24 @@ class EventsSchemaSpec extends SparkSuite {
     val y2020 = 1577836800000L; val y2040 = 2208988800000L
     assert(ms >= y2020 && ms < y2040, s"ts epoch-ms $ms outside [2020, 2040)")
   }
+
+  test("loader asserts session bootstrap instead of writing session conf") {
+    // round-9 fix: normalizeEventTs used to SET nanosAsLong + NTZ-inference
+    // confs on every events read — a loader mutating session-global state
+    // changes how unrelated parquet reads surface timestamp columns. Now
+    // the confs live in Tables.bootstrap (applied once per session) and the
+    // loader REQUIRES them: with one flipped, the load must throw, not
+    // silently restore it.
+    val k = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.get(k)
+    try {
+      spark.conf.set(k, "false")
+      val e = intercept[IllegalArgumentException] {
+        graft.model.Tables.events(spark, sf0001)
+      }
+      assert(e.getMessage.contains("Tables.bootstrap"))
+      // and it really did not write: the flipped conf is still flipped
+      assert(spark.conf.get(k) == "false")
+    } finally spark.conf.set(k, prev)
+  }
 }

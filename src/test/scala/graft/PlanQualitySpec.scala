@@ -77,7 +77,7 @@ class PlanQualitySpec extends SparkSuite {
         "tot", // 1-row corpus-count aggregate (cellQuota)
         "coarseCentArrays", // K-row coarse-centroid arrays (IVF-PQ assign)
         "cArr", // same K-row coarse model, bound to a val for reuse
-        "rqcd"), // ADC distance table, ≤ Q·probes·PqM·PqK rows (50·2·4·16)
+        "rqcd"), // ADC distance table, ≤ Q·probes·PqM·PqK rows (50·4·4·16)
       "DlqQueries.scala" -> Set("offsets"), // per-level offsets, ≤ 10 rows
       "TextAnalysis.scala" -> Set(
         "nDocs", "total", "vocab", "tot", "minTok", // 1-row aggregates

@@ -48,6 +48,7 @@ object SparkSuite {
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
+    graft.model.Tables.bootstrap(s)
     s.sparkContext.setLogLevel("WARN")
     s
   }
