@@ -209,6 +209,7 @@ object Bench {
       "t_token_stats", "t_quality_score", "t_tfidf_top", "t_rep_ratio",
       "t_hash_split", "t_boilerplate",
       "q_asof_join", "q_range_join", "q_window_funcs", "q_sessionize",
+      "src_events_layout",
       "q_topk_custom", "d_bloom_contam")
     val rm = results.toMap
     val head = headline.flatMap(n => rm.get(n).map(n -> _))

@@ -28,7 +28,8 @@ object SparkEntry {
       graft.sources.ParsedRequests.queries ++
       graft.sources.BucketedTables.queries ++
       graft.sources.OrcRoundTrip.queries ++
-      graft.sources.IvfLayout.queries
+      graft.sources.IvfLayout.queries ++
+      graft.sources.EventsLayout.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's core operation: keyed concat/count aggregation over the
