@@ -46,7 +46,132 @@ object ScaleCheck {
     if (mode == "all" || mode == "generate") generate(spark)
     if (mode == "all" || mode == "measure") measure(spark)
     if (mode == "volumes") volumes(spark)
+    if (mode == "skew") generateSkew(spark)
+    if (mode == "sf10") generateSf10(spark)
     spark.stop()
+  }
+
+  // ---- zipfian-skew corpus (round-9 robustness record) ----------------------
+
+  private val Skew = "target/sf0.1-skew"
+
+  /** Hot-key variant of sf0.1 for the BENCH_SKEW robustness record: same
+    * schemas and volumes, with the three classic 100×-killer skews planted:
+    *
+    *  - `events.user_id` remapped through an inverse-power transform of a
+    *    per-user hash (Pareto tail, s≈1.1): the hottest user absorbs ~53%
+    *    of all events — the zipfian session/window stressor.
+    *  - `documents.source` collapsed to one hot source for ~80% of docs
+    *    (text untouched, so dedup candidate volume is unchanged and only
+    *    the per-source aggregation skew is measured).
+    *  - `orders.o_custkey` redirected to one existing hot customer for
+    *    ~50% of orders — the hot-join/hot-group stressor for the TPC-H
+    *    family (q_skew_join/q_salted_agg's salting and AQE skew-join are
+    *    the planted answers).
+    *
+    * Everything else copies byte-compatible. Deterministic (hash-derived,
+    * no rand()), so reruns produce the same corpus. */
+  def generateSkew(spark: SparkSession): Unit = {
+    val ev = graft.model.Tables.events(spark, Sf01)
+    // u uniform in (0,1] from the user hash; floor(u^(-1/1.1)) is Pareto:
+    // P(id=1) ≈ 0.53, heavy tail above — zipf-shaped without rand()
+    ev.withColumn("user_id",
+      expr("CAST(pow((pmod(xxhash64(user_id), 1000000) + 1) / 1000000.0D," +
+        " -1.0D / 1.1D) AS BIGINT)"))
+      .write.mode("overwrite").parquet(s"$Skew/events.parquet")
+
+    spark.read.parquet(s"$Sf01/documents.parquet")
+      .withColumn("source",
+        expr("CASE WHEN pmod(xxhash64(doc_id), 10) < 8 THEN 'web' " +
+          "ELSE source END"))
+      .write.mode("overwrite").parquet(s"$Skew/documents.parquet")
+
+    val hotCust = spark.read.parquet(s"$Sf01/customer.parquet")
+      .agg(min(col("c_custkey"))).head().getLong(0)
+    spark.read.parquet(s"$Sf01/orders.parquet")
+      .withColumn("o_custkey",
+        expr(s"CASE WHEN pmod(xxhash64(o_orderkey), 2) = 0 THEN ${hotCust}L " +
+          "ELSE o_custkey END"))
+      .write.mode("overwrite").parquet(s"$Skew/orders.parquet")
+
+    Seq("region", "nation", "customer", "supplier", "part", "lineitem",
+      "embeddings").foreach { t =>
+      spark.read.parquet(s"$Sf01/$t.parquet")
+        .write.mode("overwrite").parquet(s"$Skew/$t.parquet")
+    }
+    println(s"""{"generated":"$Skew","hot_user_share":0.53,""" +
+      s""""hot_source_share":0.8,"hot_cust_share":0.5}""")
+  }
+
+  // ---- third scale point: sf10 from sf1 (round-9 exponent refit) ------------
+
+  private val Sf10 = "target/sf10"
+
+  /** 10× sf1 (100× sf0.1). The sf1 Caesar rotations are exhausted (only
+    * 26 disjoint classes), so the second decade uses an injective
+    * word-suffix tag instead: replica k appends `q<letter k>` to every
+    * word. Word maps stay injective (within-replica document-frequency
+    * distribution and near-dup structure preserved exactly) and any two
+    * replicas' vocabularies are disjoint (suffixes differ in the last
+    * letter), so cross-replica shingle collisions — the quadratic corpus
+    * artifact a naive copy would mint — cannot occur. `n_chars` is
+    * recomputed since the tag adds 2 chars per word. */
+  def generateSf10(spark: SparkSession): Unit = {
+    if (!new java.io.File(s"$Sf1/documents.parquet").exists()) generate(spark)
+
+    val docs = spark.read.parquet(s"$Sf1/documents.parquet")
+    (0 until Replicas).map { k =>
+      val tag = s"q${('a' + k).toChar}"
+      docs.select(
+        (col("doc_id") * Replicas + k).as("doc_id"),
+        regexp_replace(col("text"), "([A-Za-z]+)", s"$$1$tag").as("text"),
+        col("lang"), col("source"))
+        .withColumn("n_chars", length(col("text")))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$Sf10/documents.parquet")
+
+    // coordinate shifts land on a grid disjoint from sf1's j*0.0013
+    // (j ≤ 9): 0.013k + 0.0013j is unique over the 100 (j, k) pairs
+    val emb = spark.read.parquet(s"$Sf1/embeddings.parquet")
+    (0 until Replicas).map { k =>
+      emb.select(
+        (col("vec_id") * Replicas + k).as("vec_id"),
+        expr(s"transform(embedding, v -> CAST(v + $k * 0.013D AS FLOAT))")
+          .as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$Sf10/embeddings.parquet")
+
+    val ev = graft.model.Tables.events(spark, Sf1)
+    (0 until Replicas).map { k =>
+      ev.select(
+        (col("event_id") * Replicas + k).as("event_id"), col("ts"),
+        (col("user_id") * Replicas + k).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$Sf10/events.parquet")
+
+    val keyCols = Map(
+      "customer" -> Set("c_custkey"),
+      "orders" -> Set("o_orderkey", "o_custkey"),
+      "lineitem" -> Set("l_orderkey", "l_partkey", "l_suppkey"),
+      "part" -> Set("p_partkey"),
+      "supplier" -> Set("s_suppkey"))
+    keyCols.keys.toSeq.sorted.foreach { t =>
+      val df = spark.read.parquet(s"$Sf1/$t.parquet")
+      (0 until Replicas).map { k =>
+        df.select(df.columns.toSeq.map { c =>
+          if (keyCols(t).contains(c)) (col(c) * Replicas + k).as(c)
+          else col(c)
+        }: _*)
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$Sf10/$t.parquet")
+    }
+    Seq("nation", "region").foreach { t =>
+      spark.read.parquet(s"$Sf1/$t.parquet")
+        .write.mode("overwrite").parquet(s"$Sf10/$t.parquet")
+    }
+    println(s"""{"generated":"$Sf10","replicas":$Replicas}""")
   }
 
   /** Structural-volume anchor for the timing claims: proves the sf1
