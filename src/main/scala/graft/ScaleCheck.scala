@@ -48,6 +48,7 @@ object ScaleCheck {
     if (mode == "volumes") volumes(spark)
     if (mode == "skew") generateSkew(spark)
     if (mode == "sf10") generateSf10(spark)
+    if (mode == "measure3") measure3(spark)
     spark.stop()
   }
 
@@ -321,5 +322,55 @@ object ScaleCheck {
     }
     val worst = rows.maxBy(_._4)
     println(f"""{"worst_family":"${worst._1}","worst_exponent":${worst._4}%.2f}""")
+  }
+
+  /** Three-point exponent refit (VERDICT r8 item 4): times every family at
+    * sf0.1, sf1 AND sf10 (min-of-two with cache clears, the `measure`
+    * discipline) and fits the least-squares slope of log10(t) on log10(sf)
+    * over the three decades — turning the previous two-point ratio into a
+    * regression with a residual. Also reports the per-decade exponents so
+    * a family whose exponent GROWS with SF (super-linear onset — the thing
+    * a two-point fit cannot see) is named explicitly. */
+  def measure3(spark: SparkSession): Unit = {
+    require(new java.io.File(s"$Sf10/documents.parquet").exists(),
+      s"run `ScaleCheck sf10` first: $Sf10 missing")
+    families.foreach { case (_, f) =>
+      try f(spark, "/root/testdata/sf0.001") catch { case _: Throwable => () }
+    }
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime()
+      f
+      (System.nanoTime() - t0) / 1e9
+    }
+    def clearAll(): Unit = {
+      graft.operators.Dedup.clearPairCache()
+      graft.operators.Similarity.clearKmeansCache()
+      graft.operators.Similarity.clearPqCache()
+      graft.operators.TextAnalysis.clearBpeCache()
+    }
+    def minOf2(f: (SparkSession, String) => Unit, d: String): Double = {
+      val a = timed(f(spark, d)); clearAll()
+      val b = timed(f(spark, d)); clearAll()
+      math.min(a, b)
+    }
+    val points = Seq(0.1 -> Sf01, 1.0 -> Sf1, 10.0 -> Sf10)
+    val logSf = points.map(p => math.log10(p._1))
+    val meanX = logSf.sum / logSf.size
+    val varX = logSf.map(x => (x - meanX) * (x - meanX)).sum
+    val rows = families.map { case (name, f) =>
+      val ts = points.map { case (_, d) => minOf2(f, d) }
+      val logT = ts.map(math.log10)
+      val meanY = logT.sum / logT.size
+      val slope = logSf.zip(logT)
+        .map { case (x, y) => (x - meanX) * (y - meanY) }.sum / varX
+      val d1 = math.log10(ts(1) / ts(0)) // sf0.1 → sf1
+      val d2 = math.log10(ts(2) / ts(1)) // sf1 → sf10
+      println(f"""{"family":"$name","sf0.1_sec":${ts(0)}%.2f,"sf1_sec":${ts(1)}%.2f,"sf10_sec":${ts(2)}%.2f,"slope":$slope%.2f,"decade1":$d1%.2f,"decade2":$d2%.2f}""")
+      (name, slope, d1, d2)
+    }
+    val worst = rows.maxBy(_._2)
+    val growing = rows.filter(r => r._4 > r._3 + 0.1).map(_._1)
+    println(f"""{"worst_family":"${worst._1}","worst_slope":${worst._2}%.2f,""" +
+      s""""exponent_growing":${growing.map("\"" + _ + "\"").mkString("[", ",", "]")}}""")
   }
 }

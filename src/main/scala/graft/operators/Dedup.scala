@@ -1324,16 +1324,34 @@ object Dedup {
     * one lazy localCheckpoint materialized by the convergence checksum
     * action. */
   /** Generic large-star/small-star component labels over an undirected
-    * pair list (columns u, v). Returns (u, lbl = component min). */
+    * pair list (columns u, v). Returns (u, lbl = component min).
+    *
+    * `graft.star.checkpointEvery` (default 1) sets the lineage-truncation
+    * cadence: N means only every Nth round localCheckpoints; skipped
+    * rounds leave their two-stage plan on top of the last checkpoint, so
+    * the next checksum/checkpoint job re-executes them (the edge set is
+    * tiny after blocking, so that trade is scheduler overhead vs compute).
+    * Measured at sf0.1 (StarCadence, 5 runs each): cadence 2 is ~5×
+    * SLOWER (median 10.0 s vs 2.1 s; min 8.8 vs 1.9) — skipped rounds
+    * re-execute inside both the convergence checksum and the next
+    * checkpoint job, and that recomputation dwarfs the per-round
+    * checkpoint cost. Default stays 1 (checkpoint every round); the
+    * bench swing on this entry is scheduler noise, not checkpoint
+    * cadence (BENCH_NOTES round 9). */
   def starComponents(pairs: DataFrame): DataFrame = {
+    val every = pairs.sparkSession.conf
+      .getOption("graft.star.checkpointEvery").map(_.toInt).getOrElse(1)
+    require(every >= 1, s"graft.star.checkpointEvery must be >= 1, got $every")
     var edges = symmetrize(pairs).coalesce(8).truncateLineage(true)
     var prevSum = Long.MinValue
     var prevCnt = -1L
     var rounds = 0
     var converged = false
     while (!converged && rounds < 50) {
-      val next = symmetrize(smallStar(symmetrize(largeStar(edges))))
-        .coalesce(8).truncateLineage(false)
+      val raw = symmetrize(smallStar(symmetrize(largeStar(edges))))
+        .coalesce(8)
+      val next =
+        if (rounds % every == every - 1) raw.truncateLineage(false) else raw
       // convergence: edge-set checksum (count + order-independent
       // bit_xor of per-edge hashes — xor can't overflow under ANSI) —
       // stable set ⇒ star graphs reached; the checksum action is also
