@@ -49,6 +49,7 @@ object ScaleCheck {
     if (mode == "skew") generateSkew(spark)
     if (mode == "sf10") generateSf10(spark)
     if (mode == "measure3") measure3(spark)
+    if (mode == "family") measureFamily(spark, args(1), args(2))
     spark.stop()
   }
 
@@ -322,6 +323,27 @@ object ScaleCheck {
     }
     val worst = rows.maxBy(_._4)
     println(f"""{"worst_family":"${worst._1}","worst_exponent":${worst._4}%.2f}""")
+  }
+
+  /** One family at one SF dir, min-of-two with cache clears — the probe used
+    * to attribute scale anomalies (e.g. rerunning the sf10 dedup pair build
+    * under a larger `SPARK_DRIVER_MEM` to separate memory pressure from plan
+    * behavior). Prints the same JSON shape as `measure3`, single point. */
+  def measureFamily(spark: SparkSession, name: String, dir: String): Unit = {
+    val f = families.toMap.apply(name)
+    try f(spark, "/root/testdata/sf0.001") catch { case _: Throwable => () }
+    def timed(g: => Unit): Double = {
+      val t0 = System.nanoTime(); g; (System.nanoTime() - t0) / 1e9
+    }
+    def clearAll(): Unit = {
+      graft.operators.Dedup.clearPairCache()
+      graft.operators.Similarity.clearKmeansCache()
+      graft.operators.Similarity.clearPqCache()
+      graft.operators.TextAnalysis.clearBpeCache()
+    }
+    val a = timed(f(spark, dir)); clearAll()
+    val b = timed(f(spark, dir)); clearAll()
+    println(f"""{"family":"$name","dir":"$dir","pass1_sec":$a%.2f,"pass2_sec":$b%.2f,"min_sec":${math.min(a, b)}%.2f}""")
   }
 
   /** Three-point exponent refit (VERDICT r8 item 4): times every family at

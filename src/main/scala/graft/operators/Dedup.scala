@@ -78,6 +78,13 @@ object Dedup {
     * over the FULL shingle sets of candidate pairs. */
   private val MaxShingleDf = 10
 
+  /** Byte budget for broadcasting the doc→hashed-shingle-set table into the
+    * verify joins (estimated from measured row/element counts: 8 B per hash
+    * + 32 B per-row overhead). 512 MiB estimated ≈ ≤ ~1.5 GiB as an in-heap
+    * HashedRelation — safe in the 8 GiB bench JVM, and ~20× the sf1 corpus.
+    * Above it the verify runs as a shuffle join (the 100 TB regime). */
+  private val VerifyBroadcastMaxBytes = 512L << 20
+
   /** Pairwise 3-shingle Jaccard ≥ 0.1, two-phase: (1) candidate pairs from
     * a self-join on rare shingles (df ≤ MaxShingleDf — bounds fan-out, no
     * cross join); (2) exact Jaccard over full shingle sets for candidates
@@ -202,14 +209,26 @@ object Dedup {
       .distinct()
     // verify phase: per-pair set intersection over full (hashed) shingle
     // sets — one codegen'd array_intersect per candidate instead of
-    // re-exploding into a (candidates × shingles-per-doc) join. No
-    // broadcast hint on `shH`: the full doc→shingle-set table grows with
-    // the corpus and would OOM a forced broadcast at 100 TB; unhinted, AQE
-    // broadcasts when it genuinely fits and shuffles on doc_id otherwise
-    // (still O(candidates)).
+    // re-exploding into a (candidates × shingles-per-doc) join.
+    //
+    // Join strategy is a MEASURED size gate, not a blind hint. Shuffling
+    // shH per candidate ships BOTH shingle arrays once per pair — at the
+    // sf10 scale probe that was 43.6M candidates × ~0.9 KB of arrays
+    // ≈ 36 GB of shuffle, 94% of the build (495 s of a 524 s build);
+    // broadcasting the 224 MB doc→set table instead cut the verify phase
+    // to 29 s (17×). AQE can't make that call here (its 10 MB threshold is
+    // session-wide; raising it would license unbounded broadcasts
+    // everywhere), so the builder measures shH from its persisted blocks
+    // (one cheap agg job) and broadcasts ONLY under an explicit byte
+    // budget; past the budget — the true 100 TB regime — it falls back to
+    // the unhinted shuffle join, which is O(candidates) and AQE-planned.
+    val shStats = shH.agg(count(lit(1)), sum(size(col("s")))).head()
+    val estBytes = shStats.getLong(1) * 8L + shStats.getLong(0) * 32L
+    val gatedShH =
+      if (estBytes <= VerifyBroadcastMaxBytes) broadcast(shH) else shH
     val scored = cand
-      .join(shH.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(shH.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .join(gatedShH.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(gatedShH.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
         size(array_intersect(col("sa.s"), col("sb.s"))).cast("double").as("c"),
         size(col("sa.s")).cast("double").as("na"),

@@ -647,18 +647,27 @@ object TextAnalysis {
     * multiplicity — repeated navigation/footer text is the signal). The
     * published web-curation pipelines drop lines whose n-grams dominate
     * a bucket; this is the discovery side of that rule. Shape: explode →
-    * per-(source, gram) count → per-source top-3 window (partitioned —
-    * never global). */
+    * per-(source, gram) count → per-source top-3.
+    *
+    * The top-3 runs through TopKPerKey, NOT a window: `source` has ~5
+    * distinct values, so a window partitioned by it sorts the ENTIRE
+    * (source, gram) count table in ≤ 5 tasks — a parallelism wall that
+    * measured 11× wall for 10× data at the sf10 probe. The bounded-heap
+    * partial prunes each scan task to ≤ 3 rows per source before the
+    * exchange; the `rnk` window then runs over ≤ 3·|sources| rows. */
   def boilerplate(spark: SparkSession, sfDir: String): DataFrame = {
     val grams = Tables.documents(spark, sfDir)
       .select(col("source"), tokens(col("text")).as("t"))
       .select(col("source"), explode(expr(shinglesAllSql("t", 5))).as("gram"))
     val counts = grams.groupBy(col("source"), col("gram"))
       .agg(count(lit(1)).as("n"))
+    val top = graft.plans.TopK.perKey(counts,
+      keyCols = Seq("source"),
+      orderSpec = Seq(("n", false), ("gram", true)),
+      k = 3)
     val w = Window.partitionBy(col("source"))
       .orderBy(col("n").desc, col("gram"))
-    counts.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= 3)
+    top.withColumn("rnk", row_number().over(w).cast("long"))
       .select(col("source"), col("gram"), col("n"), col("rnk"))
   }
 

@@ -70,7 +70,10 @@ class PlanQualitySpec extends SparkSuite {
         "stats", "offsets", "converted", // 1-row / K-bucket aggregates
         "dims", // rollup dimension literal fan-out
         "hot", "custHot"), // limit(16) hot keys + ≤16-row dim slice
-      "Dedup.scala" -> Set("thr"), // 4-threshold literal
+      "Dedup.scala" -> Set("thr", // 4-threshold literal
+        "shH"), // verify-join side, gated on a MEASURED byte budget
+                // (VerifyBroadcastMaxBytes) with shuffle fallback — the
+                // broadcast() call is unreachable above 512 MiB estimated
       "Similarity.scala" -> Set(
         "q", "probes", // fixed query/probe sets
         "cent", "centArrays", "pqCentArrays", "qcd", // K-row trained models
