@@ -18,8 +18,12 @@ import org.apache.spark.sql.functions._
   *    naive exact replication would instead mint 10 near-dup clones of
   *    every document and inflate the candidate-pair volume ~45×, turning
   *    a linear engine measurement into a quadratic corpus artifact.
-  *  - `embeddings`: replica k shifts every coordinate by k·0.0013 —
-  *    distinct vectors, same geometry per replica.
+  *  - `embeddings`: replica k multiplies each dimension by a hash-derived
+  *    ±1 sign pattern — norms and within-replica dot products are EXACTLY
+  *    preserved (s_i² = 1, so each replica carries the original near-dup
+  *    geometry), while cross-replica dot products are random-sign sums
+  *    that collapse toward 0, keeping replicas' near-dup neighborhoods
+  *    disjoint — the embedding analogue of the disjoint vocabularies.
   *  - `events`: replica k remaps user/event ids; per-user event sequences
   *    (session structure) are preserved per replica.
   *
@@ -50,6 +54,13 @@ object ScaleCheck {
     if (mode == "sf10") generateSf10(spark)
     if (mode == "measure3") measure3(spark)
     if (mode == "family") measureFamily(spark, args(1), args(2))
+    // result-volume probe: row count of one registered query at one SF dir
+    // (e.g. `ScaleCheck count s_embed_neardup target/sf10` to check that a
+    // scaled corpus carries the intended work volume, not an artifact)
+    if (mode == "count") {
+      val n = SparkEntry.queries(args(1))(spark, args(2)).count()
+      println(s"""{"query":"${args(1)}","dir":"${args(2)}","rows":$n}""")
+    }
     spark.stop()
   }
 
@@ -132,14 +143,20 @@ object ScaleCheck {
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$Sf10/documents.parquet")
 
-    // coordinate shifts land on a grid disjoint from sf1's j*0.0013
-    // (j ≤ 9): 0.013k + 0.0013j is unique over the 100 (j, k) pairs
+    // second-decade sign patterns are seeded 'sf10', independent of the
+    // sf1 decade's: composite pattern s1_j ⊙ s10_k is distinct over all
+    // 100 (j, k) pairs and still a random-sign pattern, so cross-replica
+    // cosines stay ≈ 0 across the whole 100× corpus (see generate()).
     val emb = spark.read.parquet(s"$Sf1/embeddings.parquet")
     (0 until Replicas).map { k =>
+      val v =
+        if (k == 0) col("embedding")
+        else expr(s"transform(embedding, (v, i) -> CAST(CASE WHEN " +
+          s"pmod(xxhash64('sf10', $k * 64 + i), 2) = 0 " +
+          "THEN v ELSE -v END AS FLOAT))")
       emb.select(
         (col("vec_id") * Replicas + k).as("vec_id"),
-        expr(s"transform(embedding, v -> CAST(v + $k * 0.013D AS FLOAT))")
-          .as("embedding"),
+        v.as("embedding"),
         col("label"))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$Sf10/embeddings.parquet")
@@ -207,12 +224,27 @@ object ScaleCheck {
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$Sf1/documents.parquet")
 
+    // replica k applies a deterministic per-dimension ±1 sign pattern
+    // (seeded 'sf1' so the sf10 decade's patterns are independent).
+    // Norms and WITHIN-replica dot products are exactly preserved, so
+    // every replica carries the original near-dup geometry; CROSS-replica
+    // dot products are random-sign sums ≈ 0, so replicas of the same base
+    // vector are NOT near-dups. The previous +k·0.0013 coordinate shift
+    // left cross-replica cosines ≈ 1 and minted ~(replicas²/2)× the
+    // intended near-dup pair volume — the quadratic corpus artifact the
+    // documents rotation was designed to avoid (it surfaced at the sf10
+    // probe as a 1.4B-edge embed near-dup graph). Replica 0 keeps the
+    // identity pattern so the sf0.1 vectors appear verbatim in sf1.
     val emb = spark.read.parquet(s"$Sf01/embeddings.parquet")
     (0 until Replicas).map { k =>
+      val v =
+        if (k == 0) col("embedding")
+        else expr(s"transform(embedding, (v, i) -> CAST(CASE WHEN " +
+          s"pmod(xxhash64('sf1', $k * 64 + i), 2) = 0 " +
+          "THEN v ELSE -v END AS FLOAT))")
       emb.select(
         (col("vec_id") * Replicas + k).as("vec_id"),
-        expr(s"transform(embedding, v -> CAST(v + $k * 0.0013D AS FLOAT))")
-          .as("embedding"),
+        v.as("embedding"),
         col("label"))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$Sf1/embeddings.parquet")

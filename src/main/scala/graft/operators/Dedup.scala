@@ -835,16 +835,36 @@ object Dedup {
     * web-scale graphs with long chains, swap in large-star/small-star —
     * the per-round plan shape here is identical. Reuses the persisted pair
     * list (shared with d_ngram_jaccard / d_dedup_corpus). */
+  /** Partition count for the iterated connected-components frames, sized
+    * from the MEASURED edge count: small graphs still collapse to 8
+    * partitions (per-round scheduling overhead dominates below that), but
+    * the count grows ~1 partition per 2M edges (≈50 MB of (u,v) rows) so
+    * no single localCheckpoint block outgrows executor memory — the fixed
+    * coalesce(8) this replaces concentrated a hot corpus's 1.4B-edge
+    * near-dup graph into 4.3 GiB single blocks at the sf10 probe,
+    * starving every concurrent HashAggregate of unified memory. Capped at
+    * spark.sql.shuffle.partitions because coalesce can only LOWER the
+    * upstream groupBy's partition count — on a real cluster the cap IS the
+    * scale lever (thousands of shuffle partitions), and the coalesce's
+    * only job is collapsing small graphs below it. */
+  private def ccLoopPartitions(spark: SparkSession, edges: Long): Int = {
+    val shuffle = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    math.min(shuffle.toLong, math.max(8L, edges / 2000000L + 1L)).toInt
+  }
+
   /** Component labels (doc, lbl = component-min doc_id) for every node of
     * the Jaccard ≥ 0.5 near-dup graph — the label loop shared by
     * dupClusters (family sizes) and dedupBest (keep-best selection). */
   def clusterLabels(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = ngramJaccard(spark, sfDir)
       .filter(col("jaccard") >= 0.5).select("doc_a", "doc_b")
-    // the pair graph is orders of magnitude smaller than the corpus;
-    // coalesce the iterated frames so each round's stages run a handful
-    // of tasks instead of spark.sql.shuffle.partitions of them (pure
-    // scheduling overhead at this size — at web scale raise/remove this)
+    // the pair graph is usually orders of magnitude smaller than the
+    // corpus; coalesce the iterated frames so each round's stages run a
+    // handful of tasks instead of spark.sql.shuffle.partitions of them
+    // (pure scheduling overhead at that size). The count is MEASURED from
+    // the persisted pair list (cheap — blocks are materialized) so a hot
+    // corpus can't pin a billion-edge graph to 8 partitions: see
+    // ccLoopPartitions.
     //
     // localCheckpoint (not persist): truncates lineage, so round N's job
     // plans a CONSTANT-size DAG instead of re-optimizing N rounds of
@@ -853,13 +873,14 @@ object Dedup {
     // checkpointing is the right durability tier here: loss just recomputes
     // from the persisted pair list; under dynamic allocation use
     // reliable checkpoint() instead.
+    val ccParts = ccLoopPartitions(spark, pairs.count() * 2)
     val edges = pairs.unionByName(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .coalesce(8)
+      .coalesce(ccParts)
       .truncateLineage(true)
     var labels = edges.select(col("doc_a").as("doc"))
       .distinct().withColumn("lbl", col("doc"))
-      .coalesce(8)
+      .coalesce(ccParts)
       .truncateLineage(true)
     // convergence check without a join: labels only ever DECREASE, so the
     // label sum strictly decreases until fixpoint — one cheap aggregate
@@ -885,7 +906,7 @@ object Dedup {
         .join(parent, col("lbl") === col("p_doc"), "left")
         .select(col("doc"),
           least(col("lbl"), coalesce(col("p_lbl"), col("lbl"))).as("lbl"))
-        .coalesce(8)
+        .coalesce(ccParts)
         .truncateLineage(false)
       // coalesce: sum over an EMPTY frame is null — a corpus with no
       // near-dup pair must yield zero clusters, not an NPE
@@ -1361,14 +1382,20 @@ object Dedup {
     val every = pairs.sparkSession.conf
       .getOption("graft.star.checkpointEvery").map(_.toInt).getOrElse(1)
     require(every >= 1, s"graft.star.checkpointEvery must be >= 1, got $every")
-    var edges = symmetrize(pairs).coalesce(8).truncateLineage(true)
+    // Materialize the symmetrized edge set ONCE at its upstream
+    // partitioning (counting the raw `pairs` plan here could re-execute an
+    // expensive pair-scoring subtree), then size the loop's coalesce from
+    // the measured edge count — the count itself is a cheap scan of the
+    // just-written checkpoint blocks.
+    var edges = symmetrize(pairs).truncateLineage(true)
+    val ccParts = ccLoopPartitions(pairs.sparkSession, edges.count())
     var prevSum = Long.MinValue
     var prevCnt = -1L
     var rounds = 0
     var converged = false
     while (!converged && rounds < 50) {
       val raw = symmetrize(smallStar(symmetrize(largeStar(edges))))
-        .coalesce(8)
+        .coalesce(ccParts)
       val next =
         if (rounds % every == every - 1) raw.truncateLineage(false) else raw
       // convergence: edge-set checksum (count + order-independent
