@@ -314,6 +314,10 @@ object ScaleCheck {
       { SparkEntry.queries("s_pq_topk")(s, d).count(); () }),
     "curation_funnel" -> ((s, d) =>
       { SparkEntry.queries("d_curation_funnel")(s, d).count(); () }),
+    // round-9: sketch-quality probe — the one entry that joins the exact
+    // pair list against the LSH pair set (the sf10 super-linear finding)
+    "minhash_recall" -> ((s, d) =>
+      { SparkEntry.queries("d_minhash_recall")(s, d).count(); () }),
     "bpe_merges" -> ((s, d) =>
       { SparkEntry.queries("t_bpe_merges")(s, d).count(); () }))
 
