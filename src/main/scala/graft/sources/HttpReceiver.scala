@@ -139,9 +139,11 @@ final class HttpReceiver(dropDir: String, port: Int = 0,
     }
   }, "http-receiver-flusher")
 
+  private val handlerPool = java.util.concurrent.Executors.newFixedThreadPool(8)
+
   def start(): HttpReceiver = {
     Files.createDirectories(Paths.get(dropDir))
-    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+    server.setExecutor(handlerPool)
     server.start()
     flusher.setDaemon(true)
     flusher.start()
@@ -153,6 +155,10 @@ final class HttpReceiver(dropDir: String, port: Int = 0,
   def stop(): Unit = {
     running = false
     server.stop(0)
+    // the handler pool's threads are non-daemon: without an explicit
+    // shutdown they keep the JVM alive after main() returns (surfaced by
+    // graft.IngestBench hanging at exit)
+    handlerPool.shutdown()
     flusher.join(2000)
     roll() // final drain so no accepted request is stranded in memory
   }
