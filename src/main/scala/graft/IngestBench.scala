@@ -38,8 +38,9 @@ import graft.streaming.IngestPipeline
   * local-mode (sends execute in this JVM) — cluster instrumentation
   * would use the pipeline's observe() metrics instead.
   *
-  * Usage: `sbt "runMain graft.IngestBench [nReqs] [concurrency]"` —
-  * prints one JSON line on stdout (saved as BENCH_STREAM.json).
+  * Usage: `sbt "runMain graft.IngestBench [nReqs] [concurrency] [edge]"`
+  * with edge `jdk` (default) or `fast` ([[graft.sources.FastHttpReceiver]])
+  * — prints one JSON line on stdout (saved as BENCH_STREAM.json).
   */
 object IngestBench {
 
@@ -54,6 +55,7 @@ object IngestBench {
   def main(args: Array[String]): Unit = {
     val nReqs = args.headOption.map(_.toInt).getOrElse(100000)
     val conc = args.lift(1).map(_.toInt).getOrElse(10)
+    val edge = args.lift(2).getOrElse("jdk")
     val warmupReqs = math.min(5000, nReqs / 2)
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -71,8 +73,12 @@ object IngestBench {
     val ckptDir = Files.createTempDirectory("ingestbench-ckpt").toString
     // queue cap above nReqs: the bench measures the pipeline, not the
     // receiver's 503 backpressure (that path has its own spec)
-    val rx = new HttpReceiver(dropDir, rollMillis = 100,
-      maxQueued = nReqs + warmupReqs).start()
+    val rx = (edge match {
+      case "fast" => new graft.sources.FastHttpReceiver(dropDir,
+        rollMillis = 100, maxQueued = nReqs + warmupReqs)
+      case _ => new HttpReceiver(dropDir, rollMillis = 100,
+        maxQueued = nReqs + warmupReqs)
+    }).start()
     val q = IngestPipeline.start(
       RequestSource.fileStream(spark, dropDir).select("uri", "body"),
       dlqDir, ckptDir, new CountSink, syncSec = 2)
@@ -80,29 +86,57 @@ object IngestBench {
     val tables = Seq("a", "b", "c")
     val port = rx.boundPort
 
-    /** `count` POSTs spread over `conc` threads, one keep-alive client per
-      * thread (= AB's `-c N -k`: N persistent connections). Returns the
-      * posting wall-clock in seconds; asserts every request was ACKed 200. */
+    /** `count` POSTs spread over `conc` threads, one raw keep-alive socket
+      * per thread (= AB's `-c N -k`: N persistent connections, lean
+      * byte-level client — `java.net.http.HttpClient` adds hundreds of µs
+      * of future/executor machinery per synchronous send and measures the
+      * client, not the server). Returns the posting wall-clock in seconds;
+      * asserts every request was ACKed 200. */
     def drive(count: Int): Double = {
       val failed = new AtomicLong(0)
       val idGen = new AtomicLong(0)
       val t0 = System.nanoTime()
       val threads = (0 until conc).map { t =>
         new Thread(() => {
-          val client = HttpClient.newBuilder()
-            .version(HttpClient.Version.HTTP_1_1).build()
-          var i = t
-          while (i < count) {
-            val id = idGen.incrementAndGet()
-            val uri = s"http://localhost:$port/?query=INSERT%20INTO%20" +
-              s"${tables((id % 3).toInt)}%20VALUES"
-            val r = client.send(
-              HttpRequest.newBuilder(URI.create(uri))
-                .POST(HttpRequest.BodyPublishers.ofString(s"($id)")).build(),
-              HttpResponse.BodyHandlers.ofString())
-            if (r.statusCode() != 200) failed.incrementAndGet()
-            i += conc
+          val sock = new java.net.Socket("localhost", port)
+          sock.setTcpNoDelay(true)
+          val out = new java.io.BufferedOutputStream(sock.getOutputStream, 8192)
+          val in = new java.io.BufferedInputStream(sock.getInputStream, 8192)
+          def readLine(): String = {
+            val sb = new java.lang.StringBuilder(48)
+            var c = in.read()
+            while (c >= 0 && c != '\n') {
+              if (c != '\r') sb.append(c.toChar); c = in.read()
+            }
+            sb.toString
           }
+          try {
+            var i = t
+            while (i < count) {
+              val id = idGen.incrementAndGet()
+              val body = s"($id)"
+              out.write((s"POST /?query=INSERT%20INTO%20" +
+                s"${tables((id % 3).toInt)}%20VALUES HTTP/1.1\r\n" +
+                s"Host: localhost:$port\r\n" +
+                s"Content-Length: ${body.length}\r\n\r\n" + body)
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              out.flush()
+              // response: status line, headers (find Content-Length), body
+              val statusLine = readLine()
+              if (!statusLine.startsWith("HTTP/1.1 200"))
+                failed.incrementAndGet()
+              var clen = 0
+              var h = readLine()
+              while (h.nonEmpty) {
+                if (h.regionMatches(true, 0, "Content-Length:", 0, 15))
+                  clen = h.substring(15).trim.toInt
+                h = readLine()
+              }
+              var skip = clen
+              while (skip > 0) { val n = in.skip(skip).toInt; skip -= n }
+              i += conc
+            }
+          } finally sock.close()
         }, s"ingest-bench-client-$t")
       }
       threads.foreach(_.start())
@@ -147,7 +181,8 @@ object IngestBench {
       // AB's "time per request (mean, across all concurrent)"
       val msPerReq = postWall * 1000.0 / nReqs
       println(
-        f"""{"metric":"ingest_http","reqs":$nReqs,"concurrency":$conc,""" +
+        f"""{"metric":"ingest_http","edge":"$edge","reqs":$nReqs,""" +
+          f""""concurrency":$conc,""" +
           f""""http_reqs_per_s":$httpRate%.1f,"ms_per_req":$msPerReq%.4f,""" +
           f""""post_wall_s":$postWall%.3f,"e2e_wall_s":$e2eWall%.3f,""" +
           f""""e2e_rows_per_s":$e2eRate%.1f,"passes":3,"sync_sec":2}""")

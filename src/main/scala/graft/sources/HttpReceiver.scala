@@ -2,10 +2,27 @@ package graft.sources
 
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets.UTF_8
-import java.nio.file.{Files, Paths, StandardCopyOption}
-import java.util.concurrent.ConcurrentLinkedQueue
+import java.nio.file.{Files, Paths}
 import java.util.concurrent.atomic.AtomicLong
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+/** The HTTP front surface shared by [[HttpReceiver]] (JDK
+  * `com.sun.net.httpserver` backend) and [[FastHttpReceiver]] (lean
+  * blocking-socket backend). Both implement status-for-status parity with
+  * the reference listener (/root/reference/main.go:164-260) over the same
+  * [[DropSpool]]; they are interchangeable at construction time, so the
+  * accept-rate-critical deployments can pick the fast edge without
+  * touching the pipeline. */
+trait IngestReceiver {
+  def start(): IngestReceiver
+  def stop(): Unit
+  def boundPort: Int
+  def inRequests: AtomicLong
+  def outFiles: AtomicLong
+  def totalRequests: AtomicLong
+  def currentRequests: AtomicLong
+  def closedRequests: AtomicLong
+}
 
 /** Thin HTTP front for the drop-directory ingest source — the piece that
   * makes [[graft.ProxyApp]] an actual drop-in for the reference's listener
@@ -24,17 +41,14 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   *    the JDK server doesn't surface socket states).
   *
   * Deliberately NOT a Spark component: the receiver is the world-facing
-  * edge; Spark's unit of ingest is a file. Requests are appended to an
-  * in-memory queue and a flusher thread rolls the queue into a complete
-  * file (write temp + atomic rename) every `rollMillis` — the streaming
-  * source must never observe a half-written file. Ingest metrics stay with
-  * the pipeline (which sees every request) to avoid double counting. */
+  * edge; Spark's unit of ingest is a file. Requests spool through
+  * [[DropSpool]] (bounded queue + atomic-rename roll). Ingest metrics stay
+  * with the pipeline (which sees every request) to avoid double counting. */
 final class HttpReceiver(dropDir: String, port: Int = 0,
     rollMillis: Long = 200L, status: () => Int = () => 200,
-    maxQueued: Int = 100000) {
+    maxQueued: Int = 100000) extends IngestReceiver {
 
   val inRequests = new AtomicLong(0)
-  val outFiles = new AtomicLong(0)
   // O-5 (statelistener, main.go:257-271): per-connection-state gauges at
   // the observable boundaries. The JDK server exposes exchange lifecycle,
   // not socket states, so the Go states map as: New+Active → exchange
@@ -43,10 +57,10 @@ final class HttpReceiver(dropDir: String, port: Int = 0,
   val totalRequests = new AtomicLong(0)   // state "new": exchanges accepted
   val currentRequests = new AtomicLong(0) // state "active": in-flight
   val closedRequests = new AtomicLong(0)  // state "closed": completed
-  private val queue = new ConcurrentLinkedQueue[String]()
-  private val queued = new AtomicLong(0)
+  private val spool = new DropSpool(dropDir, rollMillis, maxQueued)
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
-  @volatile private var running = true
+
+  def outFiles: AtomicLong = spool.outFiles
 
   private def jsonEscape(s: String): String = graft.JsonUtil.escape(s)
 
@@ -79,21 +93,19 @@ final class HttpReceiver(dropDir: String, port: Int = 0,
         case "POST" =>
           val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
           if (body.isEmpty) respond(ex, 405, "No data given.")
-          else if (queued.get() >= maxQueued) {
-            // ACKing into an unbounded queue turns a stuck drop dir (disk
-            // full, unwritable) into silent loss-on-crash of everything
-            // acked since; refuse instead so the producer backs off
-            respond(ex, 503, "Ingest queue full — drop directory stalled.")
-          } else {
+          else {
             // raw path + raw query, like the reference's
             // r.URL.RawPath + "?" + r.URL.RawQuery (main.go:187)
             val raw = ex.getRequestURI.getRawPath +
               Option(ex.getRequestURI.getRawQuery).map("?" + _).getOrElse("")
-            queue.add(s"""{"uri": "${jsonEscape(raw)}", """ +
-              s""""body": "${jsonEscape(body)}"}""")
-            queued.incrementAndGet()
-            inRequests.incrementAndGet()
-            respond(ex, 200, "")
+            val line = s"""{"uri": "${jsonEscape(raw)}", """ +
+              s""""body": "${jsonEscape(body)}"}"""
+            if (spool.offer(line)) {
+              inRequests.incrementAndGet()
+              respond(ex, 200, "")
+            } else {
+              respond(ex, 503, "Ingest queue full — drop directory stalled.")
+            }
           }
         case _ => respond(ex, 405, "Sorry, only GET and POST methods are supported.")
       }
@@ -105,61 +117,24 @@ final class HttpReceiver(dropDir: String, port: Int = 0,
     }
   })
 
-  /** Drain the queue into one complete drop file (temp + atomic rename).
-    * Synchronized: the flusher thread and stop()'s final drain may race,
-    * and two concurrent rolls could mint the same `req-<ms>-<n>` name —
-    * the second ATOMIC_MOVE would silently replace the first file. The
-    * counter is claimed inside the lock for the same reason. */
-  private def roll(): Unit = synchronized {
-    val lines = Iterator.continually(queue.poll()).takeWhile(_ != null).toSeq
-    queued.addAndGet(-lines.size.toLong)
-    if (lines.nonEmpty) {
-      try {
-        val name =
-          s"req-${System.currentTimeMillis()}-${outFiles.getAndIncrement()}.json"
-        val tmp = Paths.get(dropDir, s".$name.tmp")
-        Files.write(tmp, lines.mkString("\n").getBytes(UTF_8))
-        Files.move(tmp, Paths.get(dropDir, name),
-          StandardCopyOption.ATOMIC_MOVE)
-      } catch { case e: Exception =>
-        // failed roll must NOT drop acked requests: put them back so the
-        // next attempt (or the queue cap's 503) handles the stall
-        lines.foreach(queue.add)
-        queued.addAndGet(lines.size.toLong)
-        throw e
-      }
-    }
-  }
-
-  private val flusher = new Thread(() => {
-    while (running) {
-      Thread.sleep(rollMillis)
-      try roll() catch { case e: Exception =>
-        System.err.println(s"[receiver] roll failed: ${e.getMessage}") }
-    }
-  }, "http-receiver-flusher")
-
   private val handlerPool = java.util.concurrent.Executors.newFixedThreadPool(8)
 
   def start(): HttpReceiver = {
     Files.createDirectories(Paths.get(dropDir))
     server.setExecutor(handlerPool)
     server.start()
-    flusher.setDaemon(true)
-    flusher.start()
+    spool.start()
     this
   }
 
   def boundPort: Int = server.getAddress.getPort
 
   def stop(): Unit = {
-    running = false
     server.stop(0)
     // the handler pool's threads are non-daemon: without an explicit
     // shutdown they keep the JVM alive after main() returns (surfaced by
     // graft.IngestBench hanging at exit)
     handlerPool.shutdown()
-    flusher.join(2000)
-    roll() // final drain so no accepted request is stranded in memory
+    spool.stop()
   }
 }

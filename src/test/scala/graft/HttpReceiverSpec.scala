@@ -3,15 +3,23 @@ package graft
 import java.net.URI
 import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 import java.nio.file.Files
-import graft.sources.{HttpReceiver, RequestSource}
+import graft.sources.{FastHttpReceiver, HttpReceiver, IngestReceiver, RequestSource}
 import graft.streaming.IngestPipeline
 
 /** The reference's own end-to-end invariant, over real HTTP
   * (main_test.go:26-61): concurrent POSTs against the listener all get
   * buffered, flushed, and delivered downstream exactly once. Plus the
   * status surface: GET / health (main.go:172-178), /status thresholds
-  * (main.go:228-245), /statistic counters (main.go:247-255). */
-class HttpReceiverSpec extends SparkSuite {
+  * (main.go:228-245), /statistic counters (main.go:247-255).
+  *
+  * Abstract over the edge implementation: [[HttpReceiverSpec]] runs it
+  * against the JDK-server edge, [[FastHttpReceiverSpec]] against the
+  * blocking-socket edge — one contract, two backends. */
+abstract class ReceiverContractSpec extends SparkSuite {
+
+  /** Same parameter surface as both receivers' constructors. */
+  def mkReceiver(dropDir: String, rollMillis: Long = 200L,
+      status: () => Int = () => 200, maxQueued: Int = 100000): IngestReceiver
 
   private val client = HttpClient.newHttpClient()
 
@@ -27,7 +35,7 @@ class HttpReceiverSpec extends SparkSuite {
   test("concurrent POSTs → drop files → pipeline delivers every row (main_test.go:26-61)") {
     val s = spark
     val dropDir = Files.createTempDirectory("drop").toString
-    val rx = new HttpReceiver(dropDir, rollMillis = 50).start()
+    val rx = mkReceiver(dropDir, rollMillis = 50).start()
     val sink = TestSink()
     val q = IngestPipeline.start(
       RequestSource.fileStream(s, dropDir).select("uri", "body"),
@@ -60,7 +68,7 @@ class HttpReceiverSpec extends SparkSuite {
 
   test("GET / health, 404, empty POST 405, bad method, /statistic") {
     val dropDir = Files.createTempDirectory("drop").toString
-    val rx = new HttpReceiver(dropDir, rollMillis = 50).start()
+    val rx = mkReceiver(dropDir, rollMillis = 50).start()
     try {
       val health = get(rx.boundPort, "/")
       assert(health.statusCode() == 200 && health.body() == "status = \"OK\"\r\n")
@@ -104,8 +112,7 @@ class HttpReceiverSpec extends SparkSuite {
   test("queue cap: POSTs get 503 instead of unbounded-buffer acks") {
     val dropDir = Files.createTempDirectory("drop").toString
     // huge roll interval so nothing drains during the test
-    val rx = new graft.sources.HttpReceiver(dropDir, rollMillis = 60000,
-      maxQueued = 3).start()
+    val rx = mkReceiver(dropDir, rollMillis = 60000, maxQueued = 3).start()
     try {
       (1 to 3).foreach { i =>
         assert(post(rx.boundPort, "/?query=q", s"($i)").statusCode() == 200)
@@ -120,7 +127,7 @@ class HttpReceiverSpec extends SparkSuite {
     val s = spark
     val dropDir = Files.createTempDirectory("drop").toString
     val dlqDir = Files.createTempDirectory("dlq").toString
-    val rx = new HttpReceiver(dropDir,
+    val rx = mkReceiver(dropDir,
       status = () => IngestPipeline.dlqStatus(s, dlqDir)).start()
     try {
       assert(get(rx.boundPort, "/status").statusCode() == 200)
@@ -130,4 +137,18 @@ class HttpReceiverSpec extends SparkSuite {
       assert(get(rx.boundPort, "/status").statusCode() == 500)
     } finally rx.stop()
   }
+}
+
+class HttpReceiverSpec extends ReceiverContractSpec {
+  def mkReceiver(dropDir: String, rollMillis: Long,
+      status: () => Int, maxQueued: Int): IngestReceiver =
+    new HttpReceiver(dropDir, rollMillis = rollMillis, status = status,
+      maxQueued = maxQueued)
+}
+
+class FastHttpReceiverSpec extends ReceiverContractSpec {
+  def mkReceiver(dropDir: String, rollMillis: Long,
+      status: () => Int, maxQueued: Int): IngestReceiver =
+    new FastHttpReceiver(dropDir, rollMillis = rollMillis, status = status,
+      maxQueued = maxQueued)
 }
