@@ -133,7 +133,14 @@ object IngestBench {
                 h = readLine()
               }
               var skip = clen
-              while (skip > 0) { val n = in.skip(skip).toInt; skip -= n }
+              while (skip > 0) {
+                val n = in.skip(skip).toInt
+                if (n == 0) { // skip() can't block: distinguish EOF from stall
+                  if (in.read() < 0)
+                    throw new java.io.EOFException("response truncated")
+                  skip -= 1
+                } else skip -= n
+              }
               i += conc
             }
           } finally sock.close()
