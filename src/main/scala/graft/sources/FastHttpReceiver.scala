@@ -20,8 +20,8 @@ import java.util.concurrent.atomic.AtomicLong
   * answers from precomputed response bytes, and runs one blocking thread
   * per connection (keep-alive workloads hold few connections; ApacheBench
   * `-c 10` is exactly 10). Measured with `graft.IngestBench 100000 10
-  * fast`: 121.7k req/s accepted vs the JDK edge's 84.4k and the
-  * reference's published 49.3k (BENCH_STREAM.json / BENCH_NOTES round 9).
+  * fast`: 114.4k req/s accepted (with line/body hardening bounds) vs the
+  * JDK edge's 84.4k and the reference's published 49.3k (BENCH_STREAM.json / BENCH_NOTES round 9).
   *
   * Protocol scope, deliberately minimal like the reference (which also
   * answers only origin-form requests from trusted producers): HTTP/1.1
@@ -60,10 +60,20 @@ final class FastHttpReceiver(dropDir: String, port: Int = 0,
     case 404 => "Not Found"
     case 405 => "Method Not Allowed"
     case 411 => "Length Required"
+    case 413 => "Payload Too Large"
     case 500 => "Internal Server Error"
     case 503 => "Service Unavailable"
     case _ => "Status"
   }
+
+  // edge-hardening bounds: a request/header line or declared body length
+  // past these is refused, not buffered — `new Array[Byte](clen)` on an
+  // attacker-controlled Content-Length would allocate before reading a
+  // single body byte (the JDK edge inherits equivalent line caps from
+  // com.sun.net.httpserver; the body cap is deliberately generous — the
+  // reference reads bodies unbounded)
+  private val MaxLineBytes = 16384
+  private val MaxBodyBytes = 256 << 20
 
   private def respond(out: BufferedOutputStream, code: Int, body: String,
       close: Boolean): Unit = {
@@ -84,17 +94,21 @@ final class FastHttpReceiver(dropDir: String, port: Int = 0,
   // ---- request parsing ------------------------------------------------------
 
   /** One header/request line, bytes-to-CRLF (tolerates bare LF). Null on
-    * EOF before any byte. */
+    * EOF before any byte; throws past MaxLineBytes. */
   private def readLine(in: InputStream): String = {
     val sb = new java.lang.StringBuilder(64)
     var c = in.read()
     if (c < 0) return null
     while (c >= 0 && c != '\n') {
       if (c != '\r') sb.append(c.toChar)
+      if (sb.length > MaxLineBytes)
+        throw new LineTooLong
       c = in.read()
     }
     sb.toString
   }
+
+  private final class LineTooLong extends Exception
 
   private def readBody(in: InputStream, len: Int): String = {
     val buf = new Array[Byte](len)
@@ -112,6 +126,11 @@ final class FastHttpReceiver(dropDir: String, port: Int = 0,
     sock.setTcpNoDelay(true)
     val in = new BufferedInputStream(sock.getInputStream, 16384)
     val out = new BufferedOutputStream(sock.getOutputStream, 16384)
+    // set when we refuse a request whose bytes we did NOT fully read
+    // (oversized line, huge/chunked body): closing with unread input makes
+    // the kernel RST and may discard the refusal response in flight, so
+    // the finally block does a bounded lingering drain first
+    var linger = false
     try {
       var open = true
       while (open && running) {
@@ -122,6 +141,7 @@ final class FastHttpReceiver(dropDir: String, port: Int = 0,
           val sp2 = reqLine.indexOf(' ', sp1 + 1)
           if (sp1 < 0 || sp2 < 0) {
             respond(out, 400, "malformed request line", close = true)
+            linger = true
             open = false
           } else {
             val method = reqLine.substring(0, sp1)
@@ -162,6 +182,11 @@ final class FastHttpReceiver(dropDir: String, port: Int = 0,
                 if (chunked) {
                   // can't skip an unread chunked body safely on keep-alive
                   respond(out, 411, "Content-Length required.", close = true)
+                  linger = true
+                  open = false
+                } else if (contentLen > MaxBodyBytes) {
+                  respond(out, 413, "Body too large.", close = true)
+                  linger = true
                   open = false
                 } else {
                   val body =
@@ -211,10 +236,27 @@ final class FastHttpReceiver(dropDir: String, port: Int = 0,
     } catch {
       case _: SocketException => () // peer reset / server stop
       case _: java.io.EOFException => ()
+      case _: LineTooLong =>
+        linger = true
+        try respond(out, 400, "Request line or header too long.",
+          close = true)
+        catch { case _: Exception => () }
       case e: Exception =>
         try respond(out, 500, String.valueOf(e.getMessage), close = true)
         catch { case _: Exception => () }
     } finally {
+      if (linger) {
+        // half-close, then drain (bounded) until the peer sees our FIN and
+        // closes — the refusal response survives instead of being RST away
+        try {
+          sock.shutdownOutput()
+          sock.setSoTimeout(500)
+          val buf = new Array[Byte](8192)
+          var total = 0
+          var n = in.read(buf)
+          while (n > 0 && total < (64 << 10)) { total += n; n = in.read(buf) }
+        } catch { case _: Exception => () }
+      }
       try sock.close() catch { case _: Exception => () }
     }
   }

@@ -151,4 +151,28 @@ class FastHttpReceiverSpec extends ReceiverContractSpec {
       status: () => Int, maxQueued: Int): IngestReceiver =
     new FastHttpReceiver(dropDir, rollMillis = rollMillis, status = status,
       maxQueued = maxQueued)
+
+  private def raw(port: Int, request: String): String = {
+    val sock = new java.net.Socket("localhost", port)
+    try {
+      sock.getOutputStream.write(
+        request.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      sock.getOutputStream.flush()
+      new String(sock.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+    } finally sock.close()
+  }
+
+  test("edge hardening: oversized request line → 400, huge Content-Length → 413 (no allocation)") {
+    val dropDir = Files.createTempDirectory("drop").toString
+    val rx = mkReceiver(dropDir, 50, () => 200, 100000).start()
+    try {
+      val longLine = "GET /?" + "a" * 20000 + " HTTP/1.1\r\n\r\n"
+      assert(raw(rx.boundPort, longLine).startsWith("HTTP/1.1 400"))
+      // 2 GB declared body, no bytes sent: must refuse BEFORE allocating
+      val hugeBody = "POST / HTTP/1.1\r\nHost: x\r\n" +
+        "Content-Length: 2000000000\r\n\r\n"
+      assert(raw(rx.boundPort, hugeBody).startsWith("HTTP/1.1 413"))
+    } finally rx.stop()
+  }
 }
