@@ -1,7 +1,5 @@
 package graft
 
-import java.net.URI
-import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 import java.nio.file.Files
 import java.util.concurrent.atomic.AtomicLong
 

@@ -91,6 +91,8 @@ object ScaleCheck {
     ev.withColumn("user_id",
       expr("CAST(pow((pmod(xxhash64(user_id), 1000000) + 1) / 1000000.0D," +
         " -1.0D / 1.1D) AS BIGINT)"))
+      .withColumn("ts", // gate-corpus physical type (see generate())
+        expr("timestamp_micros(ts div 1000)"))
       .write.mode("overwrite").parquet(s"$Skew/events.parquet")
 
     spark.read.parquet(s"$Sf01/documents.parquet")
@@ -164,7 +166,9 @@ object ScaleCheck {
     val ev = graft.model.Tables.events(spark, Sf1)
     (0 until Replicas).map { k =>
       ev.select(
-        (col("event_id") * Replicas + k).as("event_id"), col("ts"),
+        (col("event_id") * Replicas + k).as("event_id"),
+        // gate-corpus physical type (see generate())
+        expr("timestamp_micros(ts div 1000)").as("ts"),
         (col("user_id") * Replicas + k).as("user_id"),
         col("event_type"), col("value"), col("props"))
     }.reduce(_ unionByName _)
@@ -249,13 +253,18 @@ object ScaleCheck {
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$Sf1/embeddings.parquet")
 
-    // read through the normalizing Tables loader so the replicated sf1
-    // events carry the canonical nanos-LONG ts whatever physical type the
-    // current testdata uses (the driver has shipped both NANOS and MICROS)
+    // read through the normalizing Tables loader so replication is
+    // encoding-independent (the driver has shipped both NANOS and MICROS),
+    // then write ts back as TIMESTAMP-micros — the driver corpus's current
+    // physical type — so the scale corpus is schema-interchangeable with
+    // the gate corpus (DuckDB oracles bind identically; round-9 sf10
+    // oracle run surfaced this when a nanos-LONG ts broke every
+    // events-family oracle's date functions)
     val ev = graft.model.Tables.events(spark, Sf01)
     (0 until Replicas).map { k =>
       ev.select(
-        (col("event_id") * Replicas + k).as("event_id"), col("ts"),
+        (col("event_id") * Replicas + k).as("event_id"),
+        expr("timestamp_micros(ts div 1000)").as("ts"),
         (col("user_id") * Replicas + k).as("user_id"),
         col("event_type"), col("value"), col("props"))
     }.reduce(_ unionByName _)

@@ -29,7 +29,9 @@ def main():
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
         p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
+        if os.path.isdir(p):  # Spark-written table (scale corpora) vs driver file
+            p = f"{p}/*.parquet"
+        if glob.glob(p) or os.path.exists(p):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
@@ -94,7 +96,12 @@ def compare(got, exp):
         gc, ec = g[c], e[c]
         if str(gc.dtype).startswith("float") or str(ec.dtype).startswith("float"):
             diff = (gc.astype(float) - ec.astype(float)).abs()
-            bad = diff[diff > 0]
+            # fixed-operand-order folds match exactly at gate SF; at scale
+            # corpora (sf1/sf10) partition fold order differs, so permit
+            # ULP-scale relative error (observed 1e-14 at sf10 on 1e11
+            # magnitudes) while still failing any algorithmic difference
+            tol = ec.astype(float).abs().clip(lower=1.0) * 1e-12
+            bad = diff[diff > tol]
             if len(bad):
                 return False, (f"col {c}: {len(bad)} float diffs, "
                                f"max={bad.max():.3e} at row {bad.idxmax()} "
