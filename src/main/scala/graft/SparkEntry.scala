@@ -29,7 +29,9 @@ object SparkEntry {
       graft.sources.BucketedTables.queries ++
       graft.sources.OrcRoundTrip.queries ++
       graft.sources.IvfLayout.queries ++
-      graft.sources.EventsLayout.queries
+      graft.sources.EventsLayout.queries ++
+      graft.sources.Compaction.queries ++
+      graft.sources.ZOrderLayout.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's core operation: keyed concat/count aggregation over the

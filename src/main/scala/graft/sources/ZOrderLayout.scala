@@ -1,0 +1,162 @@
+package graft.sources
+
+import java.nio.file.Files
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.model.Tables
+
+/** Z-order clustered events layout: multi-dimension data skipping for the
+  * query shape neither single-sort layout serves. `EventsLayout` answers
+  * time-bounded scans with day directories; a ts-sorted (ingest-order)
+  * layout prunes time ranges but a per-user query still touches EVERY
+  * file, because each file spans the full user range. At 100 TB "all
+  * events for user X last week" against a time-only layout reads a week
+  * of full-corpus bytes.
+  *
+  * The fix is the lakehouse-standard one (Morton/Z-curve clustering, as in
+  * Delta OPTIMIZE ZORDER BY / Iceberg sort orders): interleave the bits of
+  * `user_id` and epoch-day into a single z-value, range-partition the
+  * table on it, and sort within partitions. Files then cover compact
+  * axis-aligned cells of the (user, day) plane, so per-file min/max
+  * column statistics — which Spark's parquet reader already evaluates for
+  * row-group skipping, no custom reader needed — give BOTH dimensions
+  * sub-linear candidate sets: a point query on either axis overlaps
+  * roughly sqrt-fraction of the files instead of all of them.
+  *
+  * `src_zorder` is the correctness face: a (user-range × day-range)
+  * window census read THROUGH the z-layout, hash-matched against a DuckDB
+  * oracle computing the same window from the ORIGINAL parquet.
+  * `ZOrderLayoutSpec` pins the clustering property itself from per-file
+  * min/max stats: point-user and point-day candidate sets are each a
+  * strict fraction of the files, while the ts-sorted contrast layout puts
+  * every file in the point-user candidate set.
+  */
+object ZOrderLayout {
+
+  /** Bits interleaved per dimension. 21 bits covers user_id and epoch-day
+    * to ~2M — far past any driver corpus (sf10: ~15k users, day ≈ 20k) —
+    * and the 42-bit z-value stays well inside a LONG. Constant-zero high
+    * bits cost nothing: they interleave to constant-zero z-bits that never
+    * affect ordering. */
+  val Bits = 21
+
+  /** Floor on the z-layout's file count. The file count is byte-derived
+    * (one file per `TargetFileBytes` — the real 128 MiB dial, NOT scaled
+    * down for tests) but floored at 16 so the clustering property — and
+    * the spec that gates it — is exercised even on a corpus whose bytes
+    * would fit one file. At 100 TB the byte term rules (~800k files); at
+    * every test SF the floor rules. */
+  val MinFiles = 16
+  val TargetFileBytes = 128L * 1024L * 1024L
+
+  /** Nanos-LONG canonical ts → epoch-day (EventsLayout contract). */
+  val NanosPerDay: Long = EventsLayout.NanosPerDay
+
+  /** Morton interleave of two non-negative LONG columns: bit i of `a`
+    * lands at z-bit 2i+1, bit i of `b` at 2i. Pure built-in bit ops, so
+    * the whole thing stays inside whole-stage codegen — no UDF. */
+  def zvalue(a: Column, b: Column, bits: Int = Bits): Column =
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1))
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i))
+    }
+
+  // sfDir -> (events fingerprint, (zorderDir, linearDir)). The linear
+  // (ts-sorted) twin exists for the spec's contrast measurement only.
+  private val created = TrieMap.empty[String, (String, (String, String))]
+
+  private def deleteQuiet(dir: String): Unit =
+    try {
+      import java.nio.file.{Files => F, Paths}
+      import java.util.Comparator
+      F.walk(Paths.get(dir)).sorted(Comparator.reverseOrder())
+        .forEach(p => F.deleteIfExists(p))
+    } catch { case _: Exception => () }
+
+  /** Layout file count from the SOURCE's on-disk bytes (file- or
+    * directory-shaped events, both of which the driver has shipped): at
+    * test SFs the MinFiles floor rules; at scale the byte-derived count
+    * takes over. */
+  private[graft] def fileCount(sfDir: String): Int = {
+    val p = new java.io.File(sfDir + "/events.parquet")
+    val bytes = if (p.isFile) p.length() else Compaction.parquetBytes(p.toString)
+    math.max(MinFiles.toLong,
+      (bytes + TargetFileBytes - 1) / TargetFileBytes).toInt
+  }
+
+  private[graft] def ensure(spark: SparkSession, sfDir: String): (String, String) =
+    created.synchronized {
+      val fp = SourceFingerprint.key(sfDir, "events.parquet")
+      created.get(sfDir) match {
+        case Some((`fp`, dirs)) => dirs
+        case stale =>
+          stale.foreach { case (_, (z, lin)) =>
+            deleteQuiet(z); deleteQuiet(lin)
+            created.remove(sfDir)
+          }
+          val root = Files.createTempDirectory("graft-zorder")
+          Runtime.getRuntime.addShutdownHook(new Thread(() => {
+            deleteQuiet(root.toString)
+          }))
+          val zDir = root.toString + "/events_zorder"
+          val linDir = root.toString + "/events_linear"
+          val n = fileCount(sfDir)
+          // `day` is materialized (derived from canonical ts) so reads
+          // carry plain int64 predicates the parquet reader can evaluate
+          // against file/row-group stats — same reason it is a partition
+          // column in EventsLayout.
+          val base = Tables.events(spark, sfDir)
+            .withColumn("day", expr(s"ts div $NanosPerDay"))
+          base
+            .withColumn("zv", zvalue(col("user_id"), col("day")))
+            .repartitionByRange(n, col("zv"))
+            .sortWithinPartitions("zv")
+            .drop("zv")
+            .write.mode("overwrite").parquet(zDir)
+          // contrast twin: same file count, time-sorted (= ingest order) —
+          // the layout a streaming sink produces by default
+          base
+            .repartitionByRange(n, col("ts"))
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite").parquet(linDir)
+          created.put(sfDir, (fp, (zDir, linDir)))
+          (zDir, linDir)
+      }
+    }
+
+  /** (user-range × day-range) window census through the z-layout. The
+    * window anchors at the corpus minima (two column-pruned aggregates —
+    * the stand-in for the literals a real per-user dashboard query
+    * carries), so the layout read itself plans with plain int64 range
+    * predicates that push into the parquet scan. */
+  def zorderWindowRead(spark: SparkSession, sfDir: String): DataFrame = {
+    val (zDir, _) = ensure(spark, sfDir)
+    val base = Tables.events(spark, sfDir)
+    val u0 = base.agg(min(col("user_id"))).head().getLong(0)
+    val d0 = base.agg(min(expr(s"ts div $NanosPerDay"))).head().getLong(0)
+    spark.read.parquet(zDir)
+      .filter(col("user_id").between(u0, u0 + 3) &&
+        col("day").between(d0, d0 + 3))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(sum(col("value")), 4).as("sum_value"))
+  }
+
+  val zorderWindowReadSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ms(ts) // 86400000 AS day, value FROM events
+      |), m AS (SELECT MIN(user_id) AS u0, MIN(day) AS d0 FROM e)
+      |SELECT COUNT(*) AS n_events,
+      |  COUNT(DISTINCT e.user_id) AS n_users,
+      |  ROUND(SUM(e.value), 4) AS sum_value
+      |FROM e, m
+      |WHERE e.user_id BETWEEN m.u0 AND m.u0 + 3
+      |  AND e.day BETWEEN m.d0 AND m.d0 + 3""".stripMargin
+
+  def queries: Map[String, Q] = Map(
+    "src_zorder" -> Q(zorderWindowReadSql)(zorderWindowRead))
+}
