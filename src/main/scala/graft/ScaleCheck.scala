@@ -328,7 +328,13 @@ object ScaleCheck {
     "minhash_recall" -> ((s, d) =>
       { SparkEntry.queries("d_minhash_recall")(s, d).count(); () }),
     "bpe_merges" -> ((s, d) =>
-      { SparkEntry.queries("t_bpe_merges")(s, d).count(); () }))
+      { SparkEntry.queries("t_bpe_merges")(s, d).count(); () }),
+    // round-9: storage-rewrite family — the z-order clustering rewrite
+    // (full-table z-compute + range shuffle + sort + parquet write, twice:
+    // the layout and its ts-sorted contrast twin). Cache is cleared between
+    // passes so both time the real rewrite, not a cache hit.
+    "zorder_rewrite" -> ((s, d) =>
+      { graft.sources.ZOrderLayout.ensure(s, d); () }))
 
   def measure(spark: SparkSession): Unit = {
     // JIT/codegen warmup at the smallest SF, same discipline as Bench
@@ -352,11 +358,15 @@ object ScaleCheck {
       graft.operators.Similarity.clearKmeansCache()
       graft.operators.Similarity.clearPqCache()
       graft.operators.TextAnalysis.clearBpeCache()
+      graft.sources.ZOrderLayout.clearCache()
+      graft.sources.Compaction.clearCache()
       val b = timed(f(spark, d))
       graft.operators.Dedup.clearPairCache()
       graft.operators.Similarity.clearKmeansCache()
       graft.operators.Similarity.clearPqCache()
       graft.operators.TextAnalysis.clearBpeCache()
+      graft.sources.ZOrderLayout.clearCache()
+      graft.sources.Compaction.clearCache()
       math.min(a, b)
     }
     val rows = families.map { case (name, f) =>
@@ -385,6 +395,8 @@ object ScaleCheck {
       graft.operators.Similarity.clearKmeansCache()
       graft.operators.Similarity.clearPqCache()
       graft.operators.TextAnalysis.clearBpeCache()
+      graft.sources.ZOrderLayout.clearCache()
+      graft.sources.Compaction.clearCache()
     }
     val a = timed(f(spark, dir)); clearAll()
     val b = timed(f(spark, dir)); clearAll()
@@ -414,6 +426,8 @@ object ScaleCheck {
       graft.operators.Similarity.clearKmeansCache()
       graft.operators.Similarity.clearPqCache()
       graft.operators.TextAnalysis.clearBpeCache()
+      graft.sources.ZOrderLayout.clearCache()
+      graft.sources.Compaction.clearCache()
     }
     def minOf2(f: (SparkSession, String) => Unit, d: String): Double = {
       val a = timed(f(spark, d)); clearAll()

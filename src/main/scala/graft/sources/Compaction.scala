@@ -118,6 +118,15 @@ object Compaction {
       }
     }
 
+  /** Drop every cached layout (and its temp dirs) so the next `ensure`
+    * re-pays the fragment + rewrite — the ScaleCheck measurement hook. */
+  private[graft] def clearCache(): Unit =
+    created.synchronized {
+      created.foreach { case (k, (_, (frag, comp))) =>
+        deleteQuiet(frag); deleteQuiet(comp); created.remove(k)
+      }
+    }
+
   /** Per-event-type census through the compacted layout: proves the
     * fragmented→compacted rewrite preserved membership and content
     * against a DuckDB oracle reading the ORIGINAL events parquet. */

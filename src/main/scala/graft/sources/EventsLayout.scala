@@ -106,6 +106,47 @@ object EventsLayout {
       |FROM e, m WHERE e.day IN (m.d0, m.d0 + 1)
       |GROUP BY e.day""".stripMargin
 
+  /** Star-schema read through the layout: fact (partitioned events) joined
+    * to a filtered dim whose day set is only known at RUNTIME — the shape
+    * where static partition pruning is impossible and dynamic partition
+    * pruning (DPP) is the 100-TB survival mechanism. The dim (distinct
+    * days, filtered to the first two) broadcasts; Spark reuses the
+    * broadcast as a dynamic partition filter on the fact scan, so only
+    * the dim's days are read even though the fact side carries no
+    * literal day predicate. `EventsLayoutSpec` pins the
+    * DynamicPruningExpression in the plan and the ≤ 2 partitions read;
+    * this query is the content face. */
+  def eventsDppJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val d0 = Tables.events(spark, sfDir)
+      .agg(min(expr(s"ts div $NanosPerDay"))).head().getLong(0)
+    // dim from the ORIGINAL table (a stand-in for a calendar/holiday dim):
+    // distinct days, filtered dim-side only — the fact scan must learn its
+    // day set through the join. The dim key is cast to the layout's
+    // inferred partition type (int) so the fact-side join key stays the
+    // RAW partition attribute: a cast on the fact side would block the
+    // dynamic pruning subquery from reaching the scan.
+    val dim = Tables.events(spark, sfDir)
+      .select(expr(s"ts div $NanosPerDay").cast("int").as("day")).distinct()
+      .filter(col("day") <= d0 + 1)
+    spark.read.parquet(dir)
+      .join(dim, "day")
+      .groupBy(col("day").cast("long").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+  }
+
+  val eventsDppJoinSql: String =
+    """WITH e AS (
+      |  SELECT epoch_ms(ts) // 86400000 AS day, value FROM events
+      |), m AS (SELECT MIN(day) AS d0 FROM e),
+      |dim AS (SELECT DISTINCT day FROM e, m WHERE day <= m.d0 + 1)
+      |SELECT e.day, COUNT(*) AS n_events,
+      |  ROUND(SUM(e.value), 4) AS sum_value
+      |FROM e JOIN dim USING (day)
+      |GROUP BY e.day""".stripMargin
+
   def queries: Map[String, Q] = Map(
-    "src_events_layout" -> Q(eventsWindowReadSql)(eventsWindowRead))
+    "src_events_layout" -> Q(eventsWindowReadSql)(eventsWindowRead),
+    "src_events_dpp" -> Q(eventsDppJoinSql)(eventsDppJoin))
 }

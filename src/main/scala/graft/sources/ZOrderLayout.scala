@@ -128,6 +128,15 @@ object ZOrderLayout {
       }
     }
 
+  /** Drop every cached layout (and its temp dirs) so the next `ensure`
+    * re-pays the full rewrite — the ScaleCheck measurement hook. */
+  private[graft] def clearCache(): Unit =
+    created.synchronized {
+      created.foreach { case (k, (_, (z, lin))) =>
+        deleteQuiet(z); deleteQuiet(lin); created.remove(k)
+      }
+    }
+
   /** (user-range × day-range) window census through the z-layout. The
     * window anchors at the corpus minima (two column-pruned aggregates —
     * the stand-in for the literals a real per-user dashboard query

@@ -36,6 +36,28 @@ class EventsLayoutSpec extends SparkSuite {
     assert(dirs > 2, s"layout only has $dirs day dirs — pruning is vacuous")
   }
 
+  test("dim-filtered join prunes fact partitions dynamically (DPP)") {
+    val s = spark
+    val df = EventsLayout.eventsDppJoin(s, sf0001)
+    df.collect()
+    val scans = unwrapPlan(df.queryExecution.executedPlan)
+      .collect { case f: FileSourceScanExec => f }
+      .filter(_.metadata.get("Location").exists(_.contains("events_by_day")))
+    assert(scans.nonEmpty, "no scan over the events layout found")
+    scans.foreach { f =>
+      val dynamic = f.partitionFilters.exists(_.exists {
+        case _: org.apache.spark.sql.catalyst.expressions.DynamicPruning => true
+        case _ => false
+      })
+      assert(dynamic,
+        "fact scan has no dynamic pruning filter — the dim's day set is " +
+          s"not pruning the layout (filters: ${f.partitionFilters.map(_.sql)})")
+      assert(f.selectedPartitions.partitionCount <= 2,
+        s"DPP read ${f.selectedPartitions.partitionCount} partitions, " +
+          "wanted <= 2")
+    }
+  }
+
   test("layout census reconciles with the original events table") {
     val s = spark
     val fromLayout = s.read.parquet(EventsLayout.ensure(s, sf0001))
