@@ -74,6 +74,23 @@ class BucketedJoinSpec extends SparkSuite {
       s"bucketed fact-fact join should sort-merge:\n$plan")
   }
 
+  test("bucket count is sized from source bytes, floored for test SFs") {
+    import graft.sources.BucketedTables.bucketCountForBytes
+    // test-SF corpora (≤ a few hundred MB) keep the deterministic floor
+    assert(bucketCountForBytes(0L) == 8)
+    assert(bucketCountForBytes(300L << 20) == 8)
+    // a 10× corpus widens past the floor: ~1.4 GB of source → ~30 buckets,
+    // so the bucket-local serving join is no longer capped at 8 tasks
+    assert(bucketCountForBytes(1400L << 20) > 16)
+    // growth is linear in bytes (≈ bytes / 48 MB)…
+    assert(bucketCountForBytes(4800L << 20) == 100)
+    // …and capped so a pathological input can't mint millions of files
+    assert(bucketCountForBytes(Long.MaxValue) == 4096)
+    // the live path floors at the gate SF (layout determinism for the
+    // plan specs above)
+    assert(graft.sources.BucketedTables.bucketCount(sf0001) == 8)
+  }
+
   test("regenerated source parquet rebuilds the bucketed copies") {
     // the ensure() cache keys on the source fingerprint (IvfLayout
     // pattern): rewriting orders/lineitem under the same dir must rebuild
