@@ -31,7 +31,8 @@ object SparkEntry {
       graft.sources.IvfLayout.queries ++
       graft.sources.EventsLayout.queries ++
       graft.sources.Compaction.queries ++
-      graft.sources.ZOrderLayout.queries
+      graft.sources.ZOrderLayout.queries ++
+      graft.sources.IncrementalRollup.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's core operation: keyed concat/count aggregation over the
