@@ -77,12 +77,17 @@ object IncrementalRollup {
     val touched = deltaAgg.select(col("day")).distinct()
       .collect().map(_.getLong(0)).toSeq
     if (touched.nonEmpty) {
-      val existing = touchedPartials(spark, dir, touched)
-        // lineage cut: the merged frame is about to OVERWRITE partitions
-        // of the very path it reads (the read-modify-write hazard Spark
-        // rejects as "cannot overwrite a path being read from").
-        // Bounded: touched days × event types rows.
-        .truncateLineage()
+      // bootstrap: the very first batch of a maintenance STREAM arrives
+      // before any base build — there is no layout to read partials from
+      val hasLayout = java.nio.file.Files.exists(java.nio.file.Paths.get(dir))
+      val existing =
+        if (!hasLayout) deltaAgg.limit(0)
+        else touchedPartials(spark, dir, touched)
+          // lineage cut: the merged frame is about to OVERWRITE partitions
+          // of the very path it reads (the read-modify-write hazard Spark
+          // rejects as "cannot overwrite a path being read from").
+          // Bounded: touched days × event types rows.
+          .truncateLineage()
       existing.unionByName(deltaAgg)
         .groupBy(col("day"), col("event_type"))
         .agg(sum(col("n_events")).as("n_events"),

@@ -57,7 +57,10 @@ class DeterminismSpec extends SparkSuite {
       // sums), the DSIR LM joins, the global vocab-rank window, the
       // hash-shard entropy census, and the three-key dedup audit
       "s_ivfpq_topk", "t_dsir_weights", "t_vocab_coverage",
-      "t_shard_mix", "d_norm_sensitivity")
+      "t_shard_mix", "d_norm_sensitivity",
+      // round-9: maintained-rollup serving read (the non-vacuous
+      // cache-cleared REBUILD invariance lives in IncrementalRollupSpec)
+      "src_incr_rollup")
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     try {
       names.foreach { n =>

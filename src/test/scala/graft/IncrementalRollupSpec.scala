@@ -112,6 +112,33 @@ class IncrementalRollupSpec extends SparkSuite {
       s"incremental rollup diverged from full recompute")
   }
 
+  test("base+merge rollup is invariant to shuffle partition count") {
+    // counts are exact; double sums round before compare (the suite-wide
+    // sum-oracle treatment) — a placement-sensitive merge would diverge
+    val s = spark
+    val events = synthEvents(nDays = 4, perDay = 45, valueSeed = 5.0)
+    val dayCol = expr(s"ts div ${graft.sources.EventsLayout.NanosPerDay}")
+    val dmax = events.agg(max(dayCol)).head().getLong(0)
+    def buildAt(parts: String): Seq[String] = {
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-incr-inv").toString + "/rollup"
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", parts)
+        IncrementalRollup.buildBase(events.filter(dayCol < dmax), dir)
+        IncrementalRollup.mergeDelta(s, dir, events.filter(dayCol === dmax))
+        s.read.parquet(dir)
+          .select(col("day").cast("long"), col("event_type"),
+            col("n_events"), round(col("sum_value"), 4))
+          .collect().map(_.toString).sorted.toSeq
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    val at4 = buildAt("4")
+    val at37 = buildAt("37")
+    assert(at4.nonEmpty && at4 == at37,
+      "maintained rollup differs across partition counts")
+  }
+
   test("regenerated events rebuild the rollup (fingerprint staleness)") {
     val s = spark
     val dir = java.nio.file.Files.createTempDirectory("graft-incr-stale")
