@@ -60,7 +60,9 @@ class DeterminismSpec extends SparkSuite {
       "t_shard_mix", "d_norm_sensitivity",
       // round-9: maintained-rollup serving read (the non-vacuous
       // cache-cleared REBUILD invariance lives in IncrementalRollupSpec)
-      "src_incr_rollup")
+      // and the mixed-generation census (null-ignoring aggs must not see
+      // file placement)
+      "src_incr_rollup", "src_schema_evolution")
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     try {
       names.foreach { n =>
