@@ -360,6 +360,8 @@ object ScaleCheck {
       graft.operators.TextAnalysis.clearBpeCache()
       graft.sources.ZOrderLayout.clearCache()
       graft.sources.Compaction.clearCache()
+      graft.sources.IncrementalRollup.clearCache()
+      graft.sources.SchemaEvolution.clearCache()
       val b = timed(f(spark, d))
       graft.operators.Dedup.clearPairCache()
       graft.operators.Similarity.clearKmeansCache()
@@ -367,6 +369,8 @@ object ScaleCheck {
       graft.operators.TextAnalysis.clearBpeCache()
       graft.sources.ZOrderLayout.clearCache()
       graft.sources.Compaction.clearCache()
+      graft.sources.IncrementalRollup.clearCache()
+      graft.sources.SchemaEvolution.clearCache()
       math.min(a, b)
     }
     val rows = families.map { case (name, f) =>
@@ -397,6 +401,8 @@ object ScaleCheck {
       graft.operators.TextAnalysis.clearBpeCache()
       graft.sources.ZOrderLayout.clearCache()
       graft.sources.Compaction.clearCache()
+      graft.sources.IncrementalRollup.clearCache()
+      graft.sources.SchemaEvolution.clearCache()
     }
     val a = timed(f(spark, dir)); clearAll()
     val b = timed(f(spark, dir)); clearAll()
@@ -428,6 +434,8 @@ object ScaleCheck {
       graft.operators.TextAnalysis.clearBpeCache()
       graft.sources.ZOrderLayout.clearCache()
       graft.sources.Compaction.clearCache()
+      graft.sources.IncrementalRollup.clearCache()
+      graft.sources.SchemaEvolution.clearCache()
     }
     def minOf2(f: (SparkSession, String) => Unit, d: String): Double = {
       val a = timed(f(spark, d)); clearAll()

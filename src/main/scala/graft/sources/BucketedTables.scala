@@ -67,12 +67,7 @@ object BucketedTables {
       dirBytes(sfDir, "orders.parquet") + dirBytes(sfDir, "lineitem.parquet"))
 
   private def deleteQuiet(dir: String): Unit =
-    try {
-      import java.nio.file.{Files => F, Paths}
-      import java.util.Comparator
-      F.walk(Paths.get(dir)).sorted(Comparator.reverseOrder())
-        .forEach(p => F.deleteIfExists(p))
-    } catch { case _: Exception => () }
+    LayoutDirs.deleteQuiet(dir)
 
   /** Create (once per source fingerprint) bucketed copies of
     * orders+lineitem for this sfDir; returns the two table names. */

@@ -59,12 +59,7 @@ object Compaction {
   private val created = TrieMap.empty[String, (String, (String, String))]
 
   private def deleteQuiet(dir: String): Unit =
-    try {
-      import java.nio.file.{Files => F, Paths}
-      import java.util.Comparator
-      F.walk(Paths.get(dir)).sorted(Comparator.reverseOrder())
-        .forEach(p => F.deleteIfExists(p))
-    } catch { case _: Exception => () }
+    LayoutDirs.deleteQuiet(dir)
 
   /** Sum of parquet data-file bytes directly under `dir`. */
   private[graft] def parquetBytes(dir: String): Long =

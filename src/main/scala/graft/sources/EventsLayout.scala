@@ -45,12 +45,7 @@ object EventsLayout {
     SourceFingerprint.key(sfDir, "events.parquet")
 
   private def deleteQuiet(dir: String): Unit =
-    try {
-      import java.nio.file.{Files => F, Paths}
-      import java.util.Comparator
-      F.walk(Paths.get(dir)).sorted(Comparator.reverseOrder())
-        .forEach(p => F.deleteIfExists(p))
-    } catch { case _: Exception => () }
+    LayoutDirs.deleteQuiet(dir)
 
   private[graft] def ensure(spark: SparkSession, sfDir: String): String =
     created.synchronized {

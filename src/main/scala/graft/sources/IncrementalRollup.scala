@@ -45,12 +45,7 @@ object IncrementalRollup {
     SourceFingerprint.key(sfDir, "events.parquet")
 
   private def deleteQuiet(dir: String): Unit =
-    try {
-      import java.nio.file.{Files => F, Paths}
-      import java.util.Comparator
-      F.walk(Paths.get(dir)).sorted(Comparator.reverseOrder())
-        .forEach(p => F.deleteIfExists(p))
-    } catch { case _: Exception => () }
+    LayoutDirs.deleteQuiet(dir)
 
   /** Per-(day, event_type) partials of an event slice — the one shape
     * both the base build and every delta batch aggregate to. */
@@ -78,8 +73,12 @@ object IncrementalRollup {
       .collect().map(_.getLong(0)).toSeq
     if (touched.nonEmpty) {
       // bootstrap: the very first batch of a maintenance STREAM arrives
-      // before any base build — there is no layout to read partials from
-      val hasLayout = java.nio.file.Files.exists(java.nio.file.Paths.get(dir))
+      // before any base build — there is no layout to read partials from.
+      // "Has a layout" means the dir holds at least one parquet DATA file:
+      // a dir containing only _SUCCESS/_last_batch (an all-one-day base
+      // build's empty half, or an empty first micro-batch's marker) would
+      // crash the read with UNABLE_TO_INFER_SCHEMA if mistaken for data.
+      val hasLayout = LayoutDirs.hasParquetData(dir)
       val existing =
         if (!hasLayout) deltaAgg.limit(0)
         else touchedPartials(spark, dir, touched)

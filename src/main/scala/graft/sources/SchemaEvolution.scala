@@ -43,18 +43,16 @@ object SchemaEvolution {
     SourceFingerprint.key(sfDir, "documents.parquet")
 
   private def deleteQuiet(dir: String): Unit =
-    try {
-      import java.nio.file.{Files => F, Paths}
-      import java.util.Comparator
-      F.walk(Paths.get(dir)).sorted(Comparator.reverseOrder())
-        .forEach(p => F.deleteIfExists(p))
-    } catch { case _: Exception => () }
+    LayoutDirs.deleteQuiet(dir)
 
   /** Engine-portable generation rule: gen 2 iff the first md5 nibble of
     * the doc_id string is ≥ 8 (an unbiased ~half split both engines
-    * compute identically). */
-  private val gen2Cond = "substring(md5(CAST(doc_id AS STRING)), 1, 1) " +
-    ">= '8'"
+    * compute identically). NULL-safe: a NULL doc_id hashes as '' — an
+    * unguarded md5(NULL) is NULL, which BOTH generation filters reject,
+    * silently dropping the row from the mixed dir while the oracle's
+    * COUNT(*) keeps it. */
+  private[graft] val gen2Cond =
+    "substring(md5(COALESCE(CAST(doc_id AS STRING), '')), 1, 1) >= '8'"
 
   private[graft] def ensure(spark: SparkSession, sfDir: String): String =
     created.synchronized {
@@ -113,12 +111,13 @@ object SchemaEvolution {
   val evolutionCensusSql: String =
     """WITH g AS (
       |  SELECT source, n_chars,
-      |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= '8' AS gen2
+      |    substring(md5(COALESCE(CAST(doc_id AS VARCHAR), '')), 1, 1)
+      |      >= '8' AS gen2
       |  FROM documents
       |)
       |SELECT source,
       |  COUNT(*) AS n_docs,
-      |  CAST(SUM(CASE WHEN gen2 THEN 1 ELSE 0 END) AS BIGINT) AS n_gen2,
+      |  CAST(COUNT(CASE WHEN gen2 THEN n_chars END) AS BIGINT) AS n_gen2,
       |  CAST(SUM(CASE WHEN gen2 THEN n_chars ELSE 0 END) AS BIGINT)
       |    AS sum_nchars,
       |  ROUND(SUM(CASE WHEN gen2 THEN n_chars / 100.0 ELSE 0 END), 4)

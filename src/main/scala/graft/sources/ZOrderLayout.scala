@@ -70,12 +70,7 @@ object ZOrderLayout {
   private val created = TrieMap.empty[String, (String, (String, String))]
 
   private def deleteQuiet(dir: String): Unit =
-    try {
-      import java.nio.file.{Files => F, Paths}
-      import java.util.Comparator
-      F.walk(Paths.get(dir)).sorted(Comparator.reverseOrder())
-        .forEach(p => F.deleteIfExists(p))
-    } catch { case _: Exception => () }
+    LayoutDirs.deleteQuiet(dir)
 
   /** Layout file count from the SOURCE's on-disk bytes (file- or
     * directory-shaped events, both of which the driver has shipped): at

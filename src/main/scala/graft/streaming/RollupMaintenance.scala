@@ -48,14 +48,19 @@ object RollupMaintenance {
     }
 
   /** Start the maintenance stream over raw events (canonical nanos-LONG
-    * `ts`, `event_type`, `value` columns — the `Tables.events` shape). */
+    * `ts`, `event_type`, `value` columns — the `Tables.events` shape).
+    * `triggerSec <= 0` drops the processing-time trigger entirely
+    * (micro-batches fire as soon as data is available — the bench mode;
+    * production picks the cadence). */
   def start(events: DataFrame, rollupDir: String, checkpointDir: String,
-      triggerSec: Int = 1): StreamingQuery =
-    events.writeStream
-      .trigger(Trigger.ProcessingTime(s"$triggerSec seconds"))
+      triggerSec: Int = 1): StreamingQuery = {
+    val w = events.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         mergeOnce(batch, rollupDir, batchId)
       }
-      .start()
+    (if (triggerSec > 0)
+       w.trigger(Trigger.ProcessingTime(s"$triggerSec seconds"))
+     else w).start()
+  }
 }

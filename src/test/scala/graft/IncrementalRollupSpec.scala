@@ -112,6 +112,22 @@ class IncrementalRollupSpec extends SparkSuite {
       s"incremental rollup diverged from full recompute")
   }
 
+  test("single-day corpus: empty base build then delta merge bootstraps cleanly") {
+    // all rows on one epoch day ⇒ buildBase runs on an EMPTY frame and
+    // leaves a dir holding only _SUCCESS; the merge must treat that as
+    // "no layout" (reading it would throw UNABLE_TO_INFER_SCHEMA)
+    val s = spark
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-incr-oneday").toString + "/rollup"
+    val events = synthEvents(nDays = 1, perDay = 30, valueSeed = 6.0)
+    val dayCol = expr(s"ts div ${graft.sources.EventsLayout.NanosPerDay}")
+    val dmax = events.agg(max(dayCol)).head().getLong(0)
+    IncrementalRollup.buildBase(events.filter(dayCol < dmax), dir)
+    IncrementalRollup.mergeDelta(s, dir, events.filter(dayCol === dmax))
+    val n = s.read.parquet(dir).agg(sum(col("n_events"))).head().getLong(0)
+    assert(n == 30, s"single-day bootstrap lost rows (rolled up $n of 30)")
+  }
+
   test("base+merge rollup is invariant to shuffle partition count") {
     // counts are exact; double sums round before compare (the suite-wide
     // sum-oracle treatment) — a placement-sensitive merge would diverge

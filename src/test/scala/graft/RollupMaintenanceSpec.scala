@@ -81,6 +81,23 @@ class RollupMaintenanceSpec extends SparkSuite {
       "streamed rollup diverged after checkpoint restart")
   }
 
+  test("an empty first micro-batch neither crashes nor blocks later merges") {
+    // an empty batch 0 writes the _last_batch marker into a dir with no
+    // parquet data; batch 1 must bootstrap (not read the data-less dir)
+    val s = spark
+    import s.implicits._
+    val dir = tmp("emptyfirst") + "/rollup"
+    val schema = wave(day = 3, n = 1, eType = "click", v = 1.0)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    RollupMaintenance.mergeOnce(schema.limit(0), dir, batchId = 0L)
+    assert(RollupMaintenance.lastMerged(dir) == 0L)
+    val batch = wave(day = 3, n = 25, eType = "click", v = 1.0)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    RollupMaintenance.mergeOnce(batch, dir, batchId = 1L)
+    assert(rollup(dir).values.map(_._1).sum == 25L,
+      "merge after an empty first batch lost rows")
+  }
+
   test("a replayed batchId is a no-op (at-least-once idempotence gate)") {
     val s = spark
     import s.implicits._
