@@ -36,6 +36,21 @@ object ScaleCheck {
   private val Sf1 = "target/sf1"
   private val Replicas = 10
 
+  /** Drop every build-once model/layout cache between measured passes —
+    * ONE list (VERDICT-r9 review: this block existed in four copies; a
+    * future cached artifact missing one copy silently turns that mode's
+    * pass-2 timing into a cache-hit artifact). */
+  private def clearModelCaches(): Unit = {
+    graft.operators.Dedup.clearPairCache()
+    graft.operators.Similarity.clearKmeansCache()
+    graft.operators.Similarity.clearPqCache()
+    graft.operators.TextAnalysis.clearBpeCache()
+    graft.sources.ZOrderLayout.clearCache()
+    graft.sources.Compaction.clearCache()
+    graft.sources.IncrementalRollup.clearCache()
+    graft.sources.SchemaEvolution.clearCache()
+  }
+
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("all")
     val spark = SparkSession.builder()
@@ -354,23 +369,9 @@ object ScaleCheck {
     // cache read.
     def minOf2(f: (SparkSession, String) => Unit, d: String): Double = {
       val a = timed(f(spark, d))
-      graft.operators.Dedup.clearPairCache()
-      graft.operators.Similarity.clearKmeansCache()
-      graft.operators.Similarity.clearPqCache()
-      graft.operators.TextAnalysis.clearBpeCache()
-      graft.sources.ZOrderLayout.clearCache()
-      graft.sources.Compaction.clearCache()
-      graft.sources.IncrementalRollup.clearCache()
-      graft.sources.SchemaEvolution.clearCache()
+      clearModelCaches()
       val b = timed(f(spark, d))
-      graft.operators.Dedup.clearPairCache()
-      graft.operators.Similarity.clearKmeansCache()
-      graft.operators.Similarity.clearPqCache()
-      graft.operators.TextAnalysis.clearBpeCache()
-      graft.sources.ZOrderLayout.clearCache()
-      graft.sources.Compaction.clearCache()
-      graft.sources.IncrementalRollup.clearCache()
-      graft.sources.SchemaEvolution.clearCache()
+      clearModelCaches()
       math.min(a, b)
     }
     val rows = families.map { case (name, f) =>
@@ -394,18 +395,8 @@ object ScaleCheck {
     def timed(g: => Unit): Double = {
       val t0 = System.nanoTime(); g; (System.nanoTime() - t0) / 1e9
     }
-    def clearAll(): Unit = {
-      graft.operators.Dedup.clearPairCache()
-      graft.operators.Similarity.clearKmeansCache()
-      graft.operators.Similarity.clearPqCache()
-      graft.operators.TextAnalysis.clearBpeCache()
-      graft.sources.ZOrderLayout.clearCache()
-      graft.sources.Compaction.clearCache()
-      graft.sources.IncrementalRollup.clearCache()
-      graft.sources.SchemaEvolution.clearCache()
-    }
-    val a = timed(f(spark, dir)); clearAll()
-    val b = timed(f(spark, dir)); clearAll()
+    val a = timed(f(spark, dir)); clearModelCaches()
+    val b = timed(f(spark, dir)); clearModelCaches()
     println(f"""{"family":"$name","dir":"$dir","pass1_sec":$a%.2f,"pass2_sec":$b%.2f,"min_sec":${math.min(a, b)}%.2f}""")
   }
 
@@ -427,19 +418,9 @@ object ScaleCheck {
       f
       (System.nanoTime() - t0) / 1e9
     }
-    def clearAll(): Unit = {
-      graft.operators.Dedup.clearPairCache()
-      graft.operators.Similarity.clearKmeansCache()
-      graft.operators.Similarity.clearPqCache()
-      graft.operators.TextAnalysis.clearBpeCache()
-      graft.sources.ZOrderLayout.clearCache()
-      graft.sources.Compaction.clearCache()
-      graft.sources.IncrementalRollup.clearCache()
-      graft.sources.SchemaEvolution.clearCache()
-    }
     def minOf2(f: (SparkSession, String) => Unit, d: String): Double = {
-      val a = timed(f(spark, d)); clearAll()
-      val b = timed(f(spark, d)); clearAll()
+      val a = timed(f(spark, d)); clearModelCaches()
+      val b = timed(f(spark, d)); clearModelCaches()
       math.min(a, b)
     }
     val points = Seq(0.1 -> Sf01, 1.0 -> Sf1, 10.0 -> Sf10)

@@ -222,10 +222,24 @@ object Dedup {
     // (one cheap agg job) and broadcasts ONLY under an explicit byte
     // budget; past the budget — the true 100 TB regime — it falls back to
     // the unhinted shuffle join, which is O(candidates) and AQE-planned.
-    val shStats = shH.agg(count(lit(1)), sum(size(col("s")))).head()
+    // coalesce: sum() over ZERO rows is NULL (an empty/all-empty-text
+    // corpus) — getLong would NPE where the right answer is "nothing to
+    // verify, don't broadcast"
+    val shStats = shH.agg(count(lit(1)),
+      coalesce(sum(size(col("s"))), lit(0L))).head()
     val estBytes = shStats.getLong(1) * 8L + shStats.getLong(0) * 32L
+    // the broadcast COLLECT is also bounded by spark.driver.maxResultSize
+    // (serialized rows ≈ estBytes): cap the budget at half the session's
+    // limit so an estimate-vs-serialized margin can't turn the
+    // optimization into a hard "bigger than maxResultSize" job failure —
+    // past the cap the shuffle join completes regardless
+    val maxResult = spark.sparkContext.getConf
+      .getSizeAsBytes("spark.driver.maxResultSize", "1g")
+    val budget =
+      if (maxResult > 0) math.min(VerifyBroadcastMaxBytes, maxResult / 2)
+      else VerifyBroadcastMaxBytes
     val gatedShH =
-      if (estBytes <= VerifyBroadcastMaxBytes) broadcast(shH) else shH
+      if (estBytes <= budget) broadcast(shH) else shH
     val scored = cand
       .join(gatedShH.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(gatedShH.as("sb"), col("doc_b") === col("sb.doc_id"))

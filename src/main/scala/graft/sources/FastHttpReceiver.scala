@@ -74,6 +74,9 @@ final class FastHttpReceiver(dropDir: String, port: Int = 0,
   // reference reads bodies unbounded)
   private val MaxLineBytes = 16384
   private val MaxBodyBytes = 256 << 20
+  // bound on header COUNT too: MaxLineBytes alone still admits an
+  // unbounded stream of small header lines on one request
+  private val MaxHeaderLines = 256
 
   private def respond(out: BufferedOutputStream, code: Int, body: String,
       close: Boolean): Unit = {
@@ -94,15 +97,20 @@ final class FastHttpReceiver(dropDir: String, port: Int = 0,
   // ---- request parsing ------------------------------------------------------
 
   /** One header/request line, bytes-to-CRLF (tolerates bare LF). Null on
-    * EOF before any byte; throws past MaxLineBytes. */
+    * EOF before any byte; throws past MaxLineBytes. The budget counts
+    * every CONSUMED byte, not just appended chars — counting sb.length
+    * let a stream of bare '\r' bytes (never appended) evade the limit
+    * and spin the serve thread on unbounded input. */
   private def readLine(in: InputStream): String = {
     val sb = new java.lang.StringBuilder(64)
+    var nread = 0
     var c = in.read()
     if (c < 0) return null
     while (c >= 0 && c != '\n') {
-      if (c != '\r') sb.append(c.toChar)
-      if (sb.length > MaxLineBytes)
+      nread += 1
+      if (nread > MaxLineBytes)
         throw new LineTooLong
+      if (c != '\r') sb.append(c.toChar)
       c = in.read()
     }
     sb.toString
@@ -152,17 +160,32 @@ final class FastHttpReceiver(dropDir: String, port: Int = 0,
             try {
               // headers: only Content-Length / Connection / Transfer-Encoding
               // matter to the routes; everything else is skipped unparsed
+              // contentLen: -1 = absent, -2 = malformed (non-numeric or
+              // negative → 400); values past Int.MaxValue clamp so they
+              // fall into the same > MaxBodyBytes refusal (413 + linger)
+              // instead of a NumberFormatException'd 500 with no linger
               var contentLen = -1
               var connClose = http10
               var chunked = false
+              var nHeaders = 0
               var h = readLine(in)
               while (h != null && h.nonEmpty) {
+                nHeaders += 1
+                if (nHeaders > MaxHeaderLines)
+                  throw new LineTooLong // same refuse+linger path
                 val ci = h.indexOf(':')
                 if (ci > 0) {
                   val name = h.substring(0, ci)
-                  if (name.equalsIgnoreCase("Content-Length"))
-                    contentLen = h.substring(ci + 1).trim.toInt
-                  else if (name.equalsIgnoreCase("Connection")) {
+                  if (name.equalsIgnoreCase("Content-Length")) {
+                    val v = h.substring(ci + 1).trim
+                    contentLen =
+                      try {
+                        val l = v.toLong
+                        if (l < 0) -2
+                        else if (l > Int.MaxValue) Int.MaxValue
+                        else l.toInt
+                      } catch { case _: NumberFormatException => -2 }
+                  } else if (name.equalsIgnoreCase("Connection")) {
                     val v = h.substring(ci + 1).trim
                     connClose = v.equalsIgnoreCase("close") ||
                       (http10 && !v.equalsIgnoreCase("keep-alive"))
@@ -182,6 +205,10 @@ final class FastHttpReceiver(dropDir: String, port: Int = 0,
                 if (chunked) {
                   // can't skip an unread chunked body safely on keep-alive
                   respond(out, 411, "Content-Length required.", close = true)
+                  linger = true
+                  open = false
+                } else if (contentLen == -2) {
+                  respond(out, 400, "Malformed Content-Length.", close = true)
                   linger = true
                   open = false
                 } else if (contentLen > MaxBodyBytes) {

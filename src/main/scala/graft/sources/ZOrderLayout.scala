@@ -139,9 +139,11 @@ object ZOrderLayout {
     * predicates that push into the parquet scan. */
   def zorderWindowRead(spark: SparkSession, sfDir: String): DataFrame = {
     val (zDir, _) = ensure(spark, sfDir)
-    val base = Tables.events(spark, sfDir)
-    val u0 = base.agg(min(col("user_id"))).head().getLong(0)
-    val d0 = base.agg(min(expr(s"ts div $NanosPerDay"))).head().getLong(0)
+    // both window anchors from ONE column-pruned scan of the source —
+    // two separate min-aggregates paid the full anchor scan twice
+    val anchors = Tables.events(spark, sfDir)
+      .agg(min(col("user_id")), min(expr(s"ts div $NanosPerDay"))).head()
+    val (u0, d0) = (anchors.getLong(0), anchors.getLong(1))
     spark.read.parquet(zDir)
       .filter(col("user_id").between(u0, u0 + 3) &&
         col("day").between(d0, d0 + 3))

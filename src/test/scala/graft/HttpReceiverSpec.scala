@@ -175,4 +175,32 @@ class FastHttpReceiverSpec extends ReceiverContractSpec {
       assert(raw(rx.boundPort, hugeBody).startsWith("HTTP/1.1 413"))
     } finally rx.stop()
   }
+
+  test("edge hardening: Content-Length overflow/garbage → 413/400, CR flood and header flood bounded") {
+    val dropDir = Files.createTempDirectory("drop").toString
+    val rx = mkReceiver(dropDir, 50, () => 200, 100000).start()
+    try {
+      // int-overflowing Content-Length (~10 GB, RFC-valid) must land in
+      // the same linger-protected 413 as any oversized body — the first
+      // cut threw NumberFormatException into a no-linger 500
+      val overflow = "POST / HTTP/1.1\r\nHost: x\r\n" +
+        "Content-Length: 9999999999\r\n\r\n"
+      assert(raw(rx.boundPort, overflow).startsWith("HTTP/1.1 413"))
+      // non-numeric and negative are malformed → 400
+      val garbage = "POST / HTTP/1.1\r\nHost: x\r\n" +
+        "Content-Length: abc\r\n\r\n"
+      assert(raw(rx.boundPort, garbage).startsWith("HTTP/1.1 400"))
+      val negative = "POST / HTTP/1.1\r\nHost: x\r\n" +
+        "Content-Length: -5\r\n\r\n"
+      assert(raw(rx.boundPort, negative).startsWith("HTTP/1.1 400"))
+      // a stream of bare CRs never completes a line: the byte budget must
+      // refuse it (sb.length-based counting read it forever)
+      val crFlood = "\r" * 20000
+      assert(raw(rx.boundPort, crFlood).startsWith("HTTP/1.1 400"))
+      // unbounded header COUNT is refused even though each line is small
+      val headerFlood = "GET / HTTP/1.1\r\n" +
+        (1 to 1000).map(i => s"X-$i: v\r\n").mkString + "\r\n"
+      assert(raw(rx.boundPort, headerFlood).startsWith("HTTP/1.1 400"))
+    } finally rx.stop()
+  }
 }
