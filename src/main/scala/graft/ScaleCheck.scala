@@ -49,6 +49,7 @@ object ScaleCheck {
     graft.sources.Compaction.clearCache()
     graft.sources.IncrementalRollup.clearCache()
     graft.sources.SchemaEvolution.clearCache()
+    graft.sources.FileIndex.clearCache()
   }
 
   def main(args: Array[String]): Unit = {
