@@ -34,7 +34,8 @@ object SparkEntry {
       graft.sources.ZOrderLayout.queries ++
       graft.sources.IncrementalRollup.queries ++
       graft.sources.SchemaEvolution.queries ++
-      graft.sources.FileIndex.queries
+      graft.sources.FileIndex.queries ++
+      graft.sources.TimeTravel.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's core operation: keyed concat/count aggregation over the

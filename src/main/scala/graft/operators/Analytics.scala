@@ -1259,7 +1259,102 @@ object Analytics {
       |  ROUND(SUM(v_filled), 2) AS sum_filled
       |FROM filled GROUP BY user_id""".stripMargin
 
+  // ---- slowly-changing-dimension (type 2) join --------------------------------
+
+  /** Effective-dated dimension join — the SCD-2 warehouse classic: each
+    * customer carries TWO dimension versions (market segment, then an
+    * upgraded segment from a per-customer split date), and every order
+    * joins to the version whose [valid_from, valid_to) interval covers
+    * its order date. The versions are synthesized deterministically
+    * (split = 1994-01-01 + custkey % 1461 days) so the DuckDB oracle
+    * replays the identical dimension.
+    *
+    * Shape for scale: the right SCD-2 plan is a plain HASH equi-join on
+    * the natural key with the interval test as a residual predicate —
+    * never a range join: versions-per-key is small (2 here, rarely >10 in
+    * practice), so each probe tests a handful of intervals inline. The
+    * dim stays unhinted — AQE broadcasts it while it fits (dims usually
+    * do even at 100 TB) and falls back to shuffle-hash when it doesn't. */
+  def scd2Join(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+    val split = date_add(to_date(lit("1994-01-01")),
+      (col("c_custkey") % 1461).cast("int"))
+    val v1 = cust.select(col("c_custkey"),
+      col("c_mktsegment").as("segment"),
+      to_date(lit("1992-01-01")).as("valid_from"), split.as("valid_to"))
+    val v2 = cust.select(col("c_custkey"),
+      concat(lit("UPG-"), col("c_mktsegment")).as("segment"),
+      split.as("valid_from"), to_date(lit("9999-01-01")).as("valid_to"))
+    val dim = v1.unionByName(v2)
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("od"),
+        col("o_totalprice"))
+      .join(dim, col("o_custkey") === col("c_custkey") &&
+        col("od") >= col("valid_from") && col("od") < col("valid_to"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+  }
+
+  val scd2JoinSql: String =
+    """WITH splitd AS (
+      |  SELECT c_custkey, c_mktsegment,
+      |    DATE '1994-01-01' + CAST(c_custkey % 1461 AS INTEGER) AS sp
+      |  FROM customer
+      |), dim AS (
+      |  SELECT c_custkey, c_mktsegment AS segment,
+      |    DATE '1992-01-01' AS valid_from, sp AS valid_to FROM splitd
+      |  UNION ALL
+      |  SELECT c_custkey, 'UPG-' || c_mktsegment, sp, DATE '9999-01-01'
+      |  FROM splitd
+      |)
+      |SELECT segment, COUNT(*) AS n_orders,
+      |  ROUND(SUM(o_totalprice), 2) AS revenue
+      |FROM orders o JOIN dim d ON o.o_custkey = d.c_custkey
+      |  AND CAST(o.o_orderdate AS DATE) >= d.valid_from
+      |  AND CAST(o.o_orderdate AS DATE) < d.valid_to
+      |GROUP BY segment""".stripMargin
+
+  // ---- equi-height histogram (ANALYZE-stats shape) -----------------------------
+
+  /** Equi-height histogram of order totals — the optimizer-statistics
+    * primitive (`ANALYZE TABLE ... COMPUTE STATISTICS` histograms): 8
+    * buckets of near-equal row count with per-bucket [lo, hi] bounds and
+    * exact counts. Bucket membership is floor(percent_rank · B) over the
+    * unique (price, orderkey) ordering, computed by
+    * [[distributedPercentRank]] — range-bucket + broadcast offsets, so
+    * NO single-partition window anywhere (the trap `ntile` over a global
+    * ORDER BY would be at 100 TB). percent_rank is the same
+    * (rank−1)/(n−1) double in both engines, so the floor is
+    * deterministic cross-engine. */
+  def equiHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val b = 8
+    val priced = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    distributedPercentRank(priced, col("o_totalprice"), col("o_orderkey"),
+        "pct")
+      .withColumn("bucket",
+        least(floor(col("pct") * b), lit(b - 1L)).cast("int"))
+      .groupBy(col("bucket"))
+      .agg(round(min(col("o_totalprice")), 2).as("lo"),
+        round(max(col("o_totalprice")), 2).as("hi"),
+        count(lit(1)).as("n"))
+  }
+
+  val equiHistogramSql: String =
+    """WITH pct AS (
+      |  SELECT o_totalprice,
+      |    percent_rank() OVER (ORDER BY o_totalprice, o_orderkey) AS pr
+      |  FROM orders
+      |)
+      |SELECT CAST(LEAST(FLOOR(pr * 8), 7) AS INT) AS bucket,
+      |  ROUND(MIN(o_totalprice), 2) AS lo,
+      |  ROUND(MAX(o_totalprice), 2) AS hi, COUNT(*) AS n
+      |FROM pct GROUP BY 1""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "q_equi_histogram"    -> Q(equiHistogramSql)(equiHistogram),
+    "q_scd2_join"         -> Q(scd2JoinSql)(scd2Join),
     "q1_pricing_summary"  -> Q(q1Sql)(q1Pricing),
     "q3_shipping_priority"-> Q(q3Sql)(q3Shipping),
     "q4_order_priority"   -> Q(q4Sql)(q4OrderPriority),

@@ -87,6 +87,15 @@ object Similarity {
       |  SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM ex GROUP BY vec_id
       |)""".stripMargin
 
+  /** Exploded twin carrying label + generation half (for the drift
+    * census) — same float-pinning discipline as [[embCte]]. */
+  private val embHalfCte: String =
+    """exh AS (
+      |  SELECT label, vec_id % 2 AS half, i,
+      |    CAST(CAST(embedding[CAST(i AS INT)] AS FLOAT) AS DOUBLE) AS x
+      |  FROM embeddings, range(1, 65) r(i)
+      |)""".stripMargin
+
   // ---- brute-force cosine top-k ---------------------------------------------
 
   /** Exact top-10 cosine neighbors for the first 10 vectors: the query set
@@ -1728,7 +1737,71 @@ object Similarity {
        |    AS BIGINT) AS n_kept
        |FROM rk CROSS JOIN tot GROUP BY cell""".stripMargin
 
+  // ---- embedding-space distribution drift -------------------------------------
+
+  /** Embedding-space drift monitor: per label, the cosine between the
+    * CENTROIDS of two corpus "generations" (the deterministic vec_id-
+    * parity split standing in for an ingest-date split). The text-side
+    * twin is `t_drift_js`; this one catches the shifts token statistics
+    * miss — an embedding model upgrade, a topical move inside a stable
+    * vocabulary — because a centroid moves whenever the MASS of the cloud
+    * moves. Healthy same-distribution halves read ~1.0; a drifting
+    * source's label falls away from it.
+    *
+    * Shape for scale: ONE pass over the exploded vectors — the per-
+    * (label, half, dim) mean and the per-label vector tallies ride the
+    * same shuffle (counts divide the exploded rows back by max dim
+    * index, so no second corpus scan); everything after that aggregation
+    * is label_count × dim rows. */
+  def centroidDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val ex = Tables.embeddings(spark, sfDir)
+      .select(col("label"), (col("vec_id") % 2).as("half"),
+        posexplode(col("embedding")))
+      .select(col("label"), col("half"), (col("pos") + 1).as("i"),
+        col("col").cast("double").as("x"))
+    val cent = ex.groupBy(col("label"), col("half"), col("i"))
+      .agg(avg(col("x")).as("cx"))
+    val counts = ex.groupBy(col("label"))
+      .agg(expr("sum(case when half = 0 then 1L else 0L end) div max(i)")
+          .as("n0"),
+        expr("sum(case when half = 1 then 1L else 0L end) div max(i)")
+          .as("n1"))
+    val c0 = cent.filter(col("half") === 0)
+      .select(col("label"), col("i"), col("cx").as("x0"))
+    val c1 = cent.filter(col("half") === 1)
+      .select(col("label"), col("i"), col("cx").as("x1"))
+    c0.join(c1, Seq("label", "i"))
+      .groupBy(col("label"))
+      .agg(round(sum(col("x0") * col("x1"))
+          / (sqrt(sum(col("x0") * col("x0")))
+            * sqrt(sum(col("x1") * col("x1")))), 6)
+        .as("centroid_cos"))
+      .join(counts, Seq("label"))
+  }
+
+  val centroidDriftSql: String =
+    s"""WITH $embHalfCte, cent AS (
+       |  SELECT label, half, i, AVG(x) AS cx FROM exh GROUP BY 1, 2, 3
+       |), cnt AS (
+       |  SELECT label,
+       |    SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) // MAX(i) AS n0,
+       |    SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) // MAX(i) AS n1
+       |  FROM exh GROUP BY label
+       |), cosd AS (
+       |  SELECT c0.label,
+       |    ROUND(SUM(c0.cx * c1.cx) / (sqrt(SUM(c0.cx * c0.cx))
+       |      * sqrt(SUM(c1.cx * c1.cx))), 6) AS centroid_cos
+       |  FROM cent c0 JOIN cent c1
+       |    ON c0.label = c1.label AND c0.i = c1.i
+       |    AND c0.half = 0 AND c1.half = 1
+       |  GROUP BY c0.label
+       |)
+       |SELECT label, centroid_cos, CAST(n0 AS BIGINT) AS n0,
+       |  CAST(n1 AS BIGINT) AS n1
+       |FROM cosd JOIN cnt USING (label)""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "s_centroid_drift" -> Q(centroidDriftSql)(centroidDrift),
     "s_ivfpq_topk"    -> Q(ivfpqTopKSql)(ivfpqTopK),
     "s_ivfpq_recall"  -> Q(ivfpqRecallSql)(ivfpqRecall),
     "s_cell_quota"    -> Q(cellQuotaSql)(cellQuota),

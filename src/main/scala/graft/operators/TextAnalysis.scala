@@ -1495,7 +1495,76 @@ object TextAnalysis {
        |    * ln(c / CAST(n AS DOUBLE))), 4) AS entropy
        |FROM by_src JOIN tot USING (shard) GROUP BY shard""".stripMargin
 
+  // ---- distribution drift between corpus generations -------------------------
+
+  /** Per-source distribution drift: Jensen-Shannon divergence between the
+    * unigram LMs of two corpus "generations" (the deterministic doc_id-
+    * parity split standing in for an ingest-date split — documents carry
+    * no timestamp). This is the corpus monitor that catches a source
+    * silently changing character between crawls BEFORE it shifts the
+    * training mix: JS is symmetric and bounded by ln 2, so one dial
+    * compares across sources of very different size. Both halves are
+    * add-α smoothed (α = 0.5, the LM-family constant) over the SOURCE's
+    * union vocabulary, so each is a proper distribution and zero-count
+    * tokens stay finite.
+    *
+    * Shape for scale: one explode + groupBy((source, token)) shuffles the
+    * token stream once with map-side partial counts for both halves in
+    * the same pass (the two-generation contrast rides one aggregation,
+    * not two scans); the per-source totals are an n_sources-row broadcast.
+    * Terms round only after the final per-source sum (at 6 — the
+    * LM-family cross-engine ln discipline). */
+  def driftJs(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("source"), (col("doc_id") % 2).as("half"),
+        explode(tokens(col("text"))).as("tk"))
+    val cnt = tok.groupBy(col("source"), col("tk"))
+      .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("c1"))
+    val per = cnt.groupBy(col("source"))
+      .agg(sum(col("c0")).as("t0"), sum(col("c1")).as("t1"),
+        count(lit(1)).as("v"))
+    val pp = (col("c0") + lit(0.5)) / (col("t0") + lit(0.5) * col("v"))
+    val qq = (col("c1") + lit(0.5)) / (col("t1") + lit(0.5) * col("v"))
+    val mm = (pp + qq) / lit(2.0)
+    cnt.join(broadcast(per), Seq("source"))
+      .select(col("source"), col("t0"), col("t1"), col("v"),
+        (lit(0.5) * pp * log(pp / mm) + lit(0.5) * qq * log(qq / mm))
+          .as("term"))
+      .groupBy(col("source"))
+      .agg(max(col("t0")).as("tok0"), max(col("t1")).as("tok1"),
+        max(col("v")).as("vocab"),
+        round(sum(col("term")), 6).as("js"))
+  }
+
+  val driftJsSql: String =
+    """WITH tok AS (
+      |  SELECT source, doc_id % 2 AS half,
+      |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tk
+      |  FROM documents
+      |), cnt AS (
+      |  SELECT source, tk,
+      |    SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS c0,
+      |    SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS c1
+      |  FROM tok GROUP BY source, tk
+      |), per AS (
+      |  SELECT source, CAST(SUM(c0) AS BIGINT) AS t0,
+      |    CAST(SUM(c1) AS BIGINT) AS t1, COUNT(*) AS v
+      |  FROM cnt GROUP BY source
+      |), terms AS (
+      |  SELECT c.source, p.t0, p.t1, p.v,
+      |    (c.c0 + 0.5) / (p.t0 + 0.5 * p.v) AS pp,
+      |    (c.c1 + 0.5) / (p.t1 + 0.5 * p.v) AS qq
+      |  FROM cnt c JOIN per p USING (source)
+      |)
+      |SELECT source, MAX(t0) AS tok0, MAX(t1) AS tok1,
+      |  CAST(MAX(v) AS BIGINT) AS vocab,
+      |  ROUND(SUM(0.5 * pp * ln(pp / ((pp + qq) / 2))
+      |          + 0.5 * qq * ln(qq / ((pp + qq) / 2))), 6) AS js
+      |FROM terms GROUP BY source""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "t_drift_js"          -> Q(driftJsSql)(driftJs),
     "t_dsir_weights"      -> Q(dsirWeightsSql)(dsirWeights),
     "t_vocab_coverage"    -> Q(vocabCoverageSql)(vocabCoverage),
     "t_shard_mix"         -> Q(shardMixSql)(shardMix),

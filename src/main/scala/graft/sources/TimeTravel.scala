@@ -1,0 +1,233 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.model.Tables
+
+/** Versioned snapshot reads over an immutable-file table — the COMMIT-LOG
+  * half of the table-format story (FileIndex is the stats half, SchemaEvolution
+  * the schema half). The Delta/Iceberg shape: data files are immutable; a
+  * tiny log table records per-version `add`/`remove` actions; "the table at
+  * version V" is the set of paths whose LAST action at version ≤ V is an
+  * add. A delete is copy-on-write: only the files that CONTAIN affected
+  * rows are rewritten (survivors re-added as one new file), every other
+  * file stays referenced untouched — at 100 TB a 10% delete rewrites ~10%
+  * of the bytes and the other 90% of files are never opened, while every
+  * historical version stays readable until vacuum reclaims it.
+  *
+  * Built on `documents`: v0 writes the corpus range-partitioned by doc_id
+  * into a byte-derived file count; v1 is a copy-on-write delete of the
+  * low 10% of the doc_id span (K = mn + (mx-mn) div 10, long arithmetic —
+  * the same rule the DuckDB oracle replays on the ORIGINAL table). Both
+  * registered reads go THROUGH the log:
+  *  - `src_time_travel` — census of the LATEST snapshot; the file set is
+  *    assembled from the log (read log, last-action-per-path via max_by,
+  *    collect the bounded live-path list — exactly what a metastore hands
+  *    a planner), then one parquet scan over only those paths.
+  *  - `src_snapshot_diff` — CDC between v0 and v1 computed from the
+  *    CHANGED files only (removed-at-v1 anti-join added-at-v1 on doc_id):
+  *    cost is O(changed files), never O(table) — the incremental-consumer
+  *    contract a 100-TB downstream job depends on.
+  * `TimeTravelSpec` pins what the oracles cannot see: v0 reads the full
+  * corpus, untouched files are shared byte-identically between versions,
+  * the v1 read never opens a removed path, vacuum physically reclaims
+  * exactly the files no retained version references (v1 read intact
+  * afterwards), and the layout cache is fingerprint-validated.
+  */
+object TimeTravel {
+
+  /** Byte-derived data-file count (TargetFileBytes per file at scale,
+    * floor so copy-on-write rewrites a strict subset at test SFs). */
+  val MinFiles = 8
+  val TargetFileBytes = 128L * 1024L * 1024L
+
+  /** Highest committed version in the built layout. */
+  val LatestVersion = 1L
+
+  // sfDir -> (documents fingerprint, (layout root, logDir))
+  private val created = TrieMap.empty[String, (String, (String, String))]
+
+  private def docsFp(sfDir: String): String =
+    SourceFingerprint.key(sfDir, "documents.parquet")
+
+  private def sourceBytes(sfDir: String): Long =
+    try {
+      val s = Files.walk(Paths.get(sfDir, "documents.parquet"))
+      try s.filter(Files.isRegularFile(_)).mapToLong(Files.size(_)).sum()
+      finally s.close()
+    } catch { case _: Exception => 0L }
+
+  /** input_file_name() yields a file: URI; the log stores plain absolute
+    * paths so nio deletes (vacuum) and spark reads share one spelling. */
+  private def uriToPath(name: String): String =
+    if (name.startsWith("file:")) new java.net.URI(name).getPath else name
+
+  private def dataFiles(dir: String): Seq[String] = {
+    val s = Files.walk(Paths.get(dir))
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.filter { p =>
+        val n = p.getFileName.toString
+        Files.isRegularFile(p) && n.endsWith(".parquet") &&
+          !n.startsWith("_") && !n.startsWith(".")
+      }.map(_.toString).toList.sorted
+    } finally s.close()
+  }
+
+  private def appendLog(spark: SparkSession, logDir: String,
+      rows: Seq[(Long, String, String)]): Unit = {
+    import spark.implicits._
+    rows.toDF("version", "action", "path")
+      .coalesce(1).write.mode("append").parquet(logDir)
+  }
+
+  private[graft] def ensure(spark: SparkSession, sfDir: String)
+      : (String, String) =
+    created.synchronized {
+      val fp = docsFp(sfDir)
+      created.get(sfDir) match {
+        case Some((`fp`, dirs)) => dirs
+        case stale =>
+          stale.foreach { case (_, (root, _)) =>
+            LayoutDirs.deleteQuiet(root); created.remove(sfDir)
+          }
+          val root = Files.createTempDirectory("graft-time-travel")
+          Runtime.getRuntime.addShutdownHook(new Thread(() => {
+            LayoutDirs.deleteQuiet(root.toString)
+          }))
+          val v0Dir = root.toString + "/v0"
+          val rwDir = root.toString + "/rw1"
+          val logDir = root.toString + "/log"
+          val nFiles = math.max(MinFiles,
+            (sourceBytes(sfDir) / TargetFileBytes).toInt)
+          // v0: the initial commit — range-partitioned by doc_id so a
+          // doc_id-range delete touches few files.
+          Tables.documents(spark, sfDir)
+            .repartitionByRange(nFiles, col("doc_id"))
+            .sortWithinPartitions(col("doc_id"))
+            .write.mode("overwrite").parquet(v0Dir)
+          appendLog(spark, logDir, dataFiles(v0Dir).map((0L, "add", _)))
+          // v1: copy-on-write delete of doc_id <= K. Victim detection is
+          // one column-pruned scan grouped by input_file_name (at scale
+          // the file-stats index answers this without opening data files
+          // — see FileIndex); the victim list is bounded by file count.
+          val b = Tables.documents(spark, sfDir)
+            .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+            .head()
+          val k = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 10
+          val victims = spark.read.parquet(v0Dir)
+            .groupBy(input_file_name().as("f"))
+            .agg(min(col("doc_id")).as("mn"))
+            .filter(col("mn") <= k)
+            .select("f").collect().map(r => uriToPath(r.getString(0))).toSeq
+          spark.read.parquet(victims: _*)
+            .filter(col("doc_id") > k)
+            .coalesce(1)
+            .write.mode("overwrite").parquet(rwDir)
+          appendLog(spark, logDir,
+            victims.map((1L, "remove", _)) ++
+              dataFiles(rwDir).map((1L, "add", _)))
+          created.put(sfDir, (fp, (root.toString, logDir)))
+          (root.toString, logDir)
+      }
+    }
+
+  /** The live file set at `version`: last action per path wins. Driver-
+    * side by design — this bounded path list is the metastore/manifest
+    * contract; only paths ever cross to the driver, never data. */
+  private[graft] def snapshotFiles(spark: SparkSession, logDir: String,
+      version: Long): Seq[String] =
+    spark.read.parquet(logDir)
+      .filter(col("version") <= version)
+      .groupBy(col("path"))
+      .agg(max_by(col("action"), col("version")).as("last"))
+      .filter(col("last") === "add")
+      .select("path").collect().map(_.getString(0)).toSeq.sorted
+
+  /** The table as of `version`: one scan over the log-selected paths. */
+  private[graft] def readAt(spark: SparkSession, sfDir: String,
+      version: Long): DataFrame = {
+    val (_, logDir) = ensure(spark, sfDir)
+    spark.read.parquet(snapshotFiles(spark, logDir, version): _*)
+  }
+
+  /** Census of the latest snapshot, read through the commit log. */
+  def latestCensus(spark: SparkSession, sfDir: String): DataFrame =
+    readAt(spark, sfDir, LatestVersion)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"))
+
+  val latestCensusSql: String =
+    """WITH b AS (SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx
+      |           FROM documents)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  MIN(doc_id) AS min_doc
+      |FROM documents, b
+      |WHERE doc_id > b.mn + (b.mx - b.mn) // 10
+      |GROUP BY source""".stripMargin
+
+  /** CDC between v0 and v1 from the CHANGED files only: rows present in
+    * the removed files but absent from the files added by the same
+    * commit are that commit's deletes. Neither scan touches an untouched
+    * file, so diff cost tracks the commit size, not the table. */
+  def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, logDir) = ensure(spark, sfDir)
+    val v1 = spark.read.parquet(logDir).filter(col("version") === 1L)
+    val removed = v1.filter(col("action") === "remove")
+      .select("path").collect().map(_.getString(0)).toSeq
+    val added = v1.filter(col("action") === "add")
+      .select("path").collect().map(_.getString(0)).toSeq
+    spark.read.parquet(removed: _*)
+      .join(spark.read.parquet(added: _*).select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_deleted"),
+        sum(col("n_chars")).as("chars_deleted"))
+  }
+
+  val snapshotDiffSql: String =
+    """WITH b AS (SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx
+      |           FROM documents)
+      |SELECT source, COUNT(*) AS n_deleted,
+      |  CAST(SUM(n_chars) AS BIGINT) AS chars_deleted
+      |FROM documents, b
+      |WHERE doc_id <= b.mn + (b.mx - b.mn) // 10
+      |GROUP BY source""".stripMargin
+
+  /** Physically delete every data file no version ≥ `retainMin` can
+    * reach (the VACUUM shape: history below the retention floor becomes
+    * unreadable; everything at or above it is untouched). Returns the
+    * deleted paths. */
+  private[graft] def vacuum(spark: SparkSession, sfDir: String,
+      retainMin: Long): Seq[String] = {
+    val (_, logDir) = ensure(spark, sfDir)
+    val all = spark.read.parquet(logDir)
+      .filter(col("action") === "add")
+      .select("path").distinct()
+      .collect().map(_.getString(0)).toSet
+    val keep = (retainMin to LatestVersion)
+      .flatMap(v => snapshotFiles(spark, logDir, v)).toSet
+    val drop = (all -- keep).toSeq.sorted
+    drop.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    drop
+  }
+
+  /** Test hook: drop cached layouts (the shared clear contract). */
+  private[graft] def clearCache(): Unit = created.synchronized {
+    created.values.foreach { case (_, (root, _)) =>
+      LayoutDirs.deleteQuiet(root)
+    }
+    created.clear()
+  }
+
+  def queries: Map[String, Q] = Map(
+    "src_time_travel" -> Q(latestCensusSql)(latestCensus),
+    "src_snapshot_diff" -> Q(snapshotDiffSql)(snapshotDiff))
+}
