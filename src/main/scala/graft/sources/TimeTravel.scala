@@ -85,6 +85,29 @@ object TimeTravel {
       .coalesce(1).write.mode("append").parquet(logDir)
   }
 
+  /** Capture per-file min/max/count stats for every data file under
+    * `dir` and append them to the index table — the add-file-stats half
+    * of a commit (data files are immutable, so an index row is keyed by
+    * path alone and never revised; a snapshot's index is the live-path
+    * subset). At 100 TB the writer computes these as it closes each
+    * file; deriving them from one column-pruned scan of the just-written
+    * commit keeps the demo honest about what the index CONTAINS. */
+  private def appendIndex(spark: SparkSession, indexDir: String,
+      dir: String): Unit =
+    spark.read.parquet(dir)
+      .groupBy(input_file_name().as("path"))
+      .agg(min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"),
+        count(lit(1)).as("rows"))
+      .withColumn("path", udfFreePath(col("path")))
+      .coalesce(1).write.mode("append").parquet(indexDir)
+
+  /** file:-URI → plain path, expression-side (mirror of [[uriToPath]]). */
+  private def udfFreePath(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    when(c.startsWith("file:"),
+      regexp_replace(c, "^file:(//)?", "")).otherwise(c)
+
   private[graft] def ensure(spark: SparkSession, sfDir: String)
       : (String, String) =
     created.synchronized {
@@ -111,6 +134,7 @@ object TimeTravel {
             .sortWithinPartitions(col("doc_id"))
             .write.mode("overwrite").parquet(v0Dir)
           appendLog(spark, logDir, dataFiles(v0Dir).map((0L, "add", _)))
+          appendIndex(spark, root.toString + "/index", v0Dir)
           // v1: copy-on-write delete of doc_id <= K. Victim detection is
           // one column-pruned scan grouped by input_file_name (at scale
           // the file-stats index answers this without opening data files
@@ -131,6 +155,7 @@ object TimeTravel {
           appendLog(spark, logDir,
             victims.map((1L, "remove", _)) ++
               dataFiles(rwDir).map((1L, "add", _)))
+          appendIndex(spark, root.toString + "/index", rwDir)
           created.put(sfDir, (fp, (root.toString, logDir)))
           (root.toString, logDir)
       }
@@ -201,6 +226,43 @@ object TimeTravel {
       |WHERE doc_id <= b.mn + (b.mx - b.mn) // 10
       |GROUP BY source""".stripMargin
 
+  /** Range lookup at the latest version THROUGH log + index — the two
+    * metadata tables compose: the log yields the live path set, the
+    * index prunes it to the files whose [min_doc, max_doc] overlaps the
+    * queried range, and only those are opened (spec-gated ≤ 3). Index
+    * rows are keyed by immutable path, so commits never revise them —
+    * consistency across versions is selection, not maintenance. The
+    * probe range is (K, mn + span/5]: it straddles the delete cutoff's
+    * rewrite file and its right neighbor. */
+  def rangeLookup(spark: SparkSession, sfDir: String): DataFrame = {
+    val (root, logDir) = ensure(spark, sfDir)
+    val b = Tables.documents(spark, sfDir)
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .head()
+    val lo = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 10
+    val hi = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 5
+    val live = snapshotFiles(spark, logDir, LatestVersion)
+    val files = spark.read.parquet(root + "/index")
+      .filter(col("path").isin(live: _*))
+      .filter(col("max_doc") > lo && col("min_doc") <= hi)
+      .select("path").collect().map(_.getString(0)).toSeq
+    spark.read.parquet(files: _*)
+      .filter(col("doc_id") > lo && col("doc_id") <= hi)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("lo_doc"),
+        max(col("doc_id")).as("hi_doc"))
+  }
+
+  val rangeLookupSql: String =
+    """WITH b AS (SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx
+      |           FROM documents)
+      |SELECT COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  MIN(doc_id) AS lo_doc, MAX(doc_id) AS hi_doc
+      |FROM documents, b
+      |WHERE doc_id > b.mn + (b.mx - b.mn) // 10
+      |  AND doc_id <= b.mn + (b.mx - b.mn) // 5""".stripMargin
+
   /** Physically delete every data file no version ≥ `retainMin` can
     * reach (the VACUUM shape: history below the retention floor becomes
     * unreadable; everything at or above it is untouched). Returns the
@@ -229,5 +291,6 @@ object TimeTravel {
 
   def queries: Map[String, Q] = Map(
     "src_time_travel" -> Q(latestCensusSql)(latestCensus),
-    "src_snapshot_diff" -> Q(snapshotDiffSql)(snapshotDiff))
+    "src_snapshot_diff" -> Q(snapshotDiffSql)(snapshotDiff),
+    "src_index_sync" -> Q(rangeLookupSql)(rangeLookup))
 }

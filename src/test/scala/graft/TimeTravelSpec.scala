@@ -57,6 +57,30 @@ class TimeTravelSpec extends SparkSuite {
       s"diff says $deleted deletes but the snapshots differ by ${v0n - v1n}")
   }
 
+  test("stats index agrees with every live file's recomputed min/max; range read opens <= 3 files") {
+    val s = spark
+    val (root, logDir) = TimeTravel.ensure(s, sf0001)
+    val live = TimeTravel.snapshotFiles(s, logDir, 1L)
+    val indexed = s.read.parquet(root + "/index")
+      .filter(col("path").isin(live: _*))
+      .collect().map(r => r.getAs[String]("path") ->
+        (r.getAs[Long]("min_doc"), r.getAs[Long]("max_doc"),
+          r.getAs[Long]("rows"))).toMap
+    val truth = s.read.parquet(live: _*)
+      .groupBy(input_file_name().as("path"))
+      .agg(min(col("doc_id")), max(col("doc_id")), count(lit(1)))
+      .collect().map(r => new java.net.URI(r.getString(0)).getPath ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(indexed == truth,
+      "index rows diverged from the live files' stats after the commit")
+    val df = TimeTravel.rangeLookup(s, sf0001)
+    assert(df.count() == 1)
+    val opened = df.inputFiles.length
+    assert(opened <= 3,
+      s"range lookup opened $opened of ${live.size} live files")
+    assert(live.size >= 6, "too few files — the skip property is vacuous")
+  }
+
   test("vacuum reclaims exactly the unreachable files; retained version intact") {
     val s = spark
     val (_, logDir) = TimeTravel.ensure(s, sf0001)
