@@ -1495,6 +1495,34 @@ object TextAnalysis {
        |    * ln(c / CAST(n AS DOUBLE))), 4) AS entropy
        |FROM by_src JOIN tot USING (shard) GROUP BY shard""".stripMargin
 
+  // ---- global contiguous ordinals ---------------------------------------------
+
+  /** Global contiguous ordinal assignment — the sample-index primitive
+    * (stable shard positions, curriculum order) — WITHOUT the
+    * single-partition sort `row_number() OVER (ORDER BY …)` costs at
+    * 100 TB. Rides [[Analytics.distributedPercentRank]] (range-bucket +
+    * broadcast per-bucket offsets, one data shuffle): percent_rank over
+    * a unique ordering is ordinal/(n−1), so the ordinal is recovered
+    * exactly by rounding pct·(n−1) — both factors are exact doubles for
+    * any corpus below 2^52 rows. Order here is curriculum-style:
+    * longest document first, doc_id as the tiebreak. */
+  def globalOrdinals(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val n = docs.agg(count(lit(1)).as("n_total"))
+    Analytics.distributedPercentRank(docs, -col("n_chars"), col("doc_id"),
+        "pct")
+      .crossJoin(broadcast(n)) // 1-row total: BNLJ, not cartesian
+      .select(col("doc_id"), col("source"),
+        (round(col("pct") * (col("n_total") - 1)).cast("long") + 1)
+          .as("ordinal"))
+  }
+
+  val globalOrdinalsSql: String =
+    """SELECT doc_id, source,
+      |  ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS ordinal
+      |FROM documents""".stripMargin
+
   // ---- distribution drift between corpus generations -------------------------
 
   /** Per-source distribution drift: Jensen-Shannon divergence between the
@@ -1564,6 +1592,7 @@ object TextAnalysis {
       |FROM terms GROUP BY source""".stripMargin
 
   def queries: Map[String, Q] = Map(
+    "t_global_ordinals"   -> Q(globalOrdinalsSql)(globalOrdinals),
     "t_drift_js"          -> Q(driftJsSql)(driftJs),
     "t_dsir_weights"      -> Q(dsirWeightsSql)(dsirWeights),
     "t_vocab_coverage"    -> Q(vocabCoverageSql)(vocabCoverage),

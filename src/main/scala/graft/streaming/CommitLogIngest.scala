@@ -6,42 +6,58 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
+import graft.sources.LayoutDirs
+
 /** Streaming ingest INTO the commit-log table format (the write-path
   * companion of `sources/TimeTravel`): each micro-batch lands as ONE
   * table version — the batch's rows are written to a fresh immutable
-  * file set, then add-actions for those files are appended to the log
-  * as a single version. Readers compose unchanged: "the table at
+  * file set, then add-actions for those files are committed as the log
+  * partition `log/version=N`. Readers compose unchanged: "the table at
   * version V" is the log's last-action-wins path set, so a reader
   * pinned at V is isolated from every later commit, and the latest
   * snapshot is always a consistent prefix of the stream — the
   * lakehouse contract a 100-TB pipeline lands raw data under.
   *
   * Replay safety (at-least-once foreachBatch): the LOG is the source of
-  * truth, not the marker. A replayed batch first consults the log — if
-  * its version is already committed, only the fast-path marker is
-  * repaired; if not, the data dir is rewritten (clobbering any partial
-  * files a crash left, which nothing references yet) and the log
-  * appended. So the two crash windows both heal: crash between
-  * data-write and log-append replays into a clean rewrite; crash
-  * between log-append and marker replays into a marker repair, never a
-  * duplicate version or a dangling path. On a real object store the
-  * log append itself needs put-if-absent (the Delta `_delta_log/N.json`
-  * contention rule); a local filesystem test gets atomicity from the
-  * single writer. */
+  * truth, not the marker. A replayed batch first checks its log
+  * partition — if the version is already committed, only the fast-path
+  * marker is repaired; if not, the data dir is rewritten (clobbering any
+  * partial files a crash left, which nothing references yet) and the
+  * log partition written. So the two crash windows both heal: crash
+  * between data-write and log-commit replays into a clean rewrite;
+  * crash between log-commit and marker replays into a marker repair,
+  * never a duplicate version or a dangling path. On a real object store
+  * the per-version log commit needs put-if-absent (the Delta
+  * `_delta_log/N.json` contention rule); a local filesystem test gets
+  * atomicity from the single writer.
+  *
+  * Log CHECKPOINTING (the Delta `checkpoint.parquet` shape): a log that
+  * grows one partition per commit makes every snapshot read O(commits).
+  * Every [[CheckpointEvery]] versions the RESOLVED live set (path +
+  * its add version) is written to `log_ckpt/c=N`, and snapshot reads at
+  * or above N replay checkpoint + tail only — the tail filter is a
+  * partition prune on the `version=` dirs, so the read opens a bounded
+  * handful of log files no matter how long the stream has run. Log
+  * partitions at or below the checkpoint become RETENTION: they can be
+  * deleted (bounding log storage) at the cost of time travel below the
+  * checkpoint, and `StreamingCommitSpec` proves the latest snapshot
+  * survives exactly that deletion. */
 object CommitLogIngest {
 
+  /** Checkpoint after versions CheckpointEvery−1, 2·CheckpointEvery−1, … */
+  val CheckpointEvery = 10L
+
   private def markerPath(dir: String) = Paths.get(dir, "_last_batch")
+  private def ckptMarkerPath(dir: String) = Paths.get(dir, "_last_ckpt")
 
   private[graft] def lastCommitted(dir: String): Long =
     try new String(Files.readAllBytes(markerPath(dir)), "UTF-8").trim.toLong
     catch { case _: Exception => -1L }
 
-  private def logHasVersion(spark: SparkSession, logDir: String,
-      version: Long): Boolean =
-    Files.exists(Paths.get(logDir)) &&
-      graft.sources.LayoutDirs.hasParquetData(logDir) &&
-      !spark.read.parquet(logDir)
-        .filter(col("version") === version).isEmpty
+  private[graft] def lastCheckpoint(dir: String): Long =
+    try new String(Files.readAllBytes(ckptMarkerPath(dir)), "UTF-8")
+      .trim.toLong
+    catch { case _: Exception => -1L }
 
   private def dataFiles(dir: String): Seq[String] = {
     val s = Files.walk(Paths.get(dir))
@@ -55,11 +71,28 @@ object CommitLogIngest {
     } finally s.close()
   }
 
-  private def writeMarker(tableDir: String, batchId: Long): Unit = {
-    Files.createDirectories(Paths.get(tableDir))
-    Files.write(markerPath(tableDir), batchId.toString.getBytes("UTF-8"),
+  private def writeMarker(path: java.nio.file.Path, v: Long): Unit = {
+    Files.createDirectories(path.getParent)
+    Files.write(path, v.toString.getBytes("UTF-8"),
       StandardOpenOption.CREATE, StandardOpenOption.WRITE,
       StandardOpenOption.TRUNCATE_EXISTING)
+  }
+
+  /** Resolve the live set at `upTo` from the full log and persist it as
+    * the checkpoint `log_ckpt/c=<upTo>` (never overwritten — older
+    * checkpoints stay valid for readers that already picked them up). */
+  private def writeLogCheckpoint(spark: SparkSession, tableDir: String,
+      upTo: Long): Unit = {
+    spark.read.parquet(s"$tableDir/log")
+      .filter(col("version") <= upTo)
+      .groupBy(col("path"))
+      .agg(max_by(col("action"), col("version")).as("last"),
+        max(col("version")).cast("long").as("v"))
+      .filter(col("last") === "add")
+      .select(col("path"), col("v"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$tableDir/log_ckpt/c=$upTo")
+    writeMarker(ckptMarkerPath(tableDir), upTo)
   }
 
   /** Commit one micro-batch as table version `batchId`, exactly once. */
@@ -68,29 +101,54 @@ object CommitLogIngest {
     if (batchId <= lastCommitted(tableDir)) return
     if (batch.isEmpty) return // no empty versions (the Delta discipline)
     val spark = batch.sparkSession
-    val logDir = s"$tableDir/log"
-    if (!logHasVersion(spark, logDir, batchId)) {
+    val versionDir = s"$tableDir/log/version=$batchId"
+    if (!LayoutDirs.hasParquetData(versionDir)) {
       val dataDir = s"$tableDir/data/b$batchId"
       batch.write.mode("overwrite").parquet(dataDir)
       import spark.implicits._
-      dataFiles(dataDir).map((batchId, "add", _))
-        .toDF("version", "action", "path")
-        .coalesce(1).write.mode("append").parquet(logDir)
+      dataFiles(dataDir).map(("add", _)).toDF("action", "path")
+        .coalesce(1).write.mode("overwrite").parquet(versionDir)
     }
-    writeMarker(tableDir, batchId)
+    if ((batchId + 1) % CheckpointEvery == 0)
+      writeLogCheckpoint(spark, tableDir, batchId)
+    writeMarker(markerPath(tableDir), batchId)
+  }
+
+  /** The live file set at `version`: checkpoint + tail when a usable
+    * checkpoint exists (bounded log read — the tail filter partition-
+    * prunes the `version=` dirs), full log replay otherwise. */
+  private[graft] def liveFiles(spark: SparkSession, tableDir: String,
+      version: Long): Seq[String] = {
+    val logDir = s"$tableDir/log"
+    val c = lastCheckpoint(tableDir)
+    val resolved =
+      if (c >= 0 && version >= c) {
+        val base = spark.read.parquet(s"$tableDir/log_ckpt/c=$c")
+          .select(col("v").as("version"), lit("add").as("action"),
+            col("path"))
+        val tail = spark.read.parquet(logDir)
+          .filter(col("version") > c && col("version") <= version)
+          .select(col("version").cast("long"), col("action"), col("path"))
+        base.unionByName(tail)
+      } else
+        spark.read.parquet(logDir)
+          .filter(col("version") <= version)
+          .select(col("version").cast("long"), col("action"), col("path"))
+    resolved.groupBy(col("path"))
+      .agg(max_by(col("action"), col("version")).as("last"))
+      .filter(col("last") === "add")
+      .select("path").collect().map(_.getString(0)).toSeq.sorted
   }
 
   /** The table at `version` (or the latest committed version when
     * negative) — the TimeTravel read over this stream's log. */
   def snapshot(spark: SparkSession, tableDir: String,
       version: Long = -1L): DataFrame = {
-    val logDir = s"$tableDir/log"
     val v =
       if (version >= 0) version
-      else spark.read.parquet(logDir).agg(max(col("version")))
-        .head().getLong(0)
-    val files = graft.sources.TimeTravel.snapshotFiles(spark, logDir, v)
-    spark.read.parquet(files: _*)
+      else spark.read.parquet(s"$tableDir/log")
+        .agg(max(col("version")).cast("long")).head().getLong(0)
+    spark.read.parquet(liveFiles(spark, tableDir, v): _*)
   }
 
   /** Start the commit loop. `triggerSec <= 0` drops the processing-time

@@ -83,9 +83,10 @@ class PlanQualitySpec extends SparkSuite {
         "rqcd"), // ADC distance table, ≤ Q·probes·PqM·PqK rows (50·4·4·16)
       "DlqQueries.scala" -> Set("offsets"), // per-level offsets, ≤ 10 rows
       "TextAnalysis.scala" -> Set(
-        "nDocs", "total", "vocab", "tot", "minTok", // 1-row aggregates
+        "nDocs", "total", "vocab", "tot", "minTok", "n", // 1-row aggregates
         "win", // the single winning BPE merge pair
-        "rates"), // per-source rates, bounded by #sources
+        "rates", // per-source rates, bounded by #sources
+        "per"), // per-source LM totals, bounded by #sources (driftJs)
       "StreamingQuantizer.scala" ->
         Set("model", // K-row trained coarse model
           "pqModel")) // 1-row nested codebook, PqM×PqK×subDim floats

@@ -32,7 +32,7 @@ class StreamingCommitSpec extends SparkSuite {
         q1.processAllAvailable()
         assert(CommitLogIngest.snapshot(s, table).count() == 2)
         val pin = s.read.parquet(s"$table/log")
-          .agg(max(col("version"))).head().getLong(0)
+          .agg(max(col("version")).cast("long")).head().getLong(0)
         stream.addData(Seq((3L, "c")))
         q1.processAllAvailable()
         // latest sees the full prefix; the pinned version is untouched
@@ -76,5 +76,57 @@ class StreamingCommitSpec extends SparkSuite {
         .select("version").distinct().count()
       assert(versions >= 3, "restart collapsed versions")
     } finally q2.stop()
+  }
+
+  test("log checkpoint bounds the log read and makes old partitions retention") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val table = tmp("ckpt-table")
+    val ckpt = tmp("ckpt-ckpt")
+    val stream = MemoryStream[(Long, String)]
+    val q = CommitLogIngest.start(
+      stream.toDF().toDF("id", "payload"), table, ckpt, triggerSec = 0)
+    val waves = (CommitLogIngest.CheckpointEvery + 2).toInt
+    try {
+      (0 until waves).foreach { i =>
+        stream.addData(Seq((i.toLong, s"w$i")))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val c = CommitLogIngest.lastCheckpoint(table)
+    assert(c == CommitLogIngest.CheckpointEvery - 1,
+      s"expected a checkpoint at ${CommitLogIngest.CheckpointEvery - 1}, got $c")
+    // checkpoint + tail resolves the same live set as a full log replay
+    val latest = waves.toLong - 1
+    val viaCkpt = CommitLogIngest.liveFiles(s, table, latest)
+    assert(CommitLogIngest.snapshot(s, table).count() == waves.toLong)
+    // the tail read is a partition prune: only version > c dirs are opened
+    val tailRead = s.read.parquet(s"$table/log").filter(col("version") > c)
+    tailRead.collect()
+    val tailScans = unwrapPlan(tailRead.queryExecution.executedPlan)
+      .collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+    assert(tailScans.nonEmpty, "no scan over the log found")
+    tailScans.foreach { f =>
+      assert(f.partitionFilters.map(_.sql).mkString(" ").contains("version"),
+        "tail log read plans no version partition filter")
+      assert(f.selectedPartitions.partitionCount == waves - 1 - c.toInt,
+        s"tail log read selected ${f.selectedPartitions.partitionCount} " +
+          s"partitions, wanted ${waves - 1 - c.toInt} (versions > $c)")
+    }
+    // retention: delete every log partition <= c; the latest snapshot must
+    // survive on checkpoint + tail alone
+    (0L to c).foreach { v =>
+      graft.sources.LayoutDirs.deleteQuiet(s"$table/log/version=$v")
+    }
+    assert(CommitLogIngest.liveFiles(s, table, latest) == viaCkpt,
+      "live set changed after pre-checkpoint log retention")
+    val snap = CommitLogIngest.snapshot(s, table)
+    assert(snap.count() == waves.toLong,
+      "latest snapshot lost rows after pre-checkpoint log retention")
+    assert(snap.select("id").as[Long].collect().sorted.toSeq ==
+      (0 until waves).map(_.toLong))
   }
 }
