@@ -114,9 +114,28 @@ object CommitLogIngest {
     writeMarker(markerPath(tableDir), batchId)
   }
 
+  /** Highest committed version, from ONE driver-side dir listing of the
+    * `version=` partitions (no Spark job over the log; Delta avoids even
+    * the listing with its `_last_checkpoint` pointer — one fs op either
+    * way, never a scan). */
+  private[graft] def latestVersion(tableDir: String): Long = {
+    val d = Paths.get(s"$tableDir/log")
+    if (!Files.exists(d)) return -1L
+    val s = Files.list(d)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.map(_.getFileName.toString)
+        .collect { case n if n.startsWith("version=") =>
+          n.stripPrefix("version=").toLong }
+        .foldLeft(-1L)(math.max)
+    } finally s.close()
+  }
+
   /** The live file set at `version`: checkpoint + tail when a usable
-    * checkpoint exists (bounded log read — the tail filter partition-
-    * prunes the `version=` dirs), full log replay otherwise. */
+    * checkpoint exists, full log replay otherwise. The tail is addressed
+    * by EXPLICIT version dirs (the Delta `N.json` direct-naming shape),
+    * so the resolution reads O(tail) log files — it never lists or scans
+    * the O(commits) log history. */
   private[graft] def liveFiles(spark: SparkSession, tableDir: String,
       version: Long): Seq[String] = {
     val logDir = s"$tableDir/log"
@@ -126,10 +145,14 @@ object CommitLogIngest {
         val base = spark.read.parquet(s"$tableDir/log_ckpt/c=$c")
           .select(col("v").as("version"), lit("add").as("action"),
             col("path"))
-        val tail = spark.read.parquet(logDir)
-          .filter(col("version") > c && col("version") <= version)
-          .select(col("version").cast("long"), col("action"), col("path"))
-        base.unionByName(tail)
+        val tailDirs = ((c + 1) to version)
+          .map(v => s"$logDir/version=$v")
+          .filter(LayoutDirs.hasParquetData) // skipped empty batches
+        if (tailDirs.isEmpty) base
+        else base.unionByName(
+          spark.read.option("basePath", logDir).parquet(tailDirs: _*)
+            .select(col("version").cast("long"), col("action"),
+              col("path")))
       } else
         spark.read.parquet(logDir)
           .filter(col("version") <= version)
@@ -144,10 +167,7 @@ object CommitLogIngest {
     * negative) — the TimeTravel read over this stream's log. */
   def snapshot(spark: SparkSession, tableDir: String,
       version: Long = -1L): DataFrame = {
-    val v =
-      if (version >= 0) version
-      else spark.read.parquet(s"$tableDir/log")
-        .agg(max(col("version")).cast("long")).head().getLong(0)
+    val v = if (version >= 0) version else latestVersion(tableDir)
     spark.read.parquet(liveFiles(spark, tableDir, v): _*)
   }
 
