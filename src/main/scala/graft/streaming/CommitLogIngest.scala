@@ -95,9 +95,15 @@ object CommitLogIngest {
     writeMarker(ckptMarkerPath(tableDir), upTo)
   }
 
-  /** Commit one micro-batch as table version `batchId`, exactly once. */
-  private[graft] def commitOnce(
-      batch: DataFrame, tableDir: String, batchId: Long): Unit = {
+  /** Commit one micro-batch as table version `batchId`, exactly once.
+    * With `statsCol` set, per-file min/max/count stats over that column
+    * are captured AT COMMIT TIME into `index/version=N` — the streaming
+    * half of the E-123 story (the batch side is `TimeTravel.appendIndex`):
+    * index rows are keyed by immutable path, written in the same
+    * idempotence unit as the log version, so the index can never refer
+    * to a version the log doesn't have. */
+  private[graft] def commitOnce(batch: DataFrame, tableDir: String,
+      batchId: Long, statsCol: Option[String] = None): Unit = {
     if (batchId <= lastCommitted(tableDir)) return
     if (batch.isEmpty) return // no empty versions (the Delta discipline)
     val spark = batch.sparkSession
@@ -105,6 +111,18 @@ object CommitLogIngest {
     if (!LayoutDirs.hasParquetData(versionDir)) {
       val dataDir = s"$tableDir/data/b$batchId"
       batch.write.mode("overwrite").parquet(dataDir)
+      statsCol.foreach { k =>
+        spark.read.parquet(dataDir)
+          .groupBy(input_file_name().as("path"))
+          .agg(min(col(k)).as("min_key"), max(col(k)).as("max_key"),
+            count(lit(1)).as("rows"))
+          .withColumn("path",
+            when(col("path").startsWith("file:"),
+              regexp_replace(col("path"), "^file:(//)?", ""))
+              .otherwise(col("path")))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$tableDir/index/version=$batchId")
+      }
       import spark.implicits._
       dataFiles(dataDir).map(("add", _)).toDF("action", "path")
         .coalesce(1).write.mode("overwrite").parquet(versionDir)
@@ -112,6 +130,19 @@ object CommitLogIngest {
     if ((batchId + 1) % CheckpointEvery == 0)
       writeLogCheckpoint(spark, tableDir, batchId)
     writeMarker(markerPath(tableDir), batchId)
+  }
+
+  /** Point lookup at the latest version through log + commit-time index:
+    * live paths from the log, overlap prune from the index, then a scan
+    * over only the matching files with the key filter pushed down. */
+  def pointRead(spark: SparkSession, tableDir: String, statsCol: String,
+      key: Long): DataFrame = {
+    val live = liveFiles(spark, tableDir, latestVersion(tableDir))
+    val files = spark.read.parquet(s"$tableDir/index")
+      .filter(col("path").isin(live: _*))
+      .filter(col("min_key") <= key && col("max_key") >= key)
+      .select("path").collect().map(_.getString(0)).toSeq
+    spark.read.parquet(files: _*).filter(col(statsCol) === key)
   }
 
   /** Highest committed version, from ONE driver-side dir listing of the
@@ -172,13 +203,15 @@ object CommitLogIngest {
   }
 
   /** Start the commit loop. `triggerSec <= 0` drops the processing-time
-    * trigger (micro-batches fire as data lands — the test/bench mode). */
+    * trigger (micro-batches fire as data lands — the test/bench mode);
+    * `statsCol` turns on commit-time per-file stats capture. */
   def start(rows: DataFrame, tableDir: String, checkpointDir: String,
-      triggerSec: Int = 1): StreamingQuery = {
+      triggerSec: Int = 1, statsCol: Option[String] = None)
+      : StreamingQuery = {
     val w = rows.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        commitOnce(batch, tableDir, batchId)
+        commitOnce(batch, tableDir, batchId, statsCol)
       }
     (if (triggerSec > 0)
        w.trigger(Trigger.ProcessingTime(s"$triggerSec seconds"))

@@ -78,6 +78,47 @@ class StreamingCommitSpec extends SparkSuite {
     } finally q2.stop()
   }
 
+  test("commit-time stats index tracks every commit; point read opens one file") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val table = tmp("stats-table")
+    val ckpt = tmp("stats-ckpt")
+    val stream = MemoryStream[(Long, String)]
+    val q = CommitLogIngest.start(
+      stream.toDF().toDF("id", "payload"), table, ckpt, triggerSec = 0,
+      statsCol = Some("id"))
+    try {
+      (0 until 8).foreach { w =>
+        stream.addData((0 until 100).map(i => (w * 100L + i, s"p$w-$i")))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // the index agrees with a recompute over the live files
+    val live = CommitLogIngest
+      .liveFiles(s, table, CommitLogIngest.latestVersion(table))
+    val indexed = s.read.parquet(s"$table/index")
+      .filter(col("path").isin(live: _*))
+      .collect().map(r => r.getAs[String]("path") ->
+        (r.getAs[Long]("min_key"), r.getAs[Long]("max_key"),
+          r.getAs[Long]("rows"))).toMap
+    val truth = s.read.parquet(live: _*)
+      .groupBy(input_file_name().as("path"))
+      .agg(min(col("id")), max(col("id")), count(lit(1)))
+      .collect().map(r => new java.net.URI(r.getString(0)).getPath ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(indexed == truth,
+      "commit-time index diverged from the live files' stats")
+    // waves carry disjoint id ranges, so a point read opens at most ONE
+    // wave's files (a wave may split across a few overlapping part files)
+    val perWave = math.max(1, (live.size + 7) / 8)
+    val hit = CommitLogIngest.pointRead(s, table, "id", 250L)
+    assert(hit.count() == 1)
+    assert(hit.inputFiles.length <= perWave,
+      s"point read opened ${hit.inputFiles.length} of ${live.size} files " +
+        s"(one wave is <= $perWave)")
+  }
+
   test("log checkpoint bounds the log read and makes old partitions retention") {
     val s = spark
     import s.implicits._
