@@ -62,7 +62,14 @@ class DeterminismSpec extends SparkSuite {
       // cache-cleared REBUILD invariance lives in IncrementalRollupSpec)
       // and the mixed-generation census (null-ignoring aggs must not see
       // file placement)
-      "src_incr_rollup", "src_schema_evolution")
+      "src_incr_rollup", "src_schema_evolution",
+      // round-9 close: the two drift monitors sum many ln/product terms
+      // (rounded only after the final per-group fold — placement must not
+      // move the 6th decimal), and the two distributed-rank consumers
+      // (exact global ordinals / equi-height buckets) must not see the
+      // partition count their range-bucket + offsets formulation hides
+      "t_drift_js", "s_centroid_drift", "t_global_ordinals",
+      "q_equi_histogram")
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     try {
       names.foreach { n =>
