@@ -202,6 +202,23 @@ object CommitLogIngest {
     spark.read.parquet(liveFiles(spark, tableDir, v): _*)
   }
 
+  /** The rows the commit range (from, to] appended — the "read the table
+    * AS a stream" contract (the Delta streaming-source shape): for an
+    * append-only table the change feed of a version range is exactly the
+    * files those versions added, so an incremental consumer pays O(new
+    * data) per poll — it never diffs snapshots and never rescans the
+    * table. Version dirs are addressed directly (no log listing). */
+  def changes(spark: SparkSession, tableDir: String, fromExclusive: Long,
+      toInclusive: Long): DataFrame = {
+    val logDir = s"$tableDir/log"
+    val dirs = ((fromExclusive + 1) to toInclusive)
+      .map(v => s"$logDir/version=$v").filter(LayoutDirs.hasParquetData)
+    val paths = spark.read.option("basePath", logDir).parquet(dirs: _*)
+      .filter(col("action") === "add")
+      .select("path").collect().map(_.getString(0)).toSeq
+    spark.read.parquet(paths: _*)
+  }
+
   /** Start the commit loop. `triggerSec <= 0` drops the processing-time
     * trigger (micro-batches fire as data lands — the test/bench mode);
     * `statsCol` turns on commit-time per-file stats capture. */

@@ -117,6 +117,20 @@ class StreamingCommitSpec extends SparkSuite {
     assert(hit.inputFiles.length <= perWave,
       s"point read opened ${hit.inputFiles.length} of ${live.size} files " +
         s"(one wave is <= $perWave)")
+    // the change feed: an incremental consumer polling one version at a
+    // time sees every row exactly once and reconstructs the snapshot
+    val latest = CommitLogIngest.latestVersion(table)
+    val polled = (0L to latest).map { v =>
+      CommitLogIngest.changes(s, table, v - 1, v)
+        .select("id").as[Long].collect().toSeq
+    }
+    assert(polled.forall(_.nonEmpty) && polled.map(_.size).sum == 800)
+    assert(polled.flatten.sorted == (0L until 800L),
+      "change feed lost or duplicated rows across versions")
+    // each poll reads only its version's files
+    val oneVersion = CommitLogIngest.changes(s, table, latest - 1, latest)
+    assert(oneVersion.inputFiles.length <= perWave,
+      "a one-version poll read more than that version's files")
   }
 
   test("log checkpoint bounds the log read and makes old partitions retention") {
