@@ -145,11 +145,15 @@ object CommitLogIngest {
     spark.read.parquet(files: _*).filter(col(statsCol) === key)
   }
 
-  /** Highest committed version, from ONE driver-side dir listing of the
+  /** Highest COMMITTED version, from ONE driver-side dir listing of the
     * `version=` partitions (no Spark job over the log; Delta avoids even
     * the listing with its `_last_checkpoint` pointer — one fs op either
-    * way, never a scan). */
-  private[graft] def latestVersion(tableDir: String): Long = {
+    * way, never a scan). A version dir exists from the moment its write
+    * STARTS (the committer's _temporary phase), so a concurrent reader
+    * polling offsets mid-commit must not see it yet: only dirs whose
+    * part file has landed (= the log write's job commit, the atomic
+    * rename) count. */
+  def latestVersion(tableDir: String): Long = {
     val d = Paths.get(s"$tableDir/log")
     if (!Files.exists(d)) return -1L
     val s = Files.list(d)
@@ -158,6 +162,7 @@ object CommitLogIngest {
       s.iterator().asScala.map(_.getFileName.toString)
         .collect { case n if n.startsWith("version=") =>
           n.stripPrefix("version=").toLong }
+        .filter(v => LayoutDirs.hasParquetData(s"$tableDir/log/version=$v"))
         .foldLeft(-1L)(math.max)
     } finally s.close()
   }
@@ -213,9 +218,17 @@ object CommitLogIngest {
     val logDir = s"$tableDir/log"
     val dirs = ((fromExclusive + 1) to toInclusive)
       .map(v => s"$logDir/version=$v").filter(LayoutDirs.hasParquetData)
+    require(dirs.nonEmpty, {
+      val ls = try java.nio.file.Files.list(Paths.get(logDir))
+        .toArray.mkString(", ") catch { case e: Exception => e.toString }
+      s"changes($fromExclusive, $toInclusive]: no committed version dirs; log contains: $ls"
+    })
     val paths = spark.read.option("basePath", logDir).parquet(dirs: _*)
       .filter(col("action") === "add")
       .select("path").collect().map(_.getString(0)).toSeq
+    require(paths.nonEmpty,
+      s"changes($fromExclusive, $toInclusive]: no added files " +
+        s"(version dirs with data: ${dirs.mkString(", ")})")
     spark.read.parquet(paths: _*)
   }
 
