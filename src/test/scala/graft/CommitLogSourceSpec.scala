@@ -72,4 +72,57 @@ class CommitLogSourceSpec extends SparkSuite {
       } finally r2.stop()
     } finally writer.stop()
   }
+
+  test("the lakehouse loop composes: stream into the table, stream out into the maintained rollup") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sc = s.sqlContext
+    val table = tmp("loop-table")
+    val rollup = tmp("loop") + "/rollup"
+    // events-shaped rows (canonical nanos-LONG ts), two days per wave
+    def wave(w: Int): Seq[(Long, Long, Long, String, Double, String)] =
+      (0 until 60).map { i =>
+        val day = w + (i % 2)
+        (w * 60L + i,
+          (1704067200000L + day * 86400000L + i) * 1000000L,
+          i.toLong % 7,
+          if (i % 3 == 0) "click" else "view",
+          (i % 13) / 2.0, "{}")
+      }
+    val in = MemoryStream[(Long, Long, Long, String, Double, String)]
+    val writer = CommitLogIngest.start(
+      in.toDF().toDF("event_id", "ts", "user_id", "event_type", "value",
+        "props"),
+      table, tmp("loop-wck"), triggerSec = 0)
+    try {
+      in.addData(wave(0)); writer.processAllAvailable()
+      val consumer = graft.streaming.RollupMaintenance.start(
+        s.readStream.format("graft-commitlog").option("path", table).load(),
+        rollup, tmp("loop-rck"), triggerSec = 0)
+      try {
+        (1 until 4).foreach { w =>
+          in.addData(wave(w)); writer.processAllAvailable()
+          consumer.processAllAvailable()
+        }
+        consumer.processAllAvailable()
+        // the maintained rollup equals a full recompute of everything sent
+        val expect = (0 until 4).flatMap(wave)
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .groupBy(expr(
+            s"ts div ${graft.sources.EventsLayout.NanosPerDay}").as("day"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sv"))
+          .collect().map(r => (r.getLong(0), r.getString(1)) ->
+            (r.getLong(2), r.getDouble(3))).toMap
+        val got = s.read.parquet(rollup)
+          .select(col("day").cast("long"), col("event_type"),
+            col("n_events"), round(col("sum_value"), 4))
+          .collect().map(r => (r.getLong(0), r.getString(1)) ->
+            (r.getLong(2), r.getDouble(3))).toMap
+        assert(got == expect,
+          "rollup maintained from the table stream diverged from a full recompute")
+      } finally consumer.stop()
+    } finally writer.stop()
+  }
 }
