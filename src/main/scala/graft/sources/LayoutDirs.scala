@@ -3,10 +3,13 @@ package graft.sources
 import java.nio.file.{Files, Path, Paths}
 import java.util.Comparator
 
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.{lit, regexp_replace, when}
+
 /** Shared filesystem helpers for the fingerprinted-layout caches
   * (EventsLayout, BucketedTables, ZOrderLayout, Compaction,
-  * IncrementalRollup, SchemaEvolution) — one copy of the semantics every
-  * layout needs instead of six. */
+  * IncrementalRollup, SchemaEvolution, TimeTravel, CommitLogIngest) —
+  * one copy of the semantics every layout needs instead of eight. */
 object LayoutDirs {
 
   /** Best-effort recursive delete (stale-layout eviction and shutdown
@@ -17,22 +20,53 @@ object LayoutDirs {
         .forEach(p => Files.deleteIfExists(p))
     } catch { case _: Exception => () }
 
-  /** Whether `dir` holds at least one parquet DATA file (underscore- and
-    * dot-prefixed bookkeeping like _SUCCESS/_last_batch doesn't count, in
-    * any subdirectory — matching what a parquet read would load). A dir
-    * that exists but has no data must be treated as "no layout":
+  /** A COMMITTED parquet data file under `root`: every path component
+    * below the root must be non-bookkeeping (no `_`/`.` prefix on any
+    * level, not just the leaf). The per-component check is what makes
+    * "data present" mean "write committed": the committer stages
+    * `part-*.parquet` files under `_temporary/` with ordinary leaf
+    * names, and a leaf-only filter would count a write that is still in
+    * flight — the visibility race behind a half-committed log version. */
+  private def isDataFile(root: Path, p: Path): Boolean = {
+    import scala.jdk.CollectionConverters._
+    Files.isRegularFile(p) &&
+      p.getFileName.toString.endsWith(".parquet") &&
+      root.relativize(p).iterator().asScala.forall { c =>
+        val n = c.toString
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+  }
+
+  /** Whether `dir` holds at least one COMMITTED parquet data file (what
+    * a parquet read would load — staging files under `_temporary` and
+    * `_`/`.`-prefixed bookkeeping don't count, at any depth). A dir that
+    * exists but has no committed data must be treated as "no layout":
     * reading it throws UNABLE_TO_INFER_SCHEMA. */
   def hasParquetData(dir: String): Boolean =
     try {
       val root = Paths.get(dir)
       Files.exists(root) && {
         val s = Files.walk(root)
-        try s.anyMatch { p: Path =>
-          val n = p.getFileName.toString
-          Files.isRegularFile(p) && n.endsWith(".parquet") &&
-            !n.startsWith("_") && !n.startsWith(".")
-        }
+        try s.anyMatch { p: Path => isDataFile(root, p) }
         finally s.close()
       }
     } catch { case _: Exception => false }
+
+  /** The committed parquet data files under `dir`, sorted — the path
+    * set a commit's add-actions enumerate. */
+  def dataFiles(dir: String): Seq[String] = {
+    val root = Paths.get(dir)
+    val s = Files.walk(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.filter(p => isDataFile(root, p))
+        .map(_.toString).toList.sorted
+    } finally s.close()
+  }
+
+  /** `input_file_name()`'s file:-URI → the plain absolute path the nio
+    * helpers and log/index tables use (expression-side). */
+  def plainPath(c: Column): Column =
+    when(c.startsWith(lit("file:")),
+      regexp_replace(c, "^file:(//)?", "")).otherwise(c)
 }

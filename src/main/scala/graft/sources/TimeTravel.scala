@@ -66,17 +66,7 @@ object TimeTravel {
   private def uriToPath(name: String): String =
     if (name.startsWith("file:")) new java.net.URI(name).getPath else name
 
-  private def dataFiles(dir: String): Seq[String] = {
-    val s = Files.walk(Paths.get(dir))
-    try {
-      import scala.jdk.CollectionConverters._
-      s.iterator().asScala.filter { p =>
-        val n = p.getFileName.toString
-        Files.isRegularFile(p) && n.endsWith(".parquet") &&
-          !n.startsWith("_") && !n.startsWith(".")
-      }.map(_.toString).toList.sorted
-    } finally s.close()
-  }
+  private def dataFiles(dir: String): Seq[String] = LayoutDirs.dataFiles(dir)
 
   private def appendLog(spark: SparkSession, logDir: String,
       rows: Seq[(Long, String, String)]): Unit = {
@@ -99,14 +89,8 @@ object TimeTravel {
       .agg(min(col("doc_id")).as("min_doc"),
         max(col("doc_id")).as("max_doc"),
         count(lit(1)).as("rows"))
-      .withColumn("path", udfFreePath(col("path")))
+      .withColumn("path", LayoutDirs.plainPath(col("path")))
       .coalesce(1).write.mode("append").parquet(indexDir)
-
-  /** file:-URI → plain path, expression-side (mirror of [[uriToPath]]). */
-  private def udfFreePath(c: org.apache.spark.sql.Column)
-      : org.apache.spark.sql.Column =
-    when(c.startsWith("file:"),
-      regexp_replace(c, "^file:(//)?", "")).otherwise(c)
 
   private[graft] def ensure(spark: SparkSession, sfDir: String)
       : (String, String) =

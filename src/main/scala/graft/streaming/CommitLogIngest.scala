@@ -23,25 +23,26 @@ import graft.sources.LayoutDirs
   * partition — if the version is already committed, only the fast-path
   * marker is repaired; if not, the data dir is rewritten (clobbering any
   * partial files a crash left, which nothing references yet) and the
-  * log partition written. So the two crash windows both heal: crash
-  * between data-write and log-commit replays into a clean rewrite;
-  * crash between log-commit and marker replays into a marker repair,
-  * never a duplicate version or a dangling path. On a real object store
-  * the per-version log commit needs put-if-absent (the Delta
+  * log partition written. VISIBILITY is the log write's job-commit
+  * rename: `LayoutDirs.hasParquetData` counts only committed files
+  * (staging part files under `_temporary` are excluded at every depth),
+  * so neither a crash-replay nor a concurrent offset poll can mistake an
+  * in-flight version for a committed one. On a real object store the
+  * per-version log commit needs put-if-absent (the Delta
   * `_delta_log/N.json` contention rule); a local filesystem test gets
   * atomicity from the single writer.
   *
   * Log CHECKPOINTING (the Delta `checkpoint.parquet` shape): a log that
   * grows one partition per commit makes every snapshot read O(commits).
   * Every [[CheckpointEvery]] versions the RESOLVED live set (path +
-  * its add version) is written to `log_ckpt/c=N`, and snapshot reads at
-  * or above N replay checkpoint + tail only — the tail filter is a
-  * partition prune on the `version=` dirs, so the read opens a bounded
-  * handful of log files no matter how long the stream has run. Log
-  * partitions at or below the checkpoint become RETENTION: they can be
-  * deleted (bounding log storage) at the cost of time travel below the
-  * checkpoint, and `StreamingCommitSpec` proves the latest snapshot
-  * survives exactly that deletion. */
+  * its add version) is written to `log_ckpt/c=N` — resolved from the
+  * PREVIOUS checkpoint plus the tail, never by re-replaying the full
+  * log, so checkpointing keeps working after retention has deleted old
+  * log partitions. Snapshot reads at or above a checkpoint replay
+  * checkpoint + direct-addressed tail only; log partitions at or below
+  * it are deletable retention (time travel below the checkpoint is the
+  * price), and `StreamingCommitSpec` proves the latest snapshot survives
+  * exactly that deletion. */
 object CommitLogIngest {
 
   /** Checkpoint after versions CheckpointEvery−1, 2·CheckpointEvery−1, … */
@@ -59,18 +60,6 @@ object CommitLogIngest {
       .trim.toLong
     catch { case _: Exception => -1L }
 
-  private def dataFiles(dir: String): Seq[String] = {
-    val s = Files.walk(Paths.get(dir))
-    try {
-      import scala.jdk.CollectionConverters._
-      s.iterator().asScala.filter { p =>
-        val n = p.getFileName.toString
-        Files.isRegularFile(p) && n.endsWith(".parquet") &&
-          !n.startsWith("_") && !n.startsWith(".")
-      }.map(_.toString).toList.sorted
-    } finally s.close()
-  }
-
   private def writeMarker(path: java.nio.file.Path, v: Long): Unit = {
     Files.createDirectories(path.getParent)
     Files.write(path, v.toString.getBytes("UTF-8"),
@@ -78,16 +67,43 @@ object CommitLogIngest {
       StandardOpenOption.TRUNCATE_EXISTING)
   }
 
-  /** Resolve the live set at `upTo` from the full log and persist it as
-    * the checkpoint `log_ckpt/c=<upTo>` (never overwritten — older
-    * checkpoints stay valid for readers that already picked them up). */
+  /** Action rows (version, action, path) sufficient to resolve any
+    * snapshot at `version`: previous checkpoint + direct-addressed tail
+    * when a usable checkpoint exists (O(tail) log files — never lists or
+    * scans the O(commits) history), full log replay otherwise. */
+  private def actionRows(spark: SparkSession, tableDir: String,
+      version: Long): DataFrame = {
+    val logDir = s"$tableDir/log"
+    val c = lastCheckpoint(tableDir)
+    if (c >= 0 && version >= c) {
+      val base = spark.read.parquet(s"$tableDir/log_ckpt/c=$c")
+        .select(col("v").cast("long").as("version"),
+          lit("add").as("action"), col("path"))
+      val tailDirs = ((c + 1) to version)
+        .map(v => s"$logDir/version=$v")
+        .filter(LayoutDirs.hasParquetData) // skipped empty batches
+      if (tailDirs.isEmpty) base
+      else base.unionByName(
+        spark.read.option("basePath", logDir).parquet(tailDirs: _*)
+          .select(col("version").cast("long"), col("action"),
+            col("path")))
+    } else
+      spark.read.parquet(logDir)
+        .filter(col("version") <= version)
+        .select(col("version").cast("long"), col("action"), col("path"))
+  }
+
+  /** Resolve the live set at `upTo` (checkpoint-aware — the Delta rule:
+    * new checkpoint = previous checkpoint + tail, so retention of old
+    * log partitions never costs live files) and persist it as
+    * `log_ckpt/c=<upTo>` (never overwritten — older checkpoints stay
+    * valid for readers that already picked them up). */
   private def writeLogCheckpoint(spark: SparkSession, tableDir: String,
       upTo: Long): Unit = {
-    spark.read.parquet(s"$tableDir/log")
-      .filter(col("version") <= upTo)
+    actionRows(spark, tableDir, upTo)
       .groupBy(col("path"))
       .agg(max_by(col("action"), col("version")).as("last"),
-        max(col("version")).cast("long").as("v"))
+        max(col("version")).as("v"))
       .filter(col("last") === "add")
       .select(col("path"), col("v"))
       .coalesce(1).write.mode("overwrite")
@@ -98,7 +114,7 @@ object CommitLogIngest {
   /** Commit one micro-batch as table version `batchId`, exactly once.
     * With `statsCol` set, per-file min/max/count stats over that column
     * are captured AT COMMIT TIME into `index/version=N` — the streaming
-    * half of the E-123 story (the batch side is `TimeTravel.appendIndex`):
+    * half of the E-123 story (the batch side is TimeTravel's index):
     * index rows are keyed by immutable path, written in the same
     * idempotence unit as the log version, so the index can never refer
     * to a version the log doesn't have. */
@@ -116,15 +132,12 @@ object CommitLogIngest {
           .groupBy(input_file_name().as("path"))
           .agg(min(col(k)).as("min_key"), max(col(k)).as("max_key"),
             count(lit(1)).as("rows"))
-          .withColumn("path",
-            when(col("path").startsWith("file:"),
-              regexp_replace(col("path"), "^file:(//)?", ""))
-              .otherwise(col("path")))
+          .withColumn("path", LayoutDirs.plainPath(col("path")))
           .coalesce(1).write.mode("overwrite")
           .parquet(s"$tableDir/index/version=$batchId")
       }
       import spark.implicits._
-      dataFiles(dataDir).map(("add", _)).toDF("action", "path")
+      LayoutDirs.dataFiles(dataDir).map(("add", _)).toDF("action", "path")
         .coalesce(1).write.mode("overwrite").parquet(versionDir)
     }
     if ((batchId + 1) % CheckpointEvery == 0)
@@ -132,72 +145,44 @@ object CommitLogIngest {
     writeMarker(markerPath(tableDir), batchId)
   }
 
-  /** Point lookup at the latest version through log + commit-time index:
-    * live paths from the log, overlap prune from the index, then a scan
-    * over only the matching files with the key filter pushed down. */
-  def pointRead(spark: SparkSession, tableDir: String, statsCol: String,
-      key: Long): DataFrame = {
-    val live = liveFiles(spark, tableDir, latestVersion(tableDir))
-    val files = spark.read.parquet(s"$tableDir/index")
-      .filter(col("path").isin(live: _*))
-      .filter(col("min_key") <= key && col("max_key") >= key)
-      .select("path").collect().map(_.getString(0)).toSeq
-    spark.read.parquet(files: _*).filter(col(statsCol) === key)
-  }
-
-  /** Highest COMMITTED version, from ONE driver-side dir listing of the
-    * `version=` partitions (no Spark job over the log; Delta avoids even
-    * the listing with its `_last_checkpoint` pointer — one fs op either
-    * way, never a scan). A version dir exists from the moment its write
-    * STARTS (the committer's _temporary phase), so a concurrent reader
-    * polling offsets mid-commit must not see it yet: only dirs whose
-    * part file has landed (= the log write's job commit, the atomic
-    * rename) count. */
+  /** Highest COMMITTED version. One driver-side dir listing, then a
+    * committed-data probe from the HIGHEST version downward — the first
+    * hit answers (a lone in-flight dir is the max one under a sequential
+    * writer), so a poll costs O(1) probes, not O(commits) walks. A
+    * version dir exists from the moment its write STARTS (the
+    * committer's _temporary phase), so only dirs whose part file has
+    * landed (= the log write's job commit, the atomic rename) count.
+    * After retention deleted every log partition, the checkpoint marker
+    * still names the version it captured. */
   def latestVersion(tableDir: String): Long = {
     val d = Paths.get(s"$tableDir/log")
-    if (!Files.exists(d)) return -1L
-    val s = Files.list(d)
-    try {
-      import scala.jdk.CollectionConverters._
-      s.iterator().asScala.map(_.getFileName.toString)
-        .collect { case n if n.startsWith("version=") =>
-          n.stripPrefix("version=").toLong }
-        .filter(v => LayoutDirs.hasParquetData(s"$tableDir/log/version=$v"))
-        .foldLeft(-1L)(math.max)
-    } finally s.close()
+    val fromDirs =
+      if (!Files.exists(d)) -1L
+      else {
+        val s = Files.list(d)
+        val versions =
+          try {
+            import scala.jdk.CollectionConverters._
+            s.iterator().asScala.map(_.getFileName.toString)
+              .collect { case n if n.startsWith("version=") =>
+                n.stripPrefix("version=").toLong }
+              .toSeq.sorted(Ordering.Long.reverse)
+          } finally s.close()
+        versions
+          .find(v => LayoutDirs.hasParquetData(s"$tableDir/log/version=$v"))
+          .getOrElse(-1L)
+      }
+    math.max(fromDirs, lastCheckpoint(tableDir))
   }
 
-  /** The live file set at `version`: checkpoint + tail when a usable
-    * checkpoint exists, full log replay otherwise. The tail is addressed
-    * by EXPLICIT version dirs (the Delta `N.json` direct-naming shape),
-    * so the resolution reads O(tail) log files — it never lists or scans
-    * the O(commits) log history. */
+  /** The live file set at `version` (see [[actionRows]] for cost). */
   private[graft] def liveFiles(spark: SparkSession, tableDir: String,
-      version: Long): Seq[String] = {
-    val logDir = s"$tableDir/log"
-    val c = lastCheckpoint(tableDir)
-    val resolved =
-      if (c >= 0 && version >= c) {
-        val base = spark.read.parquet(s"$tableDir/log_ckpt/c=$c")
-          .select(col("v").as("version"), lit("add").as("action"),
-            col("path"))
-        val tailDirs = ((c + 1) to version)
-          .map(v => s"$logDir/version=$v")
-          .filter(LayoutDirs.hasParquetData) // skipped empty batches
-        if (tailDirs.isEmpty) base
-        else base.unionByName(
-          spark.read.option("basePath", logDir).parquet(tailDirs: _*)
-            .select(col("version").cast("long"), col("action"),
-              col("path")))
-      } else
-        spark.read.parquet(logDir)
-          .filter(col("version") <= version)
-          .select(col("version").cast("long"), col("action"), col("path"))
-    resolved.groupBy(col("path"))
+      version: Long): Seq[String] =
+    actionRows(spark, tableDir, version)
+      .groupBy(col("path"))
       .agg(max_by(col("action"), col("version")).as("last"))
       .filter(col("last") === "add")
       .select("path").collect().map(_.getString(0)).toSeq.sorted
-  }
 
   /** The table at `version` (or the latest committed version when
     * negative) — the TimeTravel read over this stream's log. */
@@ -205,6 +190,23 @@ object CommitLogIngest {
       version: Long = -1L): DataFrame = {
     val v = if (version >= 0) version else latestVersion(tableDir)
     spark.read.parquet(liveFiles(spark, tableDir, v): _*)
+  }
+
+  /** Point lookup at the latest version through log + commit-time index:
+    * live paths from the log, overlap prune from the index, then a scan
+    * over only the matching files with the key filter pushed down. A key
+    * outside every file's range is an EMPTY result, not an error. */
+  def pointRead(spark: SparkSession, tableDir: String, statsCol: String,
+      key: Long): DataFrame = {
+    val live = liveFiles(spark, tableDir, latestVersion(tableDir))
+    val files = spark.read.parquet(s"$tableDir/index")
+      .filter(col("path").isin(live: _*))
+      .filter(col("min_key") <= key && col("max_key") >= key)
+      .select("path").collect().map(_.getString(0)).toSeq
+    if (files.isEmpty)
+      spark.read.parquet(live: _*).filter(lit(false))
+    else
+      spark.read.parquet(files: _*).filter(col(statsCol) === key)
   }
 
   /** The rows the commit range (from, to] appended — the "read the table
@@ -218,17 +220,15 @@ object CommitLogIngest {
     val logDir = s"$tableDir/log"
     val dirs = ((fromExclusive + 1) to toInclusive)
       .map(v => s"$logDir/version=$v").filter(LayoutDirs.hasParquetData)
-    require(dirs.nonEmpty, {
-      val ls = try java.nio.file.Files.list(Paths.get(logDir))
-        .toArray.mkString(", ") catch { case e: Exception => e.toString }
-      s"changes($fromExclusive, $toInclusive]: no committed version dirs; log contains: $ls"
-    })
+    require(dirs.nonEmpty,
+      s"changes($fromExclusive, $toInclusive]: no committed version " +
+        s"in range under $logDir")
     val paths = spark.read.option("basePath", logDir).parquet(dirs: _*)
       .filter(col("action") === "add")
       .select("path").collect().map(_.getString(0)).toSeq
     require(paths.nonEmpty,
-      s"changes($fromExclusive, $toInclusive]: no added files " +
-        s"(version dirs with data: ${dirs.mkString(", ")})")
+      s"changes($fromExclusive, $toInclusive]: committed versions " +
+        s"carry no added files (corrupt log?)")
     spark.read.parquet(paths: _*)
   }
 

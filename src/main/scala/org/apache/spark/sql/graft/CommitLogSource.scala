@@ -75,9 +75,17 @@ class CommitLogSource(sqlContext: SQLContext, tableDir: String,
     case other => other.json.trim.toLong
   }
 
-  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame =
-    Shim.asStreaming(CommitLogIngest.changes(spark, tableDir,
-      start.map(version).getOrElse(-1L), version(end)))
+  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    val raw = CommitLogIngest.changes(spark, tableDir,
+      start.map(version).getOrElse(-1L), version(end))
+    // MicroBatchExecution aligns batch output to the source schema
+    // POSITIONALLY — a user-declared schema with a different column
+    // order/type than the files would silently deliver swapped columns,
+    // so project (and cast) to the declared schema BY NAME first
+    import org.apache.spark.sql.functions.col
+    Shim.asStreaming(raw.select(
+      schema.fields.map(f => col(f.name).cast(f.dataType)).toSeq: _*))
+  }
 
   override def stop(): Unit = ()
 

@@ -117,6 +117,8 @@ class StreamingCommitSpec extends SparkSuite {
     assert(hit.inputFiles.length <= perWave,
       s"point read opened ${hit.inputFiles.length} of ${live.size} files " +
         s"(one wave is <= $perWave)")
+    // a key outside every file's range is an empty result, not an error
+    assert(CommitLogIngest.pointRead(s, table, "id", 999999L).count() == 0)
     // the change feed: an incremental consumer polling one version at a
     // time sees every row exactly once and reconstructs the snapshot
     val latest = CommitLogIngest.latestVersion(table)
@@ -183,5 +185,25 @@ class StreamingCommitSpec extends SparkSuite {
       "latest snapshot lost rows after pre-checkpoint log retention")
     assert(snap.select("id").as[Long].collect().sorted.toSeq ==
       (0 until waves).map(_.toLong))
+    // the stream continues PAST the next checkpoint boundary on the
+    // retained log: the new checkpoint must resolve from the previous
+    // checkpoint + tail (the Delta rule) — a full-log re-replay over the
+    // pruned history would silently drop every pre-retention file
+    val every = CommitLogIngest.CheckpointEvery.toInt
+    val q2 = CommitLogIngest.start(
+      stream.toDF().toDF("id", "payload"), table, ckpt, triggerSec = 0)
+    try {
+      (waves until 2 * every).foreach { i =>
+        stream.addData(Seq((i.toLong, s"w$i")))
+        q2.processAllAvailable()
+      }
+    } finally q2.stop()
+    assert(CommitLogIngest.lastCheckpoint(table) == 2 * every - 1,
+      "no checkpoint landed past the retention boundary")
+    val snap2 = CommitLogIngest.snapshot(s, table)
+    assert(snap2.count() == 2L * every,
+      "post-retention checkpoint lost pre-retention files")
+    assert(snap2.select("id").as[Long].collect().sorted.toSeq ==
+      (0 until 2 * every).map(_.toLong))
   }
 }
