@@ -1523,6 +1523,54 @@ object TextAnalysis {
       |  ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS ordinal
       |FROM documents""".stripMargin
 
+  // ---- differentially-private stats release -----------------------------------
+
+  /** Per-source corpus census released with Laplace noise — the
+    * differential-privacy mechanism a pipeline applies before publishing
+    * statistics about a corpus containing user data: each released count
+    * gets Laplace(b = sensitivity/ε) noise (count sensitivity 1), here
+    * at ε = 1 and ε = 0.1 so the privacy/accuracy dial is visible in one
+    * output. The noise draw is the inverse-CDF transform of an md5-seeded
+    * uniform — DETERMINISTIC so the DuckDB oracle replays it exactly; a
+    * production release draws fresh randomness per publication, but the
+    * mechanism shape (one aggregation, one draw per released cell, no
+    * driver round-trip) is identical.
+    *
+    * Shape for scale: one groupBy; the noise is a closed-form column over
+    * the (|sources|-row) aggregate — adding DP to a census costs nothing
+    * at any corpus size. */
+  def dpCensus(spark: SparkSession, sfDir: String): DataFrame = {
+    val per = Tables.documents(spark, sfDir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+    // u in (0,1): 52 md5 bits — exact in a double in both engines
+    val u = conv(substring(md5(concat(lit("dp"), col("source"))), 1, 13),
+      16, 10).cast("long") / lit(4503599627370496.0)
+    val mag = -log(greatest(lit(1.0) - lit(2.0) * abs(u - 0.5),
+      lit(1e-12))) // clamp: the 2^-52 u=0 corner would be ln(0)
+    val sgn = when(u >= 0.5, lit(1.0)).otherwise(lit(-1.0))
+    per.select(col("source"),
+      round(col("n") + sgn * mag / lit(1.0), 4).as("n_eps1"),
+      round(col("n") + sgn * mag / lit(0.1), 4).as("n_eps01"))
+  }
+
+  val dpCensusSql: String =
+    """WITH per AS (
+      |  SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+      |), u AS (
+      |  SELECT source, n,
+      |    ('0x' || substr(md5('dp' || source), 1, 13))::BIGINT
+      |      / 4503599627370496.0 AS u
+      |  FROM per
+      |), nz AS (
+      |  SELECT source, n,
+      |    (CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END)
+      |      * (-ln(GREATEST(1.0 - 2.0 * ABS(u - 0.5), 1e-12))) AS z
+      |  FROM u
+      |)
+      |SELECT source, ROUND(n + z / 1.0, 4) AS n_eps1,
+      |  ROUND(n + z / 0.1, 4) AS n_eps01
+      |FROM nz""".stripMargin
+
   // ---- distribution drift between corpus generations -------------------------
 
   /** Per-source distribution drift: Jensen-Shannon divergence between the
@@ -1593,6 +1641,7 @@ object TextAnalysis {
 
   def queries: Map[String, Q] = Map(
     "t_global_ordinals"   -> Q(globalOrdinalsSql)(globalOrdinals),
+    "t_dp_census"         -> Q(dpCensusSql)(dpCensus),
     "t_drift_js"          -> Q(driftJsSql)(driftJs),
     "t_dsir_weights"      -> Q(dsirWeightsSql)(dsirWeights),
     "t_vocab_coverage"    -> Q(vocabCoverageSql)(vocabCoverage),

@@ -61,11 +61,6 @@ object TimeTravel {
       finally s.close()
     } catch { case _: Exception => 0L }
 
-  /** input_file_name() yields a file: URI; the log stores plain absolute
-    * paths so nio deletes (vacuum) and spark reads share one spelling. */
-  private def uriToPath(name: String): String =
-    if (name.startsWith("file:")) new java.net.URI(name).getPath else name
-
   private def dataFiles(dir: String): Seq[String] = LayoutDirs.dataFiles(dir)
 
   private def appendLog(spark: SparkSession, logDir: String,
@@ -119,19 +114,18 @@ object TimeTravel {
             .write.mode("overwrite").parquet(v0Dir)
           appendLog(spark, logDir, dataFiles(v0Dir).map((0L, "add", _)))
           appendIndex(spark, root.toString + "/index", v0Dir)
-          // v1: copy-on-write delete of doc_id <= K. Victim detection is
-          // one column-pruned scan grouped by input_file_name (at scale
-          // the file-stats index answers this without opening data files
-          // — see FileIndex); the victim list is bounded by file count.
+          // v1: copy-on-write delete of doc_id <= K. Victim detection
+          // goes through the COMMIT-TIME STATS INDEX, not a data scan —
+          // at 100 TB this is the difference between consulting a small
+          // metadata table and opening every file to learn it contains
+          // nothing to delete. The victim list is bounded by file count.
           val b = Tables.documents(spark, sfDir)
             .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
             .head()
           val k = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 10
-          val victims = spark.read.parquet(v0Dir)
-            .groupBy(input_file_name().as("f"))
-            .agg(min(col("doc_id")).as("mn"))
-            .filter(col("mn") <= k)
-            .select("f").collect().map(r => uriToPath(r.getString(0))).toSeq
+          val victims = spark.read.parquet(root.toString + "/index")
+            .filter(col("min_doc") <= k)
+            .select("path").collect().map(_.getString(0)).toSeq
           spark.read.parquet(victims: _*)
             .filter(col("doc_id") > k)
             .coalesce(1)
