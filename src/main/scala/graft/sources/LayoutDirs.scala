@@ -4,7 +4,7 @@ import java.nio.file.{Files, Path, Paths}
 import java.util.Comparator
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.{lit, regexp_replace, when}
+import org.apache.spark.sql.functions.{lit, regexp_replace, url_decode, when}
 
 /** Shared filesystem helpers for the fingerprinted-layout caches
   * (EventsLayout, BucketedTables, ZOrderLayout, Compaction,
@@ -65,8 +65,15 @@ object LayoutDirs {
   }
 
   /** `input_file_name()`'s file:-URI → the plain absolute path the nio
-    * helpers and log/index tables use (expression-side). */
+    * helpers and log/index tables use (expression-side). The URI form is
+    * PERCENT-ENCODED (a space in a dir name arrives as %20, which would
+    * never string-match the literal nio path the log's add-actions
+    * carry), so decode after stripping the scheme — with '+' escaped
+    * first, because url_decode is form-encoding and would turn a literal
+    * '+' in a path into a space. */
   def plainPath(c: Column): Column =
     when(c.startsWith(lit("file:")),
-      regexp_replace(c, "^file:(//)?", "")).otherwise(c)
+      url_decode(regexp_replace(
+        regexp_replace(c, "^file:(//)?", ""), "\\+", "%2B")))
+      .otherwise(c)
 }

@@ -67,15 +67,41 @@ object CommitLogIngest {
       StandardOpenOption.TRUNCATE_EXISTING)
   }
 
+  /** Checkpoint versions present ON DISK (`log_ckpt/c=N` dirs with
+    * committed data) — the marker is only the fast path; resolution
+    * must see a checkpoint whose marker write crashed, and must be able
+    * to pick an OLDER one (time travel below the latest checkpoint
+    * stays correct after retention because checkpoints are never
+    * deleted). */
+  private def checkpointsOnDisk(tableDir: String): Seq[Long] = {
+    val d = Paths.get(s"$tableDir/log_ckpt")
+    if (!Files.exists(d)) return Seq.empty
+    val s = Files.list(d)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.map(_.getFileName.toString)
+        .collect { case n if n.startsWith("c=") =>
+          n.stripPrefix("c=").toLong }
+        .filter(v => LayoutDirs.hasParquetData(s"$tableDir/log_ckpt/c=$v"))
+        .toSeq.sorted
+    } finally s.close()
+  }
+
   /** Action rows (version, action, path) sufficient to resolve any
-    * snapshot at `version`: previous checkpoint + direct-addressed tail
-    * when a usable checkpoint exists (O(tail) log files — never lists or
-    * scans the O(commits) history), full log replay otherwise. */
+    * snapshot at `version`: the BEST surviving checkpoint ≤ version
+    * (strictly below `ckptBelow` — a checkpoint must never resolve from
+    * the very directory it is about to overwrite) + direct-addressed
+    * tail when one exists (O(tail) log files — never lists or scans the
+    * O(commits) history), full log replay otherwise. Using the best ≤
+    * rather than only the latest keeps time travel BELOW the latest
+    * checkpoint correct after retention pruned the early log. */
   private def actionRows(spark: SparkSession, tableDir: String,
-      version: Long): DataFrame = {
+      version: Long, ckptBelow: Long = Long.MaxValue): DataFrame = {
     val logDir = s"$tableDir/log"
-    val c = lastCheckpoint(tableDir)
-    if (c >= 0 && version >= c) {
+    val c = checkpointsOnDisk(tableDir)
+      .filter(v => v <= version && v < ckptBelow)
+      .lastOption.getOrElse(-1L)
+    if (c >= 0) {
       val base = spark.read.parquet(s"$tableDir/log_ckpt/c=$c")
         .select(col("v").cast("long").as("version"),
           lit("add").as("action"), col("path"))
@@ -96,11 +122,14 @@ object CommitLogIngest {
   /** Resolve the live set at `upTo` (checkpoint-aware — the Delta rule:
     * new checkpoint = previous checkpoint + tail, so retention of old
     * log partitions never costs live files) and persist it as
-    * `log_ckpt/c=<upTo>` (never overwritten — older checkpoints stay
-    * valid for readers that already picked them up). */
+    * `log_ckpt/c=<upTo>`. Resolution is pinned to checkpoints STRICTLY
+    * below `upTo`: a crash-replay of this very checkpoint must not read
+    * `c=<upTo>` while overwriting it (Spark rejects the same-path
+    * read-write, wedging the stream — or worse, empties the checkpoint
+    * retention depends on). */
   private def writeLogCheckpoint(spark: SparkSession, tableDir: String,
       upTo: Long): Unit = {
-    actionRows(spark, tableDir, upTo)
+    actionRows(spark, tableDir, upTo, ckptBelow = upTo)
       .groupBy(col("path"))
       .agg(max_by(col("action"), col("version")).as("last"),
         max(col("version")).as("v"))
@@ -140,7 +169,10 @@ object CommitLogIngest {
       LayoutDirs.dataFiles(dataDir).map(("add", _)).toDF("action", "path")
         .coalesce(1).write.mode("overwrite").parquet(versionDir)
     }
-    if ((batchId + 1) % CheckpointEvery == 0)
+    // the marker guard makes a crash-replay of a completed checkpoint a
+    // no-op instead of a second resolve-and-overwrite of the same dir
+    if ((batchId + 1) % CheckpointEvery == 0 &&
+        lastCheckpoint(tableDir) < batchId)
       writeLogCheckpoint(spark, tableDir, batchId)
     writeMarker(markerPath(tableDir), batchId)
   }
@@ -175,14 +207,26 @@ object CommitLogIngest {
     math.max(fromDirs, lastCheckpoint(tableDir))
   }
 
-  /** The live file set at `version` (see [[actionRows]] for cost). */
+  /** The live file set at `version` (see [[actionRows]] for cost). An
+    * EMPTY result is impossible for a committed version of this append-
+    * only table, so it means the history below the oldest surviving
+    * checkpoint was retention-pruned — fail loudly instead of returning
+    * a silently partial (here: vacuous) snapshot. */
   private[graft] def liveFiles(spark: SparkSession, tableDir: String,
-      version: Long): Seq[String] =
-    actionRows(spark, tableDir, version)
+      version: Long): Seq[String] = {
+    val files = actionRows(spark, tableDir, version)
       .groupBy(col("path"))
       .agg(max_by(col("action"), col("version")).as("last"))
       .filter(col("last") === "add")
       .select("path").collect().map(_.getString(0)).toSeq.sorted
+    if (files.isEmpty)
+      throw new IllegalStateException(
+        s"no live files at version $version: the table is append-only, " +
+          "so this version's history predates the oldest surviving " +
+          "checkpoint and was retention-pruned — read at a version >= " +
+          s"${checkpointsOnDisk(tableDir).headOption.getOrElse(-1L)}")
+    files
+  }
 
   /** The table at `version` (or the latest committed version when
     * negative) — the TimeTravel read over this stream's log. */
@@ -204,7 +248,9 @@ object CommitLogIngest {
       .filter(col("min_key") <= key && col("max_key") >= key)
       .select("path").collect().map(_.getString(0)).toSeq
     if (files.isEmpty)
-      spark.read.parquet(live: _*).filter(lit(false))
+      // empty result, O(1): one file supplies the schema, the false
+      // filter folds to an empty relation — never plan over the live set
+      spark.read.parquet(live.take(1): _*).filter(lit(false))
     else
       spark.read.parquet(files: _*).filter(col(statsCol) === key)
   }
@@ -218,14 +264,33 @@ object CommitLogIngest {
   def changes(spark: SparkSession, tableDir: String, fromExclusive: Long,
       toInclusive: Long): DataFrame = {
     val logDir = s"$tableDir/log"
-    val dirs = ((fromExclusive + 1) to toInclusive)
+    // a FRESH consumer (from = -1) on a retention-pruned log: the table
+    // is append-only, so the cumulative adds through a checkpoint ARE
+    // its live set — compose best checkpoint ≤ to + surviving tail (also
+    // cheaper than reading every version dir on a long history). A
+    // mid-stream consumer (from ≥ 0) must see real version dirs: a gap
+    // there is retention past its position, which is data loss for it.
+    val c =
+      if (fromExclusive < 0)
+        checkpointsOnDisk(tableDir).filter(_ <= toInclusive)
+          .lastOption.getOrElse(-1L)
+      else -1L
+    val base: Seq[String] =
+      if (c >= 0)
+        spark.read.parquet(s"$tableDir/log_ckpt/c=$c")
+          .select("path").collect().map(_.getString(0)).toSeq
+      else Seq.empty
+    val dirs = ((math.max(fromExclusive, c) + 1) to toInclusive)
       .map(v => s"$logDir/version=$v").filter(LayoutDirs.hasParquetData)
-    require(dirs.nonEmpty,
+    require(base.nonEmpty || dirs.nonEmpty,
       s"changes($fromExclusive, $toInclusive]: no committed version " +
-        s"in range under $logDir")
-    val paths = spark.read.option("basePath", logDir).parquet(dirs: _*)
-      .filter(col("action") === "add")
-      .select("path").collect().map(_.getString(0)).toSeq
+        s"in range under $logDir (retention pruned past this consumer?)")
+    val tail: Seq[String] =
+      if (dirs.isEmpty) Seq.empty
+      else spark.read.option("basePath", logDir).parquet(dirs: _*)
+        .filter(col("action") === "add")
+        .select("path").collect().map(_.getString(0)).toSeq
+    val paths = base ++ tail
     require(paths.nonEmpty,
       s"changes($fromExclusive, $toInclusive]: committed versions " +
         s"carry no added files (corrupt log?)")

@@ -205,5 +205,42 @@ class StreamingCommitSpec extends SparkSuite {
       "post-retention checkpoint lost pre-retention files")
     assert(snap2.select("id").as[Long].collect().sorted.toSeq ==
       (0 until 2 * every).map(_.toLong))
+    // a FRESH change-feed consumer starting on the retained log composes
+    // its first poll from checkpoint + tail (append-only: cumulative
+    // adds through the checkpoint ARE its live set)
+    val fresh = CommitLogIngest.changes(s, table, -1L, 2L * every - 1)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(fresh == (0 until 2 * every).map(_.toLong),
+      "fresh consumer on the retained log lost or duplicated rows")
+    // time travel BELOW the latest checkpoint but above the retention
+    // floor resolves through the older surviving checkpoint
+    val mid = waves.toLong // a version between the two checkpoints
+    assert(CommitLogIngest.snapshot(s, table, mid).count() == mid + 1,
+      "read between checkpoints did not resolve via the older checkpoint")
+    // below the oldest checkpoint the history is gone: loud, not partial
+    val ex = intercept[IllegalStateException] {
+      CommitLogIngest.snapshot(s, table, c - 5).count()
+    }
+    assert(ex.getMessage.contains("retention"),
+      s"below-floor read failed for the wrong reason: ${ex.getMessage}")
+    // crash-replay of a completed checkpoint boundary: wipe the batch
+    // marker (the crash window after writeLogCheckpoint) and replay the
+    // checkpoint batch — the guard must not resolve-and-overwrite the
+    // checkpoint it would be reading from
+    val ckptDir = s"$table/log_ckpt/c=${2 * every - 1}"
+    val before2 = graft.sources.LayoutDirs.dataFiles(ckptDir)
+      .map(p => p -> java.nio.file.Files.size(
+        java.nio.file.Paths.get(p))).toMap
+    java.nio.file.Files.delete(java.nio.file.Paths.get(table, "_last_batch"))
+    CommitLogIngest.commitOnce(
+      Seq((999L, "poison")).toDF("id", "payload"), table, 2L * every - 1)
+    assert(CommitLogIngest.lastCommitted(table) == 2L * every - 1,
+      "marker was not repaired after the checkpoint-boundary replay")
+    val after2 = graft.sources.LayoutDirs.dataFiles(ckptDir)
+      .map(p => p -> java.nio.file.Files.size(
+        java.nio.file.Paths.get(p))).toMap
+    assert(after2 == before2,
+      "checkpoint-boundary replay rewrote the checkpoint it reads from")
+    assert(CommitLogIngest.snapshot(s, table).count() == 2L * every)
   }
 }
