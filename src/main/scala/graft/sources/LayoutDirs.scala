@@ -4,7 +4,7 @@ import java.nio.file.{Files, Path, Paths}
 import java.util.Comparator
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.{lit, regexp_replace, url_decode, when}
+import org.apache.spark.sql.functions.{concat, lit, raise_error, regexp_replace, url_decode, when}
 
 /** Shared filesystem helpers for the fingerprinted-layout caches
   * (EventsLayout, BucketedTables, ZOrderLayout, Compaction,
@@ -70,10 +70,20 @@ object LayoutDirs {
     * never string-match the literal nio path the log's add-actions
     * carry), so decode after stripping the scheme — with '+' escaped
     * first, because url_decode is form-encoding and would turn a literal
-    * '+' in a path into a space. */
+    * '+' in a path into a space.
+    *
+    * Any NON-local scheme (hdfs:, s3a:, …) fails loudly instead of
+    * passing through percent-encoded: the log/index add-actions are
+    * nio-walked LOCAL paths, so a remote URI can never string-match them
+    * and would silently empty every `isin()` prune downstream — the
+    * fingerprinted layouts are local-filesystem-only by construction. */
   def plainPath(c: Column): Column =
     when(c.startsWith(lit("file:")),
       url_decode(regexp_replace(
         regexp_replace(c, "^file:(//)?", ""), "\\+", "%2B")))
+      .when(c.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"),
+        raise_error(concat(
+          lit("plainPath: non-local URI cannot match the nio-walked " +
+            "log/index paths (local-filesystem-only layouts): "), c)))
       .otherwise(c)
 }

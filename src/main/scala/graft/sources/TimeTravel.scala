@@ -51,6 +51,18 @@ object TimeTravel {
   // sfDir -> (documents fingerprint, (layout root, logDir))
   private val created = TrieMap.empty[String, (String, (String, String))]
 
+  // ONE shutdown hook for every layout this cache ever builds — a hook per
+  // rebuild would accumulate unboundedly under repeated fingerprint-
+  // staleness rebuilds (long test sessions regenerating documents) and pin
+  // every stale root string until exit. The hook iterates the live map, so
+  // it always deletes exactly the layouts still registered at shutdown.
+  private lazy val shutdownHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      created.values.foreach { case (_, (root, _)) =>
+        LayoutDirs.deleteQuiet(root)
+      }
+    }))
+
   private def docsFp(sfDir: String): String =
     SourceFingerprint.key(sfDir, "documents.parquet")
 
@@ -97,10 +109,8 @@ object TimeTravel {
           stale.foreach { case (_, (root, _)) =>
             LayoutDirs.deleteQuiet(root); created.remove(sfDir)
           }
+          shutdownHook // registered once, covers every rebuild
           val root = Files.createTempDirectory("graft-time-travel")
-          Runtime.getRuntime.addShutdownHook(new Thread(() => {
-            LayoutDirs.deleteQuiet(root.toString)
-          }))
           val v0Dir = root.toString + "/v0"
           val rwDir = root.toString + "/rw1"
           val logDir = root.toString + "/log"

@@ -150,10 +150,20 @@ object CommitLogIngest {
   private[graft] def commitOnce(batch: DataFrame, tableDir: String,
       batchId: Long, statsCol: Option[String] = None): Unit = {
     if (batchId <= lastCommitted(tableDir)) return
-    if (batch.isEmpty) return // no empty versions (the Delta discipline)
     val spark = batch.sparkSession
     val versionDir = s"$tableDir/log/version=$batchId"
-    if (!LayoutDirs.hasParquetData(versionDir)) {
+    if (batch.isEmpty) {
+      // EMPTY batch → a data-free TOMBSTONE version (action "empty"), not
+      // a skipped version number: with every batchId materialized on disk,
+      // a missing version dir always means retention — `changes` can fail
+      // loudly on a pruned range instead of mistaking it for an idle
+      // trigger (readers ignore any action other than add/remove).
+      if (!LayoutDirs.hasParquetData(versionDir)) {
+        import spark.implicits._
+        Seq(("empty", "")).toDF("action", "path")
+          .coalesce(1).write.mode("overwrite").parquet(versionDir)
+      }
+    } else if (!LayoutDirs.hasParquetData(versionDir)) {
       val dataDir = s"$tableDir/data/b$batchId"
       batch.write.mode("overwrite").parquet(dataDir)
       statsCol.foreach { k =>
@@ -164,6 +174,7 @@ object CommitLogIngest {
           .withColumn("path", LayoutDirs.plainPath(col("path")))
           .coalesce(1).write.mode("overwrite")
           .parquet(s"$tableDir/index/version=$batchId")
+        recordIndexCol(tableDir, k)
       }
       import spark.implicits._
       LayoutDirs.dataFiles(dataDir).map(("add", _)).toDF("action", "path")
@@ -176,6 +187,28 @@ object CommitLogIngest {
       writeLogCheckpoint(spark, tableDir, batchId)
     writeMarker(markerPath(tableDir), batchId)
   }
+
+  /** The stats-indexed column's name, recorded beside the index so a
+    * READER (the DSv2 scan's file-skipping path) can recognize which
+    * pushed filters the index can prune with — without it the index is
+    * anonymous min/max rows. Underscore-prefixed → invisible to every
+    * parquet listing. */
+  private def indexColPath(dir: String) = Paths.get(dir, "index", "_col")
+
+  private[graft] def recordIndexCol(tableDir: String, k: String): Unit = {
+    val p = indexColPath(tableDir)
+    Files.createDirectories(p.getParent)
+    Files.write(p, k.getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE,
+      StandardOpenOption.TRUNCATE_EXISTING)
+  }
+
+  private[graft] def indexedCol(tableDir: String): Option[String] =
+    try {
+      val s = new String(
+        Files.readAllBytes(indexColPath(tableDir)), "UTF-8").trim
+      if (s.isEmpty) None else Some(s)
+    } catch { case _: Exception => None }
 
   /** Highest COMMITTED version. One driver-side dir listing, then a
     * committed-data probe from the HIGHEST version downward — the first
@@ -214,6 +247,16 @@ object CommitLogIngest {
     * a silently partial (here: vacuous) snapshot. */
   private[graft] def liveFiles(spark: SparkSession, tableDir: String,
       version: Long): Seq[String] = {
+    // guard BEFORE the log read: a table with no committed version (or a
+    // negative version from a caller that skipped latestVersion) must
+    // surface the contract message, not a raw path-not-found
+    // AnalysisException from reading a log dir that does not exist
+    if (version < 0 ||
+        (!Files.exists(Paths.get(s"$tableDir/log")) &&
+          checkpointsOnDisk(tableDir).isEmpty))
+      throw new IllegalStateException(
+        s"$tableDir has no committed version (latest = " +
+          s"${latestVersion(tableDir)}) — nothing to read at $version")
     val files = actionRows(spark, tableDir, version)
       .groupBy(col("path"))
       .agg(max_by(col("action"), col("version")).as("last"))
@@ -242,6 +285,11 @@ object CommitLogIngest {
     * outside every file's range is an EMPTY result, not an error. */
   def pointRead(spark: SparkSession, tableDir: String, statsCol: String,
       key: Long): DataFrame = {
+    if (!LayoutDirs.hasParquetData(s"$tableDir/index"))
+      throw new IllegalStateException(
+        s"$tableDir was ingested without statsCol — no commit-time index " +
+          "exists, so pointRead has nothing to prune with (pass " +
+          "statsCol to start/commitOnce, or scan snapshot() instead)")
     val live = liveFiles(spark, tableDir, latestVersion(tableDir))
     val files = spark.read.parquet(s"$tableDir/index")
       .filter(col("path").isin(live: _*))
@@ -263,6 +311,24 @@ object CommitLogIngest {
     * table. Version dirs are addressed directly (no log listing). */
   def changes(spark: SparkSession, tableDir: String, fromExclusive: Long,
       toInclusive: Long): DataFrame = {
+    val paths = addedFiles(spark, tableDir, fromExclusive, toInclusive)
+    if (paths.isEmpty) {
+      // the range holds only metadata versions (empty-batch tombstones /
+      // schema actions) — a legitimate zero-row poll, NOT an error. The
+      // schema comes from one live file of the snapshot at `toInclusive`
+      // (folded to an empty relation by the false filter, so nothing is
+      // actually scanned); a table with no data commits at all still
+      // fails loudly through liveFiles' contract guard.
+      val live = liveFiles(spark, tableDir, toInclusive)
+      spark.read.parquet(live.take(1): _*).filter(lit(false))
+    } else spark.read.parquet(paths: _*)
+  }
+
+  /** The data files the commit range (from, to] ADDED — the planning half
+    * of [[changes]], shared with the DSv2 streaming source (which turns
+    * each path into an input partition instead of a DataFrame). */
+  private[graft] def addedFiles(spark: SparkSession, tableDir: String,
+      fromExclusive: Long, toInclusive: Long): Seq[String] = {
     val logDir = s"$tableDir/log"
     // a FRESH consumer (from = -1) on a retention-pruned log: the table
     // is append-only, so the cumulative adds through a checkpoint ARE
@@ -270,6 +336,23 @@ object CommitLogIngest {
     // cheaper than reading every version dir on a long history). A
     // mid-stream consumer (from ≥ 0) must see real version dirs: a gap
     // there is retention past its position, which is data loss for it.
+    // retention guard for a MID-STREAM consumer (from >= 0): log
+    // partitions at or below the latest checkpoint are deletable, and
+    // empty batches land tombstone versions, so a MISSING dir at or below
+    // that floor is always retention that pruned past this consumer's
+    // position — data loss for it. Fail loudly instead of silently
+    // skipping those versions' rows (above the floor nothing may be
+    // pruned, so a missing dir there is just a never-committed id).
+    if (fromExclusive >= 0) {
+      val floor = checkpointsOnDisk(tableDir).lastOption.getOrElse(-1L)
+      val pruned = ((fromExclusive + 1) to math.min(toInclusive, floor))
+        .filterNot(v => LayoutDirs.hasParquetData(s"$logDir/version=$v"))
+      require(pruned.isEmpty,
+        s"changes($fromExclusive, $toInclusive]: versions " +
+          s"${pruned.mkString(",")} at or below the checkpoint floor " +
+          s"$floor were retention-pruned — this consumer lost data; " +
+          "restart it fresh (fromExclusive = -1)")
+    }
     val c =
       if (fromExclusive < 0)
         checkpointsOnDisk(tableDir).filter(_ <= toInclusive)
@@ -290,11 +373,7 @@ object CommitLogIngest {
       else spark.read.option("basePath", logDir).parquet(dirs: _*)
         .filter(col("action") === "add")
         .select("path").collect().map(_.getString(0)).toSeq
-    val paths = base ++ tail
-    require(paths.nonEmpty,
-      s"changes($fromExclusive, $toInclusive]: committed versions " +
-        s"carry no added files (corrupt log?)")
-    spark.read.parquet(paths: _*)
+    base ++ tail
   }
 
   /** Start the commit loop. `triggerSec <= 0` drops the processing-time

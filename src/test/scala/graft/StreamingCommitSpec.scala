@@ -78,6 +78,77 @@ class StreamingCommitSpec extends SparkSuite {
     } finally q2.stop()
   }
 
+  test("contract guards: empty tables, missing index, tombstoned empty batches, pruned mid-stream ranges") {
+    val s = spark
+    import s.implicits._
+    val table = tmp("guards")
+
+    // no committed version: a loud contract error, not a raw path error
+    val e0 = intercept[IllegalStateException] {
+      CommitLogIngest.snapshot(s, table).count()
+    }
+    assert(e0.getMessage.contains("no committed version"))
+
+    // two data commits, no statsCol: pointRead names the missing index
+    CommitLogIngest.commitOnce(Seq((1L, "a")).toDF("id", "p"), table, 0L)
+    CommitLogIngest.commitOnce(Seq((2L, "b")).toDF("id", "p"), table, 1L)
+    val e1 = intercept[IllegalStateException] {
+      CommitLogIngest.pointRead(s, table, "id", 1L).count()
+    }
+    assert(e1.getMessage.contains("without statsCol"))
+
+    // an EMPTY batch lands a tombstone version: the id is materialized on
+    // disk (no gap), counts as committed, and adds no rows to any read
+    CommitLogIngest.commitOnce(
+      Seq.empty[(Long, String)].toDF("id", "p"), table, 2L)
+    assert(graft.sources.LayoutDirs.hasParquetData(s"$table/log/version=2"))
+    assert(CommitLogIngest.latestVersion(table) == 2L)
+    assert(CommitLogIngest.snapshot(s, table).count() == 2)
+    // a poll covering ONLY the tombstone is a zero-row batch with the
+    // table's schema, not an error
+    val only = CommitLogIngest.changes(s, table, 1L, 2L)
+    assert(only.isEmpty && only.columns.toSeq == Seq("id", "p"))
+
+    // retention past a mid-stream consumer: build past a checkpoint
+    // boundary, prune a version at the floor, then poll across it
+    val every = CommitLogIngest.CheckpointEvery.toInt
+    (3 until every + 2).foreach { v =>
+      CommitLogIngest.commitOnce(
+        Seq((v.toLong, s"v$v")).toDF("id", "p"), table, v.toLong)
+    }
+    assert(CommitLogIngest.lastCheckpoint(table) == every - 1)
+    graft.sources.LayoutDirs.deleteQuiet(s"$table/log/version=5")
+    val e2 = intercept[IllegalArgumentException] {
+      CommitLogIngest.changes(s, table, 3L, every.toLong).count()
+    }
+    assert(e2.getMessage.contains("retention-pruned"),
+      s"wrong failure for a pruned mid-stream range: ${e2.getMessage}")
+    // a fresh consumer is unaffected: it composes from the checkpoint,
+    // which still references v5's DATA file (dropping the log partition
+    // is metadata retention, not data deletion) — 11 one-row data
+    // versions (0..11 minus the tombstone at 2)
+    assert(CommitLogIngest.changes(s, table, -1L, every.toLong + 1)
+      .count() == every.toLong + 1)
+  }
+
+  test("plainPath decodes local file URIs; remote schemes fail loudly, never silently mismatch") {
+    val s = spark
+    import s.implicits._
+    import graft.sources.LayoutDirs
+    val got = Seq("file:/tmp/a%20b/part.parquet", "/plain/path.parquet",
+      "file:///x/c%2Bd.parquet")
+      .toDF("p").select(LayoutDirs.plainPath(col("p"))).as[String]
+      .collect().toSeq
+    assert(got == Seq("/tmp/a b/part.parquet", "/plain/path.parquet",
+      "/x/c+d.parquet"))
+    val e = intercept[Exception] {
+      Seq("s3a://bucket/k.parquet").toDF("p")
+        .select(LayoutDirs.plainPath(col("p"))).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("non-local URI"),
+      s"remote scheme did not fail with the contract message: $e")
+  }
+
   test("commit-time stats index tracks every commit; point read opens one file") {
     val s = spark
     import s.implicits._
