@@ -21,16 +21,4 @@ object Shim {
     * + experimental) — for idempotence checks before registering one. */
   def plannerStrategies(spark: SparkSession): Seq[Any] =
     spark.asInstanceOf[classic.SparkSession].sessionState.planner.strategies
-
-  /** Re-root a batch DataFrame as a STREAMING one (isStreaming = true) —
-    * what a V1 streaming `Source.getBatch` must return. This is the
-    * DeltaSource shape: plan the batch read, take its InternalRow RDD,
-    * and wrap it in a streaming LogicalRDD so MicroBatchExecution accepts
-    * it as one micro-batch's data. */
-  def asStreaming(df: DataFrame): DataFrame = {
-    val ds = df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]]
-    val qe = ds.queryExecution
-    ofRows(ds.sparkSession, org.apache.spark.sql.execution.LogicalRDD(
-      qe.analyzed.output, qe.toRdd, isStreaming = true)(ds.sparkSession))
-  }
 }
