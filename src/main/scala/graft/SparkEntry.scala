@@ -35,7 +35,9 @@ object SparkEntry {
       graft.sources.IncrementalRollup.queries ++
       graft.sources.SchemaEvolution.queries ++
       graft.sources.FileIndex.queries ++
-      graft.sources.TimeTravel.queries
+      graft.sources.TimeTravel.queries ++
+      graft.sources.OptimizeCommit.queries ++
+      graft.sources.CommitSchemaEvolution.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's core operation: keyed concat/count aggregation over the

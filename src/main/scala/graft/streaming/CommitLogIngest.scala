@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.nio.file.{Files, Paths, StandardOpenOption}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -50,6 +50,7 @@ object CommitLogIngest {
 
   private def markerPath(dir: String) = Paths.get(dir, "_last_batch")
   private def ckptMarkerPath(dir: String) = Paths.get(dir, "_last_ckpt")
+  private def schemaMarkerPath(dir: String) = Paths.get(dir, "_schema")
 
   private[graft] def lastCommitted(dir: String): Long =
     try new String(Files.readAllBytes(markerPath(dir)), "UTF-8").trim.toLong
@@ -66,6 +67,56 @@ object CommitLogIngest {
       StandardOpenOption.CREATE, StandardOpenOption.WRITE,
       StandardOpenOption.TRUNCATE_EXISTING)
   }
+
+  // ---- schema as a log action ---------------------------------------------
+
+  /** The last schema json a commit recorded (fast path for the per-commit
+    * "did the schema change?" test — the LOG rows are the source of
+    * truth; the marker only saves a log resolve per trigger). */
+  private def lastSchemaJson(dir: String): Option[String] =
+    try {
+      val s = new String(
+        Files.readAllBytes(schemaMarkerPath(dir)), "UTF-8")
+      if (s.isEmpty) None else Some(s)
+    } catch { case _: Exception => None }
+
+  private def writeSchemaMarker(dir: String, json: String): Unit = {
+    val p = schemaMarkerPath(dir)
+    Files.createDirectories(p.getParent)
+    Files.write(p, json.getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE,
+      StandardOpenOption.TRUNCATE_EXISTING)
+  }
+
+  /** The ("schema", json) action to include in a commit when `batchSchema`
+    * differs from the last recorded one — schema evolution RIDES the data
+    * commit (the Delta metadata-action shape), so "the schema as of
+    * version V" is answerable for every V and a mid-stream column add
+    * needs no out-of-band coordination. A crash between the commit and
+    * the marker repair just re-records the same json at the next commit
+    * (latest-wins, same value — harmless). */
+  private def schemaActionFor(tableDir: String,
+      batchSchema: org.apache.spark.sql.types.StructType)
+      : Seq[(String, String)] = {
+    val json = batchSchema.json
+    if (lastSchemaJson(tableDir).contains(json)) Seq.empty
+    else Seq(("schema", json))
+  }
+
+  /** The declared schema AS OF `version`: the latest schema action at or
+    * below it, resolved through the same checkpoint-aware replay as the
+    * file actions (checkpoints carry the schema row, so resolution
+    * survives log retention). None before any schema action (a pre-
+    * evolution table) → snapshot falls back to file inference. */
+  def schemaAt(spark: SparkSession, tableDir: String,
+      version: Long): Option[org.apache.spark.sql.types.StructType] =
+    actionRows(spark, tableDir, version)
+      .filter(col("action") === "schema")
+      .orderBy(col("version").desc).limit(1)
+      .collect().headOption.map(r =>
+        org.apache.spark.sql.types.DataType
+          .fromJson(r.getAs[String]("path"))
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
 
   /** Checkpoint versions present ON DISK (`log_ckpt/c=N` dirs with
     * committed data) — the marker is only the fast path; resolution
@@ -102,9 +153,14 @@ object CommitLogIngest {
       .filter(v => v <= version && v < ckptBelow)
       .lastOption.getOrElse(-1L)
     if (c >= 0) {
-      val base = spark.read.parquet(s"$tableDir/log_ckpt/c=$c")
-        .select(col("v").cast("long").as("version"),
-          lit("add").as("action"), col("path"))
+      val ckpt = spark.read.parquet(s"$tableDir/log_ckpt/c=$c")
+      // newer checkpoints carry an action column (they preserve the
+      // latest schema action across retention); older ones are all adds
+      val base =
+        (if (ckpt.columns.contains("action")) ckpt
+         else ckpt.withColumn("action", lit("add")))
+          .select(col("v").cast("long").as("version"),
+            col("action"), col("path"))
       val tailDirs = ((c + 1) to version)
         .map(v => s"$logDir/version=$v")
         .filter(LayoutDirs.hasParquetData) // skipped empty batches
@@ -129,12 +185,20 @@ object CommitLogIngest {
     * retention depends on). */
   private def writeLogCheckpoint(spark: SparkSession, tableDir: String,
       upTo: Long): Unit = {
-    actionRows(spark, tableDir, upTo, ckptBelow = upTo)
+    val rows = actionRows(spark, tableDir, upTo, ckptBelow = upTo)
+    val liveAdds = rows
       .groupBy(col("path"))
       .agg(max_by(col("action"), col("version")).as("last"),
         max(col("version")).as("v"))
       .filter(col("last") === "add")
-      .select(col("path"), col("v"))
+      .select(col("path"), col("v"), lit("add").as("action"))
+    // the latest schema action rides the checkpoint, so schema-as-of
+    // resolution survives retention exactly like the live file set does
+    val schemaRow = rows.filter(col("action") === "schema")
+      .orderBy(col("version").desc).limit(1)
+      .select(col("path"), col("version").as("v"),
+        lit("schema").as("action"))
+    liveAdds.unionByName(schemaRow)
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$tableDir/log_ckpt/c=$upTo")
     writeMarker(ckptMarkerPath(tableDir), upTo)
@@ -177,8 +241,11 @@ object CommitLogIngest {
         recordIndexCol(tableDir, k)
       }
       import spark.implicits._
-      LayoutDirs.dataFiles(dataDir).map(("add", _)).toDF("action", "path")
+      (LayoutDirs.dataFiles(dataDir).map(("add", _)) ++
+        schemaActionFor(tableDir, batch.schema))
+        .toDF("action", "path")
         .coalesce(1).write.mode("overwrite").parquet(versionDir)
+      writeSchemaMarker(tableDir, batch.schema.json)
     }
     // the marker guard makes a crash-replay of a completed checkpoint a
     // no-op instead of a second resolve-and-overwrite of the same dir
@@ -209,6 +276,181 @@ object CommitLogIngest {
         Files.readAllBytes(indexColPath(tableDir)), "UTF-8").trim
       if (s.isEmpty) None else Some(s)
     } catch { case _: Exception => None }
+
+  // ---- multi-writer optimistic concurrency --------------------------------
+
+  /** Version-claim conflicts observed by THIS process's writers (losers of
+    * the put-if-absent race that had to re-read the log and retry). */
+  private val conflictCount = new java.util.concurrent.atomic.AtomicLong(0)
+  def conflicts: Long = conflictCount.get()
+
+  /** Multi-writer OPTIMISTIC append: commit `batch` as the next table
+    * version, safely concurrent with other writers. The protocol is the
+    * Delta `_delta_log/N.json` put-if-absent rule, with an atomic
+    * directory RENAME as the local-filesystem stand-in (object stores use
+    * a conditional put):
+    *
+    *  1. data files land in a writer-unique dir (invisible — nothing
+    *     references them until the log does);
+    *  2. the add-action log partition is STAGED under `log/.stage-<id>`
+    *     (dot-prefixed → invisible to listings and parquet reads);
+    *  3. claim version v = latestVersion+1 by atomically moving the
+    *     staged dir to `log/version=v` — the rename fails if the version
+    *     is taken, and because it is atomic the version dir only ever
+    *     appears FULLY FORMED (its data files committed), so a
+    *     concurrent poll can never observe a half version;
+    *  4. the loser bumps the conflict metric, re-reads the log for the
+    *     fresh latest, and retries at the next free version — nothing is
+    *     rewritten (data files and the staged partition are reused), so
+    *     a lost race costs one rename, not one job.
+    *
+    * Versions stay CONTIGUOUS: a writer can only win v after observing
+    * v-1 committed (its first attempt is latest+1, and every retry moves
+    * to a version whose predecessor just beat it). A table is written
+    * EITHER through this path (version = claim order) or through the
+    * streaming [[commitOnce]] path (version = batchId) — mixing the two
+    * addressing disciplines on one table is a caller error.
+    *
+    * Returns the committed version. */
+  def commitAppend(batch: DataFrame, tableDir: String,
+      statsCol: Option[String] = None): Long = {
+    val spark = batch.sparkSession
+    val dataDir =
+      s"$tableDir/data/w-${java.util.UUID.randomUUID().toString.take(12)}"
+    batch.write.mode("overwrite").parquet(dataDir)
+    commitActions(spark, tableDir,
+      adds = LayoutDirs.dataFiles(dataDir), removes = Seq.empty,
+      statsCol = statsCol, statsDir = Some(dataDir),
+      schemaOf = Some(batch.schema))
+  }
+
+  /** Stage an action set and claim the next version for it (the shared
+    * tail of [[commitAppend]] and [[optimize]] — a rewrite's adds and
+    * removes commit ATOMICALLY in one version). */
+  private[graft] def commitActions(spark: SparkSession, tableDir: String,
+      adds: Seq[String], removes: Seq[String],
+      statsCol: Option[String], statsDir: Option[String],
+      schemaOf: Option[org.apache.spark.sql.types.StructType] = None)
+      : Long = {
+    import spark.implicits._
+    val stage = Paths.get(tableDir, "log",
+      s".stage-${java.util.UUID.randomUUID().toString.take(12)}")
+    (removes.map(("remove", _)) ++ adds.map(("add", _)) ++
+      schemaOf.toSeq.flatMap(st => schemaActionFor(tableDir, st)))
+      .toDF("action", "path")
+      .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val v = claimVersion(tableDir, stage)
+    schemaOf.foreach(st => writeSchemaMarker(tableDir, st.json))
+    // post-win bookkeeping: v is exclusively ours now, so the index and
+    // checkpoint writes race nobody (index rows are keyed by immutable
+    // path and versioned dirs are unique per claim)
+    statsCol.foreach { k =>
+      statsDir.foreach { d =>
+        spark.read.parquet(d)
+          .groupBy(input_file_name().as("path"))
+          .agg(min(col(k)).as("min_key"), max(col(k)).as("max_key"),
+            count(lit(1)).as("rows"))
+          .withColumn("path", LayoutDirs.plainPath(col("path")))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$tableDir/index/version=$v")
+        recordIndexCol(tableDir, k)
+      }
+    }
+    maybeCheckpoint(spark, tableDir, v)
+    v
+  }
+
+  /** Atomically claim the next free version for a staged log partition.
+    * `startAt` pins the FIRST attempted version (tests force a
+    * deterministic conflict with it); production callers let it default
+    * to latest+1. A rename failure only counts as a conflict if the
+    * target version actually exists — anything else (permissions, a dying
+    * disk) rethrows instead of spinning. */
+  private[graft] def claimVersion(tableDir: String,
+      stage: java.nio.file.Path, startAt: Long = -1L): Long = {
+    var v = if (startAt >= 0) startAt else latestVersion(tableDir) + 1
+    while (true) {
+      val target = Paths.get(tableDir, "log", s"version=$v")
+      try {
+        Files.move(stage, target,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        return v
+      } catch {
+        case e: java.nio.file.FileSystemException =>
+          if (!Files.exists(target)) throw e // not a version conflict
+          conflictCount.incrementAndGet()
+          v = math.max(v + 1, latestVersion(tableDir) + 1)
+      }
+    }
+    v // unreachable
+  }
+
+  /** Checkpoint trigger shared by both commit paths. JVM-level lock so
+    * concurrent writers crossing different boundaries don't interleave
+    * marker writes (the marker is monotonic fast-path only — resolution
+    * always lists checkpoint dirs). */
+  private val ckptLock = new Object
+  private def maybeCheckpoint(spark: SparkSession, tableDir: String,
+      v: Long): Unit =
+    if ((v + 1) % CheckpointEvery == 0) ckptLock.synchronized {
+      if (lastCheckpoint(tableDir) < v) writeLogCheckpoint(spark, tableDir, v)
+    }
+
+  // ---- OPTIMIZE through the log -------------------------------------------
+
+  /** Small-file compaction AS A COMMIT — the Delta/Iceberg OPTIMIZE shape:
+    * live files under `maxFileBytes` are rewritten into target-sized
+    * files, and ONE log version records add(compacted) + remove(smalls)
+    * atomically. No logical change: every snapshot census is identical
+    * before and after, the pre-compaction version stays readable until
+    * [[vacuum]] reclaims it, and with `statsCol` the rewrite is
+    * range-clustered on the indexed column so commit-time stats stay
+    * selective (the new files get index rows in the same commit).
+    * Returns (newVersion, nCompacted, nOutput); a table with fewer than
+    * two small files is left untouched (returns (-1, 0, 0)). */
+  def optimize(spark: SparkSession, tableDir: String,
+      statsCol: Option[String] = None,
+      maxFileBytes: Long = 128L * 1024L * 1024L): (Long, Int, Int) = {
+    val v = latestVersion(tableDir)
+    val live = liveFiles(spark, tableDir, v)
+    val smalls = live.filter(p =>
+      try Files.size(Paths.get(p)) < maxFileBytes
+      catch { case _: Exception => false })
+    if (smalls.size < 2) return (-1L, 0, 0)
+    val totalBytes = smalls.map(p => Files.size(Paths.get(p))).sum
+    val n = math.max(1L, (totalBytes + maxFileBytes - 1) / maxFileBytes).toInt
+    val optDir =
+      s"$tableDir/data/opt-${java.util.UUID.randomUUID().toString.take(12)}"
+    val in = spark.read.parquet(smalls: _*)
+    (statsCol match {
+      // range-cluster on the indexed column so point reads stay pruned
+      case Some(k) => in.repartitionByRange(n, col(k))
+        .sortWithinPartitions(col(k))
+      case None => in.repartition(n)
+    }).write.mode("overwrite").parquet(optDir)
+    val newV = commitActions(spark, tableDir,
+      adds = LayoutDirs.dataFiles(optDir), removes = smalls,
+      statsCol = statsCol, statsDir = Some(optDir))
+    (newV, smalls.size, LayoutDirs.dataFiles(optDir).size)
+  }
+
+  /** Physically delete every data file no retained version (>= retainMin)
+    * references — the VACUUM shape: history below the retention floor
+    * becomes unreadable, everything at or above it is untouched. Run
+    * BEFORE pruning the log partitions themselves (reachability is
+    * computed from the log). Returns the deleted paths. */
+  def vacuum(spark: SparkSession, tableDir: String,
+      retainMin: Long): Seq[String] = {
+    val latest = latestVersion(tableDir)
+    val all = spark.read.parquet(s"$tableDir/log")
+      .filter(col("action") === "add")
+      .select("path").distinct().collect().map(_.getString(0)).toSet
+    val keep = (math.max(retainMin, 0L) to latest)
+      .flatMap(v => liveFiles(spark, tableDir, v)).toSet
+    val drop = (all -- keep).toSeq.sorted
+    drop.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    drop
+  }
 
   /** Highest COMMITTED version. One driver-side dir listing, then a
     * committed-data probe from the HIGHEST version downward — the first
@@ -272,11 +514,19 @@ object CommitLogIngest {
   }
 
   /** The table at `version` (or the latest committed version when
-    * negative) — the TimeTravel read over this stream's log. */
+    * negative) — the TimeTravel read over this stream's log, under the
+    * schema DECLARED AS OF that version: files from an older generation
+    * surface NULL for columns added later (parquet fills missing
+    * columns), and a version pinned before a schema change reads under
+    * its own generation's schema. */
   def snapshot(spark: SparkSession, tableDir: String,
       version: Long = -1L): DataFrame = {
     val v = if (version >= 0) version else latestVersion(tableDir)
-    spark.read.parquet(liveFiles(spark, tableDir, v): _*)
+    val files = liveFiles(spark, tableDir, v)
+    schemaAt(spark, tableDir, v) match {
+      case Some(st) => spark.read.schema(st).parquet(files: _*)
+      case None => spark.read.parquet(files: _*)
+    }
   }
 
   /** Point lookup at the latest version through log + commit-time index:
@@ -312,16 +562,28 @@ object CommitLogIngest {
   def changes(spark: SparkSession, tableDir: String, fromExclusive: Long,
       toInclusive: Long): DataFrame = {
     val paths = addedFiles(spark, tableDir, fromExclusive, toInclusive)
+    val declared = schemaAt(spark, tableDir, toInclusive)
     if (paths.isEmpty) {
       // the range holds only metadata versions (empty-batch tombstones /
       // schema actions) — a legitimate zero-row poll, NOT an error. The
-      // schema comes from one live file of the snapshot at `toInclusive`
-      // (folded to an empty relation by the false filter, so nothing is
-      // actually scanned); a table with no data commits at all still
-      // fails loudly through liveFiles' contract guard.
-      val live = liveFiles(spark, tableDir, toInclusive)
-      spark.read.parquet(live.take(1): _*).filter(lit(false))
-    } else spark.read.parquet(paths: _*)
+      // schema is the one declared as of `toInclusive` when recorded,
+      // else one live file supplies it (folded to an empty relation by
+      // the false filter, so nothing is actually scanned); a table with
+      // no data commits at all still fails loudly through liveFiles'
+      // contract guard.
+      declared match {
+        case Some(st) =>
+          spark.createDataFrame(new java.util.ArrayList[Row](), st)
+        case None =>
+          val live = liveFiles(spark, tableDir, toInclusive)
+          spark.read.parquet(live.take(1): _*).filter(lit(false))
+      }
+    } else declared match {
+      // a poll spanning a schema change delivers the NEWEST generation's
+      // schema (the Delta change-feed rule): older files null-fill
+      case Some(st) => spark.read.schema(st).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
   }
 
   /** The data files the commit range (from, to] ADDED — the planning half
@@ -359,10 +621,13 @@ object CommitLogIngest {
           .lastOption.getOrElse(-1L)
       else -1L
     val base: Seq[String] =
-      if (c >= 0)
-        spark.read.parquet(s"$tableDir/log_ckpt/c=$c")
+      if (c >= 0) {
+        val ckpt = spark.read.parquet(s"$tableDir/log_ckpt/c=$c")
+        (if (ckpt.columns.contains("action"))
+           ckpt.filter(col("action") === "add")
+         else ckpt)
           .select("path").collect().map(_.getString(0)).toSeq
-      else Seq.empty
+      } else Seq.empty
     val dirs = ((math.max(fromExclusive, c) + 1) to toInclusive)
       .map(v => s"$logDir/version=$v").filter(LayoutDirs.hasParquetData)
     require(base.nonEmpty || dirs.nonEmpty,
