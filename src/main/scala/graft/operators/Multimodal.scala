@@ -8,12 +8,18 @@ import graft.model.Tables
 /** Multimodal-column plumbing: media as opaque `binary` columns with typed
   * metadata, plus a feature-extraction stage over batched partitions.
   *
-  * The container has no image/audio codecs, so the decode step is a
-  * clearly-marked deterministic STUB (byte-histogram "features") — but the
-  * Spark-side plumbing is real: a `binary` content column, a typed metadata
-  * struct, and a `mapPartitions` stage with the exact shape a Pandas-UDF /
-  * Arrow-batch decoder would have (iterator-of-batches in, iterator out,
-  * fixed-size Array[Float] feature schema).
+  * The IMAGE path is a REAL codec: `pngMedia` encodes deterministic
+  * gradient tiles to genuine PNG bytes with `javax.imageio` (in the JDK —
+  * zero-egress), and `m_resize_agg`/`m_png_meta` DECODE those bytes back
+  * to pixels before any arithmetic. Because the PNG roundtrip is lossless
+  * and the written pixels follow a closed formula, the DuckDB oracle can
+  * replay the decoded values exactly — a reader that skipped the decode,
+  * mis-parsed the raster, or lost a row hash-mismatches. The audio/video
+  * decode steps remain clearly-marked deterministic STUBS (no audio/video
+  * codecs ship with the JDK), but their Spark-side plumbing is real: a
+  * `binary` content column, a typed metadata struct, and `mapPartitions`
+  * stages with the exact shape a Pandas-UDF / Arrow-batch decoder would
+  * have (iterator-of-batches in, iterator out, fixed feature schema).
   *
   * Scale notes (100 TB of media): content stays an opaque binary column —
   * never parsed by Catalyst, never shuffled (feature extraction is
@@ -245,79 +251,166 @@ object Multimodal {
        |    AS crossings
        |FROM samples""".stripMargin
 
-  // ---- resize (image path) ---------------------------------------------------
+  // ---- real PNG image path (javax.imageio) -----------------------------------
 
-  /** Resized-image record: halved dimensions + downsampled payload stats. */
-  final case class Resized(doc_id: Long, mime: String, out_w: Int, out_h: Int,
-      out_bytes: Long, checksum: Long)
+  /** One real-PNG media row: `content` is a genuine PNG encoding. */
+  final case class PngRow(doc_id: Long, w: Int, h: Int,
+      content: Array[Byte])
 
-  /** STUB 2× box-filter downsample: the blob is treated as a width×height
-    * row-major byte grid (truncated/padded by construction of the
-    * metadata); each output byte is the integer mean of a 2×2 block. A
-    * real image backend swaps only the pixel math — partition-local,
-    * one-in-one-out, deterministic. */
-  private def resizeStub(rows: Iterator[MediaRow]): Iterator[Resized] =
-    rows.filter(_.mime == "image/png").map { r =>
-      val w = r.width
-      val h = math.max(math.min(r.height, r.content.length / math.max(w, 1)), 0)
-      val ow = w / 2
-      val oh = h / 2
+  /** Gradient tile pixel formula — the ground truth both the encoder and
+    * the DuckDB oracle share. Lossless PNG roundtrip means a decoded
+    * sample MUST equal this, which is what makes real decode oracle-able. */
+  private[graft] def gradientPixel(x: Int, y: Int, docId: Long): Int =
+    ((x + 2L * y + docId) % 256L).toInt
+
+  private[graft] def pngDims(docId: Long): (Int, Int) =
+    (16 + (docId % 8).toInt * 4, 16 + (docId % 5).toInt * 6)
+
+  /** Encode one gradient tile as a real PNG (grayscale, 8-bit). */
+  private[graft] def encodePng(w: Int, h: Int, docId: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, gradientPixel(x, y, docId))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private[graft] def decodePng(bytes: Array[Byte])
+      : java.awt.image.BufferedImage =
+    javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+
+  /** Real-PNG media table: per document one deterministic gradient tile,
+    * PNG-ENCODED executor-side (the encode is the "media arrived as
+    * bytes" stand-in; everything downstream treats `content` as opaque
+    * binary until a decode stage opens it). */
+  def pngMedia(spark: SparkSession, sfDir: String): Dataset[PngRow] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { d =>
+        val (w, h) = pngDims(d)
+        PngRow(d, w, h, encodePng(w, h, d))
+      })
+  }
+
+  private val pngCte: String =
+    """png AS (
+      |  SELECT doc_id,
+      |    CAST(16 + (doc_id % 8) * 4 AS INT) AS w,
+      |    CAST(16 + (doc_id % 5) * 6 AS INT) AS h
+      |  FROM documents
+      |)""".stripMargin
+
+  /** Decoded-metadata census over REAL PNG decode: width/height/pixel
+    * stats come from `ImageIO.read`'s raster, not from the metadata
+    * columns — the oracle replaying the gradient formula only matches if
+    * the decode is genuine. Blobs never shuffle: decode is map-side, only
+    * (w, h, 3 longs) per image reaches the exchange. */
+  def pngMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    pngMedia(spark, sfDir).mapPartitions(_.map { r =>
+      val img = decodePng(r.content)
+      val raster = img.getRaster
+      val (w, h) = (img.getWidth, img.getHeight)
+      var sum = 0L
+      var mn = 255L
+      var mx = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val s = raster.getSample(x, y, 0).toLong
+          sum += s
+          if (s < mn) mn = s
+          if (s > mx) mx = s
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, sum, mn, mx)
+    }).toDF("w", "h", "sum_img", "min_img", "max_img")
+      .groupBy(col("w"), col("h"))
+      .agg(count(lit(1)).as("n_images"),
+        sum(col("sum_img")).as("sum_px"),
+        min(col("min_img")).as("min_px"),
+        max(col("max_img")).as("max_px"))
+  }
+
+  /** The decoded pixels replayed from the shared gradient formula. */
+  val pngMetaSql: String =
+    s"""WITH $pngCte, px AS (
+       |  SELECT doc_id, w, h,
+       |    list_transform(range(0, w * h),
+       |      k -> (k % w + 2 * (k // w) + doc_id) % 256) AS ps
+       |  FROM png
+       |)
+       |SELECT w, h, COUNT(*) AS n_images,
+       |  CAST(SUM(list_sum(ps)) AS BIGINT) AS sum_px,
+       |  CAST(MIN(list_min(ps)) AS BIGINT) AS min_px,
+       |  CAST(MAX(list_max(ps)) AS BIGINT) AS max_px
+       |FROM px GROUP BY w, h""".stripMargin
+
+  // ---- resize over real decoded pixels ---------------------------------------
+
+  /** 2× box-filter downsample over GENUINELY DECODED pixels: ImageIO
+    * decode → 2×2 integer-mean walk on the raster → per-resolution
+    * rollup. Map-side end to end (PNG bytes never shuffle; one small
+    * tuple per image reaches the exchange); at 100 TB the decode stage
+    * is the same `mapPartitions` slot a Pandas-UDF/JNI codec occupies,
+    * and partitioning follows the source files. The oracle replays the
+    * identical walk from the gradient formula — only a real decode of
+    * the actual PNG bytes reproduces it. */
+  def resizeAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    pngMedia(spark, sfDir).mapPartitions(_.map { r =>
+      val img = decodePng(r.content)
+      val raster = img.getRaster
+      val ow = img.getWidth / 2
+      val oh = img.getHeight / 2
       var checksum = 0L
       var orow = 0
       while (orow < oh) {
         var ocol = 0
         while (ocol < ow) {
-          val base = orow * 2 * w + ocol * 2
-          val s = (r.content(base) & 0xFF) + (r.content(base + 1) & 0xFF) +
-            (r.content(base + w) & 0xFF) + (r.content(base + w + 1) & 0xFF)
+          val s = raster.getSample(ocol * 2, orow * 2, 0) +
+            raster.getSample(ocol * 2 + 1, orow * 2, 0) +
+            raster.getSample(ocol * 2, orow * 2 + 1, 0) +
+            raster.getSample(ocol * 2 + 1, orow * 2 + 1, 0)
           checksum += s / 4
           ocol += 1
         }
         orow += 1
       }
-      Resized(r.doc_id, r.mime, ow, oh, ow.toLong * oh, checksum)
-    }
-
-  /** Resize pipeline: per-image 2× downsample (map-side, blobs never
-    * shuffle), rolled up per output resolution. The stub's pixel walk is
-    * deterministic integer arithmetic over ASCII payload bytes, so it IS
-    * SQL-expressible — the oracle replays the identical 2×2 mean walk
-    * with a DuckDB list comprehension (see [[resizeAggSql]]); a
-    * hand-computed golden additionally lives in MultimodalSpec. */
-  def resizeAgg(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    media(spark, sfDir).as[MediaRow]
-      .mapPartitions(resizeStub)
+      (ow, oh, ow.toLong * oh, checksum)
+    }).toDF("out_w", "out_h", "out_bytes", "checksum")
       .groupBy(col("out_w"), col("out_h"))
       .agg(count(lit(1)).as("n_images"),
         sum(col("out_bytes")).as("total_out_bytes"),
         sum(col("checksum")).as("sum_checksum"))
   }
 
-  /** Exposed for the golden test. */
-  def resizeForTest(rows: Seq[MediaRow]): Seq[Resized] =
-    resizeStub(rows.iterator).toSeq
-
-  /** The resize stub replayed in SQL: pixel k of the output covers the
-    * 2×2 input block at (k/ow, k%ow); byte p of the ASCII payload is
-    * ascii(substr(text, p+1, 1)). Guards mirror the stub: h clamps to
-    * the payload, empty outputs contribute checksum 0 (the lambda never
-    * evaluates on an empty range, so no division by a zero `ow`). */
+  /** The 2×2 mean walk replayed from the gradient formula: output pixel k
+    * covers input block (2·(k%ow)+dx, 2·(k//ow)+dy), dx,dy ∈ {0,1}. */
   val resizeAggSql: String =
-    s"""WITH $mediaCte, dims AS (
-       |  SELECT doc_id, text, width AS w,
-       |    CAST(width // 2 AS INT) AS ow,
-       |    CAST(GREATEST(LEAST(height,
-       |      octet_length(content) // GREATEST(width, 1)), 0) // 2 AS INT)
-       |      AS oh
-       |  FROM media WHERE mime = 'image/png'
+    s"""WITH $pngCte, dims AS (
+       |  SELECT doc_id, CAST(w // 2 AS INT) AS ow, CAST(h // 2 AS INT) AS oh
+       |  FROM png
        |), px AS (
        |  SELECT doc_id, ow, oh, CAST(ow AS BIGINT) * oh AS out_bytes,
        |    COALESCE(list_sum(list_transform(range(0, ow * oh), k ->
-       |      (ascii(substr(text, (k // ow) * 2 * w + (k % ow) * 2 + 1, 1)) +
-       |       ascii(substr(text, (k // ow) * 2 * w + (k % ow) * 2 + 2, 1)) +
-       |       ascii(substr(text, (k // ow) * 2 * w + (k % ow) * 2 + w + 1, 1)) +
-       |       ascii(substr(text, (k // ow) * 2 * w + (k % ow) * 2 + w + 2, 1)))
+       |      (((k % ow) * 2     + 2 * ((k // ow) * 2)     + doc_id) % 256 +
+       |       ((k % ow) * 2 + 1 + 2 * ((k // ow) * 2)     + doc_id) % 256 +
+       |       ((k % ow) * 2     + 2 * ((k // ow) * 2 + 1) + doc_id) % 256 +
+       |       ((k % ow) * 2 + 1 + 2 * ((k // ow) * 2 + 1) + doc_id) % 256)
        |      // 4)), 0) AS checksum
        |  FROM dims
        |)
@@ -424,5 +517,6 @@ object Multimodal {
     "m_frame_sample" -> Q(frameSampleSql)(frameSample),
     "m_audio_features" -> Q(audioFeaturesSql)(audioFeatures),
     "m_phash_dup"    -> Q(phashDupSql)(phashDup),
+    "m_png_meta"     -> Q(pngMetaSql)(pngMeta),
     "m_resize_agg"   -> Q(resizeAggSql)(resizeAgg))
 }

@@ -1,36 +1,54 @@
 package graft
 
 import graft.operators.Multimodal
-import graft.operators.Multimodal.MediaRow
 
-/** Golden + determinism tests for the multimodal stubs whose pixel walks
-  * aren't SQL-expressible (the driver records rows-only checks for them). */
+/** Goldens for the REAL image codec path (encode → PNG bytes → ImageIO
+  * decode must reproduce the gradient formula bit-exactly — what makes the
+  * decode oracle-able) plus determinism of the aggregated faces. */
 class MultimodalSpec extends SparkSuite {
 
-  test("resize stub: hand-computed 4x4 -> 2x2 box filter golden") {
-    // grid rows: [0,4,8,12] [16,20,24,28] [32,36,40,44] [48,52,56,60]
-    val content = Array.tabulate[Byte](16)(i => (i * 4).toByte)
-    val out = Multimodal.resizeForTest(Seq(
-      MediaRow(1L, content, "image/png", 4, 4)))
-    assert(out.size == 1)
-    val r = out.head
-    assert((r.out_w, r.out_h, r.out_bytes) == ((2, 2, 4L)))
-    // blocks: (0+4+16+20)/4=10, (8+12+24+28)/4=18, (32+36+48+52)/4=42,
-    // (40+44+56+60)/4=50 → checksum 120
-    assert(r.checksum == 120L)
+  test("PNG roundtrip: decoded raster equals the gradient formula, pixel for pixel") {
+    val d = 7L
+    val (w, h) = Multimodal.pngDims(d)
+    val bytes = Multimodal.encodePng(w, h, d)
+    // a real PNG: magic bytes, not a raw buffer
+    assert((bytes(0) & 0xFF) == 0x89 &&
+      new String(bytes.slice(1, 4), "US-ASCII") == "PNG")
+    val img = Multimodal.decodePng(bytes)
+    assert((img.getWidth, img.getHeight) == ((w, h)))
+    val raster = img.getRaster
+    for (y <- 0 until h; x <- 0 until w)
+      assert(raster.getSample(x, y, 0) == Multimodal.gradientPixel(x, y, d),
+        s"pixel ($x,$y) lost in the encode/decode roundtrip")
   }
 
-  test("resize stub skips non-images and handles short blobs") {
-    val out = Multimodal.resizeForTest(Seq(
-      MediaRow(1L, Array[Byte](1, 2, 3), "audio/wav", 4, 4),
-      MediaRow(2L, Array[Byte](1, 2, 3), "image/png", 4, 4)))
-    assert(out.map(_.doc_id) == Seq(2L))
-    assert(out.head.out_h == 0 && out.head.checksum == 0L)
+  test("resize golden: hand-computed 4x4 gradient -> 2x2 box filter") {
+    // doc_id 0, 4x4: pixel(x,y) = x + 2y; rows [0,1,2,3] [2,3,4,5]
+    // [4,5,6,7] [6,7,8,9]; blocks (0+1+2+3)/4=1, (2+3+4+5)/4=3,
+    // (4+5+6+7)/4=5, (6+7+8+9)/4=7 → checksum 16
+    val img = Multimodal.decodePng(Multimodal.encodePng(4, 4, 0L))
+    val r = img.getRaster
+    var checksum = 0L
+    for (orow <- 0 until 2; ocol <- 0 until 2)
+      checksum += (r.getSample(ocol * 2, orow * 2, 0) +
+        r.getSample(ocol * 2 + 1, orow * 2, 0) +
+        r.getSample(ocol * 2, orow * 2 + 1, 0) +
+        r.getSample(ocol * 2 + 1, orow * 2 + 1, 0)) / 4
+    assert(checksum == 16L)
   }
 
-  test("resize aggregation is deterministic across runs") {
+  test("decoded-pixel aggregations are deterministic across runs") {
     val a = Multimodal.resizeAgg(spark, sf0001).collect().map(_.toString).sorted
     val b = Multimodal.resizeAgg(spark, sf0001).collect().map(_.toString).sorted
+    assert(a.nonEmpty && (a sameElements b))
+    val m1 = Multimodal.pngMeta(spark, sf0001).collect().map(_.toString).sorted
+    val m2 = Multimodal.pngMeta(spark, sf0001).collect().map(_.toString).sorted
+    assert(m1.nonEmpty && (m1 sameElements m2))
+  }
+
+  test("audio stub stays deterministic (documented stand-in)") {
+    val a = Multimodal.audioFeatures(spark, sf0001).collect().map(_.toString).sorted
+    val b = Multimodal.audioFeatures(spark, sf0001).collect().map(_.toString).sorted
     assert(a.nonEmpty && (a sameElements b))
   }
 }
