@@ -17,7 +17,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
@@ -106,10 +106,18 @@ class CommitLogTable(tableDir: String, declared: StructType)
 
 class CommitLogScanBuilder(tableDir: String, schema: StructType,
     options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownFilters {
+    extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private val indexCol: Option[String] = CommitLogIngest.indexedCol(tableDir)
   private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = schema
+
+  /** Column pruning: the scan delivers only the projected fields, and the
+    * reader requests only those columns from parquet — the other columns'
+    * pages are never decoded (or, on an object store, fetched). */
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
 
   /** [lo, hi] key bound a single filter implies on the indexed column. */
   private def boundOf(c: String, f: Filter): Option[(Long, Long)] = f match {
@@ -152,7 +160,7 @@ class CommitLogScanBuilder(tableDir: String, schema: StructType,
   }
 
   override def build(): Scan =
-    new CommitLogScan(tableDir, schema, options, bounds)
+    new CommitLogScan(tableDir, required, options, bounds)
 }
 
 class CommitLogScan(tableDir: String, schema: StructType,
@@ -316,9 +324,35 @@ class GroupRowReader(file: String, schema: StructType)
 
   CommitLogReadTracker.record(file)
 
+  /** Push the projection into parquet-mr: request only the scan's fields
+    * that EXIST in this file (schema generations differ), built from the
+    * file's own types so the requested schema is always a valid subset.
+    * The unrequested columns' pages are then never decoded — the
+    * column-pruning half of pushdown, done per file because each file is
+    * its own schema generation. An empty projection (count-only scans)
+    * skips the request and falls back to full rows. */
+  private val conf: Configuration = {
+    val c = new Configuration()
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new HadoopPath(file), c))
+    try {
+      val fileSchema = footer.getFileMetaData.getSchema
+      val wanted = schema.fieldNames.filter(fileSchema.containsField)
+      if (wanted.nonEmpty && wanted.length < fileSchema.getFieldCount) {
+        val pruned = new org.apache.parquet.schema.MessageType(
+          fileSchema.getName,
+          wanted.map(n => fileSchema.getFields.get(fileSchema.getFieldIndex(n))): _*)
+        c.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+          pruned.toString)
+      }
+    } finally footer.close()
+    c
+  }
+
   private val reader: ParquetReader[Group] =
     ParquetReader.builder(new GroupReadSupport(), new HadoopPath(file))
-      .withConf(new Configuration())
+      .withConf(conf)
       .build()
 
   private var current: Group = _

@@ -325,25 +325,74 @@ object CommitLogIngest {
   }
 
   /** Stage an action set and claim the next version for it (the shared
-    * tail of [[commitAppend]] and [[optimize]] — a rewrite's adds and
-    * removes commit ATOMICALLY in one version). */
+    * tail of [[commitAppend]], [[optimize]] and the DSv2 batch writer —
+    * a rewrite's adds and removes commit ATOMICALLY in one version).
+    * `txn` records a ("txn", id) action in the same commit — the Delta
+    * transaction-identifier shape the streaming sink's exactly-once
+    * rides on (see [[lastTxnEpoch]]). */
   private[graft] def commitActions(spark: SparkSession, tableDir: String,
       adds: Seq[String], removes: Seq[String],
       statsCol: Option[String], statsDir: Option[String],
-      schemaOf: Option[org.apache.spark.sql.types.StructType] = None)
+      schemaOf: Option[org.apache.spark.sql.types.StructType] = None,
+      txn: Option[String] = None)
       : Long = {
+    val stage = stageActions(spark, tableDir, adds, removes, schemaOf, txn)
+    val v = claimVersion(tableDir, stage)
+    postWin(spark, tableDir, v, statsCol, statsDir, schemaOf)
+    v
+  }
+
+  /** OVERWRITE commit: atomically replace the ENTIRE live set with `adds`
+    * (the DSv2 truncate / SaveMode.Overwrite semantics). Unlike an append
+    * — whose action set is valid at whatever version the claim lands on —
+    * a truncate's removes are a READ of table state, so the claim must
+    * land at exactly the version that read observed: stage against
+    * latest+1, single-attempt claim, and on conflict RE-READ the live set
+    * and restage (the optimistic-concurrency write-conflict rule; an
+    * append racing in between would otherwise survive the truncate). */
+  private[graft] def commitOverwrite(spark: SparkSession, tableDir: String,
+      adds: Seq[String],
+      statsCol: Option[String], statsDir: Option[String],
+      schemaOf: Option[org.apache.spark.sql.types.StructType] = None,
+      txn: Option[String] = None)
+      : Long = {
+    while (true) {
+      val latest = latestVersion(tableDir)
+      val removes =
+        if (latest < 0) Seq.empty[String]
+        else liveFiles(spark, tableDir, latest)
+      val stage = stageActions(spark, tableDir, adds, removes, schemaOf, txn)
+      if (tryClaimVersion(tableDir, stage, latest + 1)) {
+        postWin(spark, tableDir, latest + 1, statsCol, statsDir, schemaOf)
+        return latest + 1
+      }
+      LayoutDirs.deleteQuiet(stage.toString) // stale removes — restage
+    }
+    -1L // unreachable
+  }
+
+  private def stageActions(spark: SparkSession, tableDir: String,
+      adds: Seq[String], removes: Seq[String],
+      schemaOf: Option[org.apache.spark.sql.types.StructType],
+      txn: Option[String]): java.nio.file.Path = {
     import spark.implicits._
     val stage = Paths.get(tableDir, "log",
       s".stage-${java.util.UUID.randomUUID().toString.take(12)}")
     (removes.map(("remove", _)) ++ adds.map(("add", _)) ++
-      schemaOf.toSeq.flatMap(st => schemaActionFor(tableDir, st)))
+      schemaOf.toSeq.flatMap(st => schemaActionFor(tableDir, st)) ++
+      txn.map(("txn", _)))
       .toDF("action", "path")
       .coalesce(1).write.mode("overwrite").parquet(stage.toString)
-    val v = claimVersion(tableDir, stage)
+    stage
+  }
+
+  /** Post-claim bookkeeping: v is exclusively ours now, so the index and
+    * checkpoint writes race nobody (index rows are keyed by immutable
+    * path and versioned dirs are unique per claim). */
+  private def postWin(spark: SparkSession, tableDir: String, v: Long,
+      statsCol: Option[String], statsDir: Option[String],
+      schemaOf: Option[org.apache.spark.sql.types.StructType]): Unit = {
     schemaOf.foreach(st => writeSchemaMarker(tableDir, st.json))
-    // post-win bookkeeping: v is exclusively ours now, so the index and
-    // checkpoint writes race nobody (index rows are keyed by immutable
-    // path and versioned dirs are unique per claim)
     statsCol.foreach { k =>
       statsDir.foreach { d =>
         spark.read.parquet(d)
@@ -357,7 +406,24 @@ object CommitLogIngest {
       }
     }
     maybeCheckpoint(spark, tableDir, v)
-    v
+  }
+
+  /** The highest epoch a ("txn", "queryId:epoch") action records for
+    * `queryId`, −1 when none — the streaming sink's replay guard: commits
+    * ride the log atomically with their data, epochs are monotonic per
+    * query, and the checkpoint preserves each query's LATEST txn row, so
+    * "epoch ≤ lastTxnEpoch" answers "already committed?" exactly even
+    * after retention pruned the epoch's own log partition. */
+  private[graft] def lastTxnEpoch(spark: SparkSession, tableDir: String,
+      queryId: String): Long = {
+    val latest = latestVersion(tableDir)
+    if (latest < 0) return -1L
+    actionRows(spark, tableDir, latest)
+      .filter(col("action") === "txn" &&
+        col("path").startsWith(queryId + ":"))
+      .select(max(expr("cast(substring_index(path, ':', -1) as long)")))
+      .collect().headOption.flatMap(r =>
+        if (r.isNullAt(0)) None else Some(r.getLong(0))).getOrElse(-1L)
   }
 
   /** Atomically claim the next free version for a staged log partition.
@@ -383,6 +449,27 @@ object CommitLogIngest {
       }
     }
     v // unreachable
+  }
+
+  /** Single-attempt claim of EXACTLY version `v` — the overwrite path's
+    * primitive: unlike [[claimVersion]] it must NOT slide to the next
+    * free version on conflict, because the staged removes were computed
+    * against table state as of v−1 and are stale the moment someone else
+    * lands v. Returns false on a version conflict (caller re-reads and
+    * restages); rethrows anything that isn't a conflict. */
+  private[graft] def tryClaimVersion(tableDir: String,
+      stage: java.nio.file.Path, v: Long): Boolean = {
+    val target = Paths.get(tableDir, "log", s"version=$v")
+    try {
+      Files.move(stage, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      true
+    } catch {
+      case e: java.nio.file.FileSystemException =>
+        if (!Files.exists(target)) throw e // not a version conflict
+        conflictCount.incrementAndGet()
+        false
+    }
   }
 
   /** Checkpoint trigger shared by both commit paths. JVM-level lock so

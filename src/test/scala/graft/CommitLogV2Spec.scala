@@ -171,6 +171,38 @@ class CommitLogV2Spec extends SparkSuite {
         "for an 11-id range")
   }
 
+  test("column pruning reaches the scan: a projection reads only its columns") {
+    val s = spark
+    import s.implicits._
+    val table = tmp("prune")
+    CommitLogIngest.commitOnce(
+      (0 until 50).map(i => (i.toLong, s"p$i", i / 3.0)).toDF("id", "p", "v"),
+      table, 0L)
+    val df = s.read.format("graft-commitlog").option("path", table)
+      .load().select("id")
+    assert(df.as[Long].collect().sorted.toSeq == (0L until 50L))
+    // the projection reached the V2 scan, not just a post-scan Project
+    val scans = unwrapPlan(df.queryExecution.executedPlan).collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty, "no BatchScanExec in the plan")
+    scans.foreach { b =>
+      assert(b.scan.readSchema().fieldNames.toSeq == Seq("id"),
+        s"scan still reads ${b.scan.readSchema().fieldNames.mkString(",")}")
+    }
+    // pruning composes with schema generations: project a column that
+    // only the NEWER generation's files carry
+    CommitLogIngest.commitOnce(
+      Seq((100L, "x", 1.0, 7L)).toDF("id", "p", "v", "extra"), table, 1L)
+    val evolved = s.read.format("graft-commitlog").option("path", table)
+      .load().select("id", "extra")
+    val got = evolved.collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got.size == 51 && got(100L) == Some(7L) && got(0L).isEmpty,
+      "pruned read across schema generations broke null-fill")
+  }
+
   test("declared schema projects by name: a column absent from files reads as NULL") {
     val s = spark
     import s.implicits._
