@@ -15,10 +15,11 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -79,10 +80,18 @@ class CommitLogTableProvider extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val dir = tableDir(options)
-    require(CommitLogIngest.latestVersion(dir) >= 0,
-      s"cannot infer schema: $dir has no committed version yet " +
-        "(pass .schema(...) to start a reader before the first commit)")
-    CommitLogIngest.snapshot(CommitLogPlanning.session, dir).schema
+    if (CommitLogIngest.latestVersion(dir) >= 0)
+      CommitLogIngest.snapshot(CommitLogPlanning.session, dir).schema
+    else
+      // a CREATEd-but-empty table declares its schema via the marker
+      // (CommitLogIngest.createTable) — what lets a writer or reader start
+      // before the first commit without a .schema(...) the writer API has
+      // no way to pass
+      CommitLogIngest.declaredSchema(dir).getOrElse(
+        throw new IllegalArgumentException(
+          s"cannot infer schema: $dir has no committed version and no " +
+            "declared schema — CommitLogIngest.createTable(dir, schema) " +
+            "first, or pass .schema(...) on a reader"))
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -91,17 +100,22 @@ class CommitLogTableProvider extends TableProvider with DataSourceRegister {
 }
 
 class CommitLogTable(tableDir: String, declared: StructType)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = s"graft-commitlog[$tableDir]"
 
   override def schema(): StructType = declared
 
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new CommitLogScanBuilder(tableDir, declared, options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new CommitLogWriteBuilder(tableDir, info)
 }
 
 class CommitLogScanBuilder(tableDir: String, schema: StructType,
@@ -231,6 +245,11 @@ class CommitLogMicroBatchStream(tableDir: String, schema: StructType,
 
   override def planInputPartitions(start: Offset, end: Offset)
       : Array[InputPartition] = {
+    // the engine plans batch 0 even when no offset moved (a reader started
+    // on a created-but-empty table): an empty version range is an empty
+    // batch, not a retention error
+    if (CommitLogOffset.version(end) <= CommitLogOffset.version(start))
+      return Array.empty
     val spark = CommitLogPlanning.session
     val files = CommitLogIngest.addedFiles(spark, tableDir,
       CommitLogOffset.version(start), CommitLogOffset.version(end))

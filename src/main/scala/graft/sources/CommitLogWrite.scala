@@ -1,0 +1,307 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HadoopPath}
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.SimpleGroup
+import org.apache.parquet.hadoop.ParquetWriter
+import org.apache.parquet.hadoop.example.ExampleParquetWriter
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Type => ParquetType, Types}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.SpecializedGetters
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.types._
+
+import graft.streaming.CommitLogIngest
+
+/** DataSource V2 WRITE path of the graft commit-log table — the companion
+  * of `CommitLogTable`'s read side, on the public connector API only
+  * (`WriteBuilder`/`BatchWrite`/`StreamingWrite`). With it the table format
+  * is drivable entirely from the standard writer surface:
+  *
+  *   - `df.write.format("graft-commitlog").option("path", dir).save()`
+  *     appends as ONE atomic log version (multi-writer safe — the commit
+  *     goes through the optimistic put-if-absent claim, so concurrent
+  *     appends serialize without loss);
+  *   - `.mode("overwrite")` truncates: the commit records
+  *     remove(entire live set) + add(new files) atomically, with the
+  *     single-attempt claim + restage loop that makes a racing append
+  *     unable to survive the truncate;
+  *   - `ds.writeStream.format("graft-commitlog")` is an EXACTLY-ONCE sink:
+  *     each epoch commits its files together with a ("txn",
+  *     "queryId:epochId") action, and a replayed epoch (at-least-once
+  *     foreachBatch-style restart) is recognized by `lastTxnEpoch` and
+  *     dropped — the Delta transaction-identifier design.
+  *
+  * EXECUTOR data path: each task streams its partition straight into a
+  * task-unique parquet file under an invisible writer dir via parquet-mr's
+  * public example writer (Group API — the mirror of `GroupRowReader`).
+  * Nothing references the files until the DRIVER commit publishes their
+  * add-actions in one atomic rename, so failed/speculative tasks just
+  * abort-delete their file and a killed job leaves only unreferenced debris
+  * for vacuum. Commit cost is O(files), never O(rows): at 100 TB the data
+  * bytes move exactly once, executor-local, and the serialization point is
+  * one metadata rename.
+  *
+  * The write schema is recorded as a schema action on the same commit when
+  * it differs from the table's last (schema evolution rides the writer), and
+  * `.option("statsCol", k)` captures the commit-time min/max file index the
+  * read path prunes with. */
+class CommitLogWriteBuilder(tableDir: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+
+  private var overwrite = false
+
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+
+  override def build(): Write =
+    new CommitLogWrite(tableDir, info.schema(), info.queryId(), overwrite,
+      Option(info.options().get("statsCol")))
+}
+
+class CommitLogWrite(tableDir: String, schema: StructType, queryId: String,
+    overwrite: Boolean, statsCol: Option[String]) extends Write {
+
+  override def description(): String =
+    s"graft-commitlog[$tableDir] overwrite=$overwrite"
+
+  override def toBatch: BatchWrite =
+    new CommitLogBatchWrite(tableDir, schema, overwrite, statsCol)
+
+  override def toStreaming: StreamingWrite = {
+    require(!overwrite,
+      "graft-commitlog streaming sink supports append output mode only " +
+        "(complete/update would truncate the log every epoch)")
+    new CommitLogStreamingWrite(tableDir, schema, queryId, statsCol)
+  }
+}
+
+/** One WriterCommitMessage per task: the file it wrote (none when the
+  * partition was empty) plus its row count. */
+case class CommitLogWriterCommit(files: Seq[String], rows: Long)
+    extends WriterCommitMessage
+
+class CommitLogBatchWrite(tableDir: String, schema: StructType,
+    overwrite: Boolean, statsCol: Option[String]) extends BatchWrite {
+
+  private val dataDir =
+    s"$tableDir/data/w-${java.util.UUID.randomUUID().toString.take(12)}"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DataWriterFactory =
+    new CommitLogWriterFactory(dataDir, schema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val files = CommitLogWriteCommit.filesOf(messages)
+    if (overwrite) {
+      // truncate-to-empty would leave a version with no live files, which
+      // the append-only read contract treats as retention loss — refuse
+      // loudly rather than brick the table
+      require(files.nonEmpty,
+        "graft-commitlog: overwrite with an empty dataset is not " +
+          "supported (the table would have no live files)")
+      CommitLogIngest.commitOverwrite(CommitLogPlanning.session, tableDir,
+        adds = files, statsCol = statsCol, statsDir = Some(dataDir),
+        schemaOf = Some(schema))
+    } else if (files.nonEmpty) {
+      CommitLogIngest.commitActions(CommitLogPlanning.session, tableDir,
+        adds = files, removes = Seq.empty,
+        statsCol = statsCol, statsDir = Some(dataDir),
+        schemaOf = Some(schema))
+    } // empty append: nothing to publish
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    CommitLogWriteCommit.deleteAll(messages, dataDir)
+}
+
+/** Exactly-once streaming sink: every epoch is one commit carrying its
+  * files AND its ("txn", "queryId:epochId") marker; empty epochs still
+  * commit the txn marker (a metadata-only version — readers skip it) so
+  * the replay guard stays monotonic across idle triggers. */
+class CommitLogStreamingWrite(tableDir: String, schema: StructType,
+    queryId: String, statsCol: Option[String]) extends StreamingWrite {
+
+  private val dataDir =
+    s"$tableDir/data/q-${java.util.UUID.randomUUID().toString.take(12)}"
+
+  private[graft] def epochDir(epochId: Long) = s"$dataDir/e$epochId"
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : StreamingDataWriterFactory =
+    new CommitLogStreamingWriterFactory(dataDir, schema)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage])
+      : Unit = {
+    val spark = CommitLogPlanning.session
+    val files = CommitLogWriteCommit.filesOf(messages)
+    if (CommitLogIngest.lastTxnEpoch(spark, tableDir, queryId) >= epochId) {
+      // replayed epoch after a restart: the log already has this epoch's
+      // commit, so these files are orphans nothing will ever reference
+      files.foreach(p => Files.deleteIfExists(Paths.get(p)))
+      LayoutDirs.deleteQuiet(epochDir(epochId))
+    } else {
+      CommitLogIngest.commitActions(spark, tableDir,
+        adds = files, removes = Seq.empty,
+        statsCol = statsCol.filter(_ => files.nonEmpty),
+        statsDir = Some(epochDir(epochId)).filter(_ => files.nonEmpty),
+        schemaOf = Some(schema), txn = Some(s"$queryId:$epochId"))
+    }
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage])
+      : Unit =
+    CommitLogWriteCommit.deleteAll(messages, epochDir(epochId))
+}
+
+private[sources] object CommitLogWriteCommit {
+  def filesOf(messages: Array[WriterCommitMessage]): Seq[String] =
+    messages.toSeq.collect {
+      case m: CommitLogWriterCommit => m.files
+    }.flatten.sorted
+
+  def deleteAll(messages: Array[WriterCommitMessage], dir: String): Unit = {
+    filesOf(messages).foreach(p => Files.deleteIfExists(Paths.get(p)))
+    LayoutDirs.deleteQuiet(dir)
+  }
+}
+
+class CommitLogWriterFactory(dataDir: String, schema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : DataWriter[InternalRow] =
+    new GroupRowWriter(dataDir, schema, s"part-$partitionId-$taskId")
+}
+
+class CommitLogStreamingWriterFactory(dataDir: String, schema: StructType)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : DataWriter[InternalRow] =
+    new GroupRowWriter(s"$dataDir/e$epochId", schema,
+      s"part-$partitionId-$taskId")
+}
+
+/** InternalRow → parquet Group, the writer mirror of `GroupRowReader`:
+  * public parquet-mr API only, one task-unique file, opened LAZILY so an
+  * empty partition writes nothing (no zero-row file debris). Speculative /
+  * retried attempts are distinguished by the uuid suffix and reclaimed by
+  * `abort`. */
+class GroupRowWriter(dir: String, schema: StructType, stem: String)
+    extends DataWriter[InternalRow] {
+
+  private val file =
+    s"$dir/$stem-${java.util.UUID.randomUUID().toString.take(8)}.parquet"
+  private val parquetSchema: MessageType = CommitLogParquet.messageType(schema)
+  private var writer: ParquetWriter[Group] = _
+  private var rows = 0L
+
+  override def write(row: InternalRow): Unit = {
+    if (writer == null)
+      writer = ExampleParquetWriter.builder(new HadoopPath(file))
+        .withType(parquetSchema)
+        .withConf(new Configuration())
+        .withCompressionCodec(CompressionCodecName.SNAPPY)
+        .build()
+    val g = new SimpleGroup(parquetSchema)
+    CommitLogParquet.writeStruct(g, schema, row)
+    writer.write(g)
+    rows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (writer != null) writer.close()
+    CommitLogWriterCommit(if (writer == null) Seq.empty else Seq(file), rows)
+  }
+
+  override def abort(): Unit = {
+    if (writer != null) writer.close()
+    Files.deleteIfExists(Paths.get(file))
+    // parquet-mr leaves a .crc sidecar on the local fs
+    val p = Paths.get(file)
+    Files.deleteIfExists(p.resolveSibling("." + p.getFileName + ".crc"))
+  }
+
+  override def close(): Unit = ()
+}
+
+/** Spark ↔ parquet-mr type bridge shared by the writer: StructType →
+  * MessageType (standard 3-level LIST, annotated strings/timestamps/dates)
+  * and SpecializedGetters → Group values. Unsupported types fail loudly at
+  * schema-build time, before any file exists. */
+private[sources] object CommitLogParquet {
+
+  def messageType(schema: StructType): MessageType =
+    schema.fields.foldLeft(
+      Types.buildMessage(): Types.GroupBuilder[MessageType]) { (b, f) =>
+      b.addField(field(f.name, f.dataType))
+    }.named("spark_schema")
+
+  private def field(name: String, dt: DataType): ParquetType = dt match {
+    case LongType => Types.optional(INT64).named(name)
+    case TimestampType => Types.optional(INT64)
+      .as(LogicalTypeAnnotation.timestampType(true,
+        LogicalTypeAnnotation.TimeUnit.MICROS)).named(name)
+    case IntegerType | ShortType | ByteType =>
+      Types.optional(INT32).named(name)
+    case DateType => Types.optional(INT32)
+      .as(LogicalTypeAnnotation.dateType()).named(name)
+    case DoubleType => Types.optional(DOUBLE).named(name)
+    case FloatType => Types.optional(FLOAT).named(name)
+    case BooleanType => Types.optional(BOOLEAN).named(name)
+    case StringType => Types.optional(BINARY)
+      .as(LogicalTypeAnnotation.stringType()).named(name)
+    case BinaryType => Types.optional(BINARY).named(name)
+    case st: StructType =>
+      st.fields.foldLeft(Types.optionalGroup()) { (b, f) =>
+        b.addField(field(f.name, f.dataType))
+      }.named(name)
+    case ArrayType(elem, _) =>
+      Types.optionalList().element(field("element", elem)).named(name)
+    case other => throw new UnsupportedOperationException(
+      s"graft-commitlog writer: unsupported Spark type $other " +
+        s"for column $name")
+  }
+
+  def writeStruct(g: Group, st: StructType, row: InternalRow): Unit = {
+    var i = 0
+    while (i < st.length) {
+      if (!row.isNullAt(i)) add(g, i, st(i).dataType, row, i)
+      i += 1
+    }
+  }
+
+  private def add(g: Group, idx: Int, dt: DataType,
+      src: SpecializedGetters, ord: Int): Unit = dt match {
+    case LongType | TimestampType => g.add(idx, src.getLong(ord))
+    case IntegerType => g.add(idx, src.getInt(ord))
+    case ShortType => g.add(idx, src.getShort(ord).toInt)
+    case ByteType => g.add(idx, src.getByte(ord).toInt)
+    case DateType => g.add(idx, src.getInt(ord))
+    case DoubleType => g.add(idx, src.getDouble(ord))
+    case FloatType => g.add(idx, src.getFloat(ord))
+    case BooleanType => g.add(idx, src.getBoolean(ord))
+    case StringType => g.add(idx,
+      Binary.fromConstantByteArray(src.getUTF8String(ord).getBytes))
+    case BinaryType => g.add(idx,
+      Binary.fromConstantByteArray(src.getBinary(ord)))
+    case st: StructType =>
+      writeStruct(g.addGroup(idx), st, src.getStruct(ord, st.length))
+    case ArrayType(elem, _) =>
+      val list = g.addGroup(idx)
+      val arr = src.getArray(ord)
+      var k = 0
+      while (k < arr.numElements()) {
+        val entry = list.addGroup(0)
+        if (!arr.isNullAt(k)) add(entry, 0, elem, arr, k)
+        k += 1
+      }
+    case other => throw new UnsupportedOperationException(
+      s"graft-commitlog writer: unsupported Spark type $other")
+  }
+}

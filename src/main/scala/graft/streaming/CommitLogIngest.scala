@@ -88,6 +88,28 @@ object CommitLogIngest {
       StandardOpenOption.TRUNCATE_EXISTING)
   }
 
+  /** CREATE TABLE: declare the schema of a not-yet-written table by
+    * recording the schema marker, so the DSv2 provider can infer it and a
+    * writer (`df.write.format("graft-commitlog")`) or reader can start
+    * before the first commit — the lakehouse create-then-insert shape. The
+    * first data commit whose schema matches records no redundant schema
+    * action (latest-wins either way). */
+  def createTable(tableDir: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    require(latestVersion(tableDir) < 0,
+      s"$tableDir already has committed versions — createTable is for " +
+        "empty tables (schema changes ride data commits)")
+    writeSchemaMarker(tableDir, schema.json)
+  }
+
+  /** The schema the table currently declares (marker fast path), for
+    * provider inference on a created-but-empty table. */
+  private[graft] def declaredSchema(tableDir: String)
+      : Option[org.apache.spark.sql.types.StructType] =
+    lastSchemaJson(tableDir).map(j =>
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+
   /** The ("schema", json) action to include in a commit when `batchSchema`
     * differs from the last recorded one — schema evolution RIDES the data
     * commit (the Delta metadata-action shape), so "the schema as of
@@ -198,7 +220,16 @@ object CommitLogIngest {
       .orderBy(col("version").desc).limit(1)
       .select(col("path"), col("version").as("v"),
         lit("schema").as("action"))
-    liveAdds.unionByName(schemaRow)
+    // each streaming query's LATEST ("txn", "queryId:epoch") row rides it
+    // too — the exactly-once replay guard (lastTxnEpoch) must keep
+    // answering after retention pruned the epoch's own log partition
+    val txnRows = rows.filter(col("action") === "txn")
+      .groupBy(expr("substring_index(path, ':', 1)").as("qid"))
+      .agg(max_by(struct(col("path"), col("version")),
+        expr("cast(substring_index(path, ':', -1) as long)")).as("m"))
+      .select(col("m.path"), col("m.version").as("v"),
+        lit("txn").as("action"))
+    liveAdds.unionByName(schemaRow).unionByName(txnRows)
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$tableDir/log_ckpt/c=$upTo")
     writeMarker(ckptMarkerPath(tableDir), upTo)
