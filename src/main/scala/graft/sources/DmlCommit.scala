@@ -1,0 +1,136 @@
+package graft.sources
+
+import java.nio.file.Files
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.model.Tables
+import graft.streaming.CommitLogIngest
+
+/** DML through the commit log — the copy-on-write DELETE/UPDATE face
+  * (`CommitLogIngest.deleteWhere`/`updateWhere`): each mutation rewrites
+  * ONLY the files containing matching rows and lands as one atomic log
+  * version, composing with everything the log already gives (time travel
+  * to the pre-mutation state, OCC against concurrent writers, vacuum,
+  * the commit-time stats index).
+  *
+  * The registry face builds a documents-backed table (three DSv2-writer
+  * appends → versions 0-2), DELETEs `doc_id % 7 = 3` (version 3), then
+  * UPDATEs `n_chars += 1000 WHERE doc_id % 5 = 0` (version 4). Two oracles
+  * pin two snapshots of the SAME table: `src_delete_commit` time-travels
+  * to version 3 (delete applied, update not yet — proving the update's
+  * rewrite did not leak backward), `src_update_commit` reads the latest
+  * (both applied). DuckDB computes both from the original parquet with
+  * WHERE / CASE. `CommitDmlSpec` pins what the oracles cannot see:
+  * untouched files do not move, only matching files were rewritten, and
+  * concurrent appends survive a racing delete.
+  *
+  * 100-TB shape: affected-file discovery is one pushed-predicate scan
+  * (row-group stats skip clean files), the rewrite reads only those
+  * files, and the commit is one metadata rename — a selective delete
+  * costs O(matching data), never O(table). */
+object DmlCommit {
+
+  val Appends = 3
+
+  // sfDir -> (documents fingerprint, (tableDir, deleteVersion))
+  private val created = TrieMap.empty[String, (String, (String, Long))]
+
+  private lazy val shutdownHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      created.values.foreach { case (_, (table, _)) =>
+        LayoutDirs.deleteQuiet(
+          java.nio.file.Paths.get(table).getParent.toString)
+      }
+    }))
+
+  private[graft] def ensure(spark: SparkSession, sfDir: String)
+      : (String, Long) =
+    created.synchronized {
+      val fp = SourceFingerprint.key(sfDir, "documents.parquet")
+      created.get(sfDir) match {
+        case Some((`fp`, t)) => t
+        case stale =>
+          stale.foreach { case (_, (table, _)) =>
+            LayoutDirs.deleteQuiet(
+              java.nio.file.Paths.get(table).getParent.toString)
+            created.remove(sfDir)
+          }
+          shutdownHook
+          val root = Files.createTempDirectory("graft-dml")
+          val table = root.toString + "/table"
+          val docs = Tables.documents(spark, sfDir)
+          (0 until Appends).foreach { i =>
+            docs.filter(col("doc_id") % Appends === i)
+              .write.format("graft-commitlog")
+              .option("path", table).option("statsCol", "doc_id")
+              .mode("append").save()
+          }
+          val (delV, nDel) = CommitLogIngest.deleteWhere(spark, table,
+            col("doc_id") % 7 === 3, statsCol = Some("doc_id"))
+          require(delV == Appends.toLong && nDel > 0,
+            s"delete did not commit: version $delV, $nDel files")
+          val (updV, nUpd) = CommitLogIngest.updateWhere(spark, table,
+            col("doc_id") % 5 === 0,
+            Map("n_chars" -> (col("n_chars") + 1000L)),
+            statsCol = Some("doc_id"))
+          require(updV == delV + 1 && nUpd > 0,
+            s"update did not commit: version $updV, $nUpd files")
+          created.put(sfDir, (fp, (table, delV)))
+          (table, delV)
+      }
+    }
+
+  private def census(df: DataFrame): DataFrame =
+    df.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+
+  /** The table AS OF the delete commit (update not yet applied) — time
+    * travel through the V2 reader proves the later update's rewrite did
+    * not disturb the pinned version. */
+  def deletedCensus(spark: SparkSession, sfDir: String): DataFrame = {
+    val (table, delV) = ensure(spark, sfDir)
+    census(spark.read.format("graft-commitlog").option("path", table)
+      .option("versionAsOf", delV.toString).load()
+      .select("source", "doc_id", "n_chars"))
+  }
+
+  val deletedCensusSql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      |FROM documents WHERE doc_id % 7 <> 3 GROUP BY source""".stripMargin
+
+  /** The latest snapshot: delete AND update applied. */
+  def updatedCensus(spark: SparkSession, sfDir: String): DataFrame = {
+    val (table, _) = ensure(spark, sfDir)
+    census(CommitLogIngest.snapshot(spark, table)
+      .select("source", "doc_id", "n_chars"))
+  }
+
+  val updatedCensusSql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN n_chars + 1000
+      |                ELSE n_chars END) AS BIGINT) AS sum_chars,
+      |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      |FROM documents WHERE doc_id % 7 <> 3 GROUP BY source""".stripMargin
+
+  /** Test hook: drop cached layouts (the shared clear contract). */
+  private[graft] def clearCache(): Unit = created.synchronized {
+    created.values.foreach { case (_, (table, _)) =>
+      LayoutDirs.deleteQuiet(
+        java.nio.file.Paths.get(table).getParent.toString)
+    }
+    created.clear()
+  }
+
+  def queries: Map[String, Q] = Map(
+    "src_delete_commit" -> Q(deletedCensusSql)(deletedCensus),
+    "src_update_commit" -> Q(updatedCensusSql)(updatedCensus))
+}

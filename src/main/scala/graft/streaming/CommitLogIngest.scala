@@ -514,6 +514,91 @@ object CommitLogIngest {
       if (lastCheckpoint(tableDir) < v) writeLogCheckpoint(spark, tableDir, v)
     }
 
+  // ---- DML through the log (copy-on-write) --------------------------------
+
+  /** DELETE WHERE as one atomic commit — the copy-on-write shape: only the
+    * files that actually CONTAIN matching rows are rewritten (minus those
+    * rows) and one log version records add(rewritten) + remove(affected).
+    * SQL semantics: rows where `pred` is NULL are kept. Untouched files
+    * never move, pinned readers keep the pre-delete snapshot, vacuum
+    * reclaims the replaced files after retention, and with `statsCol` the
+    * rewritten files get index rows in the same commit.
+    *
+    * Multi-writer rule: the removes are a READ of table state, so the
+    * claim is single-attempt at exactly latest+1; on conflict the whole
+    * operation recomputes against the fresh state (a concurrent OPTIMIZE
+    * or delete may have replaced the very files this one rewrote —
+    * recompute-on-conflict is the conservative Delta write-conflict rule).
+    *
+    * Affected-file discovery is ONE filtered scan with the predicate
+    * pushed to parquet (row-group stats skip non-matching files cheaply);
+    * at 100 TB a selective delete therefore reads ≈ the files it touches,
+    * not the table. Returns (newVersion, filesRewritten); a predicate
+    * matching nothing commits nothing and returns (-1, 0); deleting every
+    * row leaves an empty-but-readable table (the rewrite keeps a 0-row
+    * file, so the schema survives — the Delta semantic). */
+  def deleteWhere(spark: SparkSession, tableDir: String,
+      pred: org.apache.spark.sql.Column,
+      statsCol: Option[String] = None): (Long, Int) =
+    rewriteWhere(spark, tableDir, pred, statsCol,
+      df => df.filter(!coalesce(pred, lit(false))))
+
+  /** UPDATE ... SET ... WHERE as one atomic commit: same copy-on-write
+    * plan as [[deleteWhere]], but affected files are rewritten with each
+    * `set` column replaced by its expression ON MATCHING ROWS ONLY
+    * (non-matching rows in the same file are carried unchanged). */
+  def updateWhere(spark: SparkSession, tableDir: String,
+      pred: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column],
+      statsCol: Option[String] = None): (Long, Int) =
+    rewriteWhere(spark, tableDir, pred, statsCol,
+      df => set.foldLeft(df) { case (d, (name, value)) =>
+        d.withColumn(name, when(coalesce(pred, lit(false)), value)
+          .otherwise(col(name)))
+      })
+
+  private def rewriteWhere(spark: SparkSession, tableDir: String,
+      pred: org.apache.spark.sql.Column, statsCol: Option[String],
+      rewrite: DataFrame => DataFrame): (Long, Int) = {
+    while (true) {
+      val latest = latestVersion(tableDir)
+      val live = liveFiles(spark, tableDir, latest)
+      // one pushed-predicate scan finds the files that contain matches
+      val affected = spark.read.parquet(live: _*).filter(pred)
+        .select(LayoutDirs.plainPath(input_file_name()).as("f"))
+        .distinct().collect().map(_.getString(0)).toSeq.sorted
+      if (affected.isEmpty) return (-1L, 0)
+      val outDir =
+        s"$tableDir/data/rw-${java.util.UUID.randomUUID().toString.take(12)}"
+      // rewrite under the CURRENT schema (older generations null-fill and
+      // come out upgraded); keep the file count of what it replaces
+      val cur = schemaAt(spark, tableDir, latest)
+      val in = cur match {
+        case Some(st) => spark.read.schema(st).parquet(affected: _*)
+        case None => spark.read.parquet(affected: _*)
+      }
+      val out = rewrite(in).coalesce(affected.size)
+      out.write.mode("overwrite").parquet(outDir)
+      val adds = LayoutDirs.dataFiles(outDir)
+      require(adds.nonEmpty || affected.size < live.size,
+        s"deleteWhere would leave $tableDir with no live files (the " +
+          "append-only read contract forbids an empty table) — use " +
+          "overwrite or drop the table instead")
+      val stage = stageActions(spark, tableDir, adds, affected,
+        schemaOf = None, txn = None)
+      if (tryClaimVersion(tableDir, stage, latest + 1)) {
+        postWin(spark, tableDir, latest + 1,
+          statsCol.filter(_ => adds.nonEmpty),
+          Some(outDir).filter(_ => adds.nonEmpty), schemaOf = None)
+        return (latest + 1, affected.size)
+      }
+      // lost the claim: the state we read is stale — discard and recompute
+      LayoutDirs.deleteQuiet(stage.toString)
+      LayoutDirs.deleteQuiet(outDir)
+    }
+    (-1L, 0) // unreachable
+  }
+
   // ---- OPTIMIZE through the log -------------------------------------------
 
   /** Small-file compaction AS A COMMIT — the Delta/Iceberg OPTIMIZE shape:

@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.CommitLogIngest
+
+/** Copy-on-write DELETE/UPDATE through the commit log — the physical
+  * contracts the `src_delete_commit`/`src_update_commit` oracles cannot
+  * see: minimal rewrite (clean files never move), SQL NULL semantics,
+  * OCC against concurrent writers, and index maintenance. */
+class CommitDmlSpec extends SparkSuite {
+
+  private def tmp(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft-dml-$prefix")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  /** 4 versions × 1 file, ids range-partitioned so predicates isolate
+    * files: version v holds ids [v*100, v*100+99]. */
+  private def build(table: String): Unit = {
+    val s = spark
+    import s.implicits._
+    (0 until 4).foreach { v =>
+      (0 until 100).map(i => (v * 100L + i, s"s$v"))
+        .toDF("id", "src")
+        .coalesce(1)
+        .write.format("graft-commitlog").option("path", table)
+        .option("statsCol", "id").mode("append").save()
+    }
+  }
+
+  test("delete rewrites only the files containing matches; clean files never move") {
+    val s = spark
+    import s.implicits._
+    val table = tmp("del") + "/t"
+    build(table)
+    val before = CommitLogIngest.snapshot(s, table).inputFiles.toSet
+    // matches live only in version-1's file (ids 100-199)
+    val (v, n) = CommitLogIngest.deleteWhere(s, table,
+      col("id") >= 150L && col("id") < 160L, statsCol = Some("id"))
+    assert(v == 4L && n == 1, s"expected 1 rewritten file, got $n at v$v")
+    val after = CommitLogIngest.snapshot(s, table).inputFiles.toSet
+    assert((before -- after).size == 1, "exactly one file replaced")
+    assert((after -- before).size == 1, "exactly one file added")
+    val ids = CommitLogIngest.snapshot(s, table)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ids == ((0L until 150L) ++ (160L until 400L)),
+      "delete removed exactly the matching rows")
+    // the pre-delete version still reads complete
+    assert(s.read.format("graft-commitlog").option("path", table)
+      .option("versionAsOf", "3").load().count() == 400)
+  }
+
+  test("update rewrites matching rows only and carries neighbors unchanged; NULL pred keeps rows") {
+    val s = spark
+    import s.implicits._
+    val table = tmp("upd") + "/t"
+    build(table)
+    val (v, n) = CommitLogIngest.updateWhere(s, table,
+      col("id") % 100 === 7, Map("src" -> lit("touched")))
+    assert(v == 4L && n == 4, s"all 4 files contain a match, got $n at v$v")
+    val touched = CommitLogIngest.snapshot(s, table)
+      .filter(col("src") === "touched")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(touched == Seq(7L, 107L, 207L, 307L))
+    assert(CommitLogIngest.snapshot(s, table).count() == 400,
+      "update must not change row count")
+
+    // NULL predicate semantics: DELETE WHERE nullable keeps NULL rows
+    val t2 = tmp("null") + "/t"
+    Seq((1L, Some("a")), (2L, None), (3L, Some("b")))
+      .toDF("id", "tag")
+      .write.format("graft-commitlog").option("path", t2)
+      .mode("append").save()
+    CommitLogIngest.deleteWhere(s, t2, col("tag") === "a")
+    val left = CommitLogIngest.snapshot(s, t2)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(left == Seq(2L, 3L), "NULL-pred rows must survive a delete")
+  }
+
+  test("a delete racing a concurrent append loses the claim and recomputes — no lost rows") {
+    val s = spark
+    import s.implicits._
+    val table = tmp("race") + "/t"
+    build(table)
+    // interleave: a concurrent append lands while the delete is planning.
+    // Both run on this JVM; the append thread commits first by racing the
+    // (slower) delete's scan+rewrite window.
+    val appender = new Thread(() => {
+      (400 until 500).map(i => (i.toLong, "late")).toDF("id", "src")
+        .coalesce(1)
+        .write.format("graft-commitlog").option("path", table)
+        .mode("append").save()
+    })
+    appender.start()
+    val (v, _) = CommitLogIngest.deleteWhere(s, table,
+      col("id") < 50L)
+    appender.join()
+    assert(v >= 4L, s"delete must commit, got $v")
+    assert(CommitLogIngest.latestVersion(table) == 5L,
+      "both the append and the delete must land, contiguously")
+    val ids = CommitLogIngest.snapshot(s, table)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ids == (50L until 500L),
+      "the concurrent append's rows must survive the delete")
+  }
+
+  test("delete matching nothing commits nothing; deleting every row leaves an empty, readable table") {
+    val s = spark
+    import s.implicits._
+    val table = tmp("edge") + "/t"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "tag")
+      .coalesce(1)
+      .write.format("graft-commitlog").option("path", table)
+      .mode("append").save()
+    assert(CommitLogIngest.deleteWhere(s, table, col("id") > 99L) ==
+      (-1L, 0))
+    assert(CommitLogIngest.latestVersion(table) == 0L,
+      "a no-match delete must not land a version")
+    // delete-all: the rewrite keeps a (0-row) file, so the table stays
+    // readable — empty with its schema intact (the Delta semantic), and
+    // the pre-delete version still time-travels
+    val (v, _) = CommitLogIngest.deleteWhere(s, table, col("id") >= 0L)
+    assert(v == 1L)
+    val emptied = CommitLogIngest.snapshot(s, table)
+    assert(emptied.count() == 0 &&
+      emptied.columns.toSeq == Seq("id", "tag"))
+    assert(s.read.format("graft-commitlog").option("path", table)
+      .option("versionAsOf", "0").load().count() == 2)
+  }
+}
