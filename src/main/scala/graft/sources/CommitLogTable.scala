@@ -73,10 +73,12 @@ class CommitLogTableProvider extends TableProvider with DataSourceRegister {
     * before the table's first commit). */
   override def supportsExternalMetadata(): Boolean = true
 
+  /** The catalog hands a CREATE TABLE location back as a file: URI —
+    * normalize to the plain local path the nio-based log format uses. */
   private def tableDir(options: util.Map[String, String]): String =
-    Option(options.get("path")).getOrElse(
+    LayoutDirs.localPath(Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException(
-        "graft-commitlog requires .option(\"path\", <tableDir>)"))
+        "graft-commitlog requires .option(\"path\", <tableDir>)")))
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val dir = tableDir(options)

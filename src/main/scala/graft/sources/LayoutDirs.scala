@@ -77,6 +77,21 @@ object LayoutDirs {
     * nio-walked LOCAL paths, so a remote URI can never string-match them
     * and would silently empty every `isin()` prune downstream — the
     * fingerprinted layouts are local-filesystem-only by construction. */
+  /** JVM-side twin of [[plainPath]] for path OPTIONS: the session catalog
+    * stores a table location as a file: URI and hands it back as the
+    * provider's `path`, which the nio-based log helpers would treat as a
+    * literal relative path. Same rules: strip the local scheme and
+    * percent-decode ('+' preserved); any non-local scheme fails loudly. */
+  def localPath(s: String): String =
+    if (s.startsWith("file:"))
+      java.net.URLDecoder.decode(
+        s.replaceFirst("^file:(//)?", "").replace("+", "%2B"), "UTF-8")
+    else if (s.matches("^[a-zA-Z][a-zA-Z0-9+.-]*://.*"))
+      throw new IllegalArgumentException(
+        "graft-commitlog is local-filesystem-only (nio-walked log/index " +
+          s"paths): $s")
+    else s
+
   def plainPath(c: Column): Column =
     when(c.startsWith(lit("file:")),
       url_decode(regexp_replace(
