@@ -21,7 +21,7 @@ import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionRead
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, IsNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -148,13 +148,14 @@ class CommitLogScanBuilder(tableDir: String, schema: StructType,
   }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    // accept the bounds the stats index can act on; return EVERYTHING as
-    // residual — the scan prunes files, Spark re-applies the row filters,
-    // so a stale/missing index can cost speed but never rows
-    pushed = indexCol match {
-      case Some(c) => filters.filter(f => boundOf(c, f).isDefined)
-      case None => Array.empty
-    }
+    // accept what the scan can act on — index bounds prune whole files,
+    // and any parquet-translatable comparison skips row groups/records
+    // inside the files (ParquetFilters in GroupRowReader); return
+    // EVERYTHING as residual — Spark re-applies the row filters, so a
+    // stale index or an untranslated filter can cost speed but never rows
+    pushed = filters.filter(f =>
+      indexCol.exists(c => boundOf(c, f).isDefined) ||
+        ParquetFilters.translatable(f))
     filters
   }
 
@@ -176,31 +177,36 @@ class CommitLogScanBuilder(tableDir: String, schema: StructType,
   }
 
   override def build(): Scan =
-    new CommitLogScan(tableDir, required, options, bounds)
+    new CommitLogScan(tableDir, required, options, bounds,
+      pushed.filter(ParquetFilters.translatable))
 }
 
 class CommitLogScan(tableDir: String, schema: StructType,
-    options: CaseInsensitiveStringMap, bounds: Option[(Long, Long)])
+    options: CaseInsensitiveStringMap, bounds: Option[(Long, Long)],
+    filters: Array[Filter])
     extends Scan {
 
   override def readSchema(): StructType = schema
 
   override def description(): String =
-    s"graft-commitlog[$tableDir] bounds=$bounds"
+    s"graft-commitlog[$tableDir] bounds=$bounds " +
+      s"filters=${filters.mkString(",")}"
 
   override def toBatch: Batch = new CommitLogBatch(tableDir, schema,
-    Option(options.get("versionAsOf")).map(_.toLong), bounds)
+    Option(options.get("versionAsOf")).map(_.toLong), bounds, filters)
 
   override def toMicroBatchStream(checkpointLocation: String)
       : MicroBatchStream =
     new CommitLogMicroBatchStream(tableDir, schema,
-      Option(options.get("maxVersionsPerTrigger")).map(_.toLong), bounds)
+      Option(options.get("maxVersionsPerTrigger")).map(_.toLong), bounds,
+      filters)
 }
 
 /** Snapshot-at-a-version batch scan: live files from the log (checkpoint +
   * direct-addressed tail), index-pruned, one input partition per file. */
 class CommitLogBatch(tableDir: String, schema: StructType,
-    versionAsOf: Option[Long], bounds: Option[(Long, Long)]) extends Batch {
+    versionAsOf: Option[Long], bounds: Option[(Long, Long)],
+    filters: Array[Filter]) extends Batch {
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = CommitLogPlanning.session
@@ -211,12 +217,13 @@ class CommitLogBatch(tableDir: String, schema: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new CommitLogReaderFactory(schema)
+    new CommitLogReaderFactory(schema, filters)
 }
 
 /** One table version range per micro-batch; versions ARE offsets. */
 class CommitLogMicroBatchStream(tableDir: String, schema: StructType,
-    maxVersionsPerTrigger: Option[Long], bounds: Option[(Long, Long)])
+    maxVersionsPerTrigger: Option[Long], bounds: Option[(Long, Long)],
+    filters: Array[Filter])
     extends MicroBatchStream with SupportsAdmissionControl {
 
   require(maxVersionsPerTrigger.forall(_ > 0),
@@ -260,7 +267,7 @@ class CommitLogMicroBatchStream(tableDir: String, schema: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new CommitLogReaderFactory(schema)
+    new CommitLogReaderFactory(schema, filters)
 
   override def deserializeOffset(json: String): Offset =
     CommitLogOffset(json.trim.toLong)
@@ -313,12 +320,12 @@ private[sources] object CommitLogPlanning {
 
 case class CommitLogInputPartition(file: String) extends InputPartition
 
-class CommitLogReaderFactory(schema: StructType)
+class CommitLogReaderFactory(schema: StructType, filters: Array[Filter])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] =
     new GroupRowReader(
-      partition.asInstanceOf[CommitLogInputPartition].file, schema)
+      partition.asInstanceOf[CommitLogInputPartition].file, schema, filters)
 }
 
 /** Test-only visibility into which files the readers actually open (local
@@ -340,26 +347,43 @@ object CommitLogReadTracker {
 /** parquet-mr Group → InternalRow, projected to `schema` BY NAME: a field
   * absent from the file (an older schema generation) is NULL; numeric
   * widths coerce to the declared type. Public parquet API only. */
-class GroupRowReader(file: String, schema: StructType)
+class GroupRowReader(file: String, schema: StructType,
+    filters: Array[Filter] = Array.empty)
     extends PartitionReader[InternalRow] {
 
   CommitLogReadTracker.record(file)
 
-  /** Push the projection into parquet-mr: request only the scan's fields
-    * that EXIST in this file (schema generations differ), built from the
-    * file's own types so the requested schema is always a valid subset.
-    * The unrequested columns' pages are then never decoded — the
-    * column-pruning half of pushdown, done per file because each file is
-    * its own schema generation. An empty projection (count-only scans)
-    * skips the request and falls back to full rows. */
-  private val conf: Configuration = {
+  /** Push the projection AND the predicate into parquet-mr, both built
+    * per file because each file is its own schema generation:
+    *
+    *  - projection: request only the scan's fields that EXIST in this
+    *    file (plus the filter columns, which record-level filtering must
+    *    materialize), from the file's own types so the requested schema
+    *    is always a valid subset — unrequested columns' pages are never
+    *    decoded. An empty projection (count-only scans) falls back to
+    *    full rows.
+    *  - predicate: the translated pushed filters skip whole row groups
+    *    by their stats and drop non-matching records before
+    *    materialization. A comparison naming a column this file's
+    *    generation LACKS can never match (the column reads all-NULL), so
+    *    the whole file is skipped. Spark re-applies every filter
+    *    post-scan — this is pure speedup, never a correctness
+    *    dependency. */
+  private val (conf: Configuration,
+      filterOpt: Option[org.apache.parquet.filter2.compat.FilterCompat.Filter],
+      skipFile: Boolean) = {
     val c = new Configuration()
     val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile
         .fromPath(new HadoopPath(file), c))
     try {
       val fileSchema = footer.getFileMetaData.getSchema
-      val wanted = schema.fieldNames.filter(fileSchema.containsField)
+      val (pred, skip) = ParquetFilters.build(filters, fileSchema)
+      val filterCols =
+        if (skip) Seq.empty
+        else filters.flatMap(ParquetFilters.references).toSeq.distinct
+      val wanted = (schema.fieldNames ++ filterCols).distinct
+        .filter(fileSchema.containsField)
       if (wanted.nonEmpty && wanted.length < fileSchema.getFieldCount) {
         val pruned = new org.apache.parquet.schema.MessageType(
           fileSchema.getName,
@@ -367,18 +391,23 @@ class GroupRowReader(file: String, schema: StructType)
         c.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
           pruned.toString)
       }
+      (c, pred.map(org.apache.parquet.filter2.compat.FilterCompat.get),
+        skip)
     } finally footer.close()
-    c
   }
 
   private val reader: ParquetReader[Group] =
-    ParquetReader.builder(new GroupReadSupport(), new HadoopPath(file))
-      .withConf(conf)
-      .build()
+    if (skipFile) null
+    else {
+      val b = ParquetReader.builder(new GroupReadSupport(),
+        new HadoopPath(file)).withConf(conf)
+      filterOpt.fold(b)(b.withFilter).build()
+    }
 
   private var current: Group = _
 
   override def next(): Boolean = {
+    if (reader == null) return false
     current = reader.read()
     current != null
   }
@@ -402,7 +431,7 @@ class GroupRowReader(file: String, schema: StructType)
     new GenericInternalRow(values)
   }
 
-  override def close(): Unit = reader.close()
+  override def close(): Unit = if (reader != null) reader.close()
 
   private def convert(g: Group, idx: Int, target: DataType): Any =
     target match {
@@ -504,5 +533,157 @@ class GroupRowReader(file: String, schema: StructType)
     val nanosOfDay = buf.getLong
     val julianDay = buf.getInt
     (julianDay - 2440588L) * 86400000000L + nanosOfDay / 1000L
+  }
+}
+
+/** Spark `Filter` → parquet-mr `FilterPredicate` translation for the V2
+  * readers — the row-group/record half of predicate pushdown (the stats
+  * index is the whole-file half). Translation is built PER FILE against
+  * that file's schema generation, and is deliberately strict: a pushed
+  * predicate must be IMPLIED by the original filter (it may keep extra
+  * rows — Spark re-filters — but must never drop a matching one), so a
+  * value whose type doesn't exactly fit the file's column type is left
+  * untranslated rather than coerced (a truncating coercion could
+  * strengthen a comparison and lose rows). */
+private[sources] object ParquetFilters {
+
+  import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate, Operators}
+  import org.apache.parquet.io.api.Binary
+  import org.apache.parquet.schema.MessageType
+  import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private sealed trait Op
+  private case object Eq extends Op
+  private case object Gt extends Op
+  private case object Ge extends Op
+  private case object Lt extends Op
+  private case object Le extends Op
+  private case object Null extends Op
+  private case object NotNull extends Op
+
+  /** (attribute, op, value) for the supported shapes; None otherwise. */
+  private def shape(f: Filter): Option[(String, Op, Any)] = f match {
+    case EqualTo(a, v) if v != null => Some((a, Eq, v))
+    case GreaterThan(a, v) if v != null => Some((a, Gt, v))
+    case GreaterThanOrEqual(a, v) if v != null => Some((a, Ge, v))
+    case LessThan(a, v) if v != null => Some((a, Lt, v))
+    case LessThanOrEqual(a, v) if v != null => Some((a, Le, v))
+    case IsNull(a) => Some((a, Null, null))
+    case IsNotNull(a) => Some((a, NotNull, null))
+    case _ => None
+  }
+
+  def translatable(f: Filter): Boolean =
+    shape(f).exists { case (a, _, v) =>
+      !a.contains(".") && (v == null || supportedValue(v))
+    }
+
+  private def supportedValue(v: Any): Boolean = v match {
+    case _: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
+         _: java.lang.Byte | _: java.lang.Double | _: java.lang.Float |
+         _: String | _: UTF8String | _: java.lang.Boolean => true
+    case _ => false
+  }
+
+  /** Top-level columns a filter reads (to keep in the per-file requested
+    * schema — record-level filtering materializes them). */
+  def references(f: Filter): Seq[String] =
+    f.references.toSeq.filterNot(_.contains("."))
+
+  /** Translate against this file's schema. Returns (conjunctive predicate
+    * if any filter translated, whole-file skip): a COMPARISON or
+    * IsNotNull naming a column this generation lacks can never match
+    * (the column reads all-NULL), so the file is skipped outright. */
+  def build(filters: Array[Filter], fileSchema: MessageType)
+      : (Option[FilterPredicate], Boolean) = {
+    var skip = false
+    val preds = filters.flatMap(shape).flatMap { case (a, op, v) =>
+      if (a.contains(".")) None
+      else if (!fileSchema.containsField(a)) {
+        if (op != Null) skip = true
+        None
+      } else if (!fileSchema.getFields.get(
+          fileSchema.getFieldIndex(a)).isPrimitive) None
+      else typed(fileSchema, a, op, v)
+    }
+    if (skip) (None, true)
+    else (preds.reduceOption(FilterApi.and), false)
+  }
+
+  /** Exact-fit typed predicate: the value must already be the column's
+    * width (Spark normalizes pushed values to the DECLARED type; a file
+    * from an older, narrower generation stays untranslated). */
+  private def typed(fs: MessageType, name: String, op: Op, v: Any)
+      : Option[FilterPredicate] = {
+    val t = fs.getFields.get(fs.getFieldIndex(name)).asPrimitiveType()
+    t.getPrimitiveTypeName match {
+      case INT64 => v match {
+        case null => nullPred[java.lang.Long, Operators.LongColumn](FilterApi.longColumn(name), op)
+        case n: java.lang.Long => cmp(FilterApi.longColumn(name), n, op)
+        case n: java.lang.Integer =>
+          cmp(FilterApi.longColumn(name), java.lang.Long.valueOf(n.longValue), op)
+        case _ => None
+      }
+      case INT32 => v match {
+        case null => nullPred[java.lang.Integer, Operators.IntColumn](FilterApi.intColumn(name), op)
+        case n: java.lang.Integer => cmp(FilterApi.intColumn(name), n, op)
+        case n: java.lang.Short =>
+          cmp(FilterApi.intColumn(name), Integer.valueOf(n.intValue), op)
+        case n: java.lang.Byte =>
+          cmp(FilterApi.intColumn(name), Integer.valueOf(n.intValue), op)
+        case _ => None
+      }
+      case DOUBLE => v match {
+        case null => nullPred[java.lang.Double, Operators.DoubleColumn](FilterApi.doubleColumn(name), op)
+        case n: java.lang.Double => cmp(FilterApi.doubleColumn(name), n, op)
+        case _ => None
+      }
+      case FLOAT => v match {
+        case null => nullPred[java.lang.Float, Operators.FloatColumn](FilterApi.floatColumn(name), op)
+        case n: java.lang.Float => cmp(FilterApi.floatColumn(name), n, op)
+        case _ => None
+      }
+      case BOOLEAN => v match {
+        case null => nullPred[java.lang.Boolean, Operators.BooleanColumn](FilterApi.booleanColumn(name), op)
+        case b: java.lang.Boolean if op == Eq =>
+          Some(FilterApi.eq(FilterApi.booleanColumn(name), b))
+        case _ => None
+      }
+      case BINARY =>
+        // strings only (UTF-8 unsigned byte order = Spark's UTF8String
+        // order, so range comparisons translate exactly)
+        val isString = t.getLogicalTypeAnnotation ==
+          LogicalTypeAnnotation.stringType()
+        v match {
+          case null => nullPred[Binary, Operators.BinaryColumn](FilterApi.binaryColumn(name), op)
+          case s: String if isString =>
+            cmp(FilterApi.binaryColumn(name), Binary.fromString(s), op)
+          case s: UTF8String if isString =>
+            cmp(FilterApi.binaryColumn(name),
+              Binary.fromConstantByteArray(s.getBytes), op)
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  private def cmp[T <: Comparable[T],
+      C <: Operators.Column[T] with Operators.SupportsLtGt](
+      c: C, v: T, op: Op): Option[FilterPredicate] = op match {
+    case Eq => Some(FilterApi.eq(c, v))
+    case Gt => Some(FilterApi.gt(c, v))
+    case Ge => Some(FilterApi.gtEq(c, v))
+    case Lt => Some(FilterApi.lt(c, v))
+    case Le => Some(FilterApi.ltEq(c, v))
+    case _ => None
+  }
+
+  private def nullPred[T <: Comparable[T],
+      C <: Operators.Column[T] with Operators.SupportsEqNotEq](
+      c: C, op: Op): Option[FilterPredicate] = op match {
+    case Null => Some(FilterApi.eq(c, null.asInstanceOf[T]))
+    case NotNull => Some(FilterApi.notEq(c, null.asInstanceOf[T]))
+    case _ => None
   }
 }

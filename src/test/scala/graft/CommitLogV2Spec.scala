@@ -203,6 +203,45 @@ class CommitLogV2Spec extends SparkSuite {
       "pruned read across schema generations broke null-fill")
   }
 
+  test("comparison filters push into the parquet readers, exact across schema generations") {
+    val s = spark
+    import s.implicits._
+    val table = tmp("rowgroup")
+    // generation 1: (id, p); generation 2 adds a double score
+    CommitLogIngest.commitOnce(
+      (0 until 50).map(i => (i.toLong, s"p${i % 5}")).toDF("id", "p"),
+      table, 0L)
+    CommitLogIngest.commitOnce(
+      (50 until 100).map(i => (i.toLong, s"p${i % 5}", i / 10.0))
+        .toDF("id", "p", "score"), table, 1L)
+    val df = s.read.format("graft-commitlog").option("path", table).load()
+
+    def ids(q: org.apache.spark.sql.DataFrame): Seq[Long] =
+      q.select("id").as[Long].collect().sorted.toSeq
+
+    // string equality (record-level filter, both generations)
+    assert(ids(df.filter(col("p") === "p3")) ==
+      (0L until 100L).filter(_ % 5 == 3))
+    // numeric range
+    assert(ids(df.filter(col("id") > 90L && col("id") <= 95L)) ==
+      (91L to 95L))
+    // a comparison on the generation-2-only column: generation-1 files
+    // can never match (all-NULL) and are skipped whole; result exact
+    assert(ids(df.filter(col("score") >= 8.0)) == (80L until 100L))
+    // IsNotNull on the late column skips generation 1; IsNull keeps it
+    assert(ids(df.filter(col("score").isNotNull)) == (50L until 100L))
+    assert(ids(df.filter(col("score").isNull)) == (0L until 50L))
+    // the scan really accepted the filters (not residual-only planning)
+    val probe = df.filter(col("p") === "p3" && col("id") > 10L)
+    probe.collect()
+    val scans = unwrapPlan(probe.queryExecution.executedPlan).collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty &&
+      scans.forall(_.scan.description().contains("EqualTo(p,p3)")),
+      s"pushed filters missing from scan: ${scans.map(_.scan.description())}")
+  }
+
   test("declared schema projects by name: a column absent from files reads as NULL") {
     val s = spark
     import s.implicits._
