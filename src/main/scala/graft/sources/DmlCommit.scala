@@ -45,6 +45,10 @@ object DmlCommit {
         LayoutDirs.deleteQuiet(
           java.nio.file.Paths.get(table).getParent.toString)
       }
+      mergedTables.values.foreach { case (_, table) =>
+        LayoutDirs.deleteQuiet(
+          java.nio.file.Paths.get(table).getParent.toString)
+      }
     }))
 
   private[graft] def ensure(spark: SparkSession, sfDir: String)
@@ -114,6 +118,70 @@ object DmlCommit {
       .select("source", "doc_id", "n_chars"))
   }
 
+  // -- MERGE face: its own table (the delete/update table must stay
+  //    pinned at version 4 for the two oracles above) -----------------------
+
+  private val mergedTables = TrieMap.empty[String, (String, String)]
+
+  private[graft] def ensureMerged(spark: SparkSession, sfDir: String)
+      : String =
+    mergedTables.synchronized {
+      val fp = SourceFingerprint.key(sfDir, "documents.parquet")
+      mergedTables.get(sfDir) match {
+        case Some((`fp`, table)) => table
+        case stale =>
+          stale.foreach { case (_, table) =>
+            LayoutDirs.deleteQuiet(
+              java.nio.file.Paths.get(table).getParent.toString)
+            mergedTables.remove(sfDir)
+          }
+          shutdownHook
+          val root = Files.createTempDirectory("graft-merge")
+          val table = root.toString + "/table"
+          val docs = Tables.documents(spark, sfDir)
+            .select("doc_id", "source", "n_chars")
+          (0 until 2).foreach { i =>
+            docs.filter(col("doc_id") % 2 === i)
+              .write.format("graft-commitlog")
+              .option("path", table).option("statsCol", "doc_id")
+              .mode("append").save()
+          }
+          // upsert: doc_id % 11 = 5 gets n_chars + 5000 (update-matched);
+          // doc_id % 13 = 1 re-lands shifted +10M (insert-unmatched)
+          val upd = docs.filter(col("doc_id") % 11 === 5)
+            .withColumn("n_chars", col("n_chars") + 5000L)
+          val ins = docs.filter(col("doc_id") % 13 === 1)
+            .withColumn("doc_id", col("doc_id") + 10000000L)
+          val (v, n) = CommitLogIngest.mergeByKey(spark, table,
+            upd.unionByName(ins), "doc_id", statsCol = Some("doc_id"))
+          require(v == 2L && n > 0, s"merge did not commit: v$v, $n files")
+          mergedTables.put(sfDir, (fp, table))
+          table
+      }
+    }
+
+  /** Census after the upsert — DuckDB rebuilds the merged state from the
+    * original parquet with anti-join + union. */
+  def mergedCensus(spark: SparkSession, sfDir: String): DataFrame = {
+    val table = ensureMerged(spark, sfDir)
+    census(CommitLogIngest.snapshot(spark, table))
+  }
+
+  val mergedCensusSql: String =
+    """WITH merged AS (
+      |  SELECT doc_id, source, n_chars FROM documents
+      |  WHERE doc_id % 11 <> 5
+      |  UNION ALL
+      |  SELECT doc_id, source, n_chars + 5000 FROM documents
+      |  WHERE doc_id % 11 = 5
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, source, n_chars FROM documents
+      |  WHERE doc_id % 13 = 1)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      |FROM merged GROUP BY source""".stripMargin
+
   val updatedCensusSql: String =
     """SELECT source, COUNT(*) AS n_docs,
       |  CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN n_chars + 1000
@@ -128,9 +196,15 @@ object DmlCommit {
         java.nio.file.Paths.get(table).getParent.toString)
     }
     created.clear()
+    mergedTables.values.foreach { case (_, table) =>
+      LayoutDirs.deleteQuiet(
+        java.nio.file.Paths.get(table).getParent.toString)
+    }
+    mergedTables.clear()
   }
 
   def queries: Map[String, Q] = Map(
     "src_delete_commit" -> Q(deletedCensusSql)(deletedCensus),
-    "src_update_commit" -> Q(updatedCensusSql)(updatedCensus))
+    "src_update_commit" -> Q(updatedCensusSql)(updatedCensus),
+    "src_merge_commit" -> Q(mergedCensusSql)(mergedCensus))
 }

@@ -557,6 +557,67 @@ object CommitLogIngest {
           .otherwise(col(name)))
       })
 
+  /** MERGE (upsert) by key as one atomic commit: rows of `updates` REPLACE
+    * the table rows sharing their key; keys new to the table are inserted.
+    * Copy-on-write plan: one scan (updates' keys broadcast-semi-joined
+    * against the live files, `input_file_name` captured scan-side) finds
+    * the files containing matched keys; those files are rewritten WITHOUT
+    * the matched rows and the updates land beside them as new files —
+    * add(rewritten + updates) + remove(affected) in one version. Same
+    * single-attempt-claim + recompute-on-conflict OCC rule as
+    * [[deleteWhere]]. `updates` must have the table's columns and unique
+    * keys (several update rows for one key would make the upsert
+    * ambiguous — refused loudly, the Delta MERGE rule).
+    *
+    * 100-TB shape: cost is O(files containing matched keys) + O(updates);
+    * with `statsCol` = key the rewritten files keep index rows, so point
+    * reads stay pruned after the merge. Returns (newVersion,
+    * filesRewritten). */
+  def mergeByKey(spark: SparkSession, tableDir: String,
+      updates: DataFrame, key: String,
+      statsCol: Option[String] = None): (Long, Int) = {
+    require(updates.columns.contains(key),
+      s"mergeByKey: updates lack the key column $key")
+    val dups = updates.groupBy(col(key)).count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dups.isEmpty,
+      s"mergeByKey: updates carry duplicate $key = ${dups.head.get(0)} — " +
+        "an upsert with several rows per key is ambiguous")
+    val keys = updates.select(col(key)).distinct()
+    while (true) {
+      val latest = latestVersion(tableDir)
+      val live = liveFiles(spark, tableDir, latest)
+      val cur = schemaAt(spark, tableDir, latest)
+      def readLive(paths: Seq[String]): DataFrame = cur match {
+        case Some(st) => spark.read.schema(st).parquet(paths: _*)
+        case None => spark.read.parquet(paths: _*)
+      }
+      val affected = readLive(live)
+        .withColumn("_f", LayoutDirs.plainPath(input_file_name()))
+        .join(broadcast(keys), Seq(key), "left_semi")
+        .select("_f").distinct().collect().map(_.getString(0)).toSeq.sorted
+      val outDir =
+        s"$tableDir/data/mg-${java.util.UUID.randomUUID().toString.take(12)}"
+      val survivors =
+        if (affected.isEmpty) updates
+        else readLive(affected)
+          .join(broadcast(keys), Seq(key), "left_anti")
+          .unionByName(updates, allowMissingColumns = true)
+      survivors.write.mode("overwrite").parquet(outDir)
+      val stage = stageActions(spark, tableDir,
+        LayoutDirs.dataFiles(outDir), affected,
+        schemaOf = Some(updates.schema), txn = None)
+      if (tryClaimVersion(tableDir, stage, latest + 1)) {
+        postWin(spark, tableDir, latest + 1, statsCol, Some(outDir),
+          schemaOf = Some(updates.schema))
+        return (latest + 1, affected.size)
+      }
+      LayoutDirs.deleteQuiet(stage.toString)
+      LayoutDirs.deleteQuiet(outDir)
+    }
+    (-1L, 0) // unreachable
+  }
+
   private def rewriteWhere(spark: SparkSession, tableDir: String,
       pred: org.apache.spark.sql.Column, statsCol: Option[String],
       rewrite: DataFrame => DataFrame): (Long, Int) = {
@@ -653,6 +714,30 @@ object CommitLogIngest {
     val drop = (all -- keep).toSeq.sorted
     drop.foreach(p => Files.deleteIfExists(Paths.get(p)))
     drop
+  }
+
+  /** DESCRIBE HISTORY: one row per SURVIVING log version (retention-pruned
+    * partitions no longer appear — the checkpoint carries their live
+    * state, not their history), with action counts and a derived
+    * operation kind. Driver-side metadata read, O(surviving versions). */
+  def history(spark: SparkSession, tableDir: String): DataFrame = {
+    require(Files.exists(Paths.get(s"$tableDir/log")),
+      s"$tableDir has no log — nothing committed yet")
+    spark.read.parquet(s"$tableDir/log")
+      .groupBy(col("version").cast("long").as("version"))
+      .agg(
+        sum(when(col("action") === "add", 1).otherwise(0)).as("n_added"),
+        sum(when(col("action") === "remove", 1).otherwise(0))
+          .as("n_removed"),
+        max(when(col("action") === "txn", col("path"))).as("txn"),
+        max((col("action") === "schema").cast("int")).cast("boolean")
+          .as("schema_change"))
+      .withColumn("operation",
+        when(col("n_added") > 0 && col("n_removed") > 0, "rewrite")
+          .when(col("n_added") > 0, "append")
+          .when(col("n_removed") > 0, "delete")
+          .otherwise("metadata"))
+      .orderBy("version")
   }
 
   /** Highest COMMITTED version. One driver-side dir listing, then a

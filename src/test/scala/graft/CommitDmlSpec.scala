@@ -106,6 +106,56 @@ class CommitDmlSpec extends SparkSuite {
       "the concurrent append's rows must survive the delete")
   }
 
+  test("mergeByKey upserts: matched keys replaced in place, new keys inserted, one version") {
+    val s = spark
+    import s.implicits._
+    val table = tmp("merge") + "/t"
+    build(table) // ids 0-399 across 4 files, src s0-s3
+    val updates = Seq(
+      (150L, "UPDATED"), (151L, "UPDATED"), // live in version-1's file
+      (900L, "NEW"), (901L, "NEW"))         // unmatched inserts
+      .toDF("id", "src")
+    val (v, n) = CommitLogIngest.mergeByKey(s, table, updates, "id",
+      statsCol = Some("id"))
+    assert(v == 4L && n == 1,
+      s"only the file holding 150/151 should rewrite, got $n files at v$v")
+    val snap = CommitLogIngest.snapshot(s, table)
+    assert(snap.count() == 402, "2 replaced + 2 inserted")
+    assert(snap.filter(col("src") === "UPDATED")
+      .select("id").as[Long].collect().sorted.toSeq == Seq(150L, 151L))
+    assert(snap.filter(col("src") === "NEW")
+      .select("id").as[Long].collect().sorted.toSeq == Seq(900L, 901L))
+    assert(snap.filter(col("id") === 150L).count() == 1,
+      "merge must not duplicate a matched key")
+    // pre-merge state intact
+    assert(s.read.format("graft-commitlog").option("path", table)
+      .option("versionAsOf", "3").load()
+      .filter(col("src").isin("UPDATED", "NEW")).count() == 0)
+    // duplicate keys in updates are refused
+    val e = intercept[IllegalArgumentException] {
+      CommitLogIngest.mergeByKey(s, table,
+        Seq((1L, "x"), (1L, "y")).toDF("id", "src"), "id")
+    }
+    assert(e.getMessage.contains("ambiguous"))
+  }
+
+  test("history describes surviving versions with action counts and operation kinds") {
+    val s = spark
+    import s.implicits._
+    val table = tmp("hist") + "/t"
+    build(table) // versions 0-3: appends
+    CommitLogIngest.deleteWhere(s, table, col("id") < 10L) // v4: rewrite
+    val hist = CommitLogIngest.history(s, table)
+      .select("version", "n_added", "n_removed", "operation")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSeq
+    assert(hist.map(_._1) == (0L to 4L), s"versions: $hist")
+    assert(hist.take(4).forall(h => h._2 == 1 && h._3 == 0 &&
+      h._4 == "append"), s"appends misdescribed: $hist")
+    assert(hist(4)._3 == 1 && hist(4)._4 == "rewrite",
+      s"the delete's copy-on-write commit misdescribed: ${hist(4)}")
+  }
+
   test("delete matching nothing commits nothing; deleting every row leaves an empty, readable table") {
     val s = spark
     import s.implicits._
