@@ -199,7 +199,8 @@ class CommitLogScan(tableDir: String, schema: StructType,
       : MicroBatchStream =
     new CommitLogMicroBatchStream(tableDir, schema,
       Option(options.get("maxVersionsPerTrigger")).map(_.toLong), bounds,
-      filters)
+      filters,
+      Option(options.get("skipChangeCommits")).exists(_.toBoolean))
 }
 
 /** Snapshot-at-a-version batch scan: live files from the log (checkpoint +
@@ -223,7 +224,7 @@ class CommitLogBatch(tableDir: String, schema: StructType,
 /** One table version range per micro-batch; versions ARE offsets. */
 class CommitLogMicroBatchStream(tableDir: String, schema: StructType,
     maxVersionsPerTrigger: Option[Long], bounds: Option[(Long, Long)],
-    filters: Array[Filter])
+    filters: Array[Filter], skipChangeCommits: Boolean = false)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   require(maxVersionsPerTrigger.forall(_ > 0),
@@ -261,7 +262,8 @@ class CommitLogMicroBatchStream(tableDir: String, schema: StructType,
       return Array.empty
     val spark = CommitLogPlanning.session
     val files = CommitLogIngest.addedFiles(spark, tableDir,
-      CommitLogOffset.version(start), CommitLogOffset.version(end))
+      CommitLogOffset.version(start), CommitLogOffset.version(end),
+      skipChangeCommits)
     CommitLogPlanning.pruneByIndex(spark, tableDir, files, bounds)
       .map(f => CommitLogInputPartition(f): InputPartition).toArray
   }

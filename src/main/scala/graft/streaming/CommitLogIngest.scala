@@ -848,8 +848,9 @@ object CommitLogIngest {
     * data) per poll — it never diffs snapshots and never rescans the
     * table. Version dirs are addressed directly (no log listing). */
   def changes(spark: SparkSession, tableDir: String, fromExclusive: Long,
-      toInclusive: Long): DataFrame = {
-    val paths = addedFiles(spark, tableDir, fromExclusive, toInclusive)
+      toInclusive: Long, skipChangeCommits: Boolean = false): DataFrame = {
+    val paths = addedFiles(spark, tableDir, fromExclusive, toInclusive,
+      skipChangeCommits)
     val declared = schemaAt(spark, tableDir, toInclusive)
     if (paths.isEmpty) {
       // the range holds only metadata versions (empty-batch tombstones /
@@ -876,9 +877,20 @@ object CommitLogIngest {
 
   /** The data files the commit range (from, to] ADDED — the planning half
     * of [[changes]], shared with the DSv2 streaming source (which turns
-    * each path into an input partition instead of a DataFrame). */
+    * each path into an input partition instead of a DataFrame).
+    *
+    * CHANGE COMMITS (a version with removes — DML rewrite, OPTIMIZE): the
+    * files such a version ADDS carry rows that earlier versions already
+    * delivered, so streaming them is duplicate delivery. The Delta rule
+    * applies: FAIL by default (a change feed over a mutating range needs
+    * an explicit decision), or with `skipChangeCommits` deliver only the
+    * pure-append versions (mutations are not reflected downstream). A
+    * FRESH consumer resolving through a checkpoint is unaffected — the
+    * checkpoint is the collapsed LIVE set, where rewrites have already
+    * been applied; only real version dirs in the tail are classified. */
   private[graft] def addedFiles(spark: SparkSession, tableDir: String,
-      fromExclusive: Long, toInclusive: Long): Seq[String] = {
+      fromExclusive: Long, toInclusive: Long,
+      skipChangeCommits: Boolean = false): Seq[String] = {
     val logDir = s"$tableDir/log"
     // a FRESH consumer (from = -1) on a retention-pruned log: the table
     // is append-only, so the cumulative adds through a checkpoint ARE
@@ -923,9 +935,26 @@ object CommitLogIngest {
         s"in range under $logDir (retention pruned past this consumer?)")
     val tail: Seq[String] =
       if (dirs.isEmpty) Seq.empty
-      else spark.read.option("basePath", logDir).parquet(dirs: _*)
-        .filter(col("action") === "add")
-        .select("path").collect().map(_.getString(0)).toSeq
+      else {
+        val t = spark.read.option("basePath", logDir).parquet(dirs: _*)
+          .select(col("version").cast("long").as("v"), col("action"),
+            col("path"))
+        val changeVersions = t.filter(col("action") === "remove")
+          .select("v").distinct().collect().map(_.getLong(0)).toSet
+        if (changeVersions.nonEmpty && !skipChangeCommits)
+          throw new IllegalStateException(
+            s"changes($fromExclusive, $toInclusive]: versions " +
+              s"${changeVersions.toSeq.sorted.mkString(",")} are CHANGE " +
+              "commits (DML rewrite / OPTIMIZE) — their added files " +
+              "re-carry rows earlier versions already delivered. Pass " +
+              "skipChangeCommits=true (option \"skipChangeCommits\" on " +
+              "the stream) to deliver appends only, or restart the " +
+              "consumer fresh from the latest snapshot")
+        val adds = t.filter(col("action") === "add")
+        (if (changeVersions.isEmpty) adds
+         else adds.filter(!col("v").isin(changeVersions.toSeq: _*)))
+          .select("path").collect().map(_.getString(0)).toSeq
+      }
     base ++ tail
   }
 

@@ -156,6 +156,50 @@ class CommitDmlSpec extends SparkSuite {
       s"the delete's copy-on-write commit misdescribed: ${hist(4)}")
   }
 
+  test("a change commit mid-stream fails the feed loudly; skipChangeCommits delivers appends only") {
+    val s = spark
+    import s.implicits._
+    val table = tmp("feed") + "/t"
+    build(table) // v0-v3 appends, ids 0-399
+    CommitLogIngest.deleteWhere(s, table, col("id") < 10L) // v4: rewrite
+    // default: a mid-stream change commit is an error, not duplicates
+    val e = intercept[IllegalStateException] {
+      CommitLogIngest.changes(s, table, 2L, 4L)
+    }
+    assert(e.getMessage.contains("skipChangeCommits"))
+    // skipping: versions 3 (append) delivered, version 4 (rewrite) not
+    val skipped = CommitLogIngest.changes(s, table, 2L, 4L,
+      skipChangeCommits = true)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(skipped == (300L until 400L),
+      s"skipChangeCommits must deliver the pure appends only: $skipped")
+
+    // the V2 stream honors the same contract end-to-end
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = s.readStream.format("graft-commitlog").option("path", table)
+      .option("skipChangeCommits", "true").load()
+      .writeStream.option("checkpointLocation", tmp("feed-ck"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.synchronized { seen ++= b.select("id").as[Long].collect() }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      // fresh consumer: v0-v3 adds + v4 skipped → every original id once
+      assert(seen.synchronized(seen.sorted.toSeq) == (0L until 400L),
+        "fresh feed with skipChangeCommits must deliver each append once")
+      // another delete mid-stream, then an append — only the append flows
+      CommitLogIngest.deleteWhere(s, table, col("id") >= 390L)
+      (500 until 510).map(i => (i.toLong, "late")).toDF("id", "src")
+        .write.format("graft-commitlog").option("path", table)
+        .mode("append").save()
+      q.processAllAvailable()
+      assert(seen.synchronized(seen.sorted.toSeq) ==
+        ((0L until 400L) ++ (500L until 510L)),
+        "mid-stream rewrite must be skipped, later appends delivered")
+    } finally q.stop()
+  }
+
   test("delete matching nothing commits nothing; deleting every row leaves an empty, readable table") {
     val s = spark
     import s.implicits._
