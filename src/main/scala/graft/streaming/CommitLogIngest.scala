@@ -592,16 +592,19 @@ object CommitLogIngest {
         case Some(st) => spark.read.schema(st).parquet(paths: _*)
         case None => spark.read.parquet(paths: _*)
       }
+      // no broadcast() hint: `keys` derives from caller-supplied updates
+      // and can grow with the table — AQE broadcasts it at runtime when
+      // its measured size allows (the round-6 forced-broadcast lesson)
       val affected = readLive(live)
         .withColumn("_f", LayoutDirs.plainPath(input_file_name()))
-        .join(broadcast(keys), Seq(key), "left_semi")
+        .join(keys, Seq(key), "left_semi")
         .select("_f").distinct().collect().map(_.getString(0)).toSeq.sorted
       val outDir =
         s"$tableDir/data/mg-${java.util.UUID.randomUUID().toString.take(12)}"
       val survivors =
         if (affected.isEmpty) updates
         else readLive(affected)
-          .join(broadcast(keys), Seq(key), "left_anti")
+          .join(keys, Seq(key), "left_anti")
           .unionByName(updates, allowMissingColumns = true)
       survivors.write.mode("overwrite").parquet(outDir)
       val stage = stageActions(spark, tableDir,

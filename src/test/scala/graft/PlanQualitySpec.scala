@@ -131,9 +131,29 @@ class PlanQualitySpec extends SparkSuite {
       // (sketch merge + exact top-k) ran before the collect, so a
       // LocalTableScan root is its expected shape, not a missing scan
       val localAssembly = Set("t_cms_heavy")
-      assert(scans.nonEmpty || rddScans(plan).nonEmpty ||
+      // DataSource V2 reads (the commit-log scans) plan BatchScanExec,
+      // not FileSourceScanExec — a real scan for the vacuous-gate test,
+      // with its own pruning gate: the V2 scan's readSchema must be the
+      // query's projection, not the table width (CommitLogV2Spec pins
+      // the per-file parquet request behind it)
+      def v2Scans(p: SparkPlan): Seq[
+          org.apache.spark.sql.execution.datasources.v2.BatchScanExec] =
+        p.collectWithSubqueries {
+          case a: AdaptiveSparkPlanExec => v2Scans(a.inputPlan)
+          case b: org.apache.spark.sql.execution.datasources.v2
+              .BatchScanExec => Seq(b)
+        }.flatten
+      val v2 = v2Scans(plan)
+      assert(scans.nonEmpty || v2.nonEmpty || rddScans(plan).nonEmpty ||
           localAssembly.contains(name),
         s"$name: no FileSourceScanExec found — the pruning gate is vacuous")
+      v2.filter(_.scan.description().startsWith("graft-commitlog"))
+        .foreach { b =>
+          assert(b.scan.readSchema().size <= 3,
+            s"$name: commit-log V2 scan reads " +
+              s"${b.scan.readSchema().fieldNames.mkString(",")} — " +
+              "projection not pushed")
+        }
       // no raw single-partition shuffle of base-table data (the global
       // Window.orderBy scale-killer): any SinglePartition exchange must sit
       // above an aggregation or limit, i.e. carry reduced data
