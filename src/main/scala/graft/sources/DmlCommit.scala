@@ -189,6 +189,39 @@ object DmlCommit {
       |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
       |FROM documents WHERE doc_id % 7 <> 3 GROUP BY source""".stripMargin
 
+  /** Change-data-feed census over the DML range (delete commit, update
+    * commit]: the delete version contributes the removed docs as
+    * "delete"; the update version contributes pre-image deletes and
+    * post-image inserts of the touched rows. DuckDB replays all three
+    * legs from the original parquet — hash equality proves the feed
+    * derives exactly the rows each commit changed, with correct
+    * multiset diffs against the rewritten files. */
+  def cdcCensus(spark: SparkSession, sfDir: String): DataFrame = {
+    val (table, delV) = ensure(spark, sfDir)
+    CommitLogIngest.changeFeed(spark, table, delV - 1, delV + 1)
+      .groupBy(col("_commit_version"), col("_change_type"), col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+  }
+
+  val cdcCensusSql: String =
+    """WITH feed AS (
+      |  SELECT CAST(3 AS BIGINT) AS _commit_version,
+      |    'delete' AS _change_type, source, n_chars, doc_id
+      |  FROM documents WHERE doc_id % 7 = 3
+      |  UNION ALL
+      |  SELECT CAST(4 AS BIGINT), 'delete', source, n_chars, doc_id
+      |  FROM documents WHERE doc_id % 7 <> 3 AND doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT CAST(4 AS BIGINT), 'insert', source, n_chars + 1000, doc_id
+      |  FROM documents WHERE doc_id % 7 <> 3 AND doc_id % 5 = 0)
+      |SELECT _commit_version, _change_type, source, COUNT(*) AS n,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      |FROM feed GROUP BY 1, 2, 3""".stripMargin
+
   /** Test hook: drop cached layouts (the shared clear contract). */
   private[graft] def clearCache(): Unit = created.synchronized {
     created.values.foreach { case (_, (table, _)) =>
@@ -206,5 +239,6 @@ object DmlCommit {
   def queries: Map[String, Q] = Map(
     "src_delete_commit" -> Q(deletedCensusSql)(deletedCensus),
     "src_update_commit" -> Q(updatedCensusSql)(updatedCensus),
-    "src_merge_commit" -> Q(mergedCensusSql)(mergedCensus))
+    "src_merge_commit" -> Q(mergedCensusSql)(mergedCensus),
+    "src_cdc_feed" -> Q(cdcCensusSql)(cdcCensus))
 }

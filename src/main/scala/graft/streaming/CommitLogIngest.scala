@@ -878,6 +878,71 @@ object CommitLogIngest {
     }
   }
 
+  /** CHANGE DATA FEED over (from, to] — the Delta CDF shape: every row the
+    * range changed, tagged `_change_type` and `_commit_version`. An append
+    * version contributes its rows as "insert"; a REWRITE version (DML /
+    * not OPTIMIZE — a pure layout move has no logical change) contributes
+    * the multiset difference of its removed vs added files: rows only in
+    * the removed files are "delete", rows only in the added files are
+    * "insert" (an update therefore appears as its pre-image delete + its
+    * post-image insert — the keyless-CDF semantic; pair them on the key
+    * downstream). Cost is O(changed files) per version, never O(table):
+    * the diff reads exactly the files the commit touched, and since
+    * compaction rewrites carry identical multisets they contribute
+    * nothing (at the price of reading both sides — feed OPTIMIZE-heavy
+    * ranges through [[changes]] with skipChangeCommits instead when
+    * layout commits dominate). Unlike [[changes]], version dirs must
+    * survive for the whole range (retention past them loses the diff
+    * base — fails loudly through the same floor guard). */
+  def changeFeed(spark: SparkSession, tableDir: String,
+      fromExclusive: Long, toInclusive: Long): DataFrame = {
+    val logDir = s"$tableDir/log"
+    require(fromExclusive < toInclusive,
+      s"changeFeed: empty range ($fromExclusive, $toInclusive]")
+    val floor = checkpointsOnDisk(tableDir).lastOption.getOrElse(-1L)
+    val schema = schemaAt(spark, tableDir, toInclusive)
+    def readFiles(paths: Seq[String]): DataFrame = schema match {
+      case Some(st) => spark.read.schema(st).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
+    val perVersion =
+      ((fromExclusive + 1) to toInclusive).flatMap { v =>
+        val dir = s"$logDir/version=$v"
+        if (!LayoutDirs.hasParquetData(dir)) {
+          require(v > floor,
+            s"changeFeed($fromExclusive, $toInclusive]: version $v at or " +
+              s"below the checkpoint floor $floor was retention-pruned — " +
+              "the diff base is gone; narrow the range or rebuild from a " +
+              "snapshot")
+          None // never-committed id above the floor
+        } else {
+          val actions = spark.read.parquet(dir)
+            .select("action", "path").collect()
+          val adds = actions.filter(_.getString(0) == "add")
+            .map(_.getString(1)).toSeq
+          val removes = actions.filter(_.getString(0) == "remove")
+            .map(_.getString(1)).toSeq
+          def tag(df: DataFrame, t: String): DataFrame =
+            df.withColumn("_change_type", lit(t))
+              .withColumn("_commit_version", lit(v))
+          if (removes.isEmpty && adds.isEmpty) None // metadata-only
+          else if (removes.isEmpty) Some(tag(readFiles(adds), "insert"))
+          else {
+            val before = readFiles(removes)
+            val after =
+              if (adds.isEmpty) readFiles(removes).filter(lit(false))
+              else readFiles(adds)
+            Some(tag(before.exceptAll(after), "delete")
+              .unionByName(tag(after.exceptAll(before), "insert")))
+          }
+        }
+      }
+    require(perVersion.nonEmpty,
+      s"changeFeed($fromExclusive, $toInclusive]: no committed version " +
+        s"in range under $logDir")
+    perVersion.reduce(_.unionByName(_))
+  }
+
   /** The data files the commit range (from, to] ADDED — the planning half
     * of [[changes]], shared with the DSv2 streaming source (which turns
     * each path into an input partition instead of a DataFrame).

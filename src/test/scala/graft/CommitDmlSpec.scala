@@ -200,6 +200,36 @@ class CommitDmlSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("changeFeed derives per-version inserts/deletes; OPTIMIZE contributes nothing") {
+    val s = spark
+    import s.implicits._
+    val table = tmp("cdf") + "/t"
+    build(table) // v0-v3 appends, ids 0-399, 1 file each
+    CommitLogIngest.deleteWhere(s, table, // v4
+      col("id") >= 150L && col("id") < 160L)
+    CommitLogIngest.updateWhere(s, table, // v5
+      col("id") === 42L, Map("src" -> lit("changed")))
+    val (ov, _, _) = CommitLogIngest.optimize(s, table, // v6: layout only
+      maxFileBytes = 10L * 1024 * 1024)
+    assert(ov == 6L)
+    val feed = CommitLogIngest.changeFeed(s, table, 2L, 6L)
+      .select("_commit_version", "_change_type", "id", "src").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getString(3))).toSeq
+    // v3: plain append → inserts
+    assert(feed.filter(_._1 == 3L).map(c => (c._2, c._3)).sorted ==
+      (300L until 400L).map(("insert", _)))
+    // v4: the delete's removed rows, nothing else
+    assert(feed.filter(_._1 == 4L).map(c => (c._2, c._3)).sorted ==
+      (150L until 160L).map(("delete", _)))
+    // v5: the update as pre-image delete + post-image insert
+    assert(feed.filter(_._1 == 5L).map(c => (c._2, c._3, c._4)).toSet ==
+      Set(("delete", 42L, "s0"), ("insert", 42L, "changed")))
+    // v6: OPTIMIZE moved bytes, changed nothing
+    assert(feed.count(_._1 == 6L) == 0,
+      "a pure layout commit must contribute no change rows")
+  }
+
   test("delete matching nothing commits nothing; deleting every row leaves an empty, readable table") {
     val s = spark
     import s.implicits._
