@@ -116,6 +116,26 @@ object CommitBench {
       ()
     })
 
+    // WRITE-PATH contrast: the DSv2 writer (per-row parquet-mr Group
+    // materialization in the executors) vs commitAppend (Spark's native
+    // vectorized parquet writer) over identical batches — the write-side
+    // twin of the reader's documented Group-API trade-off, so the cost of
+    // driving the table through df.write instead of the programmatic API
+    // is a recorded number, not a guess. Min-of-two waves each, warmed.
+    val wBatches = 8
+    def df(w: Int) = wave(w, perCommit).toDF("id", "payload")
+    def timeAppends(label: String, commit: (Int) => Unit): Double = {
+      commit(100) // warm (JIT + writer init) on the same table
+      minOf2(() => (0 until wBatches).foreach(commit))
+    }
+    val dsvTable = tmp("dsv") + "/table"
+    val dsv2S = timeAppends("dsv2", w =>
+      df(w).write.format("graft-commitlog").option("path", dsvTable)
+        .mode("append").save())
+    val natTable = tmp("nat") + "/table"
+    val nativeS = timeAppends("native", w =>
+      { CommitLogIngest.commitAppend(df(w), natTable); () })
+
     val total = commits.toLong * perCommit
     val snap = CommitLogIngest.snapshot(spark, table)
       .agg(count(lit(1)), sum(col("id"))).head()
@@ -129,6 +149,8 @@ object CommitBench {
         f""""read_s_early":$earlyS%.3f,"read_s_late":$lateS%.3f,""" +
         f""""resolve_s":$resolveS%.3f,""" +
         f""""resolve_s_full_replay":$resolveFullS%.3f,""" +
+        f""""dsv2_write_rows_per_s":${wBatches.toLong * perCommit / dsv2S}%.1f,""" +
+        f""""native_write_rows_per_s":${wBatches.toLong * perCommit / nativeS}%.1f,""" +
         s""""ckpt_version":${CommitLogIngest.lastCheckpoint(table)},""" +
         s""""parity":$parity}""")
     spark.stop()
