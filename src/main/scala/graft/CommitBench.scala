@@ -124,16 +124,16 @@ object CommitBench {
     // is a recorded number, not a guess. Min-of-two waves each, warmed.
     val wBatches = 8
     def df(w: Int) = wave(w, perCommit).toDF("id", "payload")
-    def timeAppends(label: String, commit: (Int) => Unit): Double = {
+    def timeAppends(commit: (Int) => Unit): Double = {
       commit(100) // warm (JIT + writer init) on the same table
       minOf2(() => (0 until wBatches).foreach(commit))
     }
     val dsvTable = tmp("dsv") + "/table"
-    val dsv2S = timeAppends("dsv2", w =>
+    val dsv2S = timeAppends(w =>
       df(w).write.format("graft-commitlog").option("path", dsvTable)
         .mode("append").save())
     val natTable = tmp("nat") + "/table"
-    val nativeS = timeAppends("native", w =>
+    val nativeS = timeAppends(w =>
       { CommitLogIngest.commitAppend(df(w), natTable); () })
 
     val total = commits.toLong * perCommit

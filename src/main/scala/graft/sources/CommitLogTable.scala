@@ -135,15 +135,27 @@ class CommitLogScanBuilder(tableDir: String, schema: StructType,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  /** [lo, hi] key bound a single filter implies on the indexed column. */
+  /** [lo, hi] key bound a single filter implies on the indexed column.
+    * INTEGRAL values only: truncating a fractional value (5.5 → 5) would
+    * STRENGTHEN the bound and prune files whose rows match the original
+    * comparison — e.g. GreaterThan(score, 5.5) must not become lo = 6
+    * against a file whose keys live in [5.6, 5.9]. A double/float-keyed
+    * index is simply never pruned through pushed filters (the explicit
+    * index.lo/index.hi options remain available). */
+  private def intOf(v: Any): Option[Long] = v match {
+    case n: java.lang.Long => Some(n.longValue)
+    case n: java.lang.Integer => Some(n.longValue)
+    case n: java.lang.Short => Some(n.longValue)
+    case n: java.lang.Byte => Some(n.longValue)
+    case _ => None
+  }
+
   private def boundOf(c: String, f: Filter): Option[(Long, Long)] = f match {
-    case EqualTo(`c`, v: Number) => Some((v.longValue, v.longValue))
-    case GreaterThan(`c`, v: Number) => Some((v.longValue + 1, Long.MaxValue))
-    case GreaterThanOrEqual(`c`, v: Number) =>
-      Some((v.longValue, Long.MaxValue))
-    case LessThan(`c`, v: Number) => Some((Long.MinValue, v.longValue - 1))
-    case LessThanOrEqual(`c`, v: Number) =>
-      Some((Long.MinValue, v.longValue))
+    case EqualTo(`c`, v) => intOf(v).map(n => (n, n))
+    case GreaterThan(`c`, v) => intOf(v).map(n => (n + 1, Long.MaxValue))
+    case GreaterThanOrEqual(`c`, v) => intOf(v).map(n => (n, Long.MaxValue))
+    case LessThan(`c`, v) => intOf(v).map(n => (Long.MinValue, n - 1))
+    case LessThanOrEqual(`c`, v) => intOf(v).map(n => (Long.MinValue, n))
     case _ => None
   }
 
@@ -212,6 +224,10 @@ class CommitLogBatch(tableDir: String, schema: StructType,
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = CommitLogPlanning.session
     val v = versionAsOf.getOrElse(CommitLogIngest.latestVersion(tableDir))
+    // a CREATEd-but-not-yet-written table is a valid zero-row SELECT
+    // (its schema came from the declared marker); an EXPLICIT versionAsOf
+    // on such a table still fails loudly through liveFiles
+    if (v < 0 && versionAsOf.isEmpty) return Array.empty
     val files = CommitLogIngest.liveFiles(spark, tableDir, v)
     CommitLogPlanning.pruneByIndex(spark, tableDir, files, bounds)
       .map(f => CommitLogInputPartition(f): InputPartition).toArray
@@ -373,7 +389,8 @@ class GroupRowReader(file: String, schema: StructType,
     *    dependency. */
   private val (conf: Configuration,
       filterOpt: Option[org.apache.parquet.filter2.compat.FilterCompat.Filter],
-      skipFile: Boolean) = {
+      skipFile: Boolean,
+      requested: org.apache.parquet.schema.MessageType) = {
     val c = new Configuration()
     val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile
@@ -386,17 +403,28 @@ class GroupRowReader(file: String, schema: StructType,
         else filters.flatMap(ParquetFilters.references).toSeq.distinct
       val wanted = (schema.fieldNames ++ filterCols).distinct
         .filter(fileSchema.containsField)
-      if (wanted.nonEmpty && wanted.length < fileSchema.getFieldCount) {
-        val pruned = new org.apache.parquet.schema.MessageType(
-          fileSchema.getName,
-          wanted.map(n => fileSchema.getFields.get(fileSchema.getFieldIndex(n))): _*)
-        c.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
-          pruned.toString)
-      }
+      val requested =
+        if (wanted.nonEmpty && wanted.length < fileSchema.getFieldCount) {
+          val pruned = new org.apache.parquet.schema.MessageType(
+            fileSchema.getName,
+            wanted.map(n =>
+              fileSchema.getFields.get(fileSchema.getFieldIndex(n))): _*)
+          c.set(
+            org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+            pruned.toString)
+          pruned
+        } else fileSchema
       (c, pred.map(org.apache.parquet.filter2.compat.FilterCompat.get),
-        skip)
+        skip, requested)
     } finally footer.close()
   }
+
+  /** Per-file top-level field map, computed ONCE: delivered groups are all
+    * shaped by the requested schema, so resolving name → index per row
+    * (two string-hash lookups per cell) would be pure hot-path waste. */
+  private val topIdx: Array[Int] = schema.fields.map(f =>
+    if (requested.containsField(f.name)) requested.getFieldIndex(f.name)
+    else -1)
 
   private val reader: ParquetReader[Group] =
     if (skipFile) null
@@ -416,18 +444,13 @@ class GroupRowReader(file: String, schema: StructType,
 
   override def get(): InternalRow = {
     val g = current
-    val gt = g.getType
     val values = new Array[Any](schema.length)
     var i = 0
     while (i < schema.length) {
-      val f = schema(i)
+      val idx = topIdx(i)
       values(i) =
-        if (!gt.containsField(f.name)) null
-        else {
-          val idx = gt.getFieldIndex(f.name)
-          if (g.getFieldRepetitionCount(idx) == 0) null
-          else convert(g, idx, f.dataType)
-        }
+        if (idx < 0 || g.getFieldRepetitionCount(idx) == 0) null
+        else convert(g, idx, schema(i).dataType)
       i += 1
     }
     new GenericInternalRow(values)

@@ -1,7 +1,6 @@
 package graft.sources
 
 import java.nio.file.Files
-import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -38,51 +37,32 @@ object CommitSchemaEvolution {
   /** Deterministic generation-2 quality: n_chars mod QualityMod. */
   val QualityMod = 97
 
-  // sfDir -> (documents fingerprint, tableDir)
-  private val created = TrieMap.empty[String, (String, String)]
-
-  private lazy val shutdownHook: Unit =
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      created.values.foreach { case (_, table) =>
-        LayoutDirs.deleteQuiet(
-          java.nio.file.Paths.get(table).getParent.toString)
-      }
-    }))
+  private val cache = new LayoutCache[String](table =>
+    LayoutDirs.deleteQuiet(
+      java.nio.file.Paths.get(table).getParent.toString))
 
   private[graft] def ensure(spark: SparkSession, sfDir: String): String =
-    created.synchronized {
-      val fp = SourceFingerprint.key(sfDir, "documents.parquet")
-      created.get(sfDir) match {
-        case Some((`fp`, table)) => table
-        case stale =>
-          stale.foreach { case (_, table) =>
-            LayoutDirs.deleteQuiet(
-              java.nio.file.Paths.get(table).getParent.toString)
-            created.remove(sfDir)
-          }
-          shutdownHook
-          val root = Files.createTempDirectory("graft-schema-evo")
-          val table = root.toString + "/table"
-          val docs = Tables.documents(spark, sfDir)
-          val gen1 = docs.filter(col("doc_id") % 2 === 0)
-            .select(col("doc_id"), col("source"), col("n_chars"))
-          val gen2 = docs.filter(col("doc_id") % 2 === 1)
-            .select(col("doc_id"), col("source"), col("n_chars"),
-              (col("n_chars") % QualityMod).as("quality"))
-          // four commits through the streaming path (batchId-addressed):
-          // versions 0-1 are generation 1, the schema action rides the
-          // generation-2 commit at version 2
-          CommitLogIngest.commitOnce(
-            gen1.filter(col("doc_id") % 4 === 0), table, 0L)
-          CommitLogIngest.commitOnce(
-            gen1.filter(col("doc_id") % 4 === 2), table, 1L)
-          CommitLogIngest.commitOnce(
-            gen2.filter(col("doc_id") % 4 === 1), table, 2L)
-          CommitLogIngest.commitOnce(
-            gen2.filter(col("doc_id") % 4 === 3), table, 3L)
-          created.put(sfDir, (fp, table))
-          table
-      }
+    cache.get(sfDir, "documents.parquet") {
+      val root = Files.createTempDirectory("graft-schema-evo")
+      val table = root.toString + "/table"
+      val docs = Tables.documents(spark, sfDir)
+      val gen1 = docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val gen2 = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          (col("n_chars") % QualityMod).as("quality"))
+      // four commits through the streaming path (batchId-addressed):
+      // versions 0-1 are generation 1, the schema action rides the
+      // generation-2 commit at version 2
+      CommitLogIngest.commitOnce(
+        gen1.filter(col("doc_id") % 4 === 0), table, 0L)
+      CommitLogIngest.commitOnce(
+        gen1.filter(col("doc_id") % 4 === 2), table, 1L)
+      CommitLogIngest.commitOnce(
+        gen2.filter(col("doc_id") % 4 === 1), table, 2L)
+      CommitLogIngest.commitOnce(
+        gen2.filter(col("doc_id") % 4 === 3), table, 3L)
+      table
     }
 
   /** Census of the LATEST snapshot across the schema boundary: NULL
@@ -108,13 +88,7 @@ object CommitSchemaEvolution {
        |FROM documents GROUP BY source""".stripMargin
 
   /** Test hook: drop cached layouts (the shared clear contract). */
-  private[graft] def clearCache(): Unit = created.synchronized {
-    created.values.foreach { case (_, table) =>
-      LayoutDirs.deleteQuiet(
-        java.nio.file.Paths.get(table).getParent.toString)
-    }
-    created.clear()
-  }
+  private[graft] def clearCache(): Unit = cache.clear()
 
   def queries: Map[String, Q] = Map(
     "src_commit_schema_evo" -> Q(evolvedCensusSql)(evolvedCensus))

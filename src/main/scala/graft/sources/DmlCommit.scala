@@ -1,7 +1,6 @@
 package graft.sources
 
 import java.nio.file.Files
-import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -36,56 +35,36 @@ object DmlCommit {
 
   val Appends = 3
 
-  // sfDir -> (documents fingerprint, (tableDir, deleteVersion))
-  private val created = TrieMap.empty[String, (String, (String, Long))]
+  private def dropParent(table: String): Unit =
+    LayoutDirs.deleteQuiet(
+      java.nio.file.Paths.get(table).getParent.toString)
 
-  private lazy val shutdownHook: Unit =
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      created.values.foreach { case (_, (table, _)) =>
-        LayoutDirs.deleteQuiet(
-          java.nio.file.Paths.get(table).getParent.toString)
-      }
-      mergedTables.values.foreach { case (_, table) =>
-        LayoutDirs.deleteQuiet(
-          java.nio.file.Paths.get(table).getParent.toString)
-      }
-    }))
+  private val cache =
+    new LayoutCache[(String, Long)](t => dropParent(t._1))
 
   private[graft] def ensure(spark: SparkSession, sfDir: String)
       : (String, Long) =
-    created.synchronized {
-      val fp = SourceFingerprint.key(sfDir, "documents.parquet")
-      created.get(sfDir) match {
-        case Some((`fp`, t)) => t
-        case stale =>
-          stale.foreach { case (_, (table, _)) =>
-            LayoutDirs.deleteQuiet(
-              java.nio.file.Paths.get(table).getParent.toString)
-            created.remove(sfDir)
-          }
-          shutdownHook
-          val root = Files.createTempDirectory("graft-dml")
-          val table = root.toString + "/table"
-          val docs = Tables.documents(spark, sfDir)
-          (0 until Appends).foreach { i =>
-            docs.filter(col("doc_id") % Appends === i)
-              .write.format("graft-commitlog")
-              .option("path", table).option("statsCol", "doc_id")
-              .mode("append").save()
-          }
-          val (delV, nDel) = CommitLogIngest.deleteWhere(spark, table,
-            col("doc_id") % 7 === 3, statsCol = Some("doc_id"))
-          require(delV == Appends.toLong && nDel > 0,
-            s"delete did not commit: version $delV, $nDel files")
-          val (updV, nUpd) = CommitLogIngest.updateWhere(spark, table,
-            col("doc_id") % 5 === 0,
-            Map("n_chars" -> (col("n_chars") + 1000L)),
-            statsCol = Some("doc_id"))
-          require(updV == delV + 1 && nUpd > 0,
-            s"update did not commit: version $updV, $nUpd files")
-          created.put(sfDir, (fp, (table, delV)))
-          (table, delV)
+    cache.get(sfDir, "documents.parquet") {
+      val root = Files.createTempDirectory("graft-dml")
+      val table = root.toString + "/table"
+      val docs = Tables.documents(spark, sfDir)
+      (0 until Appends).foreach { i =>
+        docs.filter(col("doc_id") % Appends === i)
+          .write.format("graft-commitlog")
+          .option("path", table).option("statsCol", "doc_id")
+          .mode("append").save()
       }
+      val (delV, nDel) = CommitLogIngest.deleteWhere(spark, table,
+        col("doc_id") % 7 === 3, statsCol = Some("doc_id"))
+      require(delV == Appends.toLong && nDel > 0,
+        s"delete did not commit: version $delV, $nDel files")
+      val (updV, nUpd) = CommitLogIngest.updateWhere(spark, table,
+        col("doc_id") % 5 === 0,
+        Map("n_chars" -> (col("n_chars") + 1000L)),
+        statsCol = Some("doc_id"))
+      require(updV == delV + 1 && nUpd > 0,
+        s"update did not commit: version $updV, $nUpd files")
+      (table, delV)
     }
 
   private def census(df: DataFrame): DataFrame =
@@ -121,43 +100,31 @@ object DmlCommit {
   // -- MERGE face: its own table (the delete/update table must stay
   //    pinned at version 4 for the two oracles above) -----------------------
 
-  private val mergedTables = TrieMap.empty[String, (String, String)]
+  private val mergedCache = new LayoutCache[String](dropParent)
 
   private[graft] def ensureMerged(spark: SparkSession, sfDir: String)
       : String =
-    mergedTables.synchronized {
-      val fp = SourceFingerprint.key(sfDir, "documents.parquet")
-      mergedTables.get(sfDir) match {
-        case Some((`fp`, table)) => table
-        case stale =>
-          stale.foreach { case (_, table) =>
-            LayoutDirs.deleteQuiet(
-              java.nio.file.Paths.get(table).getParent.toString)
-            mergedTables.remove(sfDir)
-          }
-          shutdownHook
-          val root = Files.createTempDirectory("graft-merge")
-          val table = root.toString + "/table"
-          val docs = Tables.documents(spark, sfDir)
-            .select("doc_id", "source", "n_chars")
-          (0 until 2).foreach { i =>
-            docs.filter(col("doc_id") % 2 === i)
-              .write.format("graft-commitlog")
-              .option("path", table).option("statsCol", "doc_id")
-              .mode("append").save()
-          }
-          // upsert: doc_id % 11 = 5 gets n_chars + 5000 (update-matched);
-          // doc_id % 13 = 1 re-lands shifted +10M (insert-unmatched)
-          val upd = docs.filter(col("doc_id") % 11 === 5)
-            .withColumn("n_chars", col("n_chars") + 5000L)
-          val ins = docs.filter(col("doc_id") % 13 === 1)
-            .withColumn("doc_id", col("doc_id") + 10000000L)
-          val (v, n) = CommitLogIngest.mergeByKey(spark, table,
-            upd.unionByName(ins), "doc_id", statsCol = Some("doc_id"))
-          require(v == 2L && n > 0, s"merge did not commit: v$v, $n files")
-          mergedTables.put(sfDir, (fp, table))
-          table
+    mergedCache.get(sfDir, "documents.parquet") {
+      val root = Files.createTempDirectory("graft-merge")
+      val table = root.toString + "/table"
+      val docs = Tables.documents(spark, sfDir)
+        .select("doc_id", "source", "n_chars")
+      (0 until 2).foreach { i =>
+        docs.filter(col("doc_id") % 2 === i)
+          .write.format("graft-commitlog")
+          .option("path", table).option("statsCol", "doc_id")
+          .mode("append").save()
       }
+      // upsert: doc_id % 11 = 5 gets n_chars + 5000 (update-matched);
+      // doc_id % 13 = 1 re-lands shifted +10M (insert-unmatched)
+      val upd = docs.filter(col("doc_id") % 11 === 5)
+        .withColumn("n_chars", col("n_chars") + 5000L)
+      val ins = docs.filter(col("doc_id") % 13 === 1)
+        .withColumn("doc_id", col("doc_id") + 10000000L)
+      val (v, n) = CommitLogIngest.mergeByKey(spark, table,
+        upd.unionByName(ins), "doc_id", statsCol = Some("doc_id"))
+      require(v == 2L && n > 0, s"merge did not commit: v$v, $n files")
+      table
     }
 
   /** Census after the upsert — DuckDB rebuilds the merged state from the
@@ -223,18 +190,7 @@ object DmlCommit {
       |FROM feed GROUP BY 1, 2, 3""".stripMargin
 
   /** Test hook: drop cached layouts (the shared clear contract). */
-  private[graft] def clearCache(): Unit = created.synchronized {
-    created.values.foreach { case (_, (table, _)) =>
-      LayoutDirs.deleteQuiet(
-        java.nio.file.Paths.get(table).getParent.toString)
-    }
-    created.clear()
-    mergedTables.values.foreach { case (_, table) =>
-      LayoutDirs.deleteQuiet(
-        java.nio.file.Paths.get(table).getParent.toString)
-    }
-    mergedTables.clear()
-  }
+  private[graft] def clearCache(): Unit = { cache.clear(); mergedCache.clear() }
 
   def queries: Map[String, Q] = Map(
     "src_delete_commit" -> Q(deletedCensusSql)(deletedCensus),

@@ -32,42 +32,23 @@ object DsvWrite {
 
   val Appends = 3
 
-  // sfDir -> (documents fingerprint, tableDir)
-  private val created = TrieMap.empty[String, (String, String)]
-
-  private lazy val shutdownHook: Unit =
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      created.values.foreach { case (_, table) =>
-        LayoutDirs.deleteQuiet(
-          java.nio.file.Paths.get(table).getParent.toString)
-      }
-    }))
+  private val cache = new LayoutCache[String](table =>
+    LayoutDirs.deleteQuiet(
+      java.nio.file.Paths.get(table).getParent.toString))
 
   private[graft] def ensure(spark: SparkSession, sfDir: String): String =
-    created.synchronized {
-      val fp = SourceFingerprint.key(sfDir, "documents.parquet")
-      created.get(sfDir) match {
-        case Some((`fp`, table)) => table
-        case stale =>
-          stale.foreach { case (_, table) =>
-            LayoutDirs.deleteQuiet(
-              java.nio.file.Paths.get(table).getParent.toString)
-            created.remove(sfDir)
-          }
-          shutdownHook
-          val root = Files.createTempDirectory("graft-dsvwrite")
-          val table = root.toString + "/table"
-          val docs = Tables.documents(spark, sfDir)
-          // several appends — each one atomic version via df.write
-          (0 until Appends).foreach { i =>
-            docs.filter(col("doc_id") % Appends === i)
-              .write.format("graft-commitlog")
-              .option("path", table).option("statsCol", "doc_id")
-              .mode("append").save()
-          }
-          created.put(sfDir, (fp, table))
-          table
+    cache.get(sfDir, "documents.parquet") {
+      val root = Files.createTempDirectory("graft-dsvwrite")
+      val table = root.toString + "/table"
+      val docs = Tables.documents(spark, sfDir)
+      // several appends — each one atomic version via df.write
+      (0 until Appends).foreach { i =>
+        docs.filter(col("doc_id") % Appends === i)
+          .write.format("graft-commitlog")
+          .option("path", table).option("statsCol", "doc_id")
+          .mode("append").save()
       }
+      table
     }
 
   /** Census of the written table, read back through the V2 scan (pruned
@@ -90,13 +71,7 @@ object DsvWrite {
       |FROM documents GROUP BY source""".stripMargin
 
   /** Test hook: drop cached layouts (the shared clear contract). */
-  private[graft] def clearCache(): Unit = created.synchronized {
-    created.values.foreach { case (_, table) =>
-      LayoutDirs.deleteQuiet(
-        java.nio.file.Paths.get(table).getParent.toString)
-    }
-    created.clear()
-  }
+  private[graft] def clearCache(): Unit = cache.clear()
 
   def queries: Map[String, Q] = Map(
     "src_dsv2_write" -> Q(writtenCensusSql)(writtenCensus))

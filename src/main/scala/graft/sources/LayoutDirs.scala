@@ -102,3 +102,49 @@ object LayoutDirs {
             "log/index paths (local-filesystem-only layouts): "), c)))
       .otherwise(c)
 }
+
+/** sfDir-keyed, source-fingerprinted layout cache — ONE copy of the
+  * ensure/evict/shutdown/clear scaffolding the registry faces
+  * (OptimizeCommit, DsvWrite, DmlCommit, CommitSchemaEvolution, …) each
+  * used to hand-roll (~45 lines apiece): a cached layout is valid while
+  * the source parquet's fingerprint is unchanged, a stale one is evicted
+  * and rebuilt, and a SINGLE JVM shutdown hook (registered on first use,
+  * never per rebuild — the round-9 TimeTravel hook-accumulation lesson)
+  * reclaims whatever is cached at exit. `cleanup` receives the cached
+  * value; builds are serialized by the cache's lock (the faces build
+  * once per SF per session). */
+final class LayoutCache[V](cleanup: V => Unit) {
+  private val created =
+    scala.collection.concurrent.TrieMap.empty[String, (String, V)]
+
+  private lazy val hook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      created.values.foreach { case (_, v) => cleanup(v) }))
+    ()
+  }
+
+  /** The cached layout for `sfDir` while `fpFile`'s fingerprint holds;
+    * otherwise evict, rebuild, cache. */
+  def get(sfDir: String, fpFile: String)(build: => V): V =
+    created.synchronized {
+      val fp = SourceFingerprint.key(sfDir, fpFile)
+      created.get(sfDir) match {
+        case Some((`fp`, v)) => v
+        case stale =>
+          stale.foreach { case (_, v) =>
+            cleanup(v)
+            created.remove(sfDir)
+          }
+          hook
+          val v = build
+          created.put(sfDir, (fp, v))
+          v
+      }
+    }
+
+  /** Test hook: drop cached layouts (the shared clear contract). */
+  def clear(): Unit = created.synchronized {
+    created.values.foreach { case (_, v) => cleanup(v) }
+    created.clear()
+  }
+}

@@ -1,7 +1,6 @@
 package graft.sources
 
 import java.nio.file.Files
-import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -39,47 +38,28 @@ object OptimizeCommit {
   val Commits = 6
   val FilesPerCommit = 4
 
-  // sfDir -> (documents fingerprint, tableDir)
-  private val created = TrieMap.empty[String, (String, String)]
-
-  private lazy val shutdownHook: Unit =
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      created.values.foreach { case (_, table) =>
-        LayoutDirs.deleteQuiet(
-          java.nio.file.Paths.get(table).getParent.toString)
-      }
-    }))
+  private val cache = new LayoutCache[String](table =>
+    LayoutDirs.deleteQuiet(
+      java.nio.file.Paths.get(table).getParent.toString))
 
   private[graft] def ensure(spark: SparkSession, sfDir: String): String =
-    created.synchronized {
-      val fp = SourceFingerprint.key(sfDir, "documents.parquet")
-      created.get(sfDir) match {
-        case Some((`fp`, table)) => table
-        case stale =>
-          stale.foreach { case (_, table) =>
-            LayoutDirs.deleteQuiet(
-              java.nio.file.Paths.get(table).getParent.toString)
-            created.remove(sfDir)
-          }
-          shutdownHook
-          val root = Files.createTempDirectory("graft-optimize")
-          val table = root.toString + "/table"
-          val docs = Tables.documents(spark, sfDir)
-          // the fragmented ingest: six commits, several files each — the
-          // small-file debris a per-trigger streaming writer accumulates
-          (0 until Commits).foreach { i =>
-            CommitLogIngest.commitAppend(
-              docs.filter(col("doc_id") % Commits === i)
-                .repartition(FilesPerCommit),
-              table, statsCol = Some("doc_id"))
-          }
-          val (newV, nIn, nOut) =
-            CommitLogIngest.optimize(spark, table, Some("doc_id"))
-          require(newV == Commits.toLong && nOut < nIn,
-            s"optimize did not compact: version $newV, $nIn -> $nOut files")
-          created.put(sfDir, (fp, table))
-          table
+    cache.get(sfDir, "documents.parquet") {
+      val root = Files.createTempDirectory("graft-optimize")
+      val table = root.toString + "/table"
+      val docs = Tables.documents(spark, sfDir)
+      // the fragmented ingest: six commits, several files each — the
+      // small-file debris a per-trigger streaming writer accumulates
+      (0 until Commits).foreach { i =>
+        CommitLogIngest.commitAppend(
+          docs.filter(col("doc_id") % Commits === i)
+            .repartition(FilesPerCommit),
+          table, statsCol = Some("doc_id"))
       }
+      val (newV, nIn, nOut) =
+        CommitLogIngest.optimize(spark, table, Some("doc_id"))
+      require(newV == Commits.toLong && nOut < nIn,
+        s"optimize did not compact: version $newV, $nIn -> $nOut files")
+      table
     }
 
   /** Census of the LATEST snapshot, read through the log after OPTIMIZE —
@@ -102,13 +82,7 @@ object OptimizeCommit {
       |FROM documents GROUP BY source""".stripMargin
 
   /** Test hook: drop cached layouts (the shared clear contract). */
-  private[graft] def clearCache(): Unit = created.synchronized {
-    created.values.foreach { case (_, table) =>
-      LayoutDirs.deleteQuiet(
-        java.nio.file.Paths.get(table).getParent.toString)
-    }
-    created.clear()
-  }
+  private[graft] def clearCache(): Unit = cache.clear()
 
   def queries: Map[String, Q] = Map(
     "src_optimize_commit" -> Q(optimizedCensusSql)(optimizedCensus))

@@ -245,6 +245,7 @@ object CommitLogIngest {
   private[graft] def commitOnce(batch: DataFrame, tableDir: String,
       batchId: Long, statsCol: Option[String] = None): Unit = {
     if (batchId <= lastCommitted(tableDir)) return
+    requireIndexColMatch(tableDir, statsCol)
     val spark = batch.sparkSession
     val versionDir = s"$tableDir/log/version=$batchId"
     if (batch.isEmpty) {
@@ -293,7 +294,22 @@ object CommitLogIngest {
     * parquet listing. */
   private def indexColPath(dir: String) = Paths.get(dir, "index", "_col")
 
+  /** One stats column per table, forever: index rows from earlier commits
+    * carry the OLD column's min/max, and a reader pruning "n_chars"
+    * bounds against "doc_id" stats would silently drop files whose rows
+    * match — refuse the switch BEFORE any commit work instead of
+    * poisoning the index (every statsCol-taking entry point calls this
+    * first; [[recordIndexCol]] keeps it as a post-claim backstop). */
+  private def requireIndexColMatch(tableDir: String,
+      statsCol: Option[String]): Unit =
+    for (k <- statsCol; existing <- indexedCol(tableDir))
+      require(existing == k,
+        s"$tableDir is stats-indexed on '$existing' — committing with " +
+          s"statsCol '$k' would mix incomparable index rows; rebuild the " +
+          "table (or keep indexing '$existing') instead")
+
   private[graft] def recordIndexCol(tableDir: String, k: String): Unit = {
+    requireIndexColMatch(tableDir, Some(k))
     val p = indexColPath(tableDir)
     Files.createDirectories(p.getParent)
     Files.write(p, k.getBytes("UTF-8"),
@@ -367,6 +383,7 @@ object CommitLogIngest {
       schemaOf: Option[org.apache.spark.sql.types.StructType] = None,
       txn: Option[String] = None)
       : Long = {
+    requireIndexColMatch(tableDir, statsCol)
     val stage = stageActions(spark, tableDir, adds, removes, schemaOf, txn)
     val v = claimVersion(tableDir, stage)
     postWin(spark, tableDir, v, statsCol, statsDir, schemaOf)
@@ -387,6 +404,7 @@ object CommitLogIngest {
       schemaOf: Option[org.apache.spark.sql.types.StructType] = None,
       txn: Option[String] = None)
       : Long = {
+    requireIndexColMatch(tableDir, statsCol)
     while (true) {
       val latest = latestVersion(tableDir)
       val removes =
@@ -578,6 +596,18 @@ object CommitLogIngest {
       statsCol: Option[String] = None): (Long, Int) = {
     require(updates.columns.contains(key),
       s"mergeByKey: updates lack the key column $key")
+    requireIndexColMatch(tableDir, statsCol)
+    // updates may ADD columns (schema evolution rides the merge) but must
+    // CONTAIN every current table column: the merge records updates.schema
+    // as the table's schema, so a narrower updates frame would silently
+    // project existing columns away from every future read
+    declaredSchema(tableDir).foreach { st =>
+      val missing = st.fieldNames.toSet -- updates.columns.toSet
+      require(missing.isEmpty,
+        s"mergeByKey: updates lack table column(s) " +
+          s"${missing.toSeq.sorted.mkString(", ")} — the merge would " +
+          "record a narrower schema and hide them from every read")
+    }
     val dups = updates.groupBy(col(key)).count()
       .filter(col("count") > 1).limit(1).collect()
     require(dups.isEmpty,
@@ -624,11 +654,21 @@ object CommitLogIngest {
   private def rewriteWhere(spark: SparkSession, tableDir: String,
       pred: org.apache.spark.sql.Column, statsCol: Option[String],
       rewrite: DataFrame => DataFrame): (Long, Int) = {
+    requireIndexColMatch(tableDir, statsCol)
     while (true) {
       val latest = latestVersion(tableDir)
       val live = liveFiles(spark, tableDir, latest)
+      // discovery AND rewrite both read under the declared schema as of
+      // `latest`: with mixed generations on disk, a bare parquet read
+      // infers one file's footer and a predicate on a late-added column
+      // would crash (or resolve nondeterministically by file order)
+      val cur = schemaAt(spark, tableDir, latest)
+      def readLive(paths: Seq[String]): DataFrame = cur match {
+        case Some(st) => spark.read.schema(st).parquet(paths: _*)
+        case None => spark.read.parquet(paths: _*)
+      }
       // one pushed-predicate scan finds the files that contain matches
-      val affected = spark.read.parquet(live: _*).filter(pred)
+      val affected = readLive(live).filter(pred)
         .select(LayoutDirs.plainPath(input_file_name()).as("f"))
         .distinct().collect().map(_.getString(0)).toSeq.sorted
       if (affected.isEmpty) return (-1L, 0)
@@ -636,11 +676,7 @@ object CommitLogIngest {
         s"$tableDir/data/rw-${java.util.UUID.randomUUID().toString.take(12)}"
       // rewrite under the CURRENT schema (older generations null-fill and
       // come out upgraded); keep the file count of what it replaces
-      val cur = schemaAt(spark, tableDir, latest)
-      val in = cur match {
-        case Some(st) => spark.read.schema(st).parquet(affected: _*)
-        case None => spark.read.parquet(affected: _*)
-      }
+      val in = readLive(affected)
       val out = rewrite(in).coalesce(affected.size)
       out.write.mode("overwrite").parquet(outDir)
       val adds = LayoutDirs.dataFiles(outDir)
@@ -678,27 +714,42 @@ object CommitLogIngest {
   def optimize(spark: SparkSession, tableDir: String,
       statsCol: Option[String] = None,
       maxFileBytes: Long = 128L * 1024L * 1024L): (Long, Int, Int) = {
-    val v = latestVersion(tableDir)
-    val live = liveFiles(spark, tableDir, v)
-    val smalls = live.filter(p =>
-      try Files.size(Paths.get(p)) < maxFileBytes
-      catch { case _: Exception => false })
-    if (smalls.size < 2) return (-1L, 0, 0)
-    val totalBytes = smalls.map(p => Files.size(Paths.get(p))).sum
-    val n = math.max(1L, (totalBytes + maxFileBytes - 1) / maxFileBytes).toInt
-    val optDir =
-      s"$tableDir/data/opt-${java.util.UUID.randomUUID().toString.take(12)}"
-    val in = spark.read.parquet(smalls: _*)
-    (statsCol match {
-      // range-cluster on the indexed column so point reads stay pruned
-      case Some(k) => in.repartitionByRange(n, col(k))
-        .sortWithinPartitions(col(k))
-      case None => in.repartition(n)
-    }).write.mode("overwrite").parquet(optDir)
-    val newV = commitActions(spark, tableDir,
-      adds = LayoutDirs.dataFiles(optDir), removes = smalls,
-      statsCol = statsCol, statsDir = Some(optDir))
-    (newV, smalls.size, LayoutDirs.dataFiles(optDir).size)
+    requireIndexColMatch(tableDir, statsCol)
+    // the removes are a READ of table state (the DML rule): claim exactly
+    // latest+1, single attempt, recompute on conflict — a sliding claim
+    // could land remove(smalls)+add(compacted) AFTER a concurrent rewrite
+    // already replaced one of the smalls, resurrecting its dropped rows
+    while (true) {
+      val v = latestVersion(tableDir)
+      val live = liveFiles(spark, tableDir, v)
+      val smalls = live.filter(p =>
+        try Files.size(Paths.get(p)) < maxFileBytes
+        catch { case _: Exception => false })
+      if (smalls.size < 2) return (-1L, 0, 0)
+      val totalBytes = smalls.map(p => Files.size(Paths.get(p))).sum
+      val n =
+        math.max(1L, (totalBytes + maxFileBytes - 1) / maxFileBytes).toInt
+      val optDir =
+        s"$tableDir/data/opt-${java.util.UUID.randomUUID().toString.take(12)}"
+      val in = spark.read.parquet(smalls: _*)
+      (statsCol match {
+        // range-cluster on the indexed column so point reads stay pruned
+        case Some(k) => in.repartitionByRange(n, col(k))
+          .sortWithinPartitions(col(k))
+        case None => in.repartition(n)
+      }).write.mode("overwrite").parquet(optDir)
+      val adds = LayoutDirs.dataFiles(optDir)
+      val stage = stageActions(spark, tableDir, adds, smalls,
+        schemaOf = None, txn = None)
+      if (tryClaimVersion(tableDir, stage, v + 1)) {
+        postWin(spark, tableDir, v + 1, statsCol, Some(optDir),
+          schemaOf = None)
+        return (v + 1, smalls.size, adds.size)
+      }
+      LayoutDirs.deleteQuiet(stage.toString)
+      LayoutDirs.deleteQuiet(optDir)
+    }
+    (-1L, 0, 0) // unreachable
   }
 
   /** Physically delete every data file no retained version (>= retainMin)
@@ -709,6 +760,13 @@ object CommitLogIngest {
   def vacuum(spark: SparkSession, tableDir: String,
       retainMin: Long): Seq[String] = {
     val latest = latestVersion(tableDir)
+    // retainMin beyond the latest version would make the keep-set EMPTY
+    // and delete every data file including the live snapshot — an easy
+    // off-by-one in a "retain last N" caller must fail, not destroy
+    require(retainMin <= latest,
+      s"vacuum: retainMin $retainMin exceeds the latest version $latest " +
+        "— the keep-set would be empty and vacuum would delete the live " +
+        "table")
     val all = spark.read.parquet(s"$tableDir/log")
       .filter(col("action") === "add")
       .select("path").distinct().collect().map(_.getString(0)).toSet

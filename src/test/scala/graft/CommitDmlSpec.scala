@@ -200,6 +200,51 @@ class CommitDmlSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("contract guards: narrow merge refused, statsCol switch refused, bad vacuum refused, DML across generations") {
+    val s = spark
+    import s.implicits._
+    val table = tmp("guards") + "/t"
+    Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "tag", "n")
+      .write.format("graft-commitlog").option("path", table)
+      .option("statsCol", "id").mode("append").save()
+    // a merge whose updates LACK a table column would record a narrower
+    // schema and hide the column from every read — refused
+    val e1 = intercept[IllegalArgumentException] {
+      CommitLogIngest.mergeByKey(s, table, Seq((1L, 99L)).toDF("id", "n"),
+        "id")
+    }
+    assert(e1.getMessage.contains("narrower schema"))
+    // switching the stats column mid-table would mix incomparable index
+    // rows — refused BEFORE any commit work
+    val e2 = intercept[IllegalArgumentException] {
+      Seq((3L, "c", 30L)).toDF("id", "tag", "n")
+        .write.format("graft-commitlog").option("path", table)
+        .option("statsCol", "n").mode("append").save()
+    }
+    assert(e2.getMessage.contains("stats-indexed"))
+    assert(CommitLogIngest.latestVersion(table) == 0L,
+      "refused statsCol switch must not land a version")
+    // vacuum past the latest version would delete the live table — refused
+    val e3 = intercept[IllegalArgumentException] {
+      CommitLogIngest.vacuum(s, table,
+        CommitLogIngest.latestVersion(table) + 1)
+    }
+    assert(e3.getMessage.contains("delete the live table"))
+    assert(CommitLogIngest.snapshot(s, table).count() == 2,
+      "refused vacuum must leave the data intact")
+
+    // DML predicate on a LATE-ADDED column with mixed generations on disk:
+    // discovery must read under the declared schema, not one file's footer
+    Seq((10L, "d", 40L, 7.5)).toDF("id", "tag", "n", "score")
+      .write.format("graft-commitlog").option("path", table)
+      .option("statsCol", "id").mode("append").save()
+    val (v, nf) = CommitLogIngest.deleteWhere(s, table,
+      col("score") > 5.0)
+    assert(v == 2L && nf == 1, s"cross-generation delete: v$v, $nf files")
+    assert(CommitLogIngest.snapshot(s, table)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("changeFeed derives per-version inserts/deletes; OPTIMIZE contributes nothing") {
     val s = spark
     import s.implicits._

@@ -242,6 +242,39 @@ class CommitLogV2Spec extends SparkSuite {
       s"pushed filters missing from scan: ${scans.map(_.scan.description())}")
   }
 
+  test("a double-keyed index never prunes through pushed filters; empty created table SELECTs zero rows") {
+    val s = spark
+    import s.implicits._
+    val table = tmp("dbl")
+    // stats column is a DOUBLE: GreaterThan(score, 5.5) truncated to a
+    // long bound would wrongly prune a file whose keys live in (5, 6) —
+    // the reader must open it and return its matching rows
+    CommitLogIngest.commitOnce(
+      Seq((1L, 5.6), (2L, 5.9)).toDF("id", "score"), table, 0L,
+      statsCol = Some("score"))
+    CommitLogIngest.commitOnce(
+      Seq((3L, 9.0)).toDF("id", "score"), table, 1L,
+      statsCol = Some("score"))
+    val got = s.read.format("graft-commitlog").option("path", table).load()
+      .filter(col("score") > 5.5).select("id")
+      .as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 2L, 3L),
+      s"fractional filter on a double index lost rows: $got")
+
+    // CREATE then SELECT before any INSERT: a valid zero-row read
+    val empty = tmp("empty-sel") + "/t"
+    CommitLogIngest.createTable(empty,
+      Seq((0L, "")).toDF("id", "p").schema)
+    assert(s.read.format("graft-commitlog").option("path", empty)
+      .load().count() == 0)
+    // an EXPLICIT versionAsOf on the empty table still fails loudly
+    val e = intercept[Exception] {
+      s.read.format("graft-commitlog").option("path", empty)
+        .option("versionAsOf", "0").load().count()
+    }
+    assert(e.getMessage.contains("no committed version"))
+  }
+
   test("declared schema projects by name: a column absent from files reads as NULL") {
     val s = spark
     import s.implicits._
