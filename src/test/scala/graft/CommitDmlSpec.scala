@@ -245,6 +245,37 @@ class CommitDmlSpec extends SparkSuite {
       .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("two concurrent OPTIMIZEs cannot resurrect rows: one wins, the loser recomputes") {
+    val s = spark
+    import s.implicits._
+    val table = tmp("optrace") + "/t"
+    build(table) // 4 small files
+    import java.util.concurrent.{CountDownLatch, Executors}
+    val pool = Executors.newFixedThreadPool(2)
+    val go = new CountDownLatch(1)
+    val results = (0 until 2).map { _ =>
+      pool.submit(new java.util.concurrent.Callable[(Long, Int, Int)] {
+        def call() = { go.await(); CommitLogIngest.optimize(s, table) }
+      })
+    }
+    go.countDown()
+    val got = results.map(_.get())
+    pool.shutdown()
+    // exactly one commits a compaction; the loser recomputes against the
+    // fresh state and finds nothing left to compact (or compacts the
+    // already-compacted remainder — either way the census is unchanged)
+    val committed = got.filter(_._1 >= 0)
+    assert(committed.nonEmpty, s"no optimize committed: $got")
+    val ids = CommitLogIngest.snapshot(s, table)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ids == (0L until 400L),
+      s"concurrent OPTIMIZE duplicated or lost rows: ${ids.size} rows")
+    // versions stay contiguous — no claim was double-spent
+    val latest = CommitLogIngest.latestVersion(table)
+    assert((0L to latest).forall(v =>
+      graft.sources.LayoutDirs.hasParquetData(s"$table/log/version=$v")))
+  }
+
   test("changeFeed derives per-version inserts/deletes; OPTIMIZE contributes nothing") {
     val s = spark
     import s.implicits._
