@@ -995,10 +995,20 @@ object CommitLogIngest {
           }
         }
       }
-    require(perVersion.nonEmpty,
-      s"changeFeed($fromExclusive, $toInclusive]: no committed version " +
-        s"in range under $logDir")
-    perVersion.reduce(_.unionByName(_))
+    if (perVersion.isEmpty) {
+      // a metadata-only range (idle epochs, schema/txn actions) is a
+      // legitimate ZERO-ROW poll, same as [[changes]] — but a range with
+      // no committed version at all still fails loudly through liveFiles
+      val base = schema match {
+        case Some(st) =>
+          spark.createDataFrame(new java.util.ArrayList[Row](), st)
+        case None =>
+          val live = liveFiles(spark, tableDir, toInclusive)
+          spark.read.parquet(live.take(1): _*).filter(lit(false))
+      }
+      base.withColumn("_change_type", lit(""))
+        .withColumn("_commit_version", lit(-1L))
+    } else perVersion.reduce(_.unionByName(_))
   }
 
   /** The data files the commit range (from, to] ADDED — the planning half

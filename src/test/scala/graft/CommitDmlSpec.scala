@@ -304,6 +304,14 @@ class CommitDmlSpec extends SparkSuite {
     // v6: OPTIMIZE moved bytes, changed nothing
     assert(feed.count(_._1 == 6L) == 0,
       "a pure layout commit must contribute no change rows")
+    // a metadata-only range (an empty-batch tombstone) is a zero-row
+    // poll with the feed's schema intact, not an error
+    CommitLogIngest.commitOnce(
+      Seq.empty[(Long, String)].toDF("id", "src"), table, 7L)
+    val idle = CommitLogIngest.changeFeed(s, table, 6L, 7L)
+    assert(idle.count() == 0 &&
+      idle.columns.contains("_change_type") &&
+      idle.columns.contains("_commit_version"))
   }
 
   test("delete matching nothing commits nothing; deleting every row leaves an empty, readable table") {
