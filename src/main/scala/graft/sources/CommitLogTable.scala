@@ -102,7 +102,8 @@ class CommitLogTableProvider extends TableProvider with DataSourceRegister {
 }
 
 class CommitLogTable(tableDir: String, declared: StructType)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
 
   override def name(): String = s"graft-commitlog[$tableDir]"
 
@@ -118,6 +119,90 @@ class CommitLogTable(tableDir: String, declared: StructType)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new CommitLogWriteBuilder(tableDir, info)
+
+  /** SQL `DELETE FROM t WHERE …` → one copy-on-write log version through
+    * [[CommitLogIngest.deleteWhere]] (the `SupportsDeleteV2` contract):
+    * Spark asks [[canDeleteWhere]] first, so a predicate this translator
+    * cannot express fails ANALYSIS loudly instead of deleting the wrong
+    * rows. DELETE with no WHERE arrives as an empty predicate array =
+    * delete-all (the table stays readable and empty). */
+  override def canDeleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Boolean =
+    predicates.forall(p => V2PredicateColumns.toColumn(p).isDefined)
+
+  override def deleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = {
+    val pred = predicates.map(p => V2PredicateColumns.toColumn(p).getOrElse(
+      throw new UnsupportedOperationException(
+        s"graft-commitlog DELETE: cannot translate predicate $p")))
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    CommitLogIngest.deleteWhere(CommitLogPlanning.session, tableDir, pred,
+      statsCol = CommitLogIngest.indexedCol(tableDir))
+    ()
+  }
+}
+
+/** DataSource V2 `Predicate` → `Column` translation for the SQL DELETE
+  * path — public connector expression API only (no internal
+  * PredicateUtils): supports =, <, <=, >, >=, IS_NULL, IS_NOT_NULL,
+  * AND/OR/NOT over single-name references and primitive literals.
+  * Anything else returns None and the DELETE fails analysis loudly. */
+private[sources] object V2PredicateColumns {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.connector.expressions.{Expression => VExpr, Literal => VLit, NamedReference}
+  import org.apache.spark.sql.connector.expressions.filter.{And => VAnd, Not => VNot, Or => VOr, Predicate => VPred}
+  import org.apache.spark.sql.functions.{col, lit}
+
+  private def value(l: VLit[_]): Option[Any] = l.value() match {
+    case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+    case n @ (_: java.lang.Long | _: java.lang.Integer |
+        _: java.lang.Short | _: java.lang.Byte | _: java.lang.Double |
+        _: java.lang.Float | _: java.lang.Boolean) => Some(n)
+    case d: org.apache.spark.sql.types.Decimal => Some(d.toJavaBigDecimal)
+    case _ => None
+  }
+
+  private def operand(e: VExpr): Option[Column] = e match {
+    case r: NamedReference if r.fieldNames.length == 1 =>
+      Some(col(r.fieldNames()(0)))
+    case l: VLit[_] => value(l).map(lit)
+    case _ => None
+  }
+
+  def toColumn(p: VPred): Option[Column] = p match {
+    case a: VAnd =>
+      for (l <- toColumn(a.left()); r <- toColumn(a.right())) yield l && r
+    case o: VOr =>
+      for (l <- toColumn(o.left()); r <- toColumn(o.right())) yield l || r
+    case n: VNot => toColumn(n.child()).map(!_)
+    case _ =>
+      val ch = p.children()
+      (p.name(), ch.length) match {
+        // DELETE with no WHERE arrives as the ALWAYS_TRUE predicate
+        case ("ALWAYS_TRUE", 0) => Some(lit(true))
+        case ("ALWAYS_FALSE", 0) => Some(lit(false))
+        case ("IS_NULL", 1) => operand(ch(0)).map(_.isNull)
+        case ("IS_NOT_NULL", 1) => operand(ch(0)).map(_.isNotNull)
+        case (op, 2) =>
+          for {
+            l <- operand(ch(0))
+            r <- operand(ch(1))
+            c <- op match {
+              case "=" => Some(l === r)
+              case "<>" => Some(l =!= r)
+              case ">" => Some(l > r)
+              case ">=" => Some(l >= r)
+              case "<" => Some(l < r)
+              case "<=" => Some(l <= r)
+              case _ => None
+            }
+          } yield c
+        case _ => None
+      }
+  }
 }
 
 class CommitLogScanBuilder(tableDir: String, schema: StructType,

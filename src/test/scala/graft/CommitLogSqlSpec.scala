@@ -42,4 +42,35 @@ class CommitLogSqlSpec extends SparkSuite {
         == 1L)
     } finally s.sql("DROP TABLE IF EXISTS clsql")
   }
+
+  test("SQL DELETE FROM lands one copy-on-write version; untranslatable predicates fail analysis") {
+    val s = spark
+    val dir = tmp("sqldel") + "/t"
+    s.sql(s"""CREATE TABLE clsqldel (id BIGINT, tag STRING)
+      USING `graft-commitlog` OPTIONS (path '$dir')""")
+    try {
+      s.sql("INSERT INTO clsqldel VALUES " +
+        (0 until 20).map(i => s"($i, 't$i')").mkString(", "))
+      s.sql("DELETE FROM clsqldel WHERE id < 5 OR id >= 18")
+      assert(s.sql("SELECT MIN(id), MAX(id), COUNT(*) FROM clsqldel")
+        .collect()(0).toSeq == Seq(5L, 17L, 13L))
+      assert(CommitLogIngest.latestVersion(dir) == 1L,
+        "the SQL delete must land as exactly one log version")
+      // the pre-delete snapshot still time-travels
+      assert(s.read.format("graft-commitlog").option("path", dir)
+        .option("versionAsOf", "0").load().count() == 20)
+      // an untranslatable predicate is an ANALYSIS error, never a wrong
+      // delete (canDeleteWhere says no)
+      val e = intercept[Exception] {
+        s.sql("DELETE FROM clsqldel WHERE tag LIKE 't1%'")
+      }
+      assert(e.getMessage != null)
+      assert(s.sql("SELECT COUNT(*) FROM clsqldel")
+        .collect()(0).getLong(0) == 13L, "refused delete must not mutate")
+      // DELETE without WHERE empties but keeps the table readable
+      s.sql("DELETE FROM clsqldel")
+      assert(s.sql("SELECT COUNT(*) FROM clsqldel")
+        .collect()(0).getLong(0) == 0L)
+    } finally s.sql("DROP TABLE IF EXISTS clsqldel")
+  }
 }
