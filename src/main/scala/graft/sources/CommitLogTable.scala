@@ -18,7 +18,7 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, IsNull, LessThan, LessThanOrEqual}
@@ -326,10 +326,21 @@ class CommitLogBatch(tableDir: String, schema: StructType,
 class CommitLogMicroBatchStream(tableDir: String, schema: StructType,
     maxVersionsPerTrigger: Option[Long], bounds: Option[(Long, Long)],
     filters: Array[Filter], skipChangeCommits: Boolean = false)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   require(maxVersionsPerTrigger.forall(_ > 0),
     s"maxVersionsPerTrigger must be positive, got $maxVersionsPerTrigger")
+
+  /** `Trigger.AvailableNow` end offset, FROZEN at prepare time (the
+    * `SupportsTriggerAvailableNow` contract): the run drains versions
+    * committed before it started — as bounded admission-controlled
+    * micro-batches — then self-stops; commits landing mid-drain wait for
+    * the next run. Without this interface Spark 4 falls back to ONE
+    * capped batch, which would silently strand the rest of the backlog. */
+  @volatile private var frozenEnd: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    frozenEnd = Some(CommitLogIngest.latestVersion(tableDir))
 
   override def initialOffset(): Offset = CommitLogOffset(-1L)
 
@@ -342,7 +353,8 @@ class CommitLogMicroBatchStream(tableDir: String, schema: StructType,
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = CommitLogOffset.version(start)
-    val latest = CommitLogIngest.latestVersion(tableDir)
+    val latest = frozenEnd.fold(CommitLogIngest.latestVersion(tableDir))(
+      f => math.min(CommitLogIngest.latestVersion(tableDir), f))
     // admission control: never promise more than maxVersionsPerTrigger
     // versions past the start — a catch-up reader drains a long backlog
     // as bounded micro-batches instead of one giant one

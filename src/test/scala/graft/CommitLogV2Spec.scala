@@ -275,6 +275,40 @@ class CommitLogV2Spec extends SparkSuite {
     assert(e.getMessage.contains("no committed version"))
   }
 
+  test("Trigger.AvailableNow drains the backlog in bounded batches and stops") {
+    val s = spark
+    import s.implicits._
+    val table = tmp("availnow")
+    (0 until 6).foreach { v =>
+      CommitLogIngest.commitOnce(
+        (0 until 10).map(i => (v * 10L + i, s"p$i")).toDF("id", "p"),
+        table, v.toLong)
+    }
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = s.readStream.format("graft-commitlog")
+      .option("path", table)
+      .option("maxVersionsPerTrigger", "2") // 6 versions → 3 batches
+      .load()
+      .writeStream.option("checkpointLocation", tmp("availnow-ck"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val ids = b.select("id").as[Long].collect()
+        batches.synchronized { batches += ids.length }
+        seen.synchronized { seen ++= ids }; ()
+      }.start()
+    // a commit landing AFTER the run started is NOT part of "available
+    // now" — the drain must stop at the frozen end offset
+    assert(q.awaitTermination(60000), "AvailableNow query must self-stop")
+    CommitLogIngest.commitOnce(
+      Seq((999L, "late")).toDF("id", "p"), table, 6L)
+    assert(seen.synchronized(seen.sorted.toSeq) == (0L until 60L),
+      s"drain must deliver exactly the startup backlog")
+    assert(batches.synchronized(batches.count(_ > 0)) == 3,
+      s"admission control must bound the drain to 3 batches of 2 " +
+        s"versions: ${batches.toList}")
+  }
+
   test("declared schema projects by name: a column absent from files reads as NULL") {
     val s = spark
     import s.implicits._
