@@ -110,6 +110,9 @@ class CommitLogBatchWrite(tableDir: String, schema: StructType,
         adds = files, statsCol = statsCol, statsDir = Some(dataDir),
         schemaOf = Some(schema))
     } else if (files.nonEmpty) {
+      // an append RECORDS its schema as the table's latest — refuse one
+      // that would narrow it (hide established columns) or change a type
+      CommitLogIngest.requireAppendCompatible(tableDir, schema)
       CommitLogIngest.commitActions(CommitLogPlanning.session, tableDir,
         adds = files, removes = Seq.empty,
         statsCol = statsCol, statsDir = Some(dataDir),
@@ -141,17 +144,22 @@ class CommitLogStreamingWrite(tableDir: String, schema: StructType,
       : Unit = {
     val spark = CommitLogPlanning.session
     val files = CommitLogWriteCommit.filesOf(messages)
-    if (CommitLogIngest.lastTxnEpoch(spark, tableDir, queryId) >= epochId) {
-      // replayed epoch after a restart: the log already has this epoch's
-      // commit, so these files are orphans nothing will ever reference
+    if (files.nonEmpty)
+      CommitLogIngest.requireAppendCompatible(tableDir, schema)
+    // the txn replay guard lives INSIDE the claim loop (commitEpoch) so a
+    // zombie instance of this query racing us cannot double-commit the
+    // epoch — whichever instance wins the version claim, the other sees
+    // its txn row and reclaims these files as orphans
+    val committed = CommitLogIngest.commitEpoch(spark, tableDir,
+      adds = files,
+      statsCol = statsCol.filter(_ => files.nonEmpty),
+      statsDir = Some(epochDir(epochId)).filter(_ => files.nonEmpty),
+      schemaOf = Some(schema), queryId = queryId, epochId = epochId)
+    if (!committed) {
+      // replayed epoch after a restart (or a lost zombie race): the log
+      // already has this epoch's commit — these files are orphans
       files.foreach(p => Files.deleteIfExists(Paths.get(p)))
       LayoutDirs.deleteQuiet(epochDir(epochId))
-    } else {
-      CommitLogIngest.commitActions(spark, tableDir,
-        adds = files, removes = Seq.empty,
-        statsCol = statsCol.filter(_ => files.nonEmpty),
-        statsDir = Some(epochDir(epochId)).filter(_ => files.nonEmpty),
-        schemaOf = Some(schema), txn = Some(s"$queryId:$epochId"))
     }
   }
 

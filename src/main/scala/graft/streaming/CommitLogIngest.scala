@@ -306,7 +306,7 @@ object CommitLogIngest {
       require(existing == k,
         s"$tableDir is stats-indexed on '$existing' — committing with " +
           s"statsCol '$k' would mix incomparable index rows; rebuild the " +
-          "table (or keep indexing '$existing') instead")
+          s"table (or keep indexing '$existing') instead")
 
   private[graft] def recordIndexCol(tableDir: String, k: String): Unit = {
     requireIndexColMatch(tableDir, Some(k))
@@ -361,6 +361,7 @@ object CommitLogIngest {
     * Returns the committed version. */
   def commitAppend(batch: DataFrame, tableDir: String,
       statsCol: Option[String] = None): Long = {
+    requireAppendCompatible(tableDir, batch.schema)
     val spark = batch.sparkSession
     val dataDir =
       s"$tableDir/data/w-${java.util.UUID.randomUUID().toString.take(12)}"
@@ -474,6 +475,73 @@ object CommitLogIngest {
       .collect().headOption.flatMap(r =>
         if (r.isNullAt(0)) None else Some(r.getLong(0))).getOrElse(-1L)
   }
+
+  /** Commit one streaming-sink epoch exactly once, with the txn replay
+    * guard ATOMIC with the version claim (the Delta transaction-identifier
+    * protocol): `lastTxnEpoch` is consulted immediately before every claim
+    * attempt, and a claim CONFLICT re-reads it before retrying — so a
+    * zombie instance of the same query (the scenario txn identifiers exist
+    * for) racing this commit either loses the rename and then SEES the
+    * winner's txn row, or wins and the loser sees its. A bare
+    * check-then-commit would let both pass the check concurrently and
+    * double-deliver the epoch's rows. Returns false when the epoch turned
+    * out to be already committed (caller reclaims its orphan files). */
+  private[graft] def commitEpoch(spark: SparkSession, tableDir: String,
+      adds: Seq[String], statsCol: Option[String], statsDir: Option[String],
+      schemaOf: Option[org.apache.spark.sql.types.StructType],
+      queryId: String, epochId: Long): Boolean = {
+    requireIndexColMatch(tableDir, statsCol)
+    var stage: java.nio.file.Path = null
+    while (true) {
+      // pin the claim version FIRST, then evaluate the guard: the guard
+      // then covers all table state <= latest, and a twin's commit landing
+      // after it necessarily takes latest+1 — exactly the version this
+      // single-attempt claim targets, so the race surfaces as a claim
+      // conflict and the loop re-checks. (Guard after a sliding version
+      // read would let a twin's commit slip between the two.)
+      val latest = latestVersion(tableDir)
+      if (lastTxnEpoch(spark, tableDir, queryId) >= epochId) {
+        if (stage != null) LayoutDirs.deleteQuiet(stage.toString)
+        return false
+      }
+      if (stage == null)
+        stage = stageActions(spark, tableDir, adds, Seq.empty, schemaOf,
+          txn = Some(s"$queryId:$epochId"))
+      if (tryClaimVersion(tableDir, stage, latest + 1)) {
+        postWin(spark, tableDir, latest + 1, statsCol, statsDir, schemaOf)
+        return true
+      }
+      // conflict: someone landed latest+1 — loop re-checks the guard
+    }
+    false // unreachable
+  }
+
+  /** Refuse an APPEND whose schema would hide existing columns: the write
+    * records its schema as the table's latest, so a narrower frame (or a
+    * changed column type) silently projects established columns away from
+    * every subsequent read — the exact hazard mergeByKey refuses loudly.
+    * Adding columns is fine (schema evolution rides the append); an
+    * OVERWRITE replaces the data wholesale, so it may narrow (time travel
+    * below it still reads under its own generation's schema). */
+  private[graft] def requireAppendCompatible(tableDir: String,
+      writeSchema: org.apache.spark.sql.types.StructType): Unit =
+    declaredSchema(tableDir).foreach { cur =>
+      val byName = writeSchema.fields.map(f => f.name -> f.dataType).toMap
+      val missing = cur.fieldNames.filterNot(byName.contains)
+      require(missing.isEmpty,
+        s"graft-commitlog append to $tableDir lacks table column(s) " +
+          s"${missing.sorted.mkString(", ")} — the commit would record a " +
+          "narrower schema and hide them from every read (use " +
+          "mode(\"overwrite\") to replace the table instead)")
+      val changed = cur.fields.flatMap(f =>
+        byName.get(f.name).filter(_ != f.dataType)
+          .map(t => s"${f.name}: ${f.dataType.simpleString} -> " +
+            s"${t.simpleString}"))
+      require(changed.isEmpty,
+        s"graft-commitlog append to $tableDir changes column type(s) " +
+          s"${changed.mkString(", ")} — older files would reread " +
+          "incompatibly; rebuild the table for a type migration")
+    }
 
   /** Atomically claim the next free version for a staged log partition.
     * `startAt` pins the FIRST attempted version (tests force a
@@ -731,7 +799,17 @@ object CommitLogIngest {
         math.max(1L, (totalBytes + maxFileBytes - 1) / maxFileBytes).toInt
       val optDir =
         s"$tableDir/data/opt-${java.util.UUID.randomUUID().toString.take(12)}"
-      val in = spark.read.parquet(smalls: _*)
+      // compaction reads under the declared schema as of `v`: on a
+      // schema-evolved table the smalls span generations, and a bare read
+      // would infer ONE footer's schema — a late-added column silently
+      // dropped from the compacted output is data loss through an
+      // operation documented as "no logical change" (the rewriteWhere /
+      // mergeByKey hazard, guarded the same way)
+      val in = schemaAt(spark, tableDir, v) match {
+        case Some(st) => spark.read.schema(st).parquet(smalls: _*)
+        case None => spark.read.option("mergeSchema", "true")
+          .parquet(smalls: _*)
+      }
       (statsCol match {
         // range-cluster on the indexed column so point reads stay pruned
         case Some(k) => in.repartitionByRange(n, col(k))
@@ -889,7 +967,17 @@ object CommitLogIngest {
         s"$tableDir was ingested without statsCol — no commit-time index " +
           "exists, so pointRead has nothing to prune with (pass " +
           "statsCol to start/commitOnce, or scan snapshot() instead)")
-    val live = liveFiles(spark, tableDir, latestVersion(tableDir))
+    val latest = latestVersion(tableDir)
+    val live = liveFiles(spark, tableDir, latest)
+    // both reads go under the declared schema as of `latest`: on a
+    // mixed-generation table a bare read infers whichever footer wins, so
+    // a late-added column would nondeterministically vanish from point
+    // reads (snapshot() already reads this way)
+    def readAs(paths: Seq[String]): DataFrame =
+      schemaAt(spark, tableDir, latest) match {
+        case Some(st) => spark.read.schema(st).parquet(paths: _*)
+        case None => spark.read.parquet(paths: _*)
+      }
     val files = spark.read.parquet(s"$tableDir/index")
       .filter(col("path").isin(live: _*))
       .filter(col("min_key") <= key && col("max_key") >= key)
@@ -897,9 +985,9 @@ object CommitLogIngest {
     if (files.isEmpty)
       // empty result, O(1): one file supplies the schema, the false
       // filter folds to an empty relation — never plan over the live set
-      spark.read.parquet(live.take(1): _*).filter(lit(false))
+      readAs(live.take(1)).filter(lit(false))
     else
-      spark.read.parquet(files: _*).filter(col(statsCol) === key)
+      readAs(files).filter(col(statsCol) === key)
   }
 
   /** The rows the commit range (from, to] appended — the "read the table
