@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.streaming.CommitLogIngest
+
+/** The V2-connector DECODE TAX, measured (VERDICT r10 task 1): the same
+  * bytes full-scanned through `graft-commitlog` vs Spark's native
+  * vectorized parquet scan, wide (every column materialized) and narrow
+  * (2-column projection). The connector's per-file projection/predicate
+  * pushdown was never in question — this pins the constant-factor cost of
+  * its row-decode path, the one unquantified scale risk the round-10
+  * verdict named (at 100 TB a >2× decode tax dominates every query that
+  * reads through the connector).
+  *
+  * Method: lineitem at `SPARK_GRAFT_SF_DIR` is appended into a commit-log
+  * table (4 commits → multiple files), then each leg aggregates over ALL
+  * rows so the decode cost — not the aggregation — dominates; min-of-two
+  * passes (the suite's measurement discipline). Parity: each pair of legs
+  * must agree on the aggregate before the ratio is reported.
+  *
+  * Usage: `SPARK_GRAFT_SF_DIR=... sbt "runMain graft.ScanBench"` — one
+  * JSON line on stdout (recorded in BENCH_STREAM.json / BENCH_NOTES.md).
+  */
+object ScanBench {
+
+  private def minOf2[T](f: () => T): (Double, T) = {
+    def pass(): (Double, T) = {
+      val t0 = System.nanoTime()
+      val r = f()
+      ((System.nanoTime() - t0) / 1e9, r)
+    }
+    val a = pass(); val b = pass()
+    if (a._1 <= b._1) a else b
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    graft.model.Tables.bootstrap(spark)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val root = java.nio.file.Files.createTempDirectory("graft-scanbench")
+    val table = s"$root/table"
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    // 8 files per commit → 32 live files: a realistic multi-file layout,
+    // so both scans parallelize across the 32 threads and the ratio
+    // measures DECODE, not partition-count accidents
+    (0 until 4).foreach { i =>
+      CommitLogIngest.commitAppend(
+        li.filter(col("l_orderkey") % 4 === i).repartition(8), table)
+    }
+    val rows = CommitLogIngest.snapshot(spark, table).count()
+
+    def viaConnector(): DataFrame =
+      spark.read.format("graft-commitlog").option("path", table).load()
+    def viaNative(): DataFrame = CommitLogIngest.snapshot(spark, table)
+
+    // WIDE: every column decoded and aggregated
+    def wide(df: DataFrame): Seq[Any] =
+      df.agg(sum("l_orderkey"), sum("l_partkey"), sum("l_suppkey"),
+        sum("l_linenumber"), sum("l_quantity"), sum("l_extendedprice"),
+        sum("l_discount"), sum("l_tax"),
+        count(when(col("l_returnflag") === "R", 1)),
+        count(when(col("l_linestatus") === "F", 1)),
+        max("l_shipdate")).head().toSeq
+    // NARROW: 2-column projection (column pruning must reach the reader)
+    def narrow(df: DataFrame): Seq[Any] =
+      df.agg(sum("l_extendedprice"), sum("l_quantity")).head().toSeq
+
+    // warm both paths (JIT + codegen + footer caches)
+    wide(viaConnector()); wide(viaNative())
+    narrow(viaConnector()); narrow(viaNative())
+
+    val (wideConnS, wideConnR) = minOf2(() => wide(viaConnector()))
+    val (wideNatS, wideNatR) = minOf2(() => wide(viaNative()))
+    val (narrowConnS, narrowConnR) = minOf2(() => narrow(viaConnector()))
+    val (narrowNatS, narrowNatR) = minOf2(() => narrow(viaNative()))
+
+    // doubles sum in partition order, which differs between the two scans
+    // (per-file partitions vs size-split) — exact for integrals/strings,
+    // relative tolerance for floating sums
+    def agree(a: Seq[Any], b: Seq[Any]): Boolean =
+      a.zip(b).forall {
+        case (x: java.lang.Double, y: java.lang.Double) =>
+          math.abs(x - y) <= 1e-9 * math.max(math.abs(x), math.abs(y))
+        case (x, y) => x == y
+      }
+    val parity = agree(wideConnR, wideNatR) && agree(narrowConnR, narrowNatR)
+    val mode = graft.sources.CommitLogReaderFactory.lastMode
+    println(
+      f"""{"metric":"v2_scan_decode_tax","sf_dir":"$sfDir","rows":$rows,""" +
+        f""""wide_connector_s":$wideConnS%.3f,"wide_native_s":$wideNatS%.3f,""" +
+        f""""wide_tax":${wideConnS / wideNatS}%.2f,""" +
+        f""""narrow_connector_s":$narrowConnS%.3f,""" +
+        f""""narrow_native_s":$narrowNatS%.3f,""" +
+        f""""narrow_tax":${narrowConnS / narrowNatS}%.2f,""" +
+        s""""reader_mode":"$mode","parity":$parity}""")
+    graft.sources.LayoutDirs.deleteQuiet(root.toString)
+    spark.stop()
+    if (!parity) sys.exit(1)
+  }
+}
