@@ -39,7 +39,8 @@ object SparkEntry {
       graft.sources.OptimizeCommit.queries ++
       graft.sources.CommitSchemaEvolution.queries ++
       graft.sources.DsvWrite.queries ++
-      graft.sources.DmlCommit.queries
+      graft.sources.DmlCommit.queries ++
+      graft.sources.PartitionedCommit.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's core operation: keyed concat/count aggregation over the

@@ -97,18 +97,33 @@ class CommitLogTableProvider extends TableProvider with DataSourceRegister {
             "first, or pass .schema(...) on a reader"))
   }
 
+  /** The table's declared hive-style layout, as identity transforms — what
+    * lets `df.write...partitionBy(cols)` pass Spark's check that the
+    * requested partitioning matches the table's (first writes declare the
+    * layout via `.option("partitionCols", ...)` or
+    * `CommitLogIngest.createTable`). */
+  override def inferPartitioning(options: CaseInsensitiveStringMap)
+      : Array[Transform] =
+    CommitLogIngest.partitionColsOf(tableDir(options))
+      .map(c =>
+        org.apache.spark.sql.connector.expressions.Expressions.identity(c))
+      .toArray
+
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new CommitLogTable(tableDir(properties), schema)
+    new CommitLogTable(tableDir(properties), schema, partitioning)
 }
 
-class CommitLogTable(tableDir: String, declared: StructType)
+class CommitLogTable(tableDir: String, declared: StructType,
+    parts: Array[Transform] = Array.empty)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
 
   override def name(): String = s"graft-commitlog[$tableDir]"
 
   override def schema(): StructType = declared
+
+  override def partitioning(): Array[Transform] = parts
 
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
@@ -245,14 +260,46 @@ class CommitLogScanBuilder(tableDir: String, schema: StructType,
     case _ => None
   }
 
+  private val partCols: Seq[String] = CommitLogIngest.partitionColsOf(tableDir)
+
+  /** Partition-dir constraint a single filter implies on a partition
+    * column — the hive-layout half of file skipping (the stats index is
+    * the other). Same integral-only rule as [[boundOf]] for ranges;
+    * string equality compares the ESCAPED form the writer rendered. */
+  private def partConstraintOf(f: Filter): Option[PartConstraint] = f match {
+    case EqualTo(c, v) if partCols.contains(c) =>
+      intOf(v).map(n => PartRange(c, n, n)).orElse(v match {
+        case s: String => Some(PartEquals(c, PartitionPaths.escape(s)))
+        case u: UTF8String =>
+          Some(PartEquals(c, PartitionPaths.escape(u.toString)))
+        case b: java.lang.Boolean => Some(PartEquals(c, b.toString))
+        case _ => None
+      })
+    case GreaterThan(c, v) if partCols.contains(c) =>
+      intOf(v).map(n => PartRange(c, n + 1, Long.MaxValue))
+    case GreaterThanOrEqual(c, v) if partCols.contains(c) =>
+      intOf(v).map(n => PartRange(c, n, Long.MaxValue))
+    case LessThan(c, v) if partCols.contains(c) =>
+      intOf(v).map(n => PartRange(c, Long.MinValue, n - 1))
+    case LessThanOrEqual(c, v) if partCols.contains(c) =>
+      intOf(v).map(n => PartRange(c, Long.MinValue, n))
+    case IsNull(c) if partCols.contains(c) => Some(PartIsNull(c))
+    // NO IsNotNull pruner: NULL's dir value ("null") can legitimately be
+    // shared by a real "null" string, whose rows DO match IsNotNull —
+    // pruning the dir would drop them (see PartitionPaths.NullDir)
+    case _ => None
+  }
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    // accept what the scan can act on — index bounds prune whole files,
-    // and any parquet-translatable comparison skips row groups/records
-    // inside the files (ParquetFilters in GroupRowReader); return
-    // EVERYTHING as residual — Spark re-applies the row filters, so a
-    // stale index or an untranslated filter can cost speed but never rows
+    // accept what the scan can act on — partition-dir constraints and
+    // index bounds prune whole files, and any parquet-translatable
+    // comparison skips row groups/records inside the files
+    // (ParquetFilters in the readers); return EVERYTHING as residual —
+    // Spark re-applies the row filters, so a stale index or an
+    // untranslated filter can cost speed but never rows
     pushed = filters.filter(f =>
       indexCol.exists(c => boundOf(c, f).isDefined) ||
+        partConstraintOf(f).isDefined ||
         ParquetFilters.translatable(f))
     filters
   }
@@ -276,36 +323,64 @@ class CommitLogScanBuilder(tableDir: String, schema: StructType,
 
   override def build(): Scan =
     new CommitLogScan(tableDir, required, options, bounds,
-      pushed.filter(ParquetFilters.translatable))
+      pushed.filter(ParquetFilters.translatable),
+      pushed.flatMap(partConstraintOf).toSeq)
+}
+
+/** Partition-dir pruning constraints (scan-planning side of the hive
+  * layout): `keeps` judges a file's RAW path value for the column; a file
+  * without the segment is always kept (legacy/flat files are unprunable,
+  * never unreadable). */
+private[sources] sealed trait PartConstraint {
+  def col: String
+  def keeps(value: String): Boolean
+}
+private[sources] case class PartRange(col: String, lo: Long, hi: Long)
+    extends PartConstraint {
+  def keeps(v: String): Boolean =
+    if (v == PartitionPaths.NullDir) false // a comparison never matches NULL
+    else v.toLongOption.forall(n => n >= lo && n <= hi)
+}
+private[sources] case class PartEquals(col: String, v: String)
+    extends PartConstraint {
+  def keeps(value: String): Boolean = value == v
+}
+private[sources] case class PartIsNull(col: String) extends PartConstraint {
+  def keeps(value: String): Boolean = value == PartitionPaths.NullDir
 }
 
 class CommitLogScan(tableDir: String, schema: StructType,
     options: CaseInsensitiveStringMap, bounds: Option[(Long, Long)],
-    filters: Array[Filter])
+    filters: Array[Filter], partConstraints: Seq[PartConstraint] = Seq.empty)
     extends Scan {
 
   override def readSchema(): StructType = schema
 
   override def description(): String =
     s"graft-commitlog[$tableDir] bounds=$bounds " +
-      s"filters=${filters.mkString(",")}"
+      s"filters=${filters.mkString(",")} " +
+      s"partitionPrune=${partConstraints.mkString(",")}"
 
   override def toBatch: Batch = new CommitLogBatch(tableDir, schema,
-    Option(options.get("versionAsOf")).map(_.toLong), bounds, filters)
+    Option(options.get("versionAsOf")).map(_.toLong), bounds, filters,
+    partConstraints)
 
   override def toMicroBatchStream(checkpointLocation: String)
       : MicroBatchStream =
     new CommitLogMicroBatchStream(tableDir, schema,
       Option(options.get("maxVersionsPerTrigger")).map(_.toLong), bounds,
       filters,
-      Option(options.get("skipChangeCommits")).exists(_.toBoolean))
+      Option(options.get("skipChangeCommits")).exists(_.toBoolean),
+      partConstraints)
 }
 
 /** Snapshot-at-a-version batch scan: live files from the log (checkpoint +
-  * direct-addressed tail), index-pruned, one input partition per file. */
+  * direct-addressed tail), dir- and index-pruned, one input partition per
+  * file. */
 class CommitLogBatch(tableDir: String, schema: StructType,
     versionAsOf: Option[Long], bounds: Option[(Long, Long)],
-    filters: Array[Filter]) extends Batch {
+    filters: Array[Filter], partConstraints: Seq[PartConstraint] = Seq.empty)
+    extends Batch {
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = CommitLogPlanning.session
@@ -315,7 +390,10 @@ class CommitLogBatch(tableDir: String, schema: StructType,
     // on such a table still fails loudly through liveFiles
     if (v < 0 && versionAsOf.isEmpty) return Array.empty
     val files = CommitLogIngest.liveFiles(spark, tableDir, v)
-    CommitLogPlanning.pruneByIndex(spark, tableDir, files, bounds)
+    // partition dirs prune FIRST (pure path string work, no reads at
+    // all), then the stats index consults one small metadata read
+    val dirPruned = CommitLogPlanning.pruneByPath(files, partConstraints)
+    CommitLogPlanning.pruneByIndex(spark, tableDir, dirPruned, bounds)
       .map(f => CommitLogInputPartition(f): InputPartition).toArray
   }
 
@@ -326,7 +404,8 @@ class CommitLogBatch(tableDir: String, schema: StructType,
 /** One table version range per micro-batch; versions ARE offsets. */
 class CommitLogMicroBatchStream(tableDir: String, schema: StructType,
     maxVersionsPerTrigger: Option[Long], bounds: Option[(Long, Long)],
-    filters: Array[Filter], skipChangeCommits: Boolean = false)
+    filters: Array[Filter], skipChangeCommits: Boolean = false,
+    partConstraints: Seq[PartConstraint] = Seq.empty)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   require(maxVersionsPerTrigger.forall(_ > 0),
@@ -378,7 +457,8 @@ class CommitLogMicroBatchStream(tableDir: String, schema: StructType,
     val files = CommitLogIngest.addedFiles(spark, tableDir,
       CommitLogOffset.version(start), CommitLogOffset.version(end),
       skipChangeCommits)
-    CommitLogPlanning.pruneByIndex(spark, tableDir, files, bounds)
+    val dirPruned = CommitLogPlanning.pruneByPath(files, partConstraints)
+    CommitLogPlanning.pruneByIndex(spark, tableDir, dirPruned, bounds)
       .map(f => CommitLogInputPartition(f): InputPartition).toArray
   }
 
@@ -416,6 +496,16 @@ private[sources] object CommitLogPlanning {
       .orElse(SparkSession.getDefaultSession)
       .getOrElse(throw new IllegalStateException(
         "graft-commitlog planning requires an active SparkSession"))
+
+  /** Drop the files whose hive-style partition dirs PROVE they cannot
+    * match: pure path-string work on the driver, zero reads — the first
+    * prune a 100-TB date-partitioned scan applies. A file without the
+    * partition segment (legacy/flat) is always kept. */
+  def pruneByPath(files: Seq[String], cs: Seq[PartConstraint])
+      : Seq[String] =
+    if (cs.isEmpty) files
+    else files.filter(f =>
+      cs.forall(c => PartitionPaths.valueOf(f, c.col).forall(c.keeps)))
 
   /** Drop the files the commit-time stats index PROVES cannot overlap
     * [lo, hi]; files without an index row are always kept (prune is a

@@ -60,25 +60,47 @@ class CommitLogWriteBuilder(tableDir: String, info: LogicalWriteInfo)
 
   override def truncate(): WriteBuilder = { overwrite = true; this }
 
+  /** Partition columns: the writer option (`partitionCols` — the
+    * first-write route, since `partitionBy` is only validated against
+    * already-declared table partitioning) or the table's recorded layout.
+    * Values live in hive-style `col=value` dirs AND stay in the files. */
+  private def partitionCols: Seq[String] = {
+    val opted = Option(info.options().get("partitionCols"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    val cols =
+      if (opted.nonEmpty) opted
+      else CommitLogIngest.partitionColsOf(tableDir)
+    val missing = cols.filterNot(info.schema().fieldNames.contains)
+    require(missing.isEmpty,
+      s"graft-commitlog: partition column(s) ${missing.mkString(", ")} " +
+        "not in the write schema")
+    cols
+  }
+
   override def build(): Write =
     new CommitLogWrite(tableDir, info.schema(), info.queryId(), overwrite,
-      Option(info.options().get("statsCol")))
+      Option(info.options().get("statsCol")), partitionCols)
 }
 
 class CommitLogWrite(tableDir: String, schema: StructType, queryId: String,
-    overwrite: Boolean, statsCol: Option[String]) extends Write {
+    overwrite: Boolean, statsCol: Option[String],
+    partitionCols: Seq[String]) extends Write {
 
   override def description(): String =
-    s"graft-commitlog[$tableDir] overwrite=$overwrite"
+    s"graft-commitlog[$tableDir] overwrite=$overwrite " +
+      s"partitionBy=${partitionCols.mkString(",")}"
 
   override def toBatch: BatchWrite =
-    new CommitLogBatchWrite(tableDir, schema, overwrite, statsCol)
+    new CommitLogBatchWrite(tableDir, schema, overwrite, statsCol,
+      partitionCols)
 
   override def toStreaming: StreamingWrite = {
     require(!overwrite,
       "graft-commitlog streaming sink supports append output mode only " +
         "(complete/update would truncate the log every epoch)")
-    new CommitLogStreamingWrite(tableDir, schema, queryId, statsCol)
+    new CommitLogStreamingWrite(tableDir, schema, queryId, statsCol,
+      partitionCols)
   }
 }
 
@@ -88,17 +110,22 @@ case class CommitLogWriterCommit(files: Seq[String], rows: Long)
     extends WriterCommitMessage
 
 class CommitLogBatchWrite(tableDir: String, schema: StructType,
-    overwrite: Boolean, statsCol: Option[String]) extends BatchWrite {
+    overwrite: Boolean, statsCol: Option[String],
+    partitionCols: Seq[String] = Seq.empty) extends BatchWrite {
 
   private val dataDir =
     s"$tableDir/data/w-${java.util.UUID.randomUUID().toString.take(12)}"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory =
-    new CommitLogWriterFactory(dataDir, schema)
+    new CommitLogWriterFactory(dataDir, schema, partitionCols)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val files = CommitLogWriteCommit.filesOf(messages)
+    // declare the layout with the commit that first uses it (a mismatch
+    // with an already-declared layout refuses before any log change)
+    if (partitionCols.nonEmpty && files.nonEmpty)
+      CommitLogIngest.recordPartitionCols(tableDir, partitionCols)
     if (overwrite) {
       // truncate-to-empty would leave a version with no live files, which
       // the append-only read contract treats as retention loss — refuse
@@ -129,7 +156,8 @@ class CommitLogBatchWrite(tableDir: String, schema: StructType,
   * commit the txn marker (a metadata-only version — readers skip it) so
   * the replay guard stays monotonic across idle triggers. */
 class CommitLogStreamingWrite(tableDir: String, schema: StructType,
-    queryId: String, statsCol: Option[String]) extends StreamingWrite {
+    queryId: String, statsCol: Option[String],
+    partitionCols: Seq[String] = Seq.empty) extends StreamingWrite {
 
   private val dataDir =
     s"$tableDir/data/q-${java.util.UUID.randomUUID().toString.take(12)}"
@@ -138,12 +166,14 @@ class CommitLogStreamingWrite(tableDir: String, schema: StructType,
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : StreamingDataWriterFactory =
-    new CommitLogStreamingWriterFactory(dataDir, schema)
+    new CommitLogStreamingWriterFactory(dataDir, schema, partitionCols)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage])
       : Unit = {
     val spark = CommitLogPlanning.session
     val files = CommitLogWriteCommit.filesOf(messages)
+    if (partitionCols.nonEmpty && files.nonEmpty)
+      CommitLogIngest.recordPartitionCols(tableDir, partitionCols)
     if (files.nonEmpty)
       CommitLogIngest.requireAppendCompatible(tableDir, schema)
     // the txn replay guard lives INSIDE the claim loop (commitEpoch) so a
@@ -180,62 +210,152 @@ private[sources] object CommitLogWriteCommit {
   }
 }
 
-class CommitLogWriterFactory(dataDir: String, schema: StructType)
+class CommitLogWriterFactory(dataDir: String, schema: StructType,
+    partitionCols: Seq[String] = Seq.empty)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] =
-    new GroupRowWriter(dataDir, schema, s"part-$partitionId-$taskId")
+    new GroupRowWriter(dataDir, schema, s"part-$partitionId-$taskId",
+      partitionCols)
 }
 
-class CommitLogStreamingWriterFactory(dataDir: String, schema: StructType)
+class CommitLogStreamingWriterFactory(dataDir: String, schema: StructType,
+    partitionCols: Seq[String] = Seq.empty)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] =
     new GroupRowWriter(s"$dataDir/e$epochId", schema,
-      s"part-$partitionId-$taskId")
+      s"part-$partitionId-$taskId", partitionCols)
 }
 
 /** InternalRow → parquet Group, the writer mirror of `GroupRowReader`:
-  * public parquet-mr API only, one task-unique file, opened LAZILY so an
+  * public parquet-mr API only, task-unique files, opened LAZILY so an
   * empty partition writes nothing (no zero-row file debris). Speculative /
   * retried attempts are distinguished by the uuid suffix and reclaimed by
-  * `abort`. */
-class GroupRowWriter(dir: String, schema: StructType, stem: String)
+  * `abort`.
+  *
+  * With `partitionCols`, rows route to one file per partition VALUE under
+  * hive-style `col=value` dirs (the read side dir-prunes on them), and the
+  * partition columns STAY in the file — the path layout is a pruning
+  * accelerator, never where the data lives, so every existing reader
+  * composes unchanged. */
+class GroupRowWriter(dir: String, schema: StructType, stem: String,
+    partitionCols: Seq[String] = Seq.empty)
     extends DataWriter[InternalRow] {
 
-  private val file =
-    s"$dir/$stem-${java.util.UUID.randomUUID().toString.take(8)}.parquet"
   private val parquetSchema: MessageType = CommitLogParquet.messageType(schema)
-  private var writer: ParquetWriter[Group] = _
+  private val partIdx: Array[Int] =
+    partitionCols.map(schema.fieldIndex).toArray
+  private val open =
+    scala.collection.mutable.LinkedHashMap.empty[String, ParquetWriter[Group]]
+  private val files = scala.collection.mutable.ArrayBuffer.empty[String]
   private var rows = 0L
 
-  override def write(row: InternalRow): Unit = {
-    if (writer == null)
-      writer = ExampleParquetWriter.builder(new HadoopPath(file))
+  private def writerFor(sub: String): ParquetWriter[Group] =
+    open.getOrElseUpdate(sub, {
+      val f = s"$dir$sub/$stem-" +
+        s"${java.util.UUID.randomUUID().toString.take(8)}.parquet"
+      files += f
+      ExampleParquetWriter.builder(new HadoopPath(f))
         .withType(parquetSchema)
         .withConf(new Configuration())
         .withCompressionCodec(CompressionCodecName.SNAPPY)
         .build()
+    })
+
+  override def write(row: InternalRow): Unit = {
+    val sub =
+      if (partIdx.isEmpty) ""
+      else {
+        val sb = new StringBuilder
+        var k = 0
+        while (k < partIdx.length) {
+          sb.append('/').append(partitionCols(k)).append('=')
+            .append(PartitionPaths.render(schema(partIdx(k)).dataType,
+              row, partIdx(k)))
+          k += 1
+        }
+        sb.toString
+      }
     val g = new SimpleGroup(parquetSchema)
     CommitLogParquet.writeStruct(g, schema, row)
-    writer.write(g)
+    writerFor(sub).write(g)
     rows += 1
   }
 
   override def commit(): WriterCommitMessage = {
-    if (writer != null) writer.close()
-    CommitLogWriterCommit(if (writer == null) Seq.empty else Seq(file), rows)
+    open.values.foreach(_.close())
+    CommitLogWriterCommit(files.toSeq, rows)
   }
 
   override def abort(): Unit = {
-    if (writer != null) writer.close()
-    Files.deleteIfExists(Paths.get(file))
-    // parquet-mr leaves a .crc sidecar on the local fs
-    val p = Paths.get(file)
-    Files.deleteIfExists(p.resolveSibling("." + p.getFileName + ".crc"))
+    open.values.foreach(w => try w.close() catch { case _: Exception => })
+    files.foreach { f =>
+      val p = Paths.get(f)
+      Files.deleteIfExists(p)
+      // parquet-mr leaves a .crc sidecar on the local fs
+      Files.deleteIfExists(p.resolveSibling("." + p.getFileName + ".crc"))
+    }
   }
 
   override def close(): Unit = ()
+}
+
+/** Hive-style partition path values, shared by the writer (render) and the
+  * scan-side dir pruner (parse): `/` `=` `%` and other path-hostile
+  * characters are percent-escaped, null renders as the hive default
+  * partition name. The string form is the CONTRACT between the two — both
+  * sides go through this object. */
+object PartitionPaths {
+
+  /** NULL's dir value. Deliberately NOT hive's `__HIVE_DEFAULT_PARTITION__`:
+    * `LayoutDirs.dataFiles` treats `_`-prefixed path components as
+    * uncommitted bookkeeping (the committer-staging rule), so that name
+    * would make null-partition files invisible — data loss. A real string
+    * "null" sharing the dir is safe: every pruning constraint treats the
+    * dir as "may hold NULLs, never prune what could match" (there is no
+    * IsNotNull pruner for exactly this reason). */
+  val NullDir = "null"
+
+  /** Percent-escape for path segments; a LEADING `.` or `_` is also
+    * encoded (URLEncoder leaves both bare) because `LayoutDirs` skips
+    * such components as bookkeeping. Filter-side comparisons escape
+    * through the same function, so the contract holds by construction. */
+  def escape(s: String): String = {
+    val e = java.net.URLEncoder.encode(s, "UTF-8")
+    if (e.startsWith(".")) "%2E" + e.substring(1)
+    else if (e.startsWith("_")) "%5F" + e.substring(1)
+    else e
+  }
+
+  /** Render a row's partition value for the path (writer side). */
+  def render(dt: DataType,
+      row: org.apache.spark.sql.catalyst.expressions.SpecializedGetters,
+      ord: Int): String =
+    if (row.isNullAt(ord)) NullDir
+    else dt match {
+      case LongType => row.getLong(ord).toString
+      case IntegerType | DateType => row.getInt(ord).toString
+      case ShortType => row.getShort(ord).toString
+      case ByteType => row.getByte(ord).toString
+      case BooleanType => row.getBoolean(ord).toString
+      case StringType => escape(row.getUTF8String(ord).toString)
+      case other => throw new UnsupportedOperationException(
+        s"graft-commitlog: unsupported partition column type $other")
+    }
+
+  /** The value a file path carries for partition column `col`, if its
+    * path has a `col=value` segment (None = unpartitioned/legacy file). */
+  def valueOf(path: String, col: String): Option[String] = {
+    val prefix = col + "="
+    path.split('/').find(_.startsWith(prefix)).map(_.stripPrefix(prefix))
+  }
+
+  /** The `k=v` partition segments of a data file path, joined — the
+    * grouping key partition-local DML/OPTIMIZE rewrites cluster by
+    * (empty for an unpartitioned file). */
+  def segmentsOf(path: String): String =
+    path.split('/').dropRight(1).filter(_.contains('=')).mkString("/")
 }
 
 /** Spark ↔ parquet-mr type bridge shared by the writer: StructType →

@@ -1,0 +1,102 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.model.Tables
+import graft.streaming.CommitLogIngest
+
+/** PARTITIONED commit-log tables — the hive-style `col=value` layout
+  * INSIDE the table format (VERDICT r10 task 2; `EventsLayout` proves the
+  * shape outside it). The first thing a 100-TB user does is date-partition
+  * the fact table: with `.option("partitionCols", "day")` (or
+  * `partitionBy("day")` once the layout is declared) the DSv2 writer
+  * routes each task's rows into one file per partition VALUE under
+  * `day=N/` dirs, add-actions carry the layout in their paths, and a
+  * day-bounded read prunes those dirs in the DRIVER — pure path-string
+  * work before the stats index is even consulted, before a single byte
+  * moves. Partition values STAY in the data files (unlike hive/Delta's
+  * stripped layout): the dirs are a pruning accelerator, never where the
+  * data lives, so snapshot/changes/time-travel readers compose unchanged
+  * and DML needs no path reconstruction.
+  *
+  * The registry face is deliberately the full COMPOSITION a production
+  * table sees: two partitioned DSv2 appends (versions 0-1), a
+  * copy-on-write DELETE of one event type (version 2 — its rewrites land
+  * back inside their `day=` dirs), then OPTIMIZE (version 3 —
+  * partition-LOCAL compaction, smalls never merge across days). The
+  * oracle censuses a two-day window through the V2 reader with a pushed
+  * day filter; DuckDB replays delete + window from the original parquet.
+  * Hash equality proves the partitioned write, the partition-local
+  * rewrite, and the dir-pruned read all preserved membership and content.
+  * `CommitLogPartitionSpec` pins what the oracle cannot see: only the
+  * filtered day's files open, rewrites stay in their dirs, compaction
+  * never crosses a partition boundary, and a mismatched layout is
+  * refused. */
+object PartitionedCommit {
+
+  private def dropParent(table: String): Unit =
+    LayoutDirs.deleteQuiet(
+      java.nio.file.Paths.get(table).getParent.toString)
+
+  private val cache = new LayoutCache[String](dropParent)
+
+  private[graft] def ensure(spark: SparkSession, sfDir: String): String =
+    cache.get(sfDir, "events.parquet") {
+      val root = Files.createTempDirectory("graft-partcommit")
+      val table = root.toString + "/table"
+      val ev = Tables.events(spark, sfDir)
+        .withColumn("day", expr(s"ts div ${EventsLayout.NanosPerDay}"))
+      (0 until 2).foreach { i =>
+        ev.filter(col("event_id") % 2 === i)
+          .write.format("graft-commitlog")
+          .option("path", table)
+          .option("partitionCols", "day")
+          .option("statsCol", "event_id")
+          .mode("append").save()
+      }
+      val (delV, nDel) = CommitLogIngest.deleteWhere(spark, table,
+        col("event_type") === "purchase", statsCol = Some("event_id"))
+      require(delV == 2L && nDel > 0,
+        s"partitioned delete did not commit: v$delV, $nDel files")
+      val (optV, nIn, _) = CommitLogIngest.optimize(spark, table,
+        statsCol = Some("event_id"))
+      require(optV == 3L && nIn > 1,
+        s"partitioned optimize did not commit: v$optV, $nIn smalls")
+      table
+    }
+
+  /** Two-day window census through the V2 reader: the `day` filter pushes
+    * into the scan and prunes the other ~28 days' dirs in the driver. */
+  def windowCensus(spark: SparkSession, sfDir: String): DataFrame = {
+    val table = ensure(spark, sfDir)
+    val d0 = Tables.events(spark, sfDir)
+      .agg(min(expr(s"ts div ${EventsLayout.NanosPerDay}"))).head().getLong(0)
+    spark.read.format("graft-commitlog").option("path", table).load()
+      .filter(col("day") >= d0 && col("day") <= d0 + 1)
+      .groupBy(col("day").cast("long").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(sum(col("value")), 4).as("sum_value"))
+  }
+
+  val windowCensusSql: String =
+    """WITH e AS (
+      |  SELECT epoch_ms(ts) // 86400000 AS day, user_id, value FROM events
+      |  WHERE event_type <> 'purchase'
+      |), m AS (SELECT MIN(epoch_ms(ts) // 86400000) AS d0 FROM events)
+      |SELECT e.day, COUNT(*) AS n_events,
+      |  COUNT(DISTINCT e.user_id) AS n_users,
+      |  ROUND(SUM(e.value), 4) AS sum_value
+      |FROM e, m WHERE e.day IN (m.d0, m.d0 + 1)
+      |GROUP BY e.day""".stripMargin
+
+  /** Test hook: drop cached layouts (the shared clear contract). */
+  private[graft] def clearCache(): Unit = cache.clear()
+
+  def queries: Map[String, Q] = Map(
+    "src_partitioned_commit" -> Q(windowCensusSql)(windowCensus))
+}

@@ -93,13 +93,61 @@ object CommitLogIngest {
     * writer (`df.write.format("graft-commitlog")`) or reader can start
     * before the first commit — the lakehouse create-then-insert shape. The
     * first data commit whose schema matches records no redundant schema
-    * action (latest-wins either way). */
+    * action (latest-wins either way). `partitionBy` declares the table's
+    * partition columns (see [[recordPartitionCols]]); with it,
+    * `df.write...partitionBy(cols)` matches the table's declared
+    * partitioning and lands hive-laid-out files. */
   def createTable(tableDir: String,
-      schema: org.apache.spark.sql.types.StructType): Unit = {
+      schema: org.apache.spark.sql.types.StructType,
+      partitionBy: Seq[String] = Seq.empty): Unit = {
     require(latestVersion(tableDir) < 0,
       s"$tableDir already has committed versions — createTable is for " +
         "empty tables (schema changes ride data commits)")
     writeSchemaMarker(tableDir, schema.json)
+    if (partitionBy.nonEmpty) {
+      val missing = partitionBy.filterNot(schema.fieldNames.contains)
+      require(missing.isEmpty,
+        s"createTable: partition column(s) ${missing.mkString(", ")} " +
+          "not in the declared schema")
+      recordPartitionCols(tableDir, partitionBy)
+    }
+  }
+
+  // ---- partitioned layout ---------------------------------------------------
+
+  private def partitionColsPath(dir: String) =
+    Paths.get(dir, "_partition_cols")
+
+  /** The table's declared partition columns (empty = unpartitioned).
+    * Partition columns stay IN the data files (unlike hive/Delta's
+    * stripped layout) — the hive-style `col=value` dirs are a PRUNING
+    * layout, never a correctness dependency, so snapshot/changes reads
+    * compose unchanged and a legacy flat file in a partitioned table is
+    * merely unprunable, not unreadable. */
+  def partitionColsOf(tableDir: String): Seq[String] =
+    try {
+      val s = new String(
+        Files.readAllBytes(partitionColsPath(tableDir)), "UTF-8").trim
+      if (s.isEmpty) Seq.empty else s.split(",").toSeq
+    } catch { case _: Exception => Seq.empty }
+
+  /** One partitioning per table, forever (the statsCol rule): files from
+    * a different layout would silently stop dir-pruning and a reader has
+    * no way to notice — refuse the switch before any commit work. */
+  private[graft] def recordPartitionCols(tableDir: String,
+      cols: Seq[String]): Unit = {
+    val existing = partitionColsOf(tableDir)
+    require(existing.isEmpty || existing == cols,
+      s"$tableDir is partitioned by (${existing.mkString(", ")}) — " +
+        s"writing with partitioning (${cols.mkString(", ")}) would mix " +
+        "layouts; rebuild the table to repartition it")
+    if (existing.isEmpty) {
+      val p = partitionColsPath(tableDir)
+      Files.createDirectories(p.getParent)
+      Files.write(p, cols.mkString(",").getBytes("UTF-8"),
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE,
+        StandardOpenOption.TRUNCATE_EXISTING)
+    }
   }
 
   /** The schema the table currently declares (marker fast path), for
@@ -743,10 +791,18 @@ object CommitLogIngest {
       val outDir =
         s"$tableDir/data/rw-${java.util.UUID.randomUUID().toString.take(12)}"
       // rewrite under the CURRENT schema (older generations null-fill and
-      // come out upgraded); keep the file count of what it replaces
-      val in = readLive(affected)
-      val out = rewrite(in).coalesce(affected.size)
-      out.write.mode("overwrite").parquet(outDir)
+      // come out upgraded); PARTITION-LOCAL: files are rewritten per
+      // hive-layout group so a partitioned table's rewrites land back in
+      // their `col=value` dirs (dir pruning survives every DELETE/UPDATE;
+      // partition values live in the files, so this is layout, not
+      // correctness), keeping each group's file count
+      val groups = affected
+        .groupBy(graft.sources.PartitionPaths.segmentsOf).toSeq.sortBy(_._1)
+      groups.foreach { case (seg, paths) =>
+        val dst = if (seg.isEmpty) outDir else s"$outDir/$seg"
+        rewrite(readLive(paths)).coalesce(paths.size)
+          .write.mode("overwrite").parquet(dst)
+      }
       val adds = LayoutDirs.dataFiles(outDir)
       require(adds.nonEmpty || affected.size < live.size,
         s"deleteWhere would leave $tableDir with no live files (the " +
@@ -790,32 +846,43 @@ object CommitLogIngest {
     while (true) {
       val v = latestVersion(tableDir)
       val live = liveFiles(spark, tableDir, v)
-      val smalls = live.filter(p =>
-        try Files.size(Paths.get(p)) < maxFileBytes
-        catch { case _: Exception => false })
-      if (smalls.size < 2) return (-1L, 0, 0)
-      val totalBytes = smalls.map(p => Files.size(Paths.get(p))).sum
-      val n =
-        math.max(1L, (totalBytes + maxFileBytes - 1) / maxFileBytes).toInt
+      // PARTITION-LOCAL: smalls compact within their hive-layout group
+      // only — merging across `col=value` dirs would un-cluster the
+      // layout and kill dir pruning for the merged files
+      val groups = live
+        .filter(p =>
+          try Files.size(Paths.get(p)) < maxFileBytes
+          catch { case _: Exception => false })
+        .groupBy(graft.sources.PartitionPaths.segmentsOf)
+        .filter(_._2.size >= 2).toSeq.sortBy(_._1)
+      if (groups.isEmpty) return (-1L, 0, 0)
+      val smalls = groups.flatMap(_._2)
+      val declared = schemaAt(spark, tableDir, v)
       val optDir =
         s"$tableDir/data/opt-${java.util.UUID.randomUUID().toString.take(12)}"
-      // compaction reads under the declared schema as of `v`: on a
-      // schema-evolved table the smalls span generations, and a bare read
-      // would infer ONE footer's schema — a late-added column silently
-      // dropped from the compacted output is data loss through an
-      // operation documented as "no logical change" (the rewriteWhere /
-      // mergeByKey hazard, guarded the same way)
-      val in = schemaAt(spark, tableDir, v) match {
-        case Some(st) => spark.read.schema(st).parquet(smalls: _*)
-        case None => spark.read.option("mergeSchema", "true")
-          .parquet(smalls: _*)
+      groups.foreach { case (seg, paths) =>
+        val totalBytes = paths.map(p => Files.size(Paths.get(p))).sum
+        val n =
+          math.max(1L, (totalBytes + maxFileBytes - 1) / maxFileBytes).toInt
+        // compaction reads under the declared schema as of `v`: on a
+        // schema-evolved table the smalls span generations, and a bare
+        // read would infer ONE footer's schema — a late-added column
+        // silently dropped from the compacted output is data loss through
+        // an operation documented as "no logical change" (the
+        // rewriteWhere / mergeByKey hazard, guarded the same way)
+        val in = declared match {
+          case Some(st) => spark.read.schema(st).parquet(paths: _*)
+          case None => spark.read.option("mergeSchema", "true")
+            .parquet(paths: _*)
+        }
+        val dst = if (seg.isEmpty) optDir else s"$optDir/$seg"
+        (statsCol match {
+          // range-cluster on the indexed column so point reads stay pruned
+          case Some(k) => in.repartitionByRange(n, col(k))
+            .sortWithinPartitions(col(k))
+          case None => in.repartition(n)
+        }).write.mode("overwrite").parquet(dst)
       }
-      (statsCol match {
-        // range-cluster on the indexed column so point reads stay pruned
-        case Some(k) => in.repartitionByRange(n, col(k))
-          .sortWithinPartitions(col(k))
-        case None => in.repartition(n)
-      }).write.mode("overwrite").parquet(optDir)
       val adds = LayoutDirs.dataFiles(optDir)
       val stage = stageActions(spark, tableDir, adds, smalls,
         schemaOf = None, txn = None)
