@@ -260,6 +260,19 @@ class CommitLogScanBuilder(tableDir: String, schema: StructType,
     case _ => None
   }
 
+  /** [lo, hi] a filter implies on ANY column (the multi-column index
+    * consults whichever filtered column has stats). */
+  private def anyBound(f: Filter): Option[(String, (Long, Long))] = f match {
+    case EqualTo(c, v) => intOf(v).map(n => c -> (n, n))
+    case GreaterThan(c, v) => intOf(v).map(n => c -> (n + 1, Long.MaxValue))
+    case GreaterThanOrEqual(c, v) =>
+      intOf(v).map(n => c -> (n, Long.MaxValue))
+    case LessThan(c, v) => intOf(v).map(n => c -> (Long.MinValue, n - 1))
+    case LessThanOrEqual(c, v) =>
+      intOf(v).map(n => c -> (Long.MinValue, n))
+    case _ => None
+  }
+
   private val partCols: Seq[String] = CommitLogIngest.partitionColsOf(tableDir)
 
   /** Partition-dir constraint a single filter implies on a partition
@@ -298,7 +311,7 @@ class CommitLogScanBuilder(tableDir: String, schema: StructType,
     // Spark re-applies the row filters, so a stale index or an
     // untranslated filter can cost speed but never rows
     pushed = filters.filter(f =>
-      indexCol.exists(c => boundOf(c, f).isDefined) ||
+      anyBound(f).isDefined ||
         partConstraintOf(f).isDefined ||
         ParquetFilters.translatable(f))
     filters
@@ -306,19 +319,24 @@ class CommitLogScanBuilder(tableDir: String, schema: StructType,
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  /** Merge pushed-filter bounds with the explicit `index.lo`/`index.hi`
-    * options (the streaming reader's route to the same skipping). */
-  private def bounds: Option[(Long, Long)] = {
-    val fromFilters = indexCol.toSeq.flatMap(c => pushed.flatMap(boundOf(c, _)))
+  /** Per-column [lo, hi] for the index consult: pushed-filter bounds on
+    * EVERY integral column (the multi-column stats prune with whichever
+    * has index rows), intersected per column, merged with the explicit
+    * `index.lo`/`index.hi` options (which address the declared statsCol —
+    * the streaming reader's route to the same skipping). */
+  private def bounds: Map[String, (Long, Long)] = {
+    val fromFilters = pushed.flatMap(anyBound).toSeq
     val fromOptions = (Option(options.get("index.lo")).map(_.toLong),
       Option(options.get("index.hi")).map(_.toLong)) match {
       case (None, None) => Seq.empty
-      case (lo, hi) =>
-        Seq((lo.getOrElse(Long.MinValue), hi.getOrElse(Long.MaxValue)))
+      case (lo, hi) => indexCol.toSeq.map(c =>
+        c -> (lo.getOrElse(Long.MinValue), hi.getOrElse(Long.MaxValue)))
     }
-    val all = fromFilters ++ fromOptions
-    if (all.isEmpty) None
-    else Some((all.map(_._1).max, all.map(_._2).min))
+    (fromFilters ++ fromOptions)
+      .groupBy(_._1)
+      .map { case (c, bs) =>
+        c -> (bs.map(_._2._1).max, bs.map(_._2._2).min)
+      }
   }
 
   override def build(): Scan =
@@ -350,7 +368,7 @@ private[sources] case class PartIsNull(col: String) extends PartConstraint {
 }
 
 class CommitLogScan(tableDir: String, schema: StructType,
-    options: CaseInsensitiveStringMap, bounds: Option[(Long, Long)],
+    options: CaseInsensitiveStringMap, bounds: Map[String, (Long, Long)],
     filters: Array[Filter], partConstraints: Seq[PartConstraint] = Seq.empty)
     extends Scan {
 
@@ -378,7 +396,7 @@ class CommitLogScan(tableDir: String, schema: StructType,
   * direct-addressed tail), dir- and index-pruned, one input partition per
   * file. */
 class CommitLogBatch(tableDir: String, schema: StructType,
-    versionAsOf: Option[Long], bounds: Option[(Long, Long)],
+    versionAsOf: Option[Long], bounds: Map[String, (Long, Long)],
     filters: Array[Filter], partConstraints: Seq[PartConstraint] = Seq.empty)
     extends Batch {
 
@@ -403,7 +421,7 @@ class CommitLogBatch(tableDir: String, schema: StructType,
 
 /** One table version range per micro-batch; versions ARE offsets. */
 class CommitLogMicroBatchStream(tableDir: String, schema: StructType,
-    maxVersionsPerTrigger: Option[Long], bounds: Option[(Long, Long)],
+    maxVersionsPerTrigger: Option[Long], bounds: Map[String, (Long, Long)],
     filters: Array[Filter], skipChangeCommits: Boolean = false,
     partConstraints: Seq[PartConstraint] = Seq.empty)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
@@ -507,21 +525,46 @@ private[sources] object CommitLogPlanning {
     else files.filter(f =>
       cs.forall(c => PartitionPaths.valueOf(f, c.col).forall(c.keeps)))
 
-  /** Drop the files the commit-time stats index PROVES cannot overlap
-    * [lo, hi]; files without an index row are always kept (prune is a
-    * speedup, never a correctness dependency). One small metadata read. */
+  /** Drop the files the commit-time stats index PROVES cannot overlap the
+    * per-column [lo, hi] bounds — MULTI-COLUMN: the declared statsCol
+    * prunes through the legacy `min_key`/`max_key` row shape, every other
+    * integral column through the `mins`/`maxs` structs, so a filter on
+    * the SECOND column opens only its overlapping files. Index rows from
+    * different schema generations merge-read; a file whose row lacks the
+    * filtered column's stats (NULL / absent field / legacy row) is always
+    * kept — prune is a speedup, never a correctness dependency. One
+    * small metadata read. */
   def pruneByIndex(spark: SparkSession, tableDir: String,
-      files: Seq[String], bounds: Option[(Long, Long)]): Seq[String] =
-    bounds match {
-      case Some((lo, hi))
-          if files.nonEmpty && LayoutDirs.hasParquetData(s"$tableDir/index") =>
-        val prunable = spark.read.parquet(s"$tableDir/index")
-          .filter(col("path").isin(files: _*))
-          .filter(col("max_key") < lo || col("min_key") > hi)
-          .select("path").collect().map(_.getString(0)).toSet
-        files.filterNot(prunable)
-      case _ => files
+      files: Seq[String], bounds: Map[String, (Long, Long)]): Seq[String] = {
+    if (bounds.isEmpty || files.isEmpty ||
+        !LayoutDirs.hasParquetData(s"$tableDir/index")) return files
+    val idx = spark.read.option("mergeSchema", "true")
+      .parquet(s"$tableDir/index")
+      .filter(col("path").isin(files: _*))
+    val schema = idx.schema
+    val indexCol = CommitLogIngest.indexedCol(tableDir)
+    def structField(s: String, c: String): Option[org.apache.spark.sql.Column] =
+      schema.find(_.name == s).map(_.dataType).collect {
+        case st: StructType if st.fieldNames.contains(c) =>
+          col(s).getField(c)
+      }
+    val conds = bounds.toSeq.flatMap { case (c, (lo, hi)) =>
+      val legacy =
+        if (indexCol.contains(c))
+          Seq(col("max_key") < lo || col("min_key") > hi)
+        else Seq.empty
+      val v2 = for {
+        mn <- structField("mins", c)
+        mx <- structField("maxs", c)
+      } yield org.apache.spark.sql.functions.coalesce(
+        mx < lo || mn > hi, org.apache.spark.sql.functions.lit(false))
+      legacy ++ v2.toSeq
     }
+    if (conds.isEmpty) return files
+    val prunable = idx.filter(conds.reduce(_ || _))
+      .select("path").collect().map(_.getString(0)).toSet
+    files.filterNot(prunable)
+  }
 }
 
 case class CommitLogInputPartition(file: String) extends InputPartition
