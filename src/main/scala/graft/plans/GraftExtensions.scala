@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => PushFilterThroughTopK)
     ext.injectOptimizerRule(_ => PruneColumnsThroughTopK)
     ext.injectPlannerStrategy(_ => TopKStrategy)
+    ext.injectPlannerStrategy(_ => CommitLogDmlStrategy)
   }
 }
 

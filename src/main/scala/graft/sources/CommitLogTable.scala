@@ -121,6 +121,9 @@ class CommitLogTable(tableDir: String, declared: StructType,
 
   override def name(): String = s"graft-commitlog[$tableDir]"
 
+  /** The table root, for the SQL DML strategy (`plans/CommitLogDml`). */
+  def dir: String = tableDir
+
   override def schema(): StructType = declared
 
   override def partitioning(): Array[Transform] = parts

@@ -73,4 +73,113 @@ class CommitLogSqlSpec extends SparkSuite {
         .collect()(0).getLong(0) == 0L)
     } finally s.sql("DROP TABLE IF EXISTS clsqldel")
   }
+
+  test("SQL UPDATE matches the updateWhere API; subqueries are refused without mutating") {
+    val s = spark
+    import s.implicits._
+    val sqlDir = tmp("squpd") + "/t"
+    val apiDir = tmp("aupd") + "/t"
+    def seed(): Unit = (0 until 2).foreach { w =>
+      s.sql(s"INSERT INTO clsqlupd VALUES " +
+        (w * 10 until w * 10 + 10)
+          .map(i => s"($i, 't$i', ${i * 10})").mkString(", "))
+    }
+    s.sql(s"""CREATE TABLE clsqlupd (id BIGINT, tag STRING, n BIGINT)
+      USING `graft-commitlog` OPTIONS (path '$sqlDir')""")
+    try {
+      seed()
+      s.sql("UPDATE clsqlupd SET n = n + 1000, tag = concat(tag, '!') " +
+        "WHERE id % 3 = 0")
+      assert(CommitLogIngest.latestVersion(sqlDir) == 2L,
+        "the SQL update must land as exactly one log version")
+      // the API run on an identical table produces identical rows
+      (0 until 2).foreach { w =>
+        CommitLogIngest.commitAppend(
+          (w * 10 until w * 10 + 10)
+            .map(i => (i.toLong, s"t$i", i * 10L)).toDF("id", "tag", "n"),
+          apiDir)
+      }
+      CommitLogIngest.updateWhere(s, apiDir,
+        org.apache.spark.sql.functions.col("id") % 3 === 0,
+        Map("n" -> (org.apache.spark.sql.functions.col("n") + 1000L),
+          "tag" -> org.apache.spark.sql.functions.concat(
+            org.apache.spark.sql.functions.col("tag"),
+            org.apache.spark.sql.functions.lit("!"))))
+      val viaSql = s.sql("SELECT * FROM clsqlupd").collect()
+        .map(_.toString).sorted.toSeq
+      val viaApi = CommitLogIngest.snapshot(s, apiDir).collect()
+        .map(_.toString).sorted.toSeq
+      assert(viaSql == viaApi, "SQL UPDATE diverged from updateWhere")
+      // a subquery condition is refused loudly, and nothing mutates
+      val pre = CommitLogIngest.latestVersion(sqlDir)
+      val e = intercept[Exception] {
+        s.sql("UPDATE clsqlupd SET n = 0 WHERE id IN " +
+          "(SELECT id FROM clsqlupd WHERE n > 100)")
+      }
+      assert(chain(e).exists(_.contains("subqueries are not supported")),
+        s"wrong refusal: ${e.getMessage}")
+      assert(CommitLogIngest.latestVersion(sqlDir) == pre,
+        "refused UPDATE must not mutate")
+    } finally s.sql("DROP TABLE IF EXISTS clsqlupd")
+  }
+
+  test("SQL MERGE INTO matches the mergeByKey API; non-upsert shapes are refused") {
+    val s = spark
+    import s.implicits._
+    val sqlDir = tmp("sqmrg") + "/t"
+    val apiDir = tmp("amrg") + "/t"
+    s.sql(s"""CREATE TABLE clsqlmrg (id BIGINT, tag STRING, n BIGINT)
+      USING `graft-commitlog` OPTIONS (path '$sqlDir')""")
+    try {
+      s.sql("INSERT INTO clsqlmrg VALUES " +
+        (0 until 10).map(i => s"($i, 't$i', ${i * 10})").mkString(", "))
+      // upsert: ids 3,4 update; ids 100,101 insert
+      s.sql(
+        """MERGE INTO clsqlmrg t USING (
+          |  SELECT * FROM VALUES (3, 'U3', 333), (4, 'U4', 444),
+          |    (100, 'N0', 1), (101, 'N1', 2) AS v(id, tag, n)) sRc
+          |ON t.id = sRc.id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      assert(CommitLogIngest.latestVersion(sqlDir) == 1L,
+        "the SQL merge must land as exactly one log version")
+      CommitLogIngest.commitAppend(
+        (0 until 10).map(i => (i.toLong, s"t$i", i * 10L))
+          .toDF("id", "tag", "n"), apiDir)
+      CommitLogIngest.mergeByKey(s, apiDir,
+        Seq((3L, "U3", 333L), (4L, "U4", 444L), (100L, "N0", 1L),
+          (101L, "N1", 2L)).toDF("id", "tag", "n"), "id")
+      val viaSql = s.sql("SELECT * FROM clsqlmrg").collect()
+        .map(_.toString).sorted.toSeq
+      val viaApi = CommitLogIngest.snapshot(s, apiDir).collect()
+        .map(_.toString).sorted.toSeq
+      assert(viaSql == viaApi, "SQL MERGE diverged from mergeByKey")
+      // non-upsert shapes are refused loudly, and nothing mutates
+      val pre = CommitLogIngest.latestVersion(sqlDir)
+      val e1 = intercept[Exception] {
+        s.sql(
+          """MERGE INTO clsqlmrg t USING (SELECT 3 AS id) sRc
+            |ON t.id = sRc.id
+            |WHEN MATCHED THEN DELETE""".stripMargin)
+      }
+      assert(chain(e1).exists(_.contains("upsert shape")),
+        s"wrong refusal: ${e1.getMessage}")
+      val e2 = intercept[Exception] {
+        s.sql(
+          """MERGE INTO clsqlmrg t USING (
+            |  SELECT 3 AS id, 'x' AS tag, 1 AS n) sRc
+            |ON t.id = sRc.id AND t.n > 0
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      }
+      assert(chain(e2).exists(_.contains("upsert shape")),
+        s"wrong refusal: ${e2.getMessage}")
+      assert(CommitLogIngest.latestVersion(sqlDir) == pre,
+        "refused MERGE must not mutate")
+    } finally s.sql("DROP TABLE IF EXISTS clsqlmrg")
+  }
+
+  private def chain(e: Throwable): Seq[String] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).toSeq
 }
