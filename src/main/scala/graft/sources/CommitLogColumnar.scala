@@ -57,7 +57,8 @@ object CommitLogColumnar {
 }
 
 class ColumnarCommitReader(file: String, schema: StructType,
-    filters: Array[Filter] = Array.empty)
+    filters: Array[Filter] = Array.empty,
+    constants: Map[String, String] = Map.empty)
     extends PartitionReader[ColumnarBatch] {
 
   private val conf = new Configuration()
@@ -162,7 +163,7 @@ class ColumnarCommitReader(file: String, schema: StructType,
       val v = vectors(slot)
       v.reset()
       val req = slotToReq(slot)
-      if (req < 0) v.putNulls(0, n)
+      if (req < 0) fillAbsent(slot, v, n)
       else fillers(slot).fill(readers(req), v, n, maxDef(req))
       slot += 1
     }
@@ -170,6 +171,25 @@ class ColumnarCommitReader(file: String, schema: StructType,
     batch.setNumRows(n)
     true
   }
+
+  /** A projected column this file lacks: the partition CONSTANT when one
+    * is supplied (the change feed's tag/version columns), NULL otherwise
+    * (older schema generation). */
+  private def fillAbsent(slot: Int, v: OnHeapColumnVector, n: Int): Unit =
+    constants.get(schema(slot).name) match {
+      case None => v.putNulls(0, n)
+      case Some(c) => schema(slot).dataType match {
+        case StringType =>
+          val b = c.getBytes("UTF-8")
+          var i = 0
+          while (i < n) { v.putByteArray(i, b, 0, b.length); i += 1 }
+        case LongType => v.putLongs(0, n, c.toLong)
+        case IntegerType => v.putInts(0, n, c.toInt)
+        case other => throw new UnsupportedOperationException(
+          s"graft-commitlog columnar reader: unsupported constant " +
+            s"column type $other for ${schema(slot).name}")
+      }
+    }
 
   override def get(): ColumnarBatch = batch
 

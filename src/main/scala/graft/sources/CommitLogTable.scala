@@ -83,18 +83,23 @@ class CommitLogTableProvider extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val dir = tableDir(options)
-    if (CommitLogIngest.latestVersion(dir) >= 0)
-      CommitLogIngest.snapshot(CommitLogPlanning.session, dir).schema
-    else
-      // a CREATEd-but-empty table declares its schema via the marker
-      // (CommitLogIngest.createTable) — what lets a writer or reader start
-      // before the first commit without a .schema(...) the writer API has
-      // no way to pass
-      CommitLogIngest.declaredSchema(dir).getOrElse(
-        throw new IllegalArgumentException(
-          s"cannot infer schema: $dir has no committed version and no " +
-            "declared schema — CommitLogIngest.createTable(dir, schema) " +
-            "first, or pass .schema(...) on a reader"))
+    val base =
+      if (CommitLogIngest.latestVersion(dir) >= 0)
+        CommitLogIngest.snapshot(CommitLogPlanning.session, dir).schema
+      else
+        // a CREATEd-but-empty table declares its schema via the marker
+        // (CommitLogIngest.createTable) — what lets a writer or reader
+        // start before the first commit without a .schema(...) the writer
+        // API has no way to pass
+        CommitLogIngest.declaredSchema(dir).getOrElse(
+          throw new IllegalArgumentException(
+            s"cannot infer schema: $dir has no committed version and no " +
+              "declared schema — CommitLogIngest.createTable(dir, schema) " +
+              "first, or pass .schema(...) on a reader"))
+    // the CHANGE FEED surface: every row the read delivers is tagged
+    if (Option(options.get("readChangeFeed")).exists(_.toBoolean))
+      base.add("_change_type", StringType).add("_commit_version", LongType)
+    else base
   }
 
   /** The table's declared hive-style layout, as identity transforms — what
@@ -377,14 +382,29 @@ class CommitLogScan(tableDir: String, schema: StructType,
 
   override def readSchema(): StructType = schema
 
+  private def cdf: Boolean =
+    Option(options.get("readChangeFeed")).exists(_.toBoolean)
+
+  private def startingVersion: Option[Long] =
+    Option(options.get("startingVersion")).map(_.toLong)
+
   override def description(): String =
     s"graft-commitlog[$tableDir] bounds=$bounds " +
       s"filters=${filters.mkString(",")} " +
-      s"partitionPrune=${partConstraints.mkString(",")}"
+      s"partitionPrune=${partConstraints.mkString(",")} cdf=$cdf"
 
-  override def toBatch: Batch = new CommitLogBatch(tableDir, schema,
-    Option(options.get("versionAsOf")).map(_.toLong), bounds, filters,
-    partConstraints)
+  override def toBatch: Batch =
+    if (cdf) {
+      val from = startingVersion.getOrElse(
+        throw new IllegalArgumentException(
+          "readChangeFeed batch reads require " +
+            ".option(\"startingVersion\", N) (inclusive)"))
+      new CommitLogCdfBatch(tableDir, schema, from,
+        Option(options.get("endingVersion")).map(_.toLong), filters)
+    } else
+      new CommitLogBatch(tableDir, schema,
+        Option(options.get("versionAsOf")).map(_.toLong), bounds, filters,
+        partConstraints)
 
   override def toMicroBatchStream(checkpointLocation: String)
       : MicroBatchStream =
@@ -392,7 +412,32 @@ class CommitLogScan(tableDir: String, schema: StructType,
       Option(options.get("maxVersionsPerTrigger")).map(_.toLong), bounds,
       filters,
       Option(options.get("skipChangeCommits")).exists(_.toBoolean),
-      partConstraints)
+      partConstraints, cdf = cdf, startingVersion = startingVersion)
+}
+
+/** Batch CHANGE-FEED scan over [startingVersion, endingVersion]: one
+  * input partition per changed file — added files tagged "insert" via a
+  * partition constant, change commits' stored cdf files carrying their
+  * own `_change_type`; `_commit_version` is always a constant. Rows are
+  * identical to `CommitLogIngest.changeFeed` (both read the same stored
+  * change data). */
+class CommitLogCdfBatch(tableDir: String, schema: StructType,
+    startingVersion: Long, endingVersion: Option[Long],
+    filters: Array[Filter]) extends Batch {
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = CommitLogPlanning.session
+    val to = endingVersion.getOrElse(CommitLogIngest.latestVersion(tableDir))
+    CommitLogIngest.cdfFiles(spark, tableDir, startingVersion - 1, to)
+      .map { case (f, v, tag) =>
+        CommitLogInputPartition(f,
+          tag.map(t => "_change_type" -> t).toMap +
+            ("_commit_version" -> v.toString)): InputPartition
+      }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CommitLogReaderFactory(schema, filters)
 }
 
 /** Snapshot-at-a-version batch scan: live files from the log (checkpoint +
@@ -426,11 +471,15 @@ class CommitLogBatch(tableDir: String, schema: StructType,
 class CommitLogMicroBatchStream(tableDir: String, schema: StructType,
     maxVersionsPerTrigger: Option[Long], bounds: Map[String, (Long, Long)],
     filters: Array[Filter], skipChangeCommits: Boolean = false,
-    partConstraints: Seq[PartConstraint] = Seq.empty)
+    partConstraints: Seq[PartConstraint] = Seq.empty,
+    cdf: Boolean = false, startingVersion: Option[Long] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   require(maxVersionsPerTrigger.forall(_ > 0),
     s"maxVersionsPerTrigger must be positive, got $maxVersionsPerTrigger")
+  require(!(cdf && skipChangeCommits),
+    "readChangeFeed delivers change commits — skipChangeCommits " +
+      "contradicts it")
 
   /** `Trigger.AvailableNow` end offset, FROZEN at prepare time (the
     * `SupportsTriggerAvailableNow` contract): the run drains versions
@@ -443,7 +492,10 @@ class CommitLogMicroBatchStream(tableDir: String, schema: StructType,
   override def prepareForTriggerAvailableNow(): Unit =
     frozenEnd = Some(CommitLogIngest.latestVersion(tableDir))
 
-  override def initialOffset(): Offset = CommitLogOffset(-1L)
+  /** A CDF stream may start mid-history (`startingVersion`, inclusive —
+    * the Delta option); the plain stream always starts fresh. */
+  override def initialOffset(): Offset =
+    CommitLogOffset(startingVersion.map(_ - 1).getOrElse(-1L))
 
   /** The engine calls the admission-control overload below. */
   override def latestOffset(): Offset =
@@ -475,6 +527,17 @@ class CommitLogMicroBatchStream(tableDir: String, schema: StructType,
     if (CommitLogOffset.version(end) <= CommitLogOffset.version(start))
       return Array.empty
     val spark = CommitLogPlanning.session
+    if (cdf)
+      // the CHANGE-FEED stream: each version's changed files, exactly
+      // once per version (versions are the offsets — the engine's offset
+      // log gives exactly-once delivery of each version's changes)
+      return CommitLogIngest.cdfFiles(spark, tableDir,
+        CommitLogOffset.version(start), CommitLogOffset.version(end))
+        .map { case (f, v, tag) =>
+          CommitLogInputPartition(f,
+            tag.map(t => "_change_type" -> t).toMap +
+              ("_commit_version" -> v.toString)): InputPartition
+        }.toArray
     val files = CommitLogIngest.addedFiles(spark, tableDir,
       CommitLogOffset.version(start), CommitLogOffset.version(end),
       skipChangeCommits)
@@ -570,7 +633,12 @@ private[sources] object CommitLogPlanning {
   }
 }
 
-case class CommitLogInputPartition(file: String) extends InputPartition
+/** One file to read; `constants` supplies values for projected columns
+  * the FILE does not carry (the change feed's `_change_type` tag on
+  * append files and `_commit_version` everywhere), rendered per the
+  * declared column type by the readers. */
+case class CommitLogInputPartition(file: String,
+    constants: Map[String, String] = Map.empty) extends InputPartition
 
 class CommitLogReaderFactory(schema: StructType, filters: Array[Filter])
     extends PartitionReaderFactory {
@@ -587,15 +655,15 @@ class CommitLogReaderFactory(schema: StructType, filters: Array[Filter])
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
     CommitLogReaderFactory.lastMode = "row"
-    new GroupRowReader(
-      partition.asInstanceOf[CommitLogInputPartition].file, schema, filters)
+    val p = partition.asInstanceOf[CommitLogInputPartition]
+    new GroupRowReader(p.file, schema, filters, p.constants)
   }
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[ColumnarBatch] = {
     CommitLogReaderFactory.lastMode = "columnar"
-    new ColumnarCommitReader(
-      partition.asInstanceOf[CommitLogInputPartition].file, schema, filters)
+    val p = partition.asInstanceOf[CommitLogInputPartition]
+    new ColumnarCommitReader(p.file, schema, filters, p.constants)
   }
 }
 
@@ -625,8 +693,22 @@ object CommitLogReadTracker {
   * absent from the file (an older schema generation) is NULL; numeric
   * widths coerce to the declared type. Public parquet API only. */
 class GroupRowReader(file: String, schema: StructType,
-    filters: Array[Filter] = Array.empty)
+    filters: Array[Filter] = Array.empty,
+    constants: Map[String, String] = Map.empty)
     extends PartitionReader[InternalRow] {
+
+  /** Per-slot constant (converted to the declared type) for projected
+    * columns this file lacks but the partition supplies — the change
+    * feed's tag/version columns. */
+  private val constSlot: Array[Any] = schema.fields.map(f =>
+    constants.get(f.name).map(v => f.dataType match {
+      case StringType => UTF8String.fromString(v)
+      case LongType => java.lang.Long.valueOf(v.toLong)
+      case IntegerType => java.lang.Integer.valueOf(v.toInt)
+      case other => throw new UnsupportedOperationException(
+        s"graft-commitlog: unsupported constant column type $other " +
+          s"for ${f.name}")
+    }).orNull)
 
   /** Push the projection AND the predicate into parquet-mr, both built
     * per file because each file is its own schema generation:
@@ -710,7 +792,8 @@ class GroupRowReader(file: String, schema: StructType,
     while (i < schema.length) {
       val idx = topIdx(i)
       values(i) =
-        if (idx < 0 || g.getFieldRepetitionCount(idx) == 0) null
+        if (idx < 0) constSlot(i)
+        else if (g.getFieldRepetitionCount(idx) == 0) null
         else convert(g, idx, schema(i).dataType)
       i += 1
     }

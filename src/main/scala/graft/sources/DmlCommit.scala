@@ -189,6 +189,24 @@ object DmlCommit {
       |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
       |FROM feed GROUP BY 1, 2, 3""".stripMargin
 
+  /** The same change-feed census through the V2 READ surface (E-141,
+    * round 11): `.option("readChangeFeed", "true")` with an inclusive
+    * version range — identical rows to the API (both read the commit-time
+    * stored change data), proven against the same DuckDB replay. */
+  def cdfReadCensus(spark: SparkSession, sfDir: String): DataFrame = {
+    val (table, delV) = ensure(spark, sfDir)
+    spark.read.format("graft-commitlog").option("path", table)
+      .option("readChangeFeed", "true")
+      .option("startingVersion", delV.toString)
+      .option("endingVersion", (delV + 1).toString)
+      .load()
+      .groupBy(col("_commit_version"), col("_change_type"), col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+  }
+
   /** Test hook: drop cached layouts (the shared clear contract). */
   private[graft] def clearCache(): Unit = { cache.clear(); mergedCache.clear() }
 
@@ -196,5 +214,6 @@ object DmlCommit {
     "src_delete_commit" -> Q(deletedCensusSql)(deletedCensus),
     "src_update_commit" -> Q(updatedCensusSql)(updatedCensus),
     "src_merge_commit" -> Q(mergedCensusSql)(mergedCensus),
-    "src_cdc_feed" -> Q(cdcCensusSql)(cdcCensus))
+    "src_cdc_feed" -> Q(cdcCensusSql)(cdcCensus),
+    "src_cdf_read" -> Q(cdcCensusSql)(cdfReadCensus))
 }

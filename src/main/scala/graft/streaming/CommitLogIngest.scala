@@ -791,19 +791,80 @@ object CommitLogIngest {
           .join(keys, Seq(key), "left_anti")
           .unionByName(updates, allowMissingColumns = true)
       survivors.write.mode("overwrite").parquet(outDir)
-      val stage = stageActions(spark, tableDir,
-        LayoutDirs.dataFiles(outDir), affected,
+      val adds = LayoutDirs.dataFiles(outDir)
+      // change rows under the merge's schema (old generations null-fill —
+      // the same rule changeFeed applies to a range spanning a schema
+      // change)
+      val before =
+        if (affected.isEmpty)
+          spark.createDataFrame(new java.util.ArrayList[Row](),
+            updates.schema)
+        else spark.read.schema(updates.schema).parquet(affected: _*)
+      val cdfStaged = stageCdf(spark, tableDir, before,
+        spark.read.schema(updates.schema).parquet(adds: _*))
+      val stage = stageActions(spark, tableDir, adds, affected,
         schemaOf = Some(updates.schema), txn = None)
       if (tryClaimVersion(tableDir, stage, latest + 1)) {
+        publishCdf(tableDir, cdfStaged, latest + 1)
         postWin(spark, tableDir, latest + 1, statsCol, Some(outDir),
           schemaOf = Some(updates.schema))
         return (latest + 1, affected.size)
       }
       LayoutDirs.deleteQuiet(stage.toString)
       LayoutDirs.deleteQuiet(outDir)
+      LayoutDirs.deleteQuiet(cdfStaged)
     }
     (-1L, 0) // unreachable
   }
+
+  /** Write the CHANGE-DATA files for a copy-on-write commit: the multiset
+    * diff of what it removed vs what it added, tagged `_change_type` —
+    * the Delta `_change_data` design. Computed at COMMIT time (the DML
+    * already has both sides in hand; O(changed files), never O(table))
+    * into a staging dir the winner renames to `cdf/version=v`, so CDF
+    * readers — API and V2 scan, batch and streaming — read exact change
+    * rows per version with no read-time diffing. A diff-less rewrite
+    * (OPTIMIZE) stages an empty marker instead: "this change commit
+    * changed nothing", distinguishable from a legacy commit with no cdf
+    * dir at all (whose diff base may already be vacuumed). */
+  private def stageCdf(spark: SparkSession, tableDir: String,
+      before: DataFrame, after: DataFrame): String = {
+    val dir =
+      s"$tableDir/data/.cdf-${java.util.UUID.randomUUID().toString.take(12)}"
+    before.exceptAll(after)
+      .withColumn("_change_type", lit("delete"))
+      .unionByName(after.exceptAll(before)
+        .withColumn("_change_type", lit("insert")))
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private def cdfDir(tableDir: String, v: Long) =
+    s"$tableDir/cdf/version=$v"
+
+  /** An empty CDF marker (no logical change — OPTIMIZE). */
+  private def writeCdfEmpty(tableDir: String, v: Long): Unit = {
+    val p = Paths.get(cdfDir(tableDir, v), "_empty")
+    Files.createDirectories(p.getParent)
+    Files.write(p, Array.emptyByteArray,
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+  }
+
+  private def publishCdf(tableDir: String, staged: String, v: Long): Unit = {
+    val dst = Paths.get(cdfDir(tableDir, v))
+    Files.createDirectories(dst.getParent)
+    try Files.move(Paths.get(staged), dst,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch { case _: java.nio.file.FileSystemException =>
+      // crash-replay already published this version's cdf
+      LayoutDirs.deleteQuiet(staged)
+    }
+  }
+
+  /** True when version `v`'s change rows are stored (data or the empty
+    * marker) — the post-round-11 commit format. */
+  private[graft] def hasCdf(tableDir: String, v: Long): Boolean =
+    Files.exists(Paths.get(cdfDir(tableDir, v)))
 
   private def rewriteWhere(spark: SparkSession, tableDir: String,
       pred: org.apache.spark.sql.Column, statsCol: Option[String],
@@ -846,9 +907,15 @@ object CommitLogIngest {
         s"deleteWhere would leave $tableDir with no live files (the " +
           "append-only read contract forbids an empty table) — use " +
           "overwrite or drop the table instead")
+      // change rows, computed from the exact bytes this commit swaps
+      val after =
+        if (adds.isEmpty) readLive(affected).filter(lit(false))
+        else readLive(adds)
+      val cdfStaged = stageCdf(spark, tableDir, readLive(affected), after)
       val stage = stageActions(spark, tableDir, adds, affected,
         schemaOf = None, txn = None)
       if (tryClaimVersion(tableDir, stage, latest + 1)) {
+        publishCdf(tableDir, cdfStaged, latest + 1)
         postWin(spark, tableDir, latest + 1,
           statsCol.filter(_ => adds.nonEmpty),
           Some(outDir).filter(_ => adds.nonEmpty), schemaOf = None)
@@ -857,6 +924,7 @@ object CommitLogIngest {
       // lost the claim: the state we read is stale — discard and recompute
       LayoutDirs.deleteQuiet(stage.toString)
       LayoutDirs.deleteQuiet(outDir)
+      LayoutDirs.deleteQuiet(cdfStaged)
     }
     (-1L, 0) // unreachable
   }
@@ -925,6 +993,9 @@ object CommitLogIngest {
       val stage = stageActions(spark, tableDir, adds, smalls,
         schemaOf = None, txn = None)
       if (tryClaimVersion(tableDir, stage, v + 1)) {
+        // a pure layout move changes nothing — record exactly that, so
+        // CDF readers skip this version without diffing anything
+        writeCdfEmpty(tableDir, v + 1)
         postWin(spark, tableDir, v + 1, statsCol, Some(optDir),
           schemaOf = None)
         return (v + 1, smalls.size, adds.size)
@@ -1178,7 +1249,25 @@ object CommitLogIngest {
               .withColumn("_commit_version", lit(v))
           if (removes.isEmpty && adds.isEmpty) None // metadata-only
           else if (removes.isEmpty) Some(tag(readFiles(adds), "insert"))
-          else {
+          else if (hasCdf(tableDir, v)) {
+            // round-11 commits STORE their change rows (cdf/version=v —
+            // the Delta _change_data shape): read them directly, zero
+            // diff work; an empty marker means "no logical change"
+            // (OPTIMIZE) and contributes nothing
+            val dir = cdfDir(tableDir, v)
+            if (!LayoutDirs.hasParquetData(dir)) None
+            else {
+              val withTag = schema
+                .map(_.add("_change_type",
+                  org.apache.spark.sql.types.StringType))
+              Some((withTag match {
+                case Some(st) => spark.read.schema(st).parquet(dir)
+                case None => spark.read.parquet(dir)
+              }).withColumn("_commit_version", lit(v)))
+            }
+          } else {
+            // legacy change commit (pre-stored-cdf): diff the swapped
+            // files at read time
             val before = readFiles(removes)
             val after =
               if (adds.isEmpty) readFiles(removes).filter(lit(false))
@@ -1202,6 +1291,51 @@ object CommitLogIngest {
       base.withColumn("_change_type", lit(""))
         .withColumn("_commit_version", lit(-1L))
     } else perVersion.reduce(_.unionByName(_))
+  }
+
+  /** CHANGE-FEED file planning for the V2 read surface
+    * (`.option("readChangeFeed", "true")`): every file whose rows the
+    * range (from, to] changed, as (path, version, tagOverride) — append
+    * versions contribute their added files tagged "insert" (the tag is a
+    * per-partition CONSTANT, not in the file), change commits contribute
+    * their STORED `cdf/version=v` files (tag in the file; an empty marker
+    * contributes nothing). O(changed files), never O(table). Fails
+    * loudly on a retention-pruned range (same floor rule as [[changes]])
+    * and on a legacy change commit with no stored change data — never a
+    * silently partial feed. */
+  private[graft] def cdfFiles(spark: SparkSession, tableDir: String,
+      fromExclusive: Long, toInclusive: Long)
+      : Seq[(String, Long, Option[String])] = {
+    val floor = checkpointsOnDisk(tableDir).lastOption.getOrElse(-1L)
+    ((fromExclusive + 1) to toInclusive).flatMap { v =>
+      val dir = s"$tableDir/log/version=$v"
+      if (!LayoutDirs.hasParquetData(dir)) {
+        require(v > floor,
+          s"readChangeFeed($fromExclusive, $toInclusive]: version $v at " +
+            s"or below the checkpoint floor $floor was retention-pruned " +
+            "— the change base is gone; start from a later version or " +
+            "rebuild from a snapshot")
+        Seq.empty // never-committed id above the floor
+      } else {
+        val actions = spark.read.parquet(dir)
+          .select("action", "path").collect()
+        val adds = actions.filter(_.getString(0) == "add")
+          .map(_.getString(1)).toSeq
+        val hasRemoves = actions.exists(_.getString(0) == "remove")
+        if (!hasRemoves && adds.isEmpty) Seq.empty // metadata-only
+        else if (!hasRemoves) adds.map(p => (p, v, Some("insert")))
+        else if (hasCdf(tableDir, v)) {
+          val c = cdfDir(tableDir, v)
+          if (!LayoutDirs.hasParquetData(c)) Seq.empty // OPTIMIZE marker
+          else LayoutDirs.dataFiles(c)
+            .map(p => (p, v, None: Option[String]))
+        } else throw new IllegalStateException(
+          s"readChangeFeed: version $v is a change commit from before " +
+            s"stored change data (no cdf/version=$v) — read it through " +
+            "CommitLogIngest.changeFeed (read-time diff) or restart " +
+            "from a snapshot")
+      }
+    }
   }
 
   /** The data files the commit range (from, to] ADDED — the planning half
