@@ -80,12 +80,15 @@ class CommitLogWriteBuilder(tableDir: String, info: LogicalWriteInfo)
 
   override def build(): Write =
     new CommitLogWrite(tableDir, info.schema(), info.queryId(), overwrite,
-      Option(info.options().get("statsCol")), partitionCols)
+      Option(info.options().get("statsCol")), partitionCols,
+      AutoCompact.fromOptions(info.options()))
 }
 
 class CommitLogWrite(tableDir: String, schema: StructType, queryId: String,
     overwrite: Boolean, statsCol: Option[String],
-    partitionCols: Seq[String]) extends Write {
+    partitionCols: Seq[String],
+    autoCompact: AutoCompact = AutoCompact(false, 10L, 16, 128L << 20))
+    extends Write {
 
   override def description(): String =
     s"graft-commitlog[$tableDir] overwrite=$overwrite " +
@@ -100,7 +103,39 @@ class CommitLogWrite(tableDir: String, schema: StructType, queryId: String,
       "graft-commitlog streaming sink supports append output mode only " +
         "(complete/update would truncate the log every epoch)")
     new CommitLogStreamingWrite(tableDir, schema, queryId, statsCol,
-      partitionCols)
+      partitionCols, autoCompact)
+  }
+}
+
+/** Auto-compaction policy for the streaming sink: every epoch lands ≥ 1
+  * file, so a long-running sink manufactures exactly the small-file
+  * problem OPTIMIZE exists to fix — with `autoCompact.enabled`, a
+  * post-commit check runs `optimize` through the log every
+  * `autoCompact.everyEpochs` epochs OR as soon as the live set holds
+  * `autoCompact.smallFiles`+ files under `autoCompact.maxFileBytes`.
+  * Compaction is just another OCC commit (a change commit live readers
+  * skip via checkpoint resolution or `skipChangeCommits`), so the sink's
+  * own epochs and any concurrent reader are undisturbed. */
+case class AutoCompact(enabled: Boolean, everyEpochs: Long,
+    smallFiles: Int, maxFileBytes: Long)
+
+object AutoCompact {
+  def fromOptions(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+      : AutoCompact = {
+    val a = AutoCompact(
+      enabled = Option(options.get("autoCompact.enabled"))
+        .exists(_.toBoolean),
+      everyEpochs = Option(options.get("autoCompact.everyEpochs"))
+        .map(_.toLong).getOrElse(10L),
+      smallFiles = Option(options.get("autoCompact.smallFiles"))
+        .map(_.toInt).getOrElse(16),
+      maxFileBytes = Option(options.get("autoCompact.maxFileBytes"))
+        .map(_.toLong).getOrElse(128L * 1024L * 1024L))
+    require(a.everyEpochs > 0 && a.smallFiles > 1 && a.maxFileBytes > 0,
+      s"autoCompact: everyEpochs/maxFileBytes must be positive and " +
+        s"smallFiles > 1, got $a")
+    a
   }
 }
 
@@ -157,7 +192,9 @@ class CommitLogBatchWrite(tableDir: String, schema: StructType,
   * the replay guard stays monotonic across idle triggers. */
 class CommitLogStreamingWrite(tableDir: String, schema: StructType,
     queryId: String, statsCol: Option[String],
-    partitionCols: Seq[String] = Seq.empty) extends StreamingWrite {
+    partitionCols: Seq[String] = Seq.empty,
+    autoCompact: AutoCompact = AutoCompact(false, 10L, 16, 128L << 20))
+    extends StreamingWrite {
 
   private val dataDir =
     s"$tableDir/data/q-${java.util.UUID.randomUUID().toString.take(12)}"
@@ -190,6 +227,30 @@ class CommitLogStreamingWrite(tableDir: String, schema: StructType,
       // already has this epoch's commit — these files are orphans
       files.foreach(p => Files.deleteIfExists(Paths.get(p)))
       LayoutDirs.deleteQuiet(epochDir(epochId))
+    } else if (autoCompact.enabled) maybeCompact(spark, epochId)
+  }
+
+  /** Post-commit auto-compaction check (see [[AutoCompact]]): the epoch
+    * cadence is the cheap trigger; between cadence points a small-file
+    * count over the live set (one driver-side stat pass, O(files))
+    * catches bursts. Runs AFTER the epoch committed, so a compaction
+    * failure surfaces on the next trigger's replay-guarded retry, never
+    * as data loss. */
+  private def maybeCompact(spark: org.apache.spark.sql.SparkSession,
+      epochId: Long): Unit = {
+    val due = (epochId + 1) % autoCompact.everyEpochs == 0
+    def smallCount: Int = {
+      val latest = CommitLogIngest.latestVersion(tableDir)
+      if (latest < 0) 0
+      else CommitLogIngest.liveFiles(spark, tableDir, latest).count(p =>
+        try Files.size(Paths.get(p)) < autoCompact.maxFileBytes
+        catch { case _: Exception => false })
+    }
+    if (due || smallCount >= autoCompact.smallFiles) {
+      CommitLogIngest.optimize(spark, tableDir,
+        statsCol = statsCol.orElse(CommitLogIngest.indexedCol(tableDir)),
+        maxFileBytes = autoCompact.maxFileBytes)
+      ()
     }
   }
 

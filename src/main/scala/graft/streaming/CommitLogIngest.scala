@@ -1031,6 +1031,57 @@ object CommitLogIngest {
     drop
   }
 
+  /** TIME-BASED retention (the production face of [[vacuum]]): reclaim
+    * data files only reachable from versions COMMITTED LONGER AGO than
+    * `retentionHours` (commit time = the version dir's filesystem mtime —
+    * set once by the atomic claim rename, never touched again).
+    * Default-safe:
+    *
+    *  - the LATEST version is always retained, even on an idle table
+    *    whose last commit predates the horizon (the keep-set can never
+    *    go empty — the [[vacuum]] brick guard, made unreachable here);
+    *  - a non-positive or non-finite `retentionHours` is refused loudly
+    *    BEFORE any deletion (a config typo must not reclaim the
+    *    history a streaming consumer's checkpoint still references —
+    *    0 retains nothing but the live snapshot, which is exactly the
+    *    too-aggressive request production guards against; callers who
+    *    really want that call `vacuum(latest)` explicitly).
+    *
+    * Returns (retention floor, reclaimed paths); every version ≥ floor
+    * stays readable, every version below it becomes unreadable. */
+  def vacuumRetention(spark: SparkSession, tableDir: String,
+      retentionHours: Double = 168.0): (Long, Seq[String]) = {
+    require(java.lang.Double.isFinite(retentionHours) && retentionHours > 0,
+      s"vacuumRetention: retentionHours must be positive and finite, " +
+        s"got $retentionHours — a zero/negative horizon would reclaim " +
+        "every historical version (use vacuum(latestVersion) if that is " +
+        "really intended)")
+    val latest = latestVersion(tableDir)
+    require(latest >= 0, s"$tableDir has no committed version")
+    val cutoffMs =
+      System.currentTimeMillis() - (retentionHours * 3600000.0).toLong
+    val d = Paths.get(s"$tableDir/log")
+    val survivors =
+      if (!Files.exists(d)) Seq.empty[Long]
+      else {
+        val s = Files.list(d)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala
+            .filter(_.getFileName.toString.startsWith("version="))
+            .flatMap { p =>
+              val v = p.getFileName.toString.stripPrefix("version=").toLong
+              val mtime =
+                try Files.getLastModifiedTime(p).toMillis
+                catch { case _: Exception => Long.MaxValue }
+              if (mtime >= cutoffMs) Some(v) else None
+            }.toSeq
+        } finally s.close()
+      }
+    val floor = math.min(survivors.minOption.getOrElse(latest), latest)
+    (floor, vacuum(spark, tableDir, floor))
+  }
+
   /** DESCRIBE HISTORY: one row per SURVIVING log version (retention-pruned
     * partitions no longer appear — the checkpoint carries their live
     * state, not their history), with action counts and a derived
