@@ -193,63 +193,117 @@ object Multimodal {
        |    AS BIGINT) AS sum_checksum
        |FROM frames GROUP BY doc_id""".stripMargin
 
-  // ---- audio features (PCM path) ---------------------------------------------
+  // ---- audio features (REAL WAV codec, javax.sound.sampled) ------------------
 
-  /** Audio-feature record: sample stats from the 16-bit-LE sample walk. */
+  /** Audio-feature record: sample stats over genuinely decoded PCM. */
   final case class AudioFeatures(doc_id: Long, n_samples: Long, peak: Long,
       energy: Long, crossings: Long)
 
-  /** STUB audio decoder: reads the blob as 16-bit little-endian samples
-    * (pairs of bytes) and computes peak, energy, and level-crossings of
-    * the 16000 midline — the partition-local batch shape of a real PCM
-    * feature extractor (RMS/ZCR), with deterministic arithmetic. A real
-    * audio backend swaps only the sample math. */
-  private def audioStub(rows: Iterator[MediaRow]): Iterator[AudioFeatures] =
-    rows.filter(_.mime == "audio/wav").map { r =>
-      val n = r.content.length / 2
+  /** One real-WAV media row: `content` is a genuine RIFF/WAVE encoding. */
+  final case class WavRow(doc_id: Long, content: Array[Byte])
+
+  /** Deterministic PCM tone formula — the ground truth the encoder and the
+    * DuckDB oracle share (the audio mirror of [[gradientPixel]]): an
+    * integer sawtooth in [-2048, 2047] whose period varies per document.
+    * Lossless 16-bit PCM roundtrip means a decoded sample MUST equal
+    * this, which is what makes real decode oracle-able. */
+  private[graft] def toneSample(i: Int, docId: Long): Int =
+    (((i.toLong * (3L + docId % 29L) + docId) % 4096L) - 2048L).toInt
+
+  private[graft] def toneLength(docId: Long): Int =
+    (256L + (docId % 32L) * 8L).toInt
+
+  /** Encode one tone as a REAL WAV file (16-bit PCM LE, mono, 16 kHz)
+    * through `javax.sound.sampled` — in-JDK, zero-egress. */
+  private[graft] def encodeWav(docId: Long): Array[Byte] = {
+    val n = toneLength(docId)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = toneSample(i, docId)
+      pcm(2 * i) = (s & 0xFF).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1,
+      true /* signed */, false /* little-endian */)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** GENUINE decode: `AudioSystem.getAudioInputStream` parses the RIFF
+    * container and hands back the PCM stream — the samples below come
+    * from the codec, never from the formula. */
+  private[graft] def decodeWav(bytes: Array[Byte]): Array[Int] = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+      !fmt.isBigEndian,
+      s"unexpected decoded format $fmt")
+    val pcm = ais.readAllBytes()
+    ais.close()
+    Array.tabulate(pcm.length / 2)(i =>
+      ((pcm(2 * i) & 0xFF) | (pcm(2 * i + 1).toInt << 8)).toShort.toInt)
+  }
+
+  /** Real-WAV media table: per document one deterministic tone, WAV-ENCODED
+    * executor-side (the "media arrived as bytes" stand-in — everything
+    * downstream treats `content` as opaque binary until the decode
+    * stage opens it). */
+  def wavMedia(spark: SparkSession, sfDir: String): Dataset[WavRow] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(d => WavRow(d, encodeWav(d))))
+  }
+
+  /** Audio pipeline over REAL decode: WAV bytes → `javax.sound.sampled`
+    * PCM → peak / energy / sign-crossings, all map-side (blobs never
+    * shuffle; one 5-long tuple per clip reaches the output). The oracle
+    * replays the tone formula — only a genuine decode of the actual RIFF
+    * bytes reproduces it. */
+  def audioFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    wavMedia(spark, sfDir).mapPartitions(_.map { r =>
+      val s = decodeWav(r.content)
       var peak = 0L
       var energy = 0L
       var crossings = 0L
-      var prevAbove = false
       var i = 0
-      while (i < n) {
-        val s = (r.content(2 * i) & 0xFF) + 256L * (r.content(2 * i + 1) & 0xFF)
-        if (s > peak) peak = s
-        energy += s * s
-        val above = s >= 16000L
-        if (i > 0 && above != prevAbove) crossings += 1
-        prevAbove = above
+      while (i < s.length) {
+        val v = s(i).toLong
+        val a = math.abs(v)
+        if (a > peak) peak = a
+        energy += v * v
+        if (i > 0 && ((s(i - 1) >= 0) != (v >= 0))) crossings += 1
         i += 1
       }
-      AudioFeatures(r.doc_id, n.toLong, peak, energy, crossings)
-    }
-
-  /** Audio pipeline: per-blob sample-walk features (map-side, blobs never
-    * shuffle). The oracle replays the identical walk with DuckDB list
-    * ops over the ASCII payload bytes. */
-  def audioFeatures(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    media(spark, sfDir).as[MediaRow]
-      .mapPartitions(audioStub)
-      .toDF()
+      AudioFeatures(r.doc_id, s.length.toLong, peak, energy, crossings)
+    }).toDF()
   }
 
   val audioFeaturesSql: String =
-    s"""WITH $mediaCte, samples AS (
-       |  SELECT doc_id, list_transform(range(0, octet_length(content) // 2),
-       |    i -> ascii(substr(text, CAST(2 * i + 1 AS INT), 1))
-       |         + 256 * ascii(substr(text, CAST(2 * i + 2 AS INT), 1))) AS s
-       |  FROM media WHERE mime = 'audio/wav'
-       |)
-       |SELECT doc_id,
-       |  CAST(len(s) AS BIGINT) AS n_samples,
-       |  CAST(COALESCE(list_max(s), 0) AS BIGINT) AS peak,
-       |  CAST(COALESCE(list_sum(list_transform(s, x -> x * x)), 0) AS BIGINT)
-       |    AS energy,
-       |  CAST(COALESCE(len(list_filter(range(1, len(s)),
-       |    i -> (s[i] >= 16000) <> (s[i+1] >= 16000))), 0) AS BIGINT)
-       |    AS crossings
-       |FROM samples""".stripMargin
+    """WITH tones AS (
+      |  SELECT doc_id, 256 + (doc_id % 32) * 8 AS n,
+      |    3 + doc_id % 29 AS k
+      |  FROM documents
+      |), samples AS (
+      |  SELECT doc_id, n,
+      |    list_transform(range(0, CAST(n AS INT)),
+      |      i -> (i * k + doc_id) % 4096 - 2048) AS s
+      |  FROM tones
+      |)
+      |SELECT doc_id,
+      |  CAST(n AS BIGINT) AS n_samples,
+      |  CAST(list_max(list_transform(s, x -> abs(x))) AS BIGINT) AS peak,
+      |  CAST(list_sum(list_transform(s, x -> x * x)) AS BIGINT) AS energy,
+      |  CAST(len(list_filter(range(1, CAST(n AS INT)),
+      |    i -> (s[i] >= 0) <> (s[i+1] >= 0))) AS BIGINT) AS crossings
+      |FROM samples""".stripMargin
 
   // ---- real PNG image path (javax.imageio) -----------------------------------
 

@@ -46,9 +46,42 @@ class MultimodalSpec extends SparkSuite {
     assert(m1.nonEmpty && (m1 sameElements m2))
   }
 
-  test("audio stub stays deterministic (documented stand-in)") {
-    val a = Multimodal.audioFeatures(spark, sf0001).collect().map(_.toString).sorted
-    val b = Multimodal.audioFeatures(spark, sf0001).collect().map(_.toString).sorted
+  test("WAV roundtrip: real RIFF container, decoded PCM equals the tone formula") {
+    Seq(0L, 7L, 31L, 123L).foreach { d =>
+      val bytes = Multimodal.encodeWav(d)
+      // a REAL RIFF/WAVE file, not a raw PCM dump
+      assert(new String(bytes.take(4), "US-ASCII") == "RIFF" &&
+        new String(bytes.slice(8, 12), "US-ASCII") == "WAVE",
+        s"doc $d did not encode as a RIFF/WAVE container")
+      assert(bytes.length > Multimodal.toneLength(d) * 2,
+        "no container overhead — encode looks like bare PCM")
+      // genuine decode reproduces the formula sample for sample
+      val decoded = Multimodal.decodeWav(bytes)
+      val expected = Array.tabulate(Multimodal.toneLength(d))(i =>
+        Multimodal.toneSample(i, d))
+      assert(decoded.sameElements(expected),
+        s"doc $d decoded PCM diverged from the tone formula")
+    }
+  }
+
+  test("audio feature golden: doc 0 peak/energy/crossings from decoded samples") {
+    // doc 0: n = 256, k = 3 → sawtooth (3i % 4096) - 2048 over i < 256;
+    // samples span [-2048, -1283]: all negative → peak 2048, 0 crossings
+    val row = Multimodal.audioFeatures(spark, sf0001)
+      .filter(org.apache.spark.sql.functions.col("doc_id") === 0L)
+      .head()
+    val s = Array.tabulate(256)(i => Multimodal.toneSample(i, 0L))
+    assert(row.getAs[Long]("n_samples") == 256L)
+    assert(row.getAs[Long]("peak") == s.map(v => math.abs(v.toLong)).max)
+    assert(row.getAs[Long]("energy") ==
+      s.map(v => v.toLong * v.toLong).sum)
+    assert(row.getAs[Long]("crossings") ==
+      (1 until 256).count(i => (s(i - 1) >= 0) != (s(i) >= 0)).toLong)
+    // determinism across runs (encode + decode are pure)
+    val a = Multimodal.audioFeatures(spark, sf0001).collect()
+      .map(_.toString).sorted
+    val b = Multimodal.audioFeatures(spark, sf0001).collect()
+      .map(_.toString).sorted
     assert(a.nonEmpty && (a sameElements b))
   }
 }
