@@ -67,12 +67,18 @@ class ColumnarCommitReader(file: String, schema: StructType,
   // commit-log file is immutable and self-describing)
   private val init: (ParquetFileReader, Boolean, MessageType, String) = {
     val in = HadoopInputFile.fromPath(new HadoopPath(file), conf)
+    // filters on constant-supplied columns decide against the constants,
+    // never against the file (which lacks them by design)
+    val (activeFilters, constSkip) =
+      ParquetFilters.splitConstants(filters, constants)
     val probe = ParquetFileReader.open(in)
     var handedOff = false
     try {
       val fileSchema = probe.getFooter.getFileMetaData.getSchema
       val created = probe.getFooter.getFileMetaData.getCreatedBy
-      val (pred, skip) = ParquetFilters.build(filters, fileSchema)
+      val (pred, buildSkip) =
+        ParquetFilters.build(activeFilters, fileSchema)
+      val skip = constSkip || buildSkip
       val wanted = schema.fieldNames.filter(fileSchema.containsField)
       val req = new MessageType(fileSchema.getName,
         wanted.map(n =>

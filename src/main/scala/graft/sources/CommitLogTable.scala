@@ -731,15 +731,21 @@ class GroupRowReader(file: String, schema: StructType,
       skipFile: Boolean,
       requested: org.apache.parquet.schema.MessageType) = {
     val c = new Configuration()
+    // filters on constant-supplied columns decide against the constants,
+    // never against the file (which lacks them by design)
+    val (activeFilters, constSkip) =
+      ParquetFilters.splitConstants(filters, constants)
     val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile
         .fromPath(new HadoopPath(file), c))
     try {
       val fileSchema = footer.getFileMetaData.getSchema
-      val (pred, skip) = ParquetFilters.build(filters, fileSchema)
+      val (pred, buildSkip) =
+        ParquetFilters.build(activeFilters, fileSchema)
+      val skip = constSkip || buildSkip
       val filterCols =
         if (skip) Seq.empty
-        else filters.flatMap(ParquetFilters.references).toSeq.distinct
+        else activeFilters.flatMap(ParquetFilters.references).toSeq.distinct
       val wanted = (schema.fieldNames ++ filterCols).distinct
         .filter(fileSchema.containsField)
       val requested =
@@ -959,6 +965,65 @@ private[sources] object ParquetFilters {
     * schema — record-level filtering materializes them). */
   def references(f: Filter): Seq[String] =
     f.references.toSeq.filterNot(_.contains("."))
+
+  /** Pre-decide filters naming CONSTANT-supplied columns (the change
+    * feed's `_change_type`/`_commit_version` — absent from the files by
+    * design). Returns (remaining filters, whole-file skip). Without this
+    * split, [[build]] would see a comparison on a column the file lacks
+    * and skip the file — dropping exactly the rows the filter asks for.
+    * A constant that provably cannot match → legitimate whole-file skip
+    * (free version pruning on `_commit_version` bounds); anything not
+    * decidable EXACTLY is kept undecided (Spark re-filters). */
+  def splitConstants(filters: Array[Filter],
+      constants: Map[String, String]): (Array[Filter], Boolean) = {
+    if (constants.isEmpty) return (filters, false)
+    var skip = false
+    val rest = filters.filter { f =>
+      val decided = shape(f) match {
+        case Some((a, op, v)) if constants.contains(a) =>
+          if (!constMatches(constants(a), op, v)) skip = true
+          true
+        case _ =>
+          // an undecided filter must not drag a constant column into the
+          // parquet translation either — drop any filter that references
+          // one (Spark re-applies it post-scan)
+          if (f.references.exists(constants.contains)) true else false
+      }
+      !decided
+    }
+    (rest, skip)
+  }
+
+  /** Can the constant satisfy the comparison? EXACT decisions only:
+    * integral values against a long-parsing constant, string equality
+    * against the raw constant; anything else returns true (keep). */
+  private def constMatches(c: String, op: Op, v: Any): Boolean = op match {
+    case NotNull => true // constants are never null
+    case Null => false
+    case _ =>
+      val asLong: Option[Long] = v match {
+        case n: java.lang.Long => Some(n.longValue)
+        case n: java.lang.Integer => Some(n.longValue)
+        case n: java.lang.Short => Some(n.longValue)
+        case n: java.lang.Byte => Some(n.longValue)
+        case _ => None
+      }
+      (asLong, c.toLongOption) match {
+        case (Some(n), Some(cl)) => op match {
+          case Eq => cl == n
+          case Gt => cl > n
+          case Ge => cl >= n
+          case Lt => cl < n
+          case Le => cl <= n
+          case _ => true
+        }
+        case _ => (op, v) match {
+          case (Eq, s: String) => c == s
+          case (Eq, s: UTF8String) => c == s.toString
+          case _ => true // not exactly decidable — keep the file
+        }
+      }
+  }
 
   /** Translate against this file's schema. Returns (conjunctive predicate
     * if any filter translated, whole-file skip): a COMPARISON or

@@ -227,26 +227,26 @@ class CommitLogStreamingWrite(tableDir: String, schema: StructType,
       // already has this epoch's commit — these files are orphans
       files.foreach(p => Files.deleteIfExists(Paths.get(p)))
       LayoutDirs.deleteQuiet(epochDir(epochId))
-    } else if (autoCompact.enabled) maybeCompact(spark, epochId)
+    } else if (autoCompact.enabled) maybeCompact(spark, epochId, files.size)
   }
 
-  /** Post-commit auto-compaction check (see [[AutoCompact]]): the epoch
-    * cadence is the cheap trigger; between cadence points a small-file
-    * count over the live set (one driver-side stat pass, O(files))
-    * catches bursts. Runs AFTER the epoch committed, so a compaction
-    * failure surfaces on the next trigger's replay-guarded retry, never
-    * as data loss. */
+  /** Files THIS sink has landed since the last compaction attempt — the
+    * O(1) burst trigger (an off-cadence log read + per-file stat every
+    * epoch would tax every trigger with O(live files) driver work). */
+  private var addedSinceCompact = 0
+
+  /** Post-commit auto-compaction check (see [[AutoCompact]]): trigger on
+    * the epoch cadence OR on this sink's own accumulated file count —
+    * both O(1); `optimize` itself is the real smalls test (one log read
+    * when triggered, a no-op when nothing qualifies). Runs AFTER the
+    * epoch committed, so a compaction failure surfaces on the next
+    * trigger's replay-guarded retry, never as data loss. */
   private def maybeCompact(spark: org.apache.spark.sql.SparkSession,
-      epochId: Long): Unit = {
+      epochId: Long, landed: Int): Unit = {
+    addedSinceCompact += landed
     val due = (epochId + 1) % autoCompact.everyEpochs == 0
-    def smallCount: Int = {
-      val latest = CommitLogIngest.latestVersion(tableDir)
-      if (latest < 0) 0
-      else CommitLogIngest.liveFiles(spark, tableDir, latest).count(p =>
-        try Files.size(Paths.get(p)) < autoCompact.maxFileBytes
-        catch { case _: Exception => false })
-    }
-    if (due || smallCount >= autoCompact.smallFiles) {
+    if (due || addedSinceCompact >= autoCompact.smallFiles) {
+      addedSinceCompact = 0
       CommitLogIngest.optimize(spark, tableDir,
         statsCol = statsCol.orElse(CommitLogIngest.indexedCol(tableDir)),
         maxFileBytes = autoCompact.maxFileBytes)
@@ -300,6 +300,11 @@ class CommitLogStreamingWriterFactory(dataDir: String, schema: StructType,
   * partition columns STAY in the file — the path layout is a pruning
   * accelerator, never where the data lives, so every existing reader
   * composes unchanged. */
+object GroupRowWriter {
+  /** Per-task ceiling on simultaneously-open partition-value writers. */
+  val MaxOpenWriters = 128
+}
+
 class GroupRowWriter(dir: String, schema: StructType, stem: String,
     partitionCols: Seq[String] = Seq.empty)
     extends DataWriter[InternalRow] {
@@ -314,6 +319,17 @@ class GroupRowWriter(dir: String, schema: StructType, stem: String,
 
   private def writerFor(sub: String): ParquetWriter[Group] =
     open.getOrElseUpdate(sub, {
+      // every open ParquetWriter buffers its own row group: unbounded
+      // per-value writers on a high-cardinality partition column is an
+      // executor OOM, not a slow path — fail loudly with the remedy
+      // (Spark's native dynamic-partition writer avoids this by sorting;
+      // a repartition/sort by the partition columns gives each task few
+      // simultaneous values)
+      require(open.size < GroupRowWriter.MaxOpenWriters,
+        s"graft-commitlog: task opened ${open.size} partition-value " +
+          "writers — the partition column's per-task cardinality is too " +
+          "high; repartition (or sortWithinPartitions) by the partition " +
+          "columns before writing, or partition by a coarser column")
       val f = s"$dir$sub/$stem-" +
         s"${java.util.UUID.randomUUID().toString.take(8)}.parquet"
       files += f
@@ -405,18 +421,39 @@ object PartitionPaths {
         s"graft-commitlog: unsupported partition column type $other")
     }
 
+  /** A row-value's path rendering (the driver-side mirror of [[render]],
+    * for partition-local rewrites that route by collected values). */
+  def renderValue(v: Any): String = v match {
+    case null => NullDir
+    case s: String => escape(s)
+    case other => other.toString // Long/Int/Short/Byte/Boolean
+  }
+
+  /** The partition-bearing segments of a DATA FILE path: everything below
+    * the table's `data` component and above the file name. Segments of
+    * the table ROOT are never consulted — a table stored under
+    * `/warehouse/day=X/events` must not prune on the root's `day=X`
+    * (every data file carries it, so a day filter would wrongly drop
+    * them all). */
+  private def belowData(path: String): Array[String] = {
+    val segs = path.split('/')
+    val i = segs.lastIndexOf("data")
+    if (i < 0) Array.empty else segs.slice(i + 1, segs.length - 1)
+  }
+
   /** The value a file path carries for partition column `col`, if its
-    * path has a `col=value` segment (None = unpartitioned/legacy file). */
+    * below-data path has a `col=value` segment (None = unpartitioned /
+    * legacy file). */
   def valueOf(path: String, col: String): Option[String] = {
     val prefix = col + "="
-    path.split('/').find(_.startsWith(prefix)).map(_.stripPrefix(prefix))
+    belowData(path).find(_.startsWith(prefix)).map(_.stripPrefix(prefix))
   }
 
   /** The `k=v` partition segments of a data file path, joined — the
     * grouping key partition-local DML/OPTIMIZE rewrites cluster by
     * (empty for an unpartitioned file). */
   def segmentsOf(path: String): String =
-    path.split('/').dropRight(1).filter(_.contains('=')).mkString("/")
+    belowData(path).filter(_.contains('=')).mkString("/")
 }
 
 /** Spark ↔ parquet-mr type bridge shared by the writer: StructType →

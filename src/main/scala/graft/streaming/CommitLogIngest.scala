@@ -451,12 +451,28 @@ object CommitLogIngest {
       val removes =
         if (latest < 0) Seq.empty[String]
         else liveFiles(spark, tableDir, latest)
+      // an overwrite with removes is a CHANGE COMMIT: store its change
+      // rows like every other one (INSERT OVERWRITE is a routine pipeline
+      // operation — a CDF stream must flow through it, not wedge on a
+      // missing diff base). Both sides read under the NEW schema (the
+      // changeFeed rule for ranges spanning a schema change).
+      val cdfStaged =
+        if (removes.isEmpty) None
+        else {
+          val st = schemaOf.getOrElse(
+            spark.read.parquet(adds: _*).schema)
+          Some(stageCdf(spark, tableDir,
+            spark.read.schema(st).parquet(removes: _*),
+            spark.read.schema(st).parquet(adds: _*)))
+        }
       val stage = stageActions(spark, tableDir, adds, removes, schemaOf, txn)
       if (tryClaimVersion(tableDir, stage, latest + 1)) {
+        cdfStaged.foreach(publishCdf(tableDir, _, latest + 1))
         postWin(spark, tableDir, latest + 1, statsCol, statsDir, schemaOf)
         return latest + 1
       }
       LayoutDirs.deleteQuiet(stage.toString) // stale removes — restage
+      cdfStaged.foreach(LayoutDirs.deleteQuiet)
     }
     -1L // unreachable
   }
@@ -722,12 +738,24 @@ object CommitLogIngest {
   def updateWhere(spark: SparkSession, tableDir: String,
       pred: org.apache.spark.sql.Column,
       set: Map[String, org.apache.spark.sql.Column],
-      statsCol: Option[String] = None): (Long, Int) =
+      statsCol: Option[String] = None): (Long, Int) = {
+    // partition values live in the data AND in the dir layout: an update
+    // that changes a partition column would write rows whose data says
+    // day=9 back into their old day=5 dir, and every later day-pruned
+    // read would silently drop them — refuse before any work
+    val pcols = partitionColsOf(tableDir).toSet
+    val moved = set.keys.filter(pcols.contains)
+    require(moved.isEmpty,
+      s"updateWhere: column(s) ${moved.mkString(", ")} are partition " +
+        s"columns of $tableDir — an update cannot move rows between " +
+        "partition dirs (DELETE the rows and append them with the new " +
+        "partition value instead)")
     rewriteWhere(spark, tableDir, pred, statsCol,
       df => set.foldLeft(df) { case (d, (name, value)) =>
         d.withColumn(name, when(coalesce(pred, lit(false)), value)
           .otherwise(col(name)))
       })
+  }
 
   /** MERGE (upsert) by key as one atomic commit: rows of `updates` REPLACE
     * the table rows sharing their key; keys new to the table are inserted.
@@ -790,7 +818,31 @@ object CommitLogIngest {
         else readLive(affected)
           .join(keys, Seq(key), "left_anti")
           .unionByName(updates, allowMissingColumns = true)
-      survivors.write.mode("overwrite").parquet(outDir)
+      // PARTITION-LOCAL like rewriteWhere: on a partitioned table the
+      // survivors (rewritten rows AND the upserted updates) land back in
+      // their `col=value` dirs, so dir pruning survives routine merges
+      // instead of eroding with every upsert. One write per affected
+      // partition value — bounded by the merge's partition fan-out.
+      val pcols = partitionColsOf(tableDir)
+      if (pcols.isEmpty) survivors.write.mode("overwrite").parquet(outDir)
+      else {
+        val sv = survivors.persist()
+        try {
+          val combos = sv.select(pcols.map(col): _*).distinct().collect()
+          combos.foreach { row =>
+            val memberPred = pcols.zipWithIndex.map { case (c, i) =>
+              if (row.isNullAt(i)) col(c).isNull
+              else col(c) === lit(row.get(i))
+            }.reduce(_ && _)
+            val seg = pcols.zipWithIndex.map { case (c, i) =>
+              c + "=" + graft.sources.PartitionPaths.renderValue(
+                if (row.isNullAt(i)) null else row.get(i))
+            }.mkString("/")
+            sv.filter(memberPred).write.mode("overwrite")
+              .parquet(s"$outDir/$seg")
+          }
+        } finally sv.unpersist()
+      }
       val adds = LayoutDirs.dataFiles(outDir)
       // change rows under the merge's schema (old generations null-fill —
       // the same rule changeFeed applies to a range spanning a schema
@@ -855,9 +907,16 @@ object CommitLogIngest {
     Files.createDirectories(dst.getParent)
     try Files.move(Paths.get(staged), dst,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    catch { case _: java.nio.file.FileSystemException =>
-      // crash-replay already published this version's cdf
-      LayoutDirs.deleteQuiet(staged)
+    catch {
+      case _: java.nio.file.FileSystemException if Files.exists(dst) =>
+        // crash-replay already published this version's cdf
+        LayoutDirs.deleteQuiet(staged)
+      case _: java.nio.file.FileSystemException =>
+        // not a replay (dst absent — e.g. a filesystem that refuses
+        // ATOMIC_MOVE): v is exclusively ours post-claim, so a plain
+        // move is race-free; a real IO failure propagates rather than
+        // silently discarding the only copy of the change rows
+        Files.move(Paths.get(staged), dst)
     }
   }
 
@@ -1381,10 +1440,11 @@ object CommitLogIngest {
           else LayoutDirs.dataFiles(c)
             .map(p => (p, v, None: Option[String]))
         } else throw new IllegalStateException(
-          s"readChangeFeed: version $v is a change commit from before " +
-            s"stored change data (no cdf/version=$v) — read it through " +
-            "CommitLogIngest.changeFeed (read-time diff) or restart " +
-            "from a snapshot")
+          s"readChangeFeed: version $v is a change commit with no " +
+            s"stored change data (cdf/version=$v missing — a pre-round-11 " +
+            "commit, or its cdf publish crashed mid-commit) — read it " +
+            "through CommitLogIngest.changeFeed (read-time diff) or " +
+            "restart from a snapshot")
       }
     }
   }

@@ -121,6 +121,66 @@ class CdfReadSpec extends SparkSuite {
       "incremental CDF delivery diverged")
   }
 
+  test("filters on the feed's constant columns keep their rows (review fix)") {
+    val s = spark
+    val table = buildTable()
+    val t = s.read.format("graft-commitlog").option("path", table)
+      .option("readChangeFeed", "true").option("startingVersion", "0")
+      .load()
+    val all = t.collect()
+    val inserts = all.count(_.getAs[String]("_change_type") == "insert")
+    val deletes = all.count(_.getAs[String]("_change_type") == "delete")
+    assert(inserts > 0 && deletes > 0)
+    // the tag is a partition CONSTANT on append files: a pushed filter on
+    // it must not whole-file-skip those files (the round-11 review bug)
+    assert(t.filter(col("_change_type") === "insert").count() ==
+      inserts.toLong, "_change_type filter dropped insert rows")
+    assert(t.filter(col("_change_type") === "delete").count() ==
+      deletes.toLong)
+    // _commit_version is constant on EVERY file — bounds on it must both
+    // keep their rows and prune other versions' files
+    val v0 = all.count(_.getAs[Long]("_commit_version") == 0L)
+    graft.sources.CommitLogReadTracker.enable()
+    assert(t.filter(col("_commit_version") === 0L).count() == v0.toLong,
+      "_commit_version filter dropped rows")
+    val opened = graft.sources.CommitLogReadTracker.drain().distinct
+    graft.sources.CommitLogReadTracker.disable()
+    val v0Files = CommitLogIngest.addedFiles(s, table, -1L, 0L).toSet
+    assert(opened.nonEmpty && opened.forall(v0Files.contains),
+      s"version filter opened other versions' files: " +
+        s"${opened.filterNot(v0Files.contains)}")
+    // IsNotNull on a constant column (Spark adds it implicitly) keeps all
+    assert(t.filter(col("_change_type").isNotNull).count() == all.length)
+  }
+
+  test("an overwrite commit flows through the change feed (review fix)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp("ovw") + "/t"
+    (0L until 50L).map(i => (i, s"p$i")).toDF("id", "p")
+      .write.format("graft-commitlog").option("path", table)
+      .mode("append").save()
+    (100L until 110L).map(i => (i, s"q$i")).toDF("id", "p")
+      .write.format("graft-commitlog").option("path", table)
+      .mode("overwrite").save()
+    val feed = s.read.format("graft-commitlog").option("path", table)
+      .option("readChangeFeed", "true").option("startingVersion", "1")
+      .load().collect()
+    val del = feed.filter(_.getAs[String]("_change_type") == "delete")
+      .map(_.getLong(0)).sorted.toSeq
+    val ins = feed.filter(_.getAs[String]("_change_type") == "insert")
+      .map(_.getLong(0)).sorted.toSeq
+    assert(del == (0L until 50L), "overwrite pre-image missing from CDF")
+    assert(ins == (100L until 110L), "overwrite post-image missing")
+    // and the API reads the same stored rows
+    def k(df: DataFrame): Seq[String] =
+      df.select("id", "p", "_change_type", "_commit_version")
+        .collect().map(_.toString).sorted.toSeq
+    assert(k(s.read.format("graft-commitlog").option("path", table)
+      .option("readChangeFeed", "true").option("startingVersion", "1")
+      .load()) == k(CommitLogIngest.changeFeed(s, table, 0L, 1L)))
+  }
+
   test("CDF columns stay consistent through the columnar and row paths") {
     val s = spark
     val table = buildTable()

@@ -184,6 +184,61 @@ class CommitLogPartitionSpec extends SparkSuite {
     assert(t.filter(col("lang").isNotNull).count() == 3L)
   }
 
+  test("review fixes: partition-column updates refused; root col= segments ignored; merges stay partition-local") {
+    val s = spark
+    import s.implicits._
+    // (a) an UPDATE assigning a partition column is refused before work
+    val table = tmp("fix")
+    (0L until 400L).map(i => (i, i % 4, s"p$i")).toDF("id", "day", "p")
+      .write.format("graft-commitlog").option("path", table)
+      .option("partitionCols", "day").mode("append").save()
+    val pre = CommitLogIngest.latestVersion(table)
+    val e = intercept[IllegalArgumentException] {
+      CommitLogIngest.updateWhere(s, table, col("id") === 1L,
+        Map("day" -> lit(9L)))
+    }
+    assert(e.getMessage.contains("partition columns"),
+      s"wrong refusal: ${e.getMessage}")
+    assert(CommitLogIngest.latestVersion(table) == pre)
+
+    // (b) a table ROOT containing a col=value segment must not confuse
+    // dir pruning (every data file carries the root segment)
+    val rootTrap = tmp("trap") + "/day=19000/events"
+    (0L until 200L).map(i => (i, i % 2, s"p$i")).toDF("id", "day", "p")
+      .write.format("graft-commitlog").option("path", rootTrap)
+      .option("partitionCols", "day").mode("append").save()
+    val t = s.read.format("graft-commitlog").option("path", rootTrap).load()
+    assert(t.filter(col("day") === 1L).count() == 100L,
+      "root day= segment hijacked the partition pruner")
+    assert(PartitionPaths.valueOf(
+      CommitLogIngest.liveFiles(s, rootTrap, 0L).head, "day")
+      .exists(v => v == "0" || v == "1"),
+      "valueOf read the table root's segment")
+
+    // (c) a MERGE on a partitioned table keeps its output in col=value
+    // dirs (one value per file), so dir pruning survives routine upserts
+    val upd = Seq((1L, 1L, "U1"), (999L, 3L, "N")).toDF("id", "day", "p")
+    val (mv, _) = CommitLogIngest.mergeByKey(s, table, upd, "id")
+    val live = CommitLogIngest.liveFiles(s, table, mv)
+    assert(live.forall(f => dayOf(f).isDefined),
+      s"merge de-partitioned files: ${live.filter(f => dayOf(f).isEmpty)}")
+    val perFile = CommitLogIngest.snapshot(s, table)
+      .groupBy(graft.sources.LayoutDirs.plainPath(input_file_name())
+        .as("f"))
+      .agg(countDistinct(col("day")).as("n")).collect()
+    assert(perFile.forall(_.getLong(1) == 1L),
+      "merge mixed partition values inside one file")
+    assert(CommitLogIngest.snapshot(s, table).count() == 401L)
+    // pruning still exact post-merge
+    CommitLogReadTracker.enable()
+    assert(s.read.format("graft-commitlog").option("path", table).load()
+      .filter(col("day") === 3L).count() == 101L)
+    val opened = CommitLogReadTracker.drain().distinct
+    CommitLogReadTracker.disable()
+    assert(opened.forall(f => dayOf(f).contains("3")),
+      s"post-merge day filter opened other days: $opened")
+  }
+
   test("the registry face composes write+delete+optimize and matches a direct census") {
     val s = spark
     val table = graft.sources.PartitionedCommit.ensure(s, sf0001)
