@@ -257,7 +257,13 @@ object Multimodal {
     * stage opens it). */
   def wavMedia(spark: SparkSession, sfDir: String): Dataset[WavRow] = {
     import spark.implicits._
+    // the doc_id projection collapses to 1-2 input partitions, which
+    // would SERIALIZE the codec stage (AudioSystem's per-call provider
+    // dispatch is the cost, ~0.25 ms/clip — measured 12.9 s at sf1 on
+    // one thread): spread the ids across the executor threads first
+    // (an 8-byte-row shuffle — free next to the codec work it unlocks)
     Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
       .mapPartitions(_.map(d => WavRow(d, encodeWav(d))))
   }
 

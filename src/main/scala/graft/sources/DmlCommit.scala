@@ -60,7 +60,10 @@ object DmlCommit {
         s"delete did not commit: version $delV, $nDel files")
       val (updV, nUpd) = CommitLogIngest.updateWhere(spark, table,
         col("doc_id") % 5 === 0,
-        Map("n_chars" -> (col("n_chars") + 1000L)),
+        // lit(1000) (int) keeps the column's own type at EVERY testdata
+        // generation (sf10 ships n_chars as int32; + 1000L would widen
+        // the rewrite, which updateWhere refuses)
+        Map("n_chars" -> (col("n_chars") + lit(1000))),
         statsCol = Some("doc_id"))
       require(updV == delV + 1 && nUpd > 0,
         s"update did not commit: version $updV, $nUpd files")
@@ -118,7 +121,7 @@ object DmlCommit {
       // upsert: doc_id % 11 = 5 gets n_chars + 5000 (update-matched);
       // doc_id % 13 = 1 re-lands shifted +10M (insert-unmatched)
       val upd = docs.filter(col("doc_id") % 11 === 5)
-        .withColumn("n_chars", col("n_chars") + 5000L)
+        .withColumn("n_chars", col("n_chars") + lit(5000)) // type-preserving
       val ins = docs.filter(col("doc_id") % 13 === 1)
         .withColumn("doc_id", col("doc_id") + 10000000L)
       val (v, n) = CommitLogIngest.mergeByKey(spark, table,

@@ -789,6 +789,16 @@ object CommitLogIngest {
         s"mergeByKey: updates lack table column(s) " +
           s"${missing.toSeq.sorted.mkString(", ")} — the merge would " +
           "record a narrower schema and hide them from every read")
+      val byName = updates.schema.fields.map(f => f.name -> f.dataType).toMap
+      val retyped = st.fields.flatMap(f =>
+        byName.get(f.name).filter(_ != f.dataType)
+          .map(t => s"${f.name}: ${f.dataType.simpleString} -> " +
+            s"${t.simpleString}"))
+      require(retyped.isEmpty,
+        s"mergeByKey: updates change column type(s) " +
+          s"${retyped.mkString(", ")} — older files would reread " +
+          "incompatibly; cast the updates to the table's types, or " +
+          "rebuild the table for a type migration")
     }
     val dups = updates.groupBy(col(key)).count()
       .filter(col("count") > 1).limit(1).collect()
@@ -958,8 +968,24 @@ object CommitLogIngest {
         .groupBy(graft.sources.PartitionPaths.segmentsOf).toSeq.sortBy(_._1)
       groups.foreach { case (seg, paths) =>
         val dst = if (seg.isEmpty) outDir else s"$outDir/$seg"
-        rewrite(readLive(paths)).coalesce(paths.size)
-          .write.mode("overwrite").parquet(dst)
+        val in = readLive(paths)
+        val out = rewrite(in)
+        // a rewrite records NO schema action, so its files MUST keep the
+        // declared column types: a set expression that widens a column
+        // (int + 1000L → long) would write files the declared-schema
+        // read then rejects (PARQUET_COLUMN_DATA_TYPE_MISMATCH) — found
+        // at sf10 where n_chars is int32. Refuse loudly instead.
+        val changed = in.schema.fields.zip(out.schema.fields).collect {
+          case (a, b) if a.name != b.name || a.dataType != b.dataType =>
+            s"${a.name}: ${a.dataType.simpleString} -> " +
+              s"${b.name}: ${b.dataType.simpleString}"
+        }
+        require(changed.isEmpty,
+          s"updateWhere changes column type(s) ${changed.mkString(", ")} " +
+            "— updates must preserve the schema (cast the set expression " +
+            "back to the column's type, or rebuild the table for a type " +
+            "migration)")
+        out.coalesce(paths.size).write.mode("overwrite").parquet(dst)
       }
       val adds = LayoutDirs.dataFiles(outDir)
       require(adds.nonEmpty || affected.size < live.size,

@@ -137,6 +137,37 @@ class CommitLogGuardsSpec extends SparkSuite {
     assert(CommitLogIngest.lastTxnEpoch(s, table, "q-zombie") == 7L)
   }
 
+  test("a type-changing UPDATE or MERGE is refused (the sf10 int32 lesson)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp("retype")
+    // n is INT — the narrow type the sf10 generator ships for n_chars
+    CommitLogIngest.commitAppend(
+      (0 until 50).map(i => (i.toLong, i)).toDF("id", "n"), table)
+    // + 1000L would widen the rewritten files to long while the declared
+    // schema stays int → every later declared-schema read of those files
+    // dies with PARQUET_COLUMN_DATA_TYPE_MISMATCH. Refused instead.
+    val e = intercept[IllegalArgumentException] {
+      CommitLogIngest.updateWhere(s, table, col("id") % 5 === 0,
+        Map("n" -> (col("n") + 1000L)))
+    }
+    assert(e.getMessage.contains("changes column type"),
+      s"wrong refusal: ${e.getMessage}")
+    // type-preserving arithmetic goes through, and the snapshot reads
+    CommitLogIngest.updateWhere(s, table, col("id") % 5 === 0,
+      Map("n" -> (col("n") + lit(1000))))
+    assert(CommitLogIngest.snapshot(s, table)
+      .agg(sum(col("n"))).head().getLong(0) ==
+      (0 until 50).map(i => if (i % 5 == 0) i + 1000 else i).sum.toLong)
+    // mergeByKey refuses a type-changing updates frame the same way
+    val e2 = intercept[IllegalArgumentException] {
+      CommitLogIngest.mergeByKey(s, table,
+        Seq((1L, 7.5)).toDF("id", "n"), "id")
+    }
+    assert(e2.getMessage.contains("change column type"),
+      s"wrong refusal: ${e2.getMessage}")
+  }
+
   test("the statsCol-mismatch refusal names the existing column") {
     val s = spark
     import s.implicits._
