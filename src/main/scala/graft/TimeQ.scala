@@ -8,7 +8,7 @@ object TimeQ {
       .withExtensions(new graft.plans.GraftExtensions).getOrCreate()
     graft.model.Tables.bootstrap(spark)
     spark.sparkContext.setLogLevel("ERROR")
-    val sf = "/root/testdata/sf0.1"
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     args.foreach { q => SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count() } // warm
     args.foreach { q =>
       val t0 = System.nanoTime()

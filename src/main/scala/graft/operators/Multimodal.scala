@@ -213,9 +213,48 @@ object Multimodal {
   private[graft] def toneLength(docId: Long): Int =
     (256L + (docId % 32L) * 8L).toInt
 
+  /** The JDK's WAVE codec SPI instances, resolved ONCE per JVM through
+    * the public `ServiceLoader` mechanism. `AudioSystem.write` /
+    * `getAudioInputStream` re-enter a GLOBALLY SYNCHRONIZED provider
+    * registry (JDK13Services) on every call — measured at sf1: 50k clips
+    * serialized 32 executor threads into a 15 s wall (the repartition
+    * that fixed the partition count changed nothing). The cached SPI
+    * instance IS the same real codec those entry points dispatch to;
+    * only the per-call lock is gone. */
+  private lazy val wavWriter: javax.sound.sampled.spi.AudioFileWriter = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .iterator().asScala
+      .find(_.isFileTypeSupported(
+        javax.sound.sampled.AudioFileFormat.Type.WAVE))
+      .getOrElse(throw new IllegalStateException(
+        "no WAVE AudioFileWriter SPI in this JDK"))
+  }
+
+  private lazy val wavReader: javax.sound.sampled.spi.AudioFileReader = {
+    import scala.jdk.CollectionConverters._
+    val probe = encodeWavVia(null, 0L) // null → AudioSystem one-time path
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .iterator().asScala
+      .find { r =>
+        try { r.getAudioInputStream(
+          new java.io.ByteArrayInputStream(probe)).close(); true }
+        catch { case _: Exception => false }
+      }
+      .getOrElse(throw new IllegalStateException(
+        "no WAVE AudioFileReader SPI in this JDK"))
+  }
+
   /** Encode one tone as a REAL WAV file (16-bit PCM LE, mono, 16 kHz)
     * through `javax.sound.sampled` — in-JDK, zero-egress. */
-  private[graft] def encodeWav(docId: Long): Array[Byte] = {
+  private[graft] def encodeWav(docId: Long): Array[Byte] =
+    encodeWavVia(wavWriter, docId)
+
+  private def encodeWavVia(
+      writer: javax.sound.sampled.spi.AudioFileWriter,
+      docId: Long): Array[Byte] = {
     val n = toneLength(docId)
     val pcm = new Array[Byte](n * 2)
     var i = 0
@@ -230,16 +269,20 @@ object Multimodal {
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    if (writer == null)
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    else
+      writer.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
   }
 
-  /** GENUINE decode: `AudioSystem.getAudioInputStream` parses the RIFF
+  /** GENUINE decode: the JDK's WAVE `AudioFileReader` parses the RIFF
     * container and hands back the PCM stream — the samples below come
     * from the codec, never from the formula. */
   private[graft] def decodeWav(bytes: Array[Byte]): Array[Int] = {
-    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+    val ais = wavReader.getAudioInputStream(
       new java.io.ByteArrayInputStream(bytes))
     val fmt = ais.getFormat
     require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
