@@ -369,8 +369,16 @@ object Multimodal {
   private[graft] def pngDims(docId: Long): (Int, Int) =
     (16 + (docId % 8).toInt * 4, 16 + (docId % 5).toInt * 6)
 
+  /** ImageIO's default stream cache is FILE-backed: every encode/decode
+    * creates a temp file under a global lock and round-trips the bytes
+    * through disk — at 500k tiles (sf10) that serialized the codec stage
+    * into a 35-88 s wall. In-memory streams are pure CPU. Once per JVM. */
+  private lazy val imageIoNoCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   /** Encode one gradient tile as a real PNG (grayscale, 8-bit). */
   private[graft] def encodePng(w: Int, h: Int, docId: Long): Array[Byte] = {
+    imageIoNoCache
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
     val raster = img.getRaster
@@ -389,8 +397,10 @@ object Multimodal {
   }
 
   private[graft] def decodePng(bytes: Array[Byte])
-      : java.awt.image.BufferedImage =
+      : java.awt.image.BufferedImage = {
+    imageIoNoCache
     javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+  }
 
   /** Real-PNG media table: per document one deterministic gradient tile,
     * PNG-ENCODED executor-side (the encode is the "media arrived as
