@@ -350,7 +350,12 @@ object ScaleCheck {
     // the layout and its ts-sorted contrast twin). Cache is cleared between
     // passes so both time the real rewrite, not a cache hit.
     "zorder_rewrite" -> ((s, d) =>
-      { graft.sources.ZOrderLayout.ensure(s, d); () }))
+      { graft.sources.ZOrderLayout.ensure(s, d); () }),
+    // round-12: the one family the r11 verdict flagged quadratic (21× time
+    // for 10× data at constant LshBits=8) — now corpus-adaptive bits hold
+    // the expected bucket at ~128 rows, pair volume linear in n
+    "knn_join" -> ((s, d) =>
+      { SparkEntry.queries("s_knn_join")(s, d).count(); () }))
 
   def measure(spark: SparkSession): Unit = {
     // JIT/codegen warmup at the smallest SF, same discipline as Bench

@@ -24,13 +24,40 @@ import graft.plans.GraftFunctions.cosineSim
   * scanned once, no shuffle of the corpus). The ANN variant buckets both
   * sides by an 8-bit sign-LSH key (256 buckets) and joins within buckets —
   * corpus shuffles once on the bucket key, pair fan-out is corpus²/buckets,
-  * and the bucket width is the recall/cost knob. At 1B vectors one would
-  * raise nBits and add multi-probe; the plan shape stays the same.
+  * and the bucket width is the recall/cost knob. The SELF-JOIN path
+  * (knnJoin) derives its bit width from the corpus size ([[adaptiveBits]] —
+  * expected bucket ≈ 128 rows, pair volume linear in n); the query-serving
+  * paths (50 fixed queries) keep the static 8 bits, where fan-out is
+  * queries×bucket, already linear. At 1B vectors one would add multi-probe;
+  * the plan shape stays the same.
   */
 object Similarity {
 
   private val Dim = 64
   private val LshBits = 8
+
+  /** Target expected rows per sign-LSH bucket for the SELF-JOIN paths
+    * (kNN graph). Within-bucket pair volume is n²/2^bits; holding the
+    * expected bucket width near-constant (bits ≈ log₂(n/target)) makes
+    * the pair volume ~n·target — linear in corpus size — instead of
+    * quadratic at any fixed bit width. */
+  private val TargetBucketRows = 128
+
+  /** Corpus-derived sign-LSH width: bits = ⌈log₂(n / TargetBucketRows)⌉,
+    * floored at [[LshBits]] (so every corpus ≤ 2^8·target rows — all the
+    * oracle/bench SFs — hashes with the same 8 bits as the static DuckDB
+    * oracle) and capped at [[Dim]] (one axis-aligned hyperplane per
+    * dimension is the most this hash family can express; past ~2^64·target
+    * rows the recall knob moves to multi-probe, not more bits). Same
+    * byte-derived sizing discipline as src_bucketed_join's bucket counts. */
+  private[graft] def adaptiveBits(n: Long): Int = {
+    if (n <= 0) LshBits
+    else {
+      val needed =
+        math.ceil(math.log(n.toDouble / TargetBucketRows) / math.log(2.0)).toInt
+      math.min(Dim, math.max(LshBits, needed))
+    }
+  }
 
   /** Squared euclidean distance over the dims PRESENT IN BOTH arrays —
     * zip_with pads the shorter side with nulls and a single null
@@ -265,12 +292,24 @@ object Similarity {
     * bucket — the self-join analogue of s_lsh_ann_topk (which serves a
     * 50-query workload). The kNN graph is the input of graph-based
     * curation (kNN-density outliers, label propagation, graph ANN
-    * indexes); at 100 TB the bucket equi-join bounds the pair fan-out to
-    * corpus²/2^bits, the corpus shuffles once on the bucket key, and the
-    * per-bucket top-k window never sees more than a bucket's rows. */
+    * indexes); the corpus shuffles once on the bucket key and the
+    * per-bucket top-k window never sees more than a bucket's rows.
+    *
+    * The bucket width SCALES WITH THE CORPUS (round-11 verdict: a
+    * compile-time `LshBits = 8` makes the self-join pair fan-out
+    * n²/256 — quadratic, 21× time for 10× data sf1→sf10). One
+    * metadata-cheap `count()` (parquet footer row counts, no data scan)
+    * derives bits = ⌈log₂(n/128)⌉ via [[adaptiveBits]], holding the
+    * expected bucket at ~128 rows so pair volume stays ~128·n — linear.
+    * The floor at 8 bits keeps every oracle/bench SF (n ≤ 32k) on the
+    * exact bucketing the static DuckDB oracle hashes with. */
   def knnJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    // sized on the RAW table count (parquet footer aggregate — no data
+    // scan, no norm compute), not emb()'s zero-norm-filtered view: the
+    // width is a sizing heuristic, and the raw count keeps the probe O(1)
+    val bits = adaptiveBits(Tables.embeddings(spark, sfDir).count())
     val e = emb(spark, sfDir)
-      .withColumn("bucket", signBucket("embedding", Dim, LshBits))
+      .withColumn("bucket", signBucket("embedding", Dim, bits))
     val pairs = e.as("a").join(e.as("b"),
         col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") =!= col("b.vec_id"))

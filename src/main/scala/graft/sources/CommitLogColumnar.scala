@@ -122,11 +122,35 @@ class ColumnarCommitReader(file: String, schema: StructType,
   private val batch =
     new ColumnarBatch(vectors.map(v => v: ColumnVector))
 
+  /** Fast-path decode kind per REQUESTED field (−1 = triplet fallback),
+    * decided once per file from the footer: the (file primitive,
+    * declared type) pair must be an identity decode the bulk path
+    * covers AND every row group's encodings for that column must be in
+    * the PLAIN/RLE/dictionary family (anything exotic — the DELTA
+    * family, BYTE_STREAM_SPLIT — takes the triplet path, correct just
+    * slower). */
+  private val fastKind: Array[Int] =
+    if (reader == null) Array.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      val blocks = reader.getFooter.getBlocks.asScala
+      Array.tabulate(requested.getFieldCount) { i =>
+        val desc = requested.getColumns.get(i)
+        val path = org.apache.parquet.hadoop.metadata.ColumnPath
+          .get(desc.getPath: _*)
+        val slot = slotToReq.indexOf(i)
+        val kind = FastColumns.kindOf(
+          requested.getType(i).asPrimitiveType(), schema(slot).dataType)
+        val encOk = blocks.forall(_.getColumns.asScala
+          .filter(_.getPath == path)
+          .forall(c => FastColumns.encodingsOk(c.getEncodings)))
+        if (kind >= 0 && encOk) kind else -1
+      }
+    }
+
   // per-row-group streaming state
   private var pages: PageReadStore = _
-  private var readers: Array[ColumnReader] = _ // by requested index
-  private var fillers: Array[ColumnarCommitReader.Filler] = _ // by slot
-  private var maxDef: Array[Int] = _
+  private var slotReaders: Array[SlotReader] = _ // by slot, null = absent
   private var rowsLeftInGroup = 0L
 
   private def advanceRowGroup(): Boolean = {
@@ -144,18 +168,32 @@ class ColumnarCommitReader(file: String, schema: StructType,
     if (pages == null) return false
     rowsLeftInGroup = pages.getRowCount
     if (rowsLeftInGroup == 0) return advanceRowGroup()
-    val store = new ColumnReadStoreImpl(pages,
-      ColumnarCommitReader.NoopConverter, requested, createdBy)
     val cols = requested.getColumns
-    readers = Array.tabulate(cols.size())(i =>
-      store.getColumnReader(cols.get(i)))
-    maxDef = Array.tabulate(cols.size())(i =>
-      cols.get(i).getMaxDefinitionLevel)
-    fillers = Array.tabulate(schema.length) { slot =>
+    // ONE reader per column per row group — fast (page-level bulk) or
+    // triplet (ColumnReadStoreImpl), never both: the page reader is a
+    // stateful stream, so the store is built only if some column needs it
+    val needTriplet = (0 until schema.length).exists { slot =>
+      val req = slotToReq(slot); req >= 0 && fastKind(req) < 0
+    }
+    val store =
+      if (!needTriplet) null
+      else new ColumnReadStoreImpl(pages,
+        ColumnarCommitReader.NoopConverter, requested, createdBy)
+    slotReaders = Array.tabulate(schema.length) { slot =>
       val req = slotToReq(slot)
       if (req < 0) null
-      else ColumnarCommitReader.fillerFor(
-        requested.getType(req).asPrimitiveType(), schema(slot).dataType)
+      else {
+        val prim = requested.getType(req).asPrimitiveType()
+        if (fastKind(req) >= 0)
+          new FastColumnReader(cols.get(req),
+            pages.getPageReader(cols.get(req)), fastKind(req),
+            if (schema(slot).dataType == TimestampType)
+              ColumnarCommitReader.timestampScale(prim)
+            else 0)
+        else new TripletSlot(store.getColumnReader(cols.get(req)),
+          ColumnarCommitReader.fillerFor(prim, schema(slot).dataType),
+          cols.get(req).getMaxDefinitionLevel)
+      }
     }
     true
   }
@@ -168,9 +206,11 @@ class ColumnarCommitReader(file: String, schema: StructType,
     while (slot < schema.length) {
       val v = vectors(slot)
       v.reset()
-      val req = slotToReq(slot)
-      if (req < 0) fillAbsent(slot, v, n)
-      else fillers(slot).fill(readers(req), v, n, maxDef(req))
+      // count-only row groups (requested field count 0) never build
+      // slotReaders — every slot is absent/constant there
+      val r = if (slotReaders == null) null else slotReaders(slot)
+      if (r == null) fillAbsent(slot, v, n)
+      else r.read(v, n)
       slot += 1
     }
     rowsLeftInGroup -= n
@@ -471,7 +511,7 @@ object ColumnarCommitReader {
 
   /** INT64 timestamp unit scale to micros, from the logical annotation:
     * 1 = millis (*1000), 0 = micros / unannotated (as-is), -1 = nanos. */
-  private def timestampScale(t: PrimitiveType): Int =
+  private[sources] def timestampScale(t: PrimitiveType): Int =
     t.getLogicalTypeAnnotation match {
       case ts: TimestampLogicalTypeAnnotation => ts.getUnit match {
         case LogicalTypeAnnotation.TimeUnit.MILLIS => 1
@@ -499,4 +539,267 @@ object ColumnarCommitReader {
     val julianDay = buf.getInt
     (julianDay - 2440588L) * 86400000000L + nanosOfDay / 1000L
   }
+}
+
+/** One column's per-batch decoder — fast (page-level bulk) or triplet
+  * (parquet-mr `ColumnReader`) — filling vector rows [0, n). */
+private[sources] sealed trait SlotReader {
+  def read(v: OnHeapColumnVector, n: Int): Unit
+}
+
+private[sources] final class TripletSlot(cr: ColumnReader,
+    f: ColumnarCommitReader.Filler, maxDef: Int) extends SlotReader {
+  def read(v: OnHeapColumnVector, n: Int): Unit = f.fill(cr, v, n, maxDef)
+}
+
+/** Fast-path eligibility: the identity decode kinds the page-level bulk
+  * reader covers, and the encoding families it understands. */
+private[sources] object FastColumns {
+  import PrimitiveType.PrimitiveTypeName._
+
+  final val KLong = 0
+  final val KInt = 1
+  final val KDouble = 2
+  final val KFloat = 3
+  final val KBinary = 4
+
+  /** Identity (file primitive → declared type) decode kinds only —
+    * coercions (schema evolution's LongAsInt etc.) stay on the triplet
+    * path; they are the rare generation-skew case, not the hot scan. */
+  def kindOf(t: PrimitiveType, target: DataType): Int =
+    t.getPrimitiveTypeName match {
+      case INT64 => target match {
+        case LongType | TimestampType => KLong
+        case _ => -1
+      }
+      case INT32 => target match {
+        case IntegerType | DateType => KInt
+        case _ => -1
+      }
+      case DOUBLE => target match {
+        case DoubleType => KDouble
+        case _ => -1
+      }
+      case FLOAT => target match {
+        case FloatType => KFloat
+        case _ => -1
+      }
+      case BINARY => target match {
+        case StringType | BinaryType => KBinary
+        case _ => -1
+      }
+      case _ => -1
+    }
+
+  private val okEnc: Set[org.apache.parquet.column.Encoding] = Set(
+    org.apache.parquet.column.Encoding.PLAIN,
+    org.apache.parquet.column.Encoding.RLE,
+    org.apache.parquet.column.Encoding.BIT_PACKED,
+    org.apache.parquet.column.Encoding.RLE_DICTIONARY,
+    org.apache.parquet.column.Encoding.PLAIN_DICTIONARY)
+
+  def encodingsOk(
+      encs: java.util.Set[org.apache.parquet.column.Encoding]): Boolean = {
+    import scala.jdk.CollectionConverters._
+    encs.asScala.forall(okEnc.contains)
+  }
+}
+
+/** PAGE-LEVEL bulk decode of one column chunk — the round-12 answer to
+  * the measured NARROW-projection tax (ScanBench: 2.15×/2.27× at sf1/sf10
+  * through the triplet readers, whose ~4 virtual calls PER VALUE —
+  * getCurrentDefinitionLevel/getX/consume — are the per-value floor of
+  * that API). Public parquet-mr page APIs only:
+  *
+  *  - definition levels decode through the page's own level reader
+  *    (`Encoding.getValuesReader` for V1 sections,
+  *    `RunLengthBitPackingHybridDecoder` for V2's raw RLE) into a batch
+  *    array, then PRESENT/NULL RUNS are filled in bulk;
+  *  - PLAIN fixed-width runs are ONE `putLongsLittleEndian`-family copy
+  *    from the page bytes straight into the Spark vector (the native
+  *    vectorized reader's trick, on the public surface);
+  *  - dictionary pages materialize the dictionary ONCE per chunk (any
+  *    timestamp unit scale folded into the entries) and ids stream
+  *    through the RLE decoder — the "dictionary-id decode" the round-11
+  *    verdict asked for, strings included.
+  *
+  * Anything the footer says this column does not fit (exotic encodings,
+  * non-identity coercions, INT96, BOOLEAN) takes the existing triplet
+  * path — the fast path is a pure speedup, never a semantic fork. */
+private[sources] final class FastColumnReader(
+    desc: org.apache.parquet.column.ColumnDescriptor,
+    pageReader: org.apache.parquet.column.page.PageReader,
+    kind: Int, tsScale: Int) extends SlotReader {
+
+  import FastColumns._
+  import org.apache.parquet.column.Encoding
+  import org.apache.parquet.column.page.{DataPageV1, DataPageV2}
+  import org.apache.parquet.column.values.rle.RunLengthBitPackingHybridDecoder
+  import org.apache.parquet.bytes.{ByteBufferInputStream, BytesUtils}
+
+  private val maxDef = desc.getMaxDefinitionLevel
+
+  private def scaled(x: Long): Long =
+    if (tsScale == 0) x else if (tsScale > 0) x * 1000L else x / 1000L
+
+  // dictionary materialized once per chunk, scale folded in
+  private var dictLongs: Array[Long] = _
+  private var dictInts: Array[Int] = _
+  private var dictDoubles: Array[Double] = _
+  private var dictFloats: Array[Float] = _
+  private var dictBins: Array[Array[Byte]] = _
+  locally {
+    val dp = pageReader.readDictionaryPage()
+    if (dp != null) {
+      val d = dp.getEncoding.initDictionary(desc, dp)
+      val n = d.getMaxId + 1
+      kind match {
+        case KLong =>
+          dictLongs = Array.tabulate(n)(i => scaled(d.decodeToLong(i)))
+        case KInt => dictInts = Array.tabulate(n)(d.decodeToInt)
+        case KDouble => dictDoubles = Array.tabulate(n)(d.decodeToDouble)
+        case KFloat => dictFloats = Array.tabulate(n)(d.decodeToFloat)
+        case KBinary =>
+          dictBins = Array.tabulate(n)(i => d.decodeToBinary(i).getBytes)
+      }
+    }
+  }
+
+  // per-page state
+  private var defRead: () => Int = _ // null when the column is required
+  private var ids: RunLengthBitPackingHybridDecoder = _ // dictionary pages
+  private var bytes: Array[Byte] = _ // PLAIN pages
+  private var bb: java.nio.ByteBuffer = _ // LE view of `bytes`
+  private var off = 0
+  private var left = 0
+  private val defs = new Array[Int](CommitLogColumnar.BatchRows)
+
+  private def advancePage(): Unit = {
+    val p = pageReader.readPage()
+    if (p == null) throw new IllegalStateException(
+      s"graft-commitlog fast reader: page stream of ${desc} exhausted " +
+        "mid-row-group")
+    p match {
+      case p1: DataPageV1 =>
+        val vc = p1.getValueCount
+        val arr = p1.getBytes.toByteArray
+        val in = ByteBufferInputStream.wrap(java.nio.ByteBuffer.wrap(arr))
+        // level sections consume through their own encodings' readers —
+        // the stream position after both IS the values offset
+        val rl = p1.getRlEncoding.getValuesReader(desc,
+          org.apache.parquet.column.ValuesType.REPETITION_LEVEL)
+        rl.initFromPage(vc, in)
+        val dl = p1.getDlEncoding.getValuesReader(desc,
+          org.apache.parquet.column.ValuesType.DEFINITION_LEVEL)
+        dl.initFromPage(vc, in)
+        defRead = if (maxDef == 0) null else () => dl.readInteger()
+        setValues(arr, in.position().toInt, p1.getValueEncoding)
+        left = vc
+      case p2: DataPageV2 =>
+        val vc = p2.getValueCount
+        defRead =
+          if (maxDef == 0) null
+          else {
+            val d = new RunLengthBitPackingHybridDecoder(
+              BytesUtils.getWidthFromMaxInt(maxDef),
+              p2.getDefinitionLevels.toInputStream)
+            () => d.readInt()
+          }
+        setValues(p2.getData.toByteArray, 0, p2.getDataEncoding)
+        left = vc
+      case other => throw new IllegalStateException(
+        s"graft-commitlog fast reader: unexpected page type $other")
+    }
+  }
+
+  private def setValues(arr: Array[Byte], start: Int,
+      enc: Encoding): Unit =
+    if (enc.usesDictionary) {
+      ids = new RunLengthBitPackingHybridDecoder(arr(start) & 0xff,
+        new java.io.ByteArrayInputStream(arr, start + 1,
+          arr.length - start - 1))
+      bytes = null; bb = null
+    } else if (enc == Encoding.PLAIN) {
+      bytes = arr; off = start; ids = null
+      bb = java.nio.ByteBuffer.wrap(arr)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    } else throw new IllegalStateException(
+      s"graft-commitlog fast reader: page encoding $enc slipped past " +
+        "the footer eligibility check")
+
+  override def read(v: OnHeapColumnVector, n: Int): Unit = {
+    var filled = 0
+    while (filled < n) {
+      if (left == 0) advancePage()
+      val m = math.min(n - filled, left)
+      if (maxDef == 0) fillRun(v, filled, m)
+      else {
+        var i = 0
+        while (i < m) { defs(i) = defRead(); i += 1 }
+        var s = 0
+        while (s < m) {
+          var e = s
+          if (defs(s) == maxDef) {
+            while (e < m && defs(e) == maxDef) e += 1
+            fillRun(v, filled + s, e - s)
+          } else {
+            while (e < m && defs(e) != maxDef) e += 1
+            v.putNulls(filled + s, e - s)
+          }
+          s = e
+        }
+      }
+      left -= m
+      filled += m
+    }
+  }
+
+  /** `cnt` PRESENT values into vector rows [at, at+cnt). */
+  private def fillRun(v: OnHeapColumnVector, at: Int, cnt: Int): Unit =
+    if (ids != null) {
+      var i = 0
+      kind match {
+        case KLong =>
+          while (i < cnt) { v.putLong(at + i, dictLongs(ids.readInt()))
+            i += 1 }
+        case KInt =>
+          while (i < cnt) { v.putInt(at + i, dictInts(ids.readInt()))
+            i += 1 }
+        case KDouble =>
+          while (i < cnt) { v.putDouble(at + i, dictDoubles(ids.readInt()))
+            i += 1 }
+        case KFloat =>
+          while (i < cnt) { v.putFloat(at + i, dictFloats(ids.readInt()))
+            i += 1 }
+        case KBinary =>
+          while (i < cnt) {
+            val b = dictBins(ids.readInt())
+            v.putByteArray(at + i, b, 0, b.length)
+            i += 1
+          }
+      }
+    } else kind match {
+      case KLong =>
+        if (tsScale == 0) v.putLongsLittleEndian(at, cnt, bytes, off)
+        else {
+          var i = 0
+          while (i < cnt) {
+            v.putLong(at + i, scaled(bb.getLong(off + 8 * i))); i += 1
+          }
+        }
+        off += 8 * cnt
+      case KInt =>
+        v.putIntsLittleEndian(at, cnt, bytes, off); off += 4 * cnt
+      case KDouble =>
+        v.putDoublesLittleEndian(at, cnt, bytes, off); off += 8 * cnt
+      case KFloat =>
+        v.putFloatsLittleEndian(at, cnt, bytes, off); off += 4 * cnt
+      case KBinary =>
+        var i = 0
+        while (i < cnt) {
+          val len = bb.getInt(off)
+          v.putByteArray(at + i, bytes, off + 4, len)
+          off += 4 + len; i += 1
+        }
+    }
 }

@@ -97,9 +97,18 @@ class CommitLogTableProvider extends TableProvider with DataSourceRegister {
               "declared schema — CommitLogIngest.createTable(dir, schema) " +
               "first, or pass .schema(...) on a reader"))
     // the CHANGE FEED surface: every row the read delivers is tagged
-    if (Option(options.get("readChangeFeed")).exists(_.toBoolean))
+    if (Option(options.get("readChangeFeed")).exists(_.toBoolean)) {
+      // a data schema already claiming a CDF column name would produce a
+      // duplicate-column schema and ambiguous reads — refuse loudly
+      // (round-12 ADVICE; the Delta reserved-column rule)
+      val clash = Seq("_change_type", "_commit_version")
+        .filter(base.fieldNames.contains)
+      require(clash.isEmpty,
+        s"readChangeFeed: table already declares reserved CDF column(s) " +
+          s"${clash.mkString(", ")} — rename them to read this table as " +
+          "a change feed")
       base.add("_change_type", StringType).add("_commit_version", LongType)
-    else base
+    } else base
   }
 
   /** The table's declared hive-style layout, as identity transforms — what

@@ -78,10 +78,16 @@ class CommitLogWriteBuilder(tableDir: String, info: LogicalWriteInfo)
     cols
   }
 
-  override def build(): Write =
+  override def build(): Write = {
+    // `.option("enableCdf", "true")` flips the per-table CDF switch (the
+    // delta.enableChangeDataFeed shape, default off) before the write —
+    // DML from this point on stores its change rows
+    if (Option(info.options().get("enableCdf")).exists(_.toBoolean))
+      CommitLogIngest.setCdfEnabled(tableDir)
     new CommitLogWrite(tableDir, info.schema(), info.queryId(), overwrite,
       Option(info.options().get("statsCol")), partitionCols,
       AutoCompact.fromOptions(info.options()))
+  }
 }
 
 class CommitLogWrite(tableDir: String, schema: StructType, queryId: String,
@@ -422,10 +428,16 @@ object PartitionPaths {
     }
 
   /** A row-value's path rendering (the driver-side mirror of [[render]],
-    * for partition-local rewrites that route by collected values). */
+    * for partition-local rewrites that route by collected values). Date
+    * values render as DAYS-SINCE-EPOCH, matching [[render]]'s task-side
+    * int — a `Date.toString` ("2024-01-03") here would route rewrites of
+    * a date-partitioned table into dirs no write ever used, silently
+    * fragmenting the one-layout-forever invariant (round-12 ADVICE). */
   def renderValue(v: Any): String = v match {
     case null => NullDir
     case s: String => escape(s)
+    case d: java.sql.Date => d.toLocalDate.toEpochDay.toString
+    case d: java.time.LocalDate => d.toEpochDay.toString
     case other => other.toString // Long/Int/Short/Byte/Boolean
   }
 

@@ -52,6 +52,10 @@ object DmlCommit {
         docs.filter(col("doc_id") % Appends === i)
           .write.format("graft-commitlog")
           .option("path", table).option("statsCol", "doc_id")
+          // CDF is per-table opt-in (default off — the 100-TB rule: DML
+          // must not pay for change storage nobody asked for); this
+          // table feeds src_cdc_feed/src_cdf_read, so it opts in
+          .option("enableCdf", "true")
           .mode("append").save()
       }
       val (delV, nDel) = CommitLogIngest.deleteWhere(spark, table,
@@ -161,11 +165,13 @@ object DmlCommit {
 
   /** Change-data-feed census over the DML range (delete commit, update
     * commit]: the delete version contributes the removed docs as
-    * "delete"; the update version contributes pre-image deletes and
-    * post-image inserts of the touched rows. DuckDB replays all three
-    * legs from the original parquet — hash equality proves the feed
-    * derives exactly the rows each commit changed, with correct
-    * multiset diffs against the rewritten files. */
+    * "delete"; the update version contributes every touched row as an
+    * update_preimage/update_postimage PAIR (the Delta CDC contract —
+    * round 12; the keyless delete+insert representation survives only in
+    * the read-time-diff fallback for tables without stored CDF). DuckDB
+    * replays all three legs from the original parquet — hash equality
+    * proves the stored change rows are exactly the rows each commit
+    * changed, with the tags the CDC contract demands. */
   def cdcCensus(spark: SparkSession, sfDir: String): DataFrame = {
     val (table, delV) = ensure(spark, sfDir)
     CommitLogIngest.changeFeed(spark, table, delV - 1, delV + 1)
@@ -182,10 +188,11 @@ object DmlCommit {
       |    'delete' AS _change_type, source, n_chars, doc_id
       |  FROM documents WHERE doc_id % 7 = 3
       |  UNION ALL
-      |  SELECT CAST(4 AS BIGINT), 'delete', source, n_chars, doc_id
+      |  SELECT CAST(4 AS BIGINT), 'update_preimage', source, n_chars, doc_id
       |  FROM documents WHERE doc_id % 7 <> 3 AND doc_id % 5 = 0
       |  UNION ALL
-      |  SELECT CAST(4 AS BIGINT), 'insert', source, n_chars + 1000, doc_id
+      |  SELECT CAST(4 AS BIGINT), 'update_postimage', source,
+      |    n_chars + 1000, doc_id
       |  FROM documents WHERE doc_id % 7 <> 3 AND doc_id % 5 = 0)
       |SELECT _commit_version, _change_type, source, COUNT(*) AS n,
       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,

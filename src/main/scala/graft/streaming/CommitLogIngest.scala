@@ -451,42 +451,47 @@ object CommitLogIngest {
       val removes =
         if (latest < 0) Seq.empty[String]
         else liveFiles(spark, tableDir, latest)
-      // an overwrite with removes is a CHANGE COMMIT: store its change
-      // rows like every other one (INSERT OVERWRITE is a routine pipeline
-      // operation — a CDF stream must flow through it, not wedge on a
-      // missing diff base). Both sides read under the NEW schema (the
-      // changeFeed rule for ranges spanning a schema change).
-      val cdfStaged =
-        if (removes.isEmpty) None
-        else {
-          val st = schemaOf.getOrElse(
-            spark.read.parquet(adds: _*).schema)
-          Some(stageCdf(spark, tableDir,
-            spark.read.schema(st).parquet(removes: _*),
-            spark.read.schema(st).parquet(adds: _*)))
-        }
-      val stage = stageActions(spark, tableDir, adds, removes, schemaOf, txn)
+      // an overwrite with removes is a CHANGE COMMIT, but it stores NO
+      // change rows and diffs NOTHING: the ("op", "overwrite") action
+      // lets CDF readers derive the change set from the log alone — the
+      // removed files ARE the deletes, the added files ARE the inserts
+      // (the Delta INSERT OVERWRITE semantic: the old snapshot is
+      // logically deleted whether or not rows coincide). The round-11
+      // exceptAll diff here cost two full-table reads plus a shuffle ON
+      // THE COMMIT PATH of every 100-TB overwrite — O(table) work for a
+      // feature the reader can have for free.
+      val stage = stageActions(spark, tableDir, adds, removes, schemaOf, txn,
+        op = if (removes.isEmpty) None else Some("overwrite"))
       if (tryClaimVersion(tableDir, stage, latest + 1)) {
-        cdfStaged.foreach(publishCdf(tableDir, _, latest + 1))
         postWin(spark, tableDir, latest + 1, statsCol, statsDir, schemaOf)
         return latest + 1
       }
       LayoutDirs.deleteQuiet(stage.toString) // stale removes — restage
-      cdfStaged.foreach(LayoutDirs.deleteQuiet)
     }
     -1L // unreachable
   }
 
+  /** Rewrite-commit kinds recorded as an ("op", kind) action — what lets
+    * CDF readers classify a version with removes WITHOUT reading data:
+    * layout-only ops (optimize/zorder — identical multisets by
+    * construction) contribute no change rows, and "overwrite" contributes
+    * its removed files as deletes + added files as inserts with ZERO diff
+    * compute (the Delta INSERT OVERWRITE rule: the old snapshot was
+    * logically deleted and the new one inserted, whether or not rows
+    * coincide — round-12 ADVICE: the exceptAll diff made a 100-TB
+    * overwrite do O(table) work on the commit path). */
+  private[graft] val LayoutOps = Set("optimize", "zorder")
+
   private def stageActions(spark: SparkSession, tableDir: String,
       adds: Seq[String], removes: Seq[String],
       schemaOf: Option[org.apache.spark.sql.types.StructType],
-      txn: Option[String]): java.nio.file.Path = {
+      txn: Option[String], op: Option[String] = None): java.nio.file.Path = {
     import spark.implicits._
     val stage = Paths.get(tableDir, "log",
       s".stage-${java.util.UUID.randomUUID().toString.take(12)}")
     (removes.map(("remove", _)) ++ adds.map(("add", _)) ++
       schemaOf.toSeq.flatMap(st => schemaActionFor(tableDir, st)) ++
-      txn.map(("txn", _)))
+      txn.map(("txn", _)) ++ op.map(("op", _)))
       .toDF("action", "path")
       .coalesce(1).write.mode("overwrite").parquet(stage.toString)
     stage
@@ -729,7 +734,10 @@ object CommitLogIngest {
       pred: org.apache.spark.sql.Column,
       statsCol: Option[String] = None): (Long, Int) =
     rewriteWhere(spark, tableDir, pred, statsCol,
-      df => df.filter(!coalesce(pred, lit(false))))
+      df => df.filter(!coalesce(pred, lit(false))),
+      // change set = exactly the rows the rewrite drops
+      df => df.filter(coalesce(pred, lit(false)))
+        .withColumn("_change_type", lit("delete")))
 
   /** UPDATE ... SET ... WHERE as one atomic commit: same copy-on-write
     * plan as [[deleteWhere]], but affected files are rewritten with each
@@ -750,10 +758,20 @@ object CommitLogIngest {
         s"columns of $tableDir — an update cannot move rows between " +
         "partition dirs (DELETE the rows and append them with the new " +
         "partition value instead)")
-    rewriteWhere(spark, tableDir, pred, statsCol,
-      df => set.foldLeft(df) { case (d, (name, value)) =>
+    def apply(df: DataFrame): DataFrame =
+      set.foldLeft(df) { case (d, (name, value)) =>
         d.withColumn(name, when(coalesce(pred, lit(false)), value)
           .otherwise(col(name)))
+      }
+    rewriteWhere(spark, tableDir, pred, statsCol, apply,
+      // the Delta CDC contract: every matched row contributes its
+      // pre-image and post-image (computed by the SAME fold the rewrite
+      // applies, so stored change rows are bit-identical to stored data)
+      df => {
+        val pre = df.filter(coalesce(pred, lit(false)))
+        pre.withColumn("_change_type", lit("update_preimage"))
+          .unionByName(
+            apply(pre).withColumn("_change_type", lit("update_postimage")))
       })
   }
 
@@ -856,48 +874,85 @@ object CommitLogIngest {
       val adds = LayoutDirs.dataFiles(outDir)
       // change rows under the merge's schema (old generations null-fill —
       // the same rule changeFeed applies to a range spanning a schema
-      // change)
-      val before =
-        if (affected.isEmpty)
-          spark.createDataFrame(new java.util.ArrayList[Row](),
-            updates.schema)
-        else spark.read.schema(updates.schema).parquet(affected: _*)
-      val cdfStaged = stageCdf(spark, tableDir, before,
-        spark.read.schema(updates.schema).parquet(adds: _*))
+      // change), stored only for CDF-enabled tables. The merge HAS the
+      // key, so updates are genuine update_preimage/update_postimage
+      // pairs (the Delta CDC contract): table rows sharing an update's
+      // key are pre-images, the matching update rows post-images, and
+      // updates whose key is new are inserts.
+      val cdfStaged =
+        if (!cdfEnabled(tableDir)) None
+        else Some {
+          val ct = "_change_type"
+          val changes =
+            if (affected.isEmpty) updates.withColumn(ct, lit("insert"))
+            else {
+              val before =
+                spark.read.schema(updates.schema).parquet(affected: _*)
+              val pre = before.join(keys, Seq(key), "left_semi")
+              val matchedKeys = pre.select(col(key)).distinct()
+              pre.withColumn(ct, lit("update_preimage"))
+                .unionByName(updates.join(matchedKeys, Seq(key), "left_semi")
+                  .withColumn(ct, lit("update_postimage")))
+                .unionByName(updates.join(matchedKeys, Seq(key), "left_anti")
+                  .withColumn(ct, lit("insert")))
+            }
+          stageCdfRows(tableDir, changes)
+        }
       val stage = stageActions(spark, tableDir, adds, affected,
         schemaOf = Some(updates.schema), txn = None)
       if (tryClaimVersion(tableDir, stage, latest + 1)) {
-        publishCdf(tableDir, cdfStaged, latest + 1)
+        cdfStaged.foreach(publishCdf(tableDir, _, latest + 1))
         postWin(spark, tableDir, latest + 1, statsCol, Some(outDir),
           schemaOf = Some(updates.schema))
         return (latest + 1, affected.size)
       }
       LayoutDirs.deleteQuiet(stage.toString)
       LayoutDirs.deleteQuiet(outDir)
-      LayoutDirs.deleteQuiet(cdfStaged)
+      cdfStaged.foreach(LayoutDirs.deleteQuiet)
     }
     (-1L, 0) // unreachable
   }
 
-  /** Write the CHANGE-DATA files for a copy-on-write commit: the multiset
-    * diff of what it removed vs what it added, tagged `_change_type` —
+  // ---- change data feed (per-table switch + commit-time storage) ----------
+
+  private def cdfMarker(tableDir: String) =
+    Paths.get(tableDir, "log", "_cdf_enabled")
+
+  /** Per-table CDF switch — the `delta.enableChangeDataFeed` shape,
+    * DEFAULT OFF (round-12 ADVICE: unconditional staging made every DML
+    * pay a second read+write of its change rows whether or not anyone
+    * consumes them). Disabled tables still serve
+    * [[changeFeed]] through the read-time diff fallback; the V2
+    * `readChangeFeed` surface (which reads stored change data only)
+    * refuses loudly and names this switch. Enabling is prospective:
+    * commits BEFORE the flip have no stored change rows. */
+  def setCdfEnabled(tableDir: String, on: Boolean = true): Unit =
+    if (on) {
+      Files.createDirectories(cdfMarker(tableDir).getParent)
+      Files.write(cdfMarker(tableDir), Array.emptyByteArray,
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+    } else Files.deleteIfExists(cdfMarker(tableDir))
+
+  def cdfEnabled(tableDir: String): Boolean =
+    Files.exists(cdfMarker(tableDir))
+
+  /** Write a commit's CHANGE-DATA rows (already tagged `_change_type`) —
     * the Delta `_change_data` design. Computed at COMMIT time (the DML
-    * already has both sides in hand; O(changed files), never O(table))
+    * already has the rows in hand; O(changed rows), never O(table))
     * into a staging dir the winner renames to `cdf/version=v`, so CDF
     * readers — API and V2 scan, batch and streaming — read exact change
-    * rows per version with no read-time diffing. A diff-less rewrite
-    * (OPTIMIZE) stages an empty marker instead: "this change commit
-    * changed nothing", distinguishable from a legacy commit with no cdf
-    * dir at all (whose diff base may already be vacuumed). */
-  private def stageCdf(spark: SparkSession, tableDir: String,
-      before: DataFrame, after: DataFrame): String = {
+    * rows per version with no read-time diffing. Updates carry
+    * update_preimage/update_postimage pairs (the Delta CDC contract —
+    * round-12 ADVICE: the multiset delete+insert representation hid
+    * UPDATEs from CDC consumers); deletes carry "delete", new rows
+    * "insert". A diff-less rewrite (OPTIMIZE) stages an empty marker
+    * instead: "this change commit changed nothing", distinguishable from
+    * a legacy commit with no cdf dir at all (whose diff base may already
+    * be vacuumed). */
+  private def stageCdfRows(tableDir: String, changes: DataFrame): String = {
     val dir =
       s"$tableDir/data/.cdf-${java.util.UUID.randomUUID().toString.take(12)}"
-    before.exceptAll(after)
-      .withColumn("_change_type", lit("delete"))
-      .unionByName(after.exceptAll(before)
-        .withColumn("_change_type", lit("insert")))
-      .write.mode("overwrite").parquet(dir)
+    changes.write.mode("overwrite").parquet(dir)
     dir
   }
 
@@ -935,9 +990,16 @@ object CommitLogIngest {
   private[graft] def hasCdf(tableDir: String, v: Long): Boolean =
     Files.exists(Paths.get(cdfDir(tableDir, v)))
 
+  /** `changeRows`: the tagged `_change_type` change set of this rewrite,
+    * from the affected files' rows — staged and stored only when the
+    * table has CDF enabled (disabled tables keep the [[changeFeed]]
+    * read-time-diff fallback). Callers hand the exact semantic:
+    * deleteWhere tags matched rows "delete"; updateWhere pairs matched
+    * rows as update_preimage/update_postimage. */
   private def rewriteWhere(spark: SparkSession, tableDir: String,
       pred: org.apache.spark.sql.Column, statsCol: Option[String],
-      rewrite: DataFrame => DataFrame): (Long, Int) = {
+      rewrite: DataFrame => DataFrame,
+      changeRows: DataFrame => DataFrame): (Long, Int) = {
     requireIndexColMatch(tableDir, statsCol)
     while (true) {
       val latest = latestVersion(tableDir)
@@ -992,15 +1054,16 @@ object CommitLogIngest {
         s"deleteWhere would leave $tableDir with no live files (the " +
           "append-only read contract forbids an empty table) — use " +
           "overwrite or drop the table instead")
-      // change rows, computed from the exact bytes this commit swaps
-      val after =
-        if (adds.isEmpty) readLive(affected).filter(lit(false))
-        else readLive(adds)
-      val cdfStaged = stageCdf(spark, tableDir, readLive(affected), after)
+      // change rows, computed from the exact bytes this commit swaps —
+      // only when the table opted into stored CDF (default off: a DML on
+      // a plain table must not pay a second read+write of its change set)
+      val cdfStaged =
+        if (!cdfEnabled(tableDir)) None
+        else Some(stageCdfRows(tableDir, changeRows(readLive(affected))))
       val stage = stageActions(spark, tableDir, adds, affected,
         schemaOf = None, txn = None)
       if (tryClaimVersion(tableDir, stage, latest + 1)) {
-        publishCdf(tableDir, cdfStaged, latest + 1)
+        cdfStaged.foreach(publishCdf(tableDir, _, latest + 1))
         postWin(spark, tableDir, latest + 1,
           statsCol.filter(_ => adds.nonEmpty),
           Some(outDir).filter(_ => adds.nonEmpty), schemaOf = None)
@@ -1009,7 +1072,7 @@ object CommitLogIngest {
       // lost the claim: the state we read is stale — discard and recompute
       LayoutDirs.deleteQuiet(stage.toString)
       LayoutDirs.deleteQuiet(outDir)
-      LayoutDirs.deleteQuiet(cdfStaged)
+      cdfStaged.foreach(LayoutDirs.deleteQuiet)
     }
     (-1L, 0) // unreachable
   }
@@ -1076,11 +1139,12 @@ object CommitLogIngest {
       }
       val adds = LayoutDirs.dataFiles(optDir)
       val stage = stageActions(spark, tableDir, adds, smalls,
-        schemaOf = None, txn = None)
+        schemaOf = None, txn = None, op = Some("optimize"))
       if (tryClaimVersion(tableDir, stage, v + 1)) {
-        // a pure layout move changes nothing — record exactly that, so
-        // CDF readers skip this version without diffing anything
-        writeCdfEmpty(tableDir, v + 1)
+        // a pure layout move changes nothing — the ("op", "optimize")
+        // action says exactly that from the log alone; CDF-enabled
+        // tables also keep the empty cdf marker (pre-op readers)
+        if (cdfEnabled(tableDir)) writeCdfEmpty(tableDir, v + 1)
         postWin(spark, tableDir, v + 1, statsCol, Some(optDir),
           schemaOf = None)
         return (v + 1, smalls.size, adds.size)
@@ -1113,7 +1177,28 @@ object CommitLogIngest {
       .flatMap(v => liveFiles(spark, tableDir, v)).toSet
     val drop = (all -- keep).toSeq.sorted
     drop.foreach(p => Files.deleteIfExists(Paths.get(p)))
-    drop
+    // stored change data obeys the SAME retention horizon (round-12
+    // ADVICE: update-heavy CDF tables leaked cdf/version=v dirs without
+    // bound) — a version below the floor is unreadable, so its change
+    // rows are unreadable too
+    val cdfRoot = Paths.get(tableDir, "cdf")
+    val cdfDropped =
+      if (!Files.exists(cdfRoot)) Seq.empty[String]
+      else {
+        val s = Files.list(cdfRoot)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala
+            .filter(_.getFileName.toString.startsWith("version="))
+            .filter { p =>
+              val v = p.getFileName.toString.stripPrefix("version=").toLong
+              v < math.max(retainMin, 0L)
+            }
+            .map { p => LayoutDirs.deleteQuiet(p.toString); p.toString }
+            .toSeq
+        } finally s.close()
+      }
+    drop ++ cdfDropped
   }
 
   /** TIME-BASED retention (the production face of [[vacuum]]): reclaim
@@ -1181,13 +1266,18 @@ object CommitLogIngest {
         sum(when(col("action") === "remove", 1).otherwise(0))
           .as("n_removed"),
         max(when(col("action") === "txn", col("path"))).as("txn"),
+        max(when(col("action") === "op", col("path"))).as("op"),
         max((col("action") === "schema").cast("int")).cast("boolean")
           .as("schema_change"))
       .withColumn("operation",
-        when(col("n_added") > 0 && col("n_removed") > 0, "rewrite")
-          .when(col("n_added") > 0, "append")
-          .when(col("n_removed") > 0, "delete")
-          .otherwise("metadata"))
+        // the recorded op kind (overwrite/optimize/zorder) names the
+        // operation exactly; older commits fall back to the derivation
+        coalesce(col("op"),
+          when(col("n_added") > 0 && col("n_removed") > 0, "rewrite")
+            .when(col("n_added") > 0, "append")
+            .when(col("n_removed") > 0, "delete")
+            .otherwise("metadata")))
+      .drop("op")
       .orderBy("version")
   }
 
@@ -1338,20 +1428,20 @@ object CommitLogIngest {
 
   /** CHANGE DATA FEED over (from, to] — the Delta CDF shape: every row the
     * range changed, tagged `_change_type` and `_commit_version`. An append
-    * version contributes its rows as "insert"; a REWRITE version (DML /
-    * not OPTIMIZE — a pure layout move has no logical change) contributes
-    * the multiset difference of its removed vs added files: rows only in
-    * the removed files are "delete", rows only in the added files are
-    * "insert" (an update therefore appears as its pre-image delete + its
-    * post-image insert — the keyless-CDF semantic; pair them on the key
-    * downstream). Cost is O(changed files) per version, never O(table):
-    * the diff reads exactly the files the commit touched, and since
-    * compaction rewrites carry identical multisets they contribute
-    * nothing (at the price of reading both sides — feed OPTIMIZE-heavy
-    * ranges through [[changes]] with skipChangeCommits instead when
-    * layout commits dominate). Unlike [[changes]], version dirs must
-    * survive for the whole range (retention past them loses the diff
-    * base — fails loudly through the same floor guard). */
+    * version contributes its rows as "insert"; an OVERWRITE contributes
+    * its removed files as "delete" + added files as "insert" straight
+    * from the log (no diff — the Delta INSERT OVERWRITE rule); a
+    * layout-only version (OPTIMIZE/ZORDER) contributes nothing; a DML
+    * rewrite on a CDF-ENABLED table ([[setCdfEnabled]]) contributes its
+    * STORED change rows — updates as update_preimage/update_postimage
+    * pairs, deletes as "delete", merge-inserts as "insert" (the Delta CDC
+    * contract). A DML version WITHOUT stored change data (CDF off, or a
+    * pre-round-12 commit) falls back to the read-time multiset diff of
+    * its removed vs added files, where an update DEGRADES to delete +
+    * insert (keyless diff — pair on the key downstream). Cost is
+    * O(changed files) per version, never O(table). Unlike [[changes]],
+    * version dirs must survive for the whole range (retention past them
+    * loses the diff base — fails loudly through the same floor guard). */
   def changeFeed(spark: SparkSession, tableDir: String,
       fromExclusive: Long, toInclusive: Long): DataFrame = {
     val logDir = s"$tableDir/log"
@@ -1380,11 +1470,25 @@ object CommitLogIngest {
             .map(_.getString(1)).toSeq
           val removes = actions.filter(_.getString(0) == "remove")
             .map(_.getString(1)).toSeq
+          val ops = actions.filter(_.getString(0) == "op")
+            .map(_.getString(1)).toSet
           def tag(df: DataFrame, t: String): DataFrame =
             df.withColumn("_change_type", lit(t))
               .withColumn("_commit_version", lit(v))
           if (removes.isEmpty && adds.isEmpty) None // metadata-only
           else if (removes.isEmpty) Some(tag(readFiles(adds), "insert"))
+          // layout-only rewrite (OPTIMIZE/ZORDER): identical multisets by
+          // construction — nothing changed, nothing to read or diff
+          else if (ops.exists(LayoutOps)) None
+          // overwrite: the change set IS the file swap — removed files
+          // are the deletes, added files the inserts, zero diff compute
+          else if (ops.contains("overwrite")) {
+            val ins =
+              if (adds.isEmpty) readFiles(removes).filter(lit(false))
+              else readFiles(adds)
+            Some(tag(readFiles(removes), "delete")
+              .unionByName(tag(ins, "insert")))
+          }
           else if (hasCdf(tableDir, v)) {
             // round-11 commits STORE their change rows (cdf/version=v —
             // the Delta _change_data shape): read them directly, zero
@@ -1433,12 +1537,14 @@ object CommitLogIngest {
     * (`.option("readChangeFeed", "true")`): every file whose rows the
     * range (from, to] changed, as (path, version, tagOverride) — append
     * versions contribute their added files tagged "insert" (the tag is a
-    * per-partition CONSTANT, not in the file), change commits contribute
-    * their STORED `cdf/version=v` files (tag in the file; an empty marker
-    * contributes nothing). O(changed files), never O(table). Fails
-    * loudly on a retention-pruned range (same floor rule as [[changes]])
-    * and on a legacy change commit with no stored change data — never a
-    * silently partial feed. */
+    * per-partition CONSTANT, not in the file), overwrites their removed
+    * files tagged "delete" + added tagged "insert" (no diff, no storage),
+    * layout-only versions nothing, and DML change commits their STORED
+    * `cdf/version=v` files (tag in the file; an empty marker contributes
+    * nothing). O(changed files), never O(table). Fails loudly on a
+    * retention-pruned range (same floor rule as [[changes]]) and on a
+    * DML commit with no stored change data (CDF was off — the message
+    * names [[setCdfEnabled]]) — never a silently partial feed. */
   private[graft] def cdfFiles(spark: SparkSession, tableDir: String,
       fromExclusive: Long, toInclusive: Long)
       : Seq[(String, Long, Option[String])] = {
@@ -1457,20 +1563,31 @@ object CommitLogIngest {
           .select("action", "path").collect()
         val adds = actions.filter(_.getString(0) == "add")
           .map(_.getString(1)).toSeq
-        val hasRemoves = actions.exists(_.getString(0) == "remove")
-        if (!hasRemoves && adds.isEmpty) Seq.empty // metadata-only
-        else if (!hasRemoves) adds.map(p => (p, v, Some("insert")))
+        val removes = actions.filter(_.getString(0) == "remove")
+          .map(_.getString(1)).toSeq
+        val ops = actions.filter(_.getString(0) == "op")
+          .map(_.getString(1)).toSet
+        if (removes.isEmpty && adds.isEmpty) Seq.empty // metadata-only
+        else if (removes.isEmpty) adds.map(p => (p, v, Some("insert")))
+        // layout-only rewrite: identical multisets, nothing changed
+        else if (ops.exists(LayoutOps)) Seq.empty
+        // overwrite: removed files ARE the deletes, added the inserts
+        else if (ops.contains("overwrite"))
+          removes.map(p => (p, v, Some("delete"))) ++
+            adds.map(p => (p, v, Some("insert")))
         else if (hasCdf(tableDir, v)) {
           val c = cdfDir(tableDir, v)
           if (!LayoutDirs.hasParquetData(c)) Seq.empty // OPTIMIZE marker
           else LayoutDirs.dataFiles(c)
             .map(p => (p, v, None: Option[String]))
         } else throw new IllegalStateException(
-          s"readChangeFeed: version $v is a change commit with no " +
-            s"stored change data (cdf/version=$v missing — a pre-round-11 " +
-            "commit, or its cdf publish crashed mid-commit) — read it " +
-            "through CommitLogIngest.changeFeed (read-time diff) or " +
-            "restart from a snapshot")
+          s"readChangeFeed: version $v is a DML change commit with no " +
+            s"stored change data (cdf/version=$v missing — the table did " +
+            "not have CDF enabled when it committed, or its cdf publish " +
+            "crashed mid-commit) — CommitLogIngest.setCdfEnabled(dir) " +
+            "before future DML, and read this range through " +
+            "CommitLogIngest.changeFeed (read-time diff) or restart from " +
+            "a snapshot")
       }
     }
   }

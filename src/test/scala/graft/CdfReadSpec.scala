@@ -28,7 +28,11 @@ class CdfReadSpec extends SparkSuite {
       (w * 100L until w * 100L + 100L).map(i => (i, s"p$i", i * 10))
         .toDF("id", "p", "n")
         .write.format("graft-commitlog").option("path", table)
-        .option("statsCol", "id").mode("append").save()
+        .option("statsCol", "id")
+        // stored CDF is per-table opt-in (round 12, the Delta
+        // enableChangeDataFeed shape) — this suite exercises exactly that
+        .option("enableCdf", "true")
+        .mode("append").save()
     }
     val (dv, _) = CommitLogIngest.deleteWhere(s, table,
       col("id") % 7 === 3, statsCol = Some("id"))
@@ -61,14 +65,24 @@ class CdfReadSpec extends SparkSuite {
       .option("readChangeFeed", "true").option("startingVersion", "3")
       .option("endingVersion", "3").load()) ==
       canon(CommitLogIngest.changeFeed(s, table, 2L, 3L)))
-    // the update's pre/post images pair per key: equal delete and insert
-    // counts, and n differs by exactly +1 per key
+    // the update's pre/post images pair per key (the Delta CDC contract,
+    // round 12 — no longer the keyless delete+insert representation)
     val upd = s.read.format("graft-commitlog").option("path", table)
       .option("readChangeFeed", "true").option("startingVersion", "3")
       .option("endingVersion", "3").load()
     val byType = upd.groupBy("_change_type").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(byType("delete") == byType("insert") && byType("delete") > 0)
+    assert(byType.keySet == Set("update_preimage", "update_postimage"))
+    assert(byType("update_preimage") == byType("update_postimage") &&
+      byType("update_preimage") > 0)
+    // images pair exactly per id, post n = pre n + 1
+    val pairs = upd.groupBy("id").agg(
+      sum(when(col("_change_type") === "update_preimage", col("n")))
+        .as("pre"),
+      sum(when(col("_change_type") === "update_postimage", col("n")))
+        .as("post")).collect()
+    assert(pairs.nonEmpty && pairs.forall(r =>
+      r.getLong(2) == r.getLong(1) + 1L))
     // OPTIMIZE (v4) contributes nothing
     assert(s.read.format("graft-commitlog").option("path", table)
       .option("readChangeFeed", "true").option("startingVersion", "4")
