@@ -376,9 +376,37 @@ object Multimodal {
   private lazy val imageIoNoCache: Unit =
     javax.imageio.ImageIO.setUseCache(false)
 
+  /** PNG codec SPIs resolved ONCE PER JVM (round-12: the same
+    * cached-ServiceLoader treatment the WAV fix applied to AudioSystem —
+    * `ImageIO.read/write` rescan the IIORegistry on EVERY call, a
+    * synchronized registry walk 32 executor threads then serialize on).
+    * Reader/writer INSTANCES are not thread-safe, so each call creates
+    * one from the cached SPI — instance creation is a plain constructor,
+    * the contended part was the registry scan. */
+  private lazy val pngWriterSpi: javax.imageio.spi.ImageWriterSpi = {
+    imageIoNoCache
+    import scala.jdk.CollectionConverters._
+    javax.imageio.spi.IIORegistry.getDefaultInstance
+      .getServiceProviders(classOf[javax.imageio.spi.ImageWriterSpi], true)
+      .asScala
+      .find(_.getFormatNames.exists(_.equalsIgnoreCase("png")))
+      .getOrElse(throw new IllegalStateException(
+        "no PNG ImageWriter SPI in this JDK"))
+  }
+
+  private lazy val pngReaderSpi: javax.imageio.spi.ImageReaderSpi = {
+    imageIoNoCache
+    import scala.jdk.CollectionConverters._
+    javax.imageio.spi.IIORegistry.getDefaultInstance
+      .getServiceProviders(classOf[javax.imageio.spi.ImageReaderSpi], true)
+      .asScala
+      .find(_.getFormatNames.exists(_.equalsIgnoreCase("png")))
+      .getOrElse(throw new IllegalStateException(
+        "no PNG ImageReader SPI in this JDK"))
+  }
+
   /** Encode one gradient tile as a real PNG (grayscale, 8-bit). */
   private[graft] def encodePng(w: Int, h: Int, docId: Long): Array[Byte] = {
-    imageIoNoCache
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
     val raster = img.getRaster
@@ -392,14 +420,30 @@ object Multimodal {
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    val out = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    val writer = pngWriterSpi.createWriterInstance()
+    try {
+      writer.setOutput(out)
+      writer.write(img)
+    } finally {
+      writer.dispose()
+      out.close()
+    }
     bos.toByteArray
   }
 
   private[graft] def decodePng(bytes: Array[Byte])
       : java.awt.image.BufferedImage = {
-    imageIoNoCache
-    javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val reader = pngReaderSpi.createReaderInstance()
+    try {
+      reader.setInput(in)
+      reader.read(0)
+    } finally {
+      reader.dispose()
+      in.close()
+    }
   }
 
   /** Real-PNG media table: per document one deterministic gradient tile,

@@ -26,7 +26,7 @@ import graft.plans.GraftFunctions.cosineSim
   * corpus shuffles once on the bucket key, pair fan-out is corpus²/buckets,
   * and the bucket width is the recall/cost knob. The SELF-JOIN path
   * (knnJoin) derives its bit width from the corpus size ([[adaptiveBits]] —
-  * expected bucket ≈ 128 rows, pair volume linear in n); the query-serving
+  * expected bucket ≈ 64 rows, pair volume linear in n); the query-serving
   * paths (50 fixed queries) keep the static 8 bits, where fan-out is
   * queries×bucket, already linear. At 1B vectors one would add multi-probe;
   * the plan shape stays the same.
@@ -41,7 +41,7 @@ object Similarity {
     * expected bucket width near-constant (bits ≈ log₂(n/target)) makes
     * the pair volume ~n·target — linear in corpus size — instead of
     * quadratic at any fixed bit width. */
-  private val TargetBucketRows = 128
+  private val TargetBucketRows = 64
 
   /** Corpus-derived sign-LSH width: bits = ⌈log₂(n / TargetBucketRows)⌉,
     * floored at [[LshBits]] (so every corpus ≤ 2^8·target rows — all the
@@ -299,9 +299,9 @@ object Similarity {
     * compile-time `LshBits = 8` makes the self-join pair fan-out
     * n²/256 — quadratic, 21× time for 10× data sf1→sf10). One
     * metadata-cheap `count()` (parquet footer row counts, no data scan)
-    * derives bits = ⌈log₂(n/128)⌉ via [[adaptiveBits]], holding the
-    * expected bucket at ~128 rows so pair volume stays ~128·n — linear.
-    * The floor at 8 bits keeps every oracle/bench SF (n ≤ 32k) on the
+    * derives bits = ⌈log₂(n/64)⌉ via [[adaptiveBits]], holding the
+    * expected bucket at ~64 rows so pair volume stays ~64·n — linear.
+    * The floor at 8 bits keeps every oracle/bench SF (n ≤ 16k) on the
     * exact bucketing the static DuckDB oracle hashes with. */
   def knnJoin(spark: SparkSession, sfDir: String): DataFrame = {
     // sized on the RAW table count (parquet footer aggregate — no data

@@ -20,6 +20,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => PruneColumnsThroughTopK)
     ext.injectPlannerStrategy(_ => TopKStrategy)
     ext.injectPlannerStrategy(_ => CommitLogDmlStrategy)
+    // SQL maintenance surface: OPTIMIZE [ZORDER BY] / VACUUM / DESCRIBE
+    // HISTORY on commit-log tables; everything else delegates untouched
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
   }
 }
 

@@ -1,0 +1,139 @@
+package graft.plans
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringType, StructType}
+
+import graft.streaming.CommitLogIngest
+
+/** SQL maintenance surface for commit-log tables (round-12 verdict task
+  * 6) — the statements Delta exposes that the API already implements:
+  *
+  * {{{
+  *   OPTIMIZE '<tableDir>'
+  *   OPTIMIZE '<tableDir>' ZORDER BY (colA, colB)
+  *   VACUUM '<tableDir>' RETAIN <hours> HOURS
+  *   DESCRIBE HISTORY '<tableDir>'
+  * }}}
+  *
+  * Injected as a DELEGATING parser (`injectParser`): these statements are
+  * not Spark grammar, so interception happens before the delegate; every
+  * other string parses through the session's normal parser untouched.
+  * Each form lands on the IDENTICAL API call (`optimize`,
+  * `optimizeZOrder`, `vacuumRetention`, `history`) as a `RunnableCommand`
+  * — eager, atomic, and returning the same observable rows the API
+  * returns. A malformed retention is refused AT ANALYSIS (command
+  * construction) with zero mutation. */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftSqlParser.maintenancePlan(sqlText)
+      .getOrElse(delegate.parsePlan(sqlText))
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseDataType(sqlText: String)
+      : org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+}
+
+object GraftSqlParser {
+
+  // single-quoted table dir; columns are plain identifiers
+  private val OptimizeZorder =
+    """(?is)\s*OPTIMIZE\s+'([^']+)'\s+ZORDER\s+BY\s*\(\s*([\w.]+)\s*,\s*([\w.]+)\s*\)\s*;?\s*""".r
+  private val Optimize =
+    """(?is)\s*OPTIMIZE\s+'([^']+)'\s*;?\s*""".r
+  private val Vacuum =
+    """(?is)\s*VACUUM\s+'([^']+)'\s+RETAIN\s+([0-9.eE+-]+)\s+HOURS\s*;?\s*""".r
+  private val History =
+    """(?is)\s*DESCRIBE\s+HISTORY\s+'([^']+)'\s*;?\s*""".r
+
+  private[plans] def maintenancePlan(sql: String): Option[LogicalPlan] =
+    sql match {
+      case OptimizeZorder(dir, a, b) =>
+        Some(OptimizeCommand(dir, Seq(a, b)))
+      case Optimize(dir) => Some(OptimizeCommand(dir, Seq.empty))
+      case Vacuum(dir, hours) =>
+        Some(VacuumCommand(dir, hours.toDouble))
+      case History(dir) => Some(DescribeHistoryCommand(dir))
+      case _ => None
+    }
+}
+
+/** `OPTIMIZE` (size compaction) / `OPTIMIZE ... ZORDER BY` (Morton
+  * re-clustering) — identical to the API calls, statsCol from the
+  * table's recorded index column. */
+case class OptimizeCommand(dir: String, zorderBy: Seq[String])
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType)(),
+    AttributeReference("files_removed", IntegerType)(),
+    AttributeReference("files_added", IntegerType)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val statsCol = CommitLogIngest.indexedCol(dir)
+    val (v, removed, added) =
+      if (zorderBy.isEmpty) CommitLogIngest.optimize(spark, dir, statsCol)
+      else CommitLogIngest.optimizeZOrder(spark, dir, zorderBy, statsCol)
+    Seq(Row(v, removed, added))
+  }
+}
+
+/** `VACUUM ... RETAIN n HOURS` — the time-based retention face. The
+  * horizon is validated HERE (analysis time): a config typo must fail
+  * before any deletion, with zero mutation. */
+case class VacuumCommand(dir: String, retainHours: Double)
+    extends LeafRunnableCommand {
+
+  require(java.lang.Double.isFinite(retainHours) && retainHours > 0,
+    s"VACUUM: RETAIN must be a positive, finite hour count, got " +
+      s"$retainHours — a zero/negative horizon would reclaim every " +
+      "historical version")
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("retention_floor", LongType)(),
+    AttributeReference("files_reclaimed", IntegerType)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (floor, dropped) =
+      CommitLogIngest.vacuumRetention(spark, dir, retainHours)
+    Seq(Row(floor, dropped.size))
+  }
+}
+
+/** `DESCRIBE HISTORY` — one row per surviving log version, the API's
+  * `history` frame verbatim. */
+case class DescribeHistoryCommand(dir: String) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType)(),
+    AttributeReference("n_added", LongType)(),
+    AttributeReference("n_removed", LongType)(),
+    AttributeReference("txn", StringType)(),
+    AttributeReference("schema_change", BooleanType)(),
+    AttributeReference("operation", StringType)())
+
+  override def run(spark: SparkSession): Seq[Row] =
+    CommitLogIngest.history(spark, dir)
+      .select("version", "n_added", "n_removed", "txn", "schema_change",
+        "operation")
+      .collect().toSeq
+}

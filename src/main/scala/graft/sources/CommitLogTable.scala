@@ -21,7 +21,7 @@ import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionRead
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, IsNull, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, IsNull, LessThan, LessThanOrEqual, StringStartsWith}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.vectorized.ColumnarBatch
@@ -277,6 +277,34 @@ class CommitLogScanBuilder(tableDir: String, schema: StructType,
     case _ => None
   }
 
+  /** Filter value as a String, for the truncated-string index consult
+    * (round 12). ASCII enforcement happens at PRUNE time against both
+    * sides — here any string value is accepted. */
+  private def strOf(v: Any): Option[String] = v match {
+    case s: String => Some(s)
+    case u: UTF8String => Some(u.toString)
+    case _ => None
+  }
+
+  /** INCLUSIVE [lo, hi] string bounds a filter implies on a column —
+    * strict comparisons weaken to inclusive (strings have no +1; a
+    * looser bound keeps extra files, never drops matching ones). */
+  private def anyStrBound(f: Filter)
+      : Option[(String, (Option[String], Option[String]))] = f match {
+    case EqualTo(c, v) => strOf(v).map(s => c -> (Some(s), Some(s)))
+    case GreaterThan(c, v) => strOf(v).map(s => c -> (Some(s), None))
+    case GreaterThanOrEqual(c, v) => strOf(v).map(s => c -> (Some(s), None))
+    case LessThan(c, v) => strOf(v).map(s => c -> (None, Some(s)))
+    case LessThanOrEqual(c, v) => strOf(v).map(s => c -> (None, Some(s)))
+    case StringStartsWith(c, p) if p.nonEmpty =>
+      // rows match only if they carry prefix p: lo = p, and every string
+      // with that prefix is < prefixUpper(p) — an inclusive hi of p
+      // extended is unnecessary; the min-side bound alone prunes files
+      // wholly below the prefix, the max side via prefixUpper at prune
+      Some(c -> (Some(p), None))
+    case _ => None
+  }
+
   /** [lo, hi] a filter implies on ANY column (the multi-column index
     * consults whichever filtered column has stats). */
   private def anyBound(f: Filter): Option[(String, (Long, Long))] = f match {
@@ -329,6 +357,7 @@ class CommitLogScanBuilder(tableDir: String, schema: StructType,
     // untranslated filter can cost speed but never rows
     pushed = filters.filter(f =>
       anyBound(f).isDefined ||
+        anyStrBound(f).isDefined ||
         partConstraintOf(f).isDefined ||
         ParquetFilters.translatable(f))
     filters
@@ -356,10 +385,22 @@ class CommitLogScanBuilder(tableDir: String, schema: StructType,
       }
   }
 
+  /** Per-column INCLUSIVE string bounds for the truncated-string index
+    * consult, intersected per column (max of los, min of his — any
+    * ordering disagreement is resolved safely at prune time by the
+    * ASCII gate). */
+  private def strBounds: Map[String, (Option[String], Option[String])] =
+    pushed.flatMap(anyStrBound).groupBy(_._1).map { case (c, bs) =>
+      val los = bs.flatMap(_._2._1)
+      val his = bs.flatMap(_._2._2)
+      c -> (if (los.isEmpty) None else Some(los.max),
+        if (his.isEmpty) None else Some(his.min))
+    }
+
   override def build(): Scan =
     new CommitLogScan(tableDir, required, options, bounds,
       pushed.filter(ParquetFilters.translatable),
-      pushed.flatMap(partConstraintOf).toSeq)
+      pushed.flatMap(partConstraintOf).toSeq, strBounds)
 }
 
 /** Partition-dir pruning constraints (scan-planning side of the hive
@@ -386,7 +427,8 @@ private[sources] case class PartIsNull(col: String) extends PartConstraint {
 
 class CommitLogScan(tableDir: String, schema: StructType,
     options: CaseInsensitiveStringMap, bounds: Map[String, (Long, Long)],
-    filters: Array[Filter], partConstraints: Seq[PartConstraint] = Seq.empty)
+    filters: Array[Filter], partConstraints: Seq[PartConstraint] = Seq.empty,
+    strBounds: Map[String, (Option[String], Option[String])] = Map.empty)
     extends Scan {
 
   override def readSchema(): StructType = schema
@@ -413,7 +455,7 @@ class CommitLogScan(tableDir: String, schema: StructType,
     } else
       new CommitLogBatch(tableDir, schema,
         Option(options.get("versionAsOf")).map(_.toLong), bounds, filters,
-        partConstraints)
+        partConstraints, strBounds)
 
   override def toMicroBatchStream(checkpointLocation: String)
       : MicroBatchStream =
@@ -421,7 +463,8 @@ class CommitLogScan(tableDir: String, schema: StructType,
       Option(options.get("maxVersionsPerTrigger")).map(_.toLong), bounds,
       filters,
       Option(options.get("skipChangeCommits")).exists(_.toBoolean),
-      partConstraints, cdf = cdf, startingVersion = startingVersion)
+      partConstraints, cdf = cdf, startingVersion = startingVersion,
+      strBounds = strBounds)
 }
 
 /** Batch CHANGE-FEED scan over [startingVersion, endingVersion]: one
@@ -454,7 +497,8 @@ class CommitLogCdfBatch(tableDir: String, schema: StructType,
   * file. */
 class CommitLogBatch(tableDir: String, schema: StructType,
     versionAsOf: Option[Long], bounds: Map[String, (Long, Long)],
-    filters: Array[Filter], partConstraints: Seq[PartConstraint] = Seq.empty)
+    filters: Array[Filter], partConstraints: Seq[PartConstraint] = Seq.empty,
+    strBounds: Map[String, (Option[String], Option[String])] = Map.empty)
     extends Batch {
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -468,7 +512,8 @@ class CommitLogBatch(tableDir: String, schema: StructType,
     // partition dirs prune FIRST (pure path string work, no reads at
     // all), then the stats index consults one small metadata read
     val dirPruned = CommitLogPlanning.pruneByPath(files, partConstraints)
-    CommitLogPlanning.pruneByIndex(spark, tableDir, dirPruned, bounds)
+    CommitLogPlanning.pruneByIndex(spark, tableDir, dirPruned, bounds,
+        strBounds)
       .map(f => CommitLogInputPartition(f): InputPartition).toArray
   }
 
@@ -481,7 +526,8 @@ class CommitLogMicroBatchStream(tableDir: String, schema: StructType,
     maxVersionsPerTrigger: Option[Long], bounds: Map[String, (Long, Long)],
     filters: Array[Filter], skipChangeCommits: Boolean = false,
     partConstraints: Seq[PartConstraint] = Seq.empty,
-    cdf: Boolean = false, startingVersion: Option[Long] = None)
+    cdf: Boolean = false, startingVersion: Option[Long] = None,
+    strBounds: Map[String, (Option[String], Option[String])] = Map.empty)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   require(maxVersionsPerTrigger.forall(_ > 0),
@@ -551,7 +597,8 @@ class CommitLogMicroBatchStream(tableDir: String, schema: StructType,
       CommitLogOffset.version(start), CommitLogOffset.version(end),
       skipChangeCommits)
     val dirPruned = CommitLogPlanning.pruneByPath(files, partConstraints)
-    CommitLogPlanning.pruneByIndex(spark, tableDir, dirPruned, bounds)
+    CommitLogPlanning.pruneByIndex(spark, tableDir, dirPruned, bounds,
+        strBounds)
       .map(f => CommitLogInputPartition(f): InputPartition).toArray
   }
 
@@ -610,8 +657,10 @@ private[sources] object CommitLogPlanning {
     * kept — prune is a speedup, never a correctness dependency. One
     * small metadata read. */
   def pruneByIndex(spark: SparkSession, tableDir: String,
-      files: Seq[String], bounds: Map[String, (Long, Long)]): Seq[String] = {
-    if (bounds.isEmpty || files.isEmpty ||
+      files: Seq[String], bounds: Map[String, (Long, Long)],
+      strBounds: Map[String, (Option[String], Option[String])] = Map.empty)
+      : Seq[String] = {
+    if ((bounds.isEmpty && strBounds.isEmpty) || files.isEmpty ||
         !LayoutDirs.hasParquetData(s"$tableDir/index")) return files
     val idx = spark.read.option("mergeSchema", "true")
       .parquet(s"$tableDir/index")
@@ -635,10 +684,70 @@ private[sources] object CommitLogPlanning {
         mx < lo || mn > hi, org.apache.spark.sql.functions.lit(false))
       legacy ++ v2.toSeq
     }
-    if (conds.isEmpty) return files
-    val prunable = idx.filter(conds.reduce(_ || _))
-      .select("path").collect().map(_.getString(0)).toSet
-    files.filterNot(prunable)
+    val intPrunable: Set[String] =
+      if (conds.isEmpty) Set.empty
+      else idx.filter(conds.reduce(_ || _))
+        .select("path").collect().map(_.getString(0)).toSet
+    // TRUNCATED-STRING bounds judge DRIVER-SIDE over the same metadata
+    // read (the prefix-incremented upper bound is per-row logic): prune a
+    // file only when PROVABLY disjoint — both operands ASCII (the regime
+    // where every ordering agrees), and the stored max either exact or
+    // safely prefix-incremented. A NULL/absent stat keeps the file.
+    val strActive = strBounds.toSeq.flatMap { case (c, b) =>
+      (for {
+        mn <- structField("strMins", c)
+        mx <- structField("strMaxs", c)
+        ex <- structField("strMaxExact", c)
+      } yield (b, mn, mx, ex)).toSeq
+    }
+    val strPrunable: Set[String] =
+      if (strActive.isEmpty) Set.empty
+      else {
+        val projected = idx.select(
+          col("path") +: strActive.zipWithIndex.flatMap {
+            case ((_, mn, mx, ex), i) =>
+              Seq(mn.as(s"mn$i"), mx.as(s"mx$i"), ex.as(s"ex$i"))
+          }: _*).collect()
+        projected.flatMap { r =>
+          val drop = strActive.zipWithIndex.exists {
+            case (((lo, hi), _, _, _), i) =>
+              val mn = Option(r.getAs[String](s"mn$i"))
+              val mx = Option(r.getAs[String](s"mx$i"))
+              val exact = !r.isNullAt(r.fieldIndex(s"ex$i")) &&
+                r.getAs[Boolean](s"ex$i")
+              val belowLo = (lo, mx) match {
+                case (Some(l), Some(m)) if ascii(l) && ascii(m) =>
+                  if (exact) m < l
+                  else prefixUpper(m).exists(u => u <= l)
+                case _ => false
+              }
+              val aboveHi = (hi, mn) match {
+                case (Some(h), Some(m)) if ascii(h) && ascii(m) => m > h
+                case _ => false
+              }
+              belowLo || aboveHi
+          }
+          if (drop) Some(r.getString(0)) else None
+        }.toSet
+      }
+    files.filterNot(intPrunable).filterNot(strPrunable)
+  }
+
+  private def ascii(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) { if (s.charAt(i) >= 0x80) return false; i += 1 }
+    true
+  }
+
+  /** The least string STRICTLY GREATER than every string carrying prefix
+    * `p` (ASCII): increment the last incrementable char, drop the tail;
+    * None when every char is already 0x7F — then the truncated max
+    * yields no safe upper bound and the file is kept. */
+  private[sources] def prefixUpper(p: String): Option[String] = {
+    var i = p.length - 1
+    while (i >= 0 && p.charAt(i) >= 0x7f) i -= 1
+    if (i < 0) None
+    else Some(p.substring(0, i) + (p.charAt(i) + 1).toChar)
   }
 }
 

@@ -66,6 +66,7 @@ object EventsLayout {
           // layout is encoding-independent: whatever physical timestamp
           // type the driver ships, the directories mean the same days.
           Tables.events(spark, sfDir)
+            .drop("day") // layout-shaped sources already carry it
             .withColumn("day", expr(s"ts div $NanosPerDay"))
             .write.mode("overwrite").partitionBy("day").parquet(dir)
           created.put(sfDir, (fp, dir))

@@ -51,6 +51,9 @@ object IncrementalRollup {
     * both the base build and every delta batch aggregate to. */
   private def partials(events: DataFrame): DataFrame =
     events
+      // delta batches re-read from the day layout already carry `day`;
+      // drop-then-derive keeps the build warning-clean (no-op otherwise)
+      .drop("day")
       .withColumn("day", expr(s"ts div ${EventsLayout.NanosPerDay}"))
       .groupBy(col("day"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))

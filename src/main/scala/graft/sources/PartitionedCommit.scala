@@ -49,6 +49,7 @@ object PartitionedCommit {
       val root = Files.createTempDirectory("graft-partcommit")
       val table = root.toString + "/table"
       val ev = Tables.events(spark, sfDir)
+        .drop("day") // layout-shaped sources already carry it
         .withColumn("day", expr(s"ts div ${EventsLayout.NanosPerDay}"))
       (0 until 2).foreach { i =>
         ev.filter(col("event_id") % 2 === i)

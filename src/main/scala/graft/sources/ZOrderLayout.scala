@@ -105,6 +105,7 @@ object ZOrderLayout {
           // against file/row-group stats — same reason it is a partition
           // column in EventsLayout.
           val base = Tables.events(spark, sfDir)
+            .drop("day") // layout-shaped sources already carry it
             .withColumn("day", expr(s"ts div $NanosPerDay"))
           base
             .withColumn("zv", zvalue(col("user_id"), col("day")))

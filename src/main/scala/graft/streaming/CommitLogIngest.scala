@@ -485,13 +485,14 @@ object CommitLogIngest {
   private def stageActions(spark: SparkSession, tableDir: String,
       adds: Seq[String], removes: Seq[String],
       schemaOf: Option[org.apache.spark.sql.types.StructType],
-      txn: Option[String], op: Option[String] = None): java.nio.file.Path = {
+      txn: Option[String], op: Option[String] = None,
+      extra: Seq[(String, String)] = Nil): java.nio.file.Path = {
     import spark.implicits._
     val stage = Paths.get(tableDir, "log",
       s".stage-${java.util.UUID.randomUUID().toString.take(12)}")
     (removes.map(("remove", _)) ++ adds.map(("add", _)) ++
       schemaOf.toSeq.flatMap(st => schemaActionFor(tableDir, st)) ++
-      txn.map(("txn", _)) ++ op.map(("op", _)))
+      txn.map(("txn", _)) ++ op.map(("op", _)) ++ extra)
       .toDF("action", "path")
       .coalesce(1).write.mode("overwrite").parquet(stage.toString)
     stage
@@ -520,14 +521,23 @@ object CommitLogIngest {
     *    integral leaf column (the scan prunes on whichever filtered
     *    column has stats — a filter on the SECOND column no longer opens
     *    the whole table);
-    *  - `nullCounts` over every atomic column.
+    *  - `nullCounts` over every atomic column;
+    *  - `strMins`/`strMaxs`/`strMaxExact` with 32-char TRUNCATED bounds
+    *    for every string leaf (round 12, the Delta truncated-string-stats
+    *    semantics): a truncated min is still a valid lower bound; a
+    *    truncated max is NOT a valid upper bound by itself, so the
+    *    `strMaxExact` flag says whether it is the whole value — the
+    *    planner prefix-increments inexact maxes
+    *    ([[graft.sources.CommitLogPlanning.prefixUpper]]) and prunes
+    *    only when provably safe (ASCII-gated: the one regime where
+    *    UTF8-binary, Java-char and code-point orderings all agree).
     *
-    * Integral-only bounds by design: long normalization is exact, while
-    * double/string orderings have edge cases (2^53 precision, non-ASCII
-    * collation) where a wrong bound PRUNES MATCHING ROWS — the same
-    * safety rule as the filter-side `intOf`. Index rows from different
-    * versions may carry different struct fields (schema evolution);
-    * readers merge-read and treat a missing field as "no stats". */
+    * Integral + truncated-string bounds only: double orderings still
+    * have the 2^53 edge where a wrong bound PRUNES MATCHING ROWS — the
+    * same safety rule as the filter-side `intOf`. Index rows from
+    * different versions may carry different struct fields (schema
+    * evolution); readers merge-read and treat a missing field as "no
+    * stats". */
   private def writeIndexRows(spark: SparkSession, tableDir: String,
       dataDir: String, k: String, version: Long): Unit = {
     val df = spark.read.parquet(dataDir)
@@ -537,6 +547,10 @@ object CommitLogIngest {
           f.dataType == org.apache.spark.sql.types.ShortType ||
           f.dataType == org.apache.spark.sql.types.ByteType => f.name
     }.toSeq
+    val strings = df.schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.StringType =>
+        f.name
+    }.toSeq
     val atomic = df.schema.fields.collect {
       case f if !f.dataType.isInstanceOf[
           org.apache.spark.sql.types.StructType] &&
@@ -544,6 +558,7 @@ object CommitLogIngest {
         !f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] =>
         f.name
     }.toSeq
+    val L = 32 // truncation width, chars (the Delta default)
     val aggCols = Seq(
       min(col(k)).as("min_key"), max(col(k)).as("max_key"),
       count(lit(1)).as("rows")) ++
@@ -553,6 +568,14 @@ object CommitLogIngest {
            .as("mins"),
          struct(integral.map(c => max(col(c).cast("long")).as(c)): _*)
            .as("maxs"))) ++
+      (if (strings.isEmpty) Seq.empty
+       else Seq(
+         struct(strings.map(c =>
+           substring(min(col(c)), 1, L).as(c)): _*).as("strMins"),
+         struct(strings.map(c =>
+           substring(max(col(c)), 1, L).as(c)): _*).as("strMaxs"),
+         struct(strings.map(c =>
+           (length(max(col(c))) <= L).as(c)): _*).as("strMaxExact"))) ++
       (if (atomic.isEmpty) Seq.empty
        else Seq(
          struct(atomic.map(c =>
@@ -1153,6 +1176,100 @@ object CommitLogIngest {
       LayoutDirs.deleteQuiet(optDir)
     }
     (-1L, 0, 0) // unreachable
+  }
+
+  /** `OPTIMIZE ... ZORDER BY (a, b)` INSIDE the log (round-12 verdict
+    * task 5): rewrite the live set range-clustered on the Morton
+    * interleave of two columns, as ONE atomic layout-only commit — the
+    * Delta shape, bringing `src_zorder`'s clustering
+    * ([[graft.sources.ZOrderLayout]]) through the table format so the
+    * multi-column stats index (E-143) gets a layout that feeds it: after
+    * the rewrite, point reads on EITHER axis prune to ~sqrt-fraction
+    * candidate sets through the index's per-file min/max.
+    *
+    * Commit semantics: add(clustered) + remove(all live) at exactly
+    * latest+1 (single-attempt claim, recompute on conflict — the OPTIMIZE
+    * rule); the version records ("op", "zorder") so CDF readers skip it
+    * with zero diff work, plus ("zorderBy", "a,b") so a RE-RUN against an
+    * unchanged table is a NO-OP (returns (-1, 0, 0)) and DESCRIBE HISTORY
+    * names the operation. Pinned readers (versionAsOf) keep the
+    * pre-rewrite snapshot until vacuum. PARTITION-LOCAL like optimize:
+    * files cluster within their `col=value` dirs.
+    *
+    * Clustering is LAYOUT ONLY — never correctness: negative values
+    * interleave to the low Morton region (cast to long, no bias shift)
+    * which only weakens pruning for those rows, and the within-file sort
+    * keeps row-group stats tight. Returns (version, filesRemoved,
+    * filesAdded). */
+  def optimizeZOrder(spark: SparkSession, tableDir: String,
+      zorderBy: Seq[String], statsCol: Option[String] = None,
+      maxFileBytes: Long = 128L * 1024L * 1024L): (Long, Int, Int) = {
+    require(zorderBy.size == 2,
+      s"optimizeZOrder: exactly two clustering columns (the Morton pair), " +
+        s"got ${zorderBy.mkString(", ")}")
+    requireIndexColMatch(tableDir, statsCol)
+    val spec = zorderBy.mkString(",")
+    while (true) {
+      val v = latestVersion(tableDir)
+      require(v >= 0, s"$tableDir has no committed version")
+      // idempotence: the latest version already being THIS clustering
+      // means nothing changed since — re-running would burn a full
+      // rewrite to produce the same layout
+      if (zorderSpecAt(spark, tableDir, v).contains(spec))
+        return (-1L, 0, 0)
+      val live = liveFiles(spark, tableDir, v)
+      val declared = schemaAt(spark, tableDir, v)
+      val outDir =
+        s"$tableDir/data/zo-${java.util.UUID.randomUUID().toString.take(12)}"
+      val groups = live
+        .groupBy(graft.sources.PartitionPaths.segmentsOf).toSeq.sortBy(_._1)
+      groups.foreach { case (seg, paths) =>
+        val in = declared match {
+          case Some(st) => spark.read.schema(st).parquet(paths: _*)
+          case None => spark.read.option("mergeSchema", "true")
+            .parquet(paths: _*)
+        }
+        val missing = zorderBy.filterNot(in.columns.contains)
+        require(missing.isEmpty,
+          s"optimizeZOrder: column(s) ${missing.mkString(", ")} not in " +
+            s"$tableDir's schema")
+        val totalBytes = paths.map(p => Files.size(Paths.get(p))).sum
+        val n =
+          math.max(1L, (totalBytes + maxFileBytes - 1) / maxFileBytes).toInt
+        val z = graft.sources.ZOrderLayout.zvalue(
+          col(zorderBy.head).cast("long"), col(zorderBy(1)).cast("long"))
+        val dst = if (seg.isEmpty) outDir else s"$outDir/$seg"
+        in.withColumn("_graft_z", z)
+          .repartitionByRange(n, col("_graft_z"))
+          .sortWithinPartitions(col("_graft_z"))
+          .drop("_graft_z")
+          .write.mode("overwrite").parquet(dst)
+      }
+      val adds = LayoutDirs.dataFiles(outDir)
+      val stage = stageActions(spark, tableDir, adds, live,
+        schemaOf = None, txn = None, op = Some("zorder"),
+        extra = Seq(("zorderBy", spec)))
+      if (tryClaimVersion(tableDir, stage, v + 1)) {
+        if (cdfEnabled(tableDir)) writeCdfEmpty(tableDir, v + 1)
+        postWin(spark, tableDir, v + 1, statsCol, Some(outDir),
+          schemaOf = None)
+        return (v + 1, live.size, adds.size)
+      }
+      LayoutDirs.deleteQuiet(stage.toString)
+      LayoutDirs.deleteQuiet(outDir)
+    }
+    (-1L, 0, 0) // unreachable
+  }
+
+  /** The ("zorderBy", spec) action of version `v`, when v is a zorder
+    * commit. */
+  private def zorderSpecAt(spark: SparkSession, tableDir: String,
+      v: Long): Option[String] = {
+    val dir = s"$tableDir/log/version=$v"
+    if (!LayoutDirs.hasParquetData(dir)) None
+    else spark.read.parquet(dir)
+      .filter(col("action") === "zorderBy")
+      .select("path").collect().headOption.map(_.getString(0))
   }
 
   /** Physically delete every data file no retained version (>= retainMin)

@@ -47,24 +47,25 @@ class Round4OperatorsSpec extends SparkSuite {
 
   test("knn bucket width scales with corpus size (linear pair volume)") {
     import graft.operators.Similarity.adaptiveBits
-    // floor: every oracle/bench SF (n ≤ 2^8·128 = 32k vectors) hashes with
+    // floor: every oracle/bench SF (n ≤ 2^8·64 = 16k vectors) hashes with
     // the same 8 bits the static DuckDB oracle uses — r11 parity preserved
     assert(adaptiveBits(500) == 8)     // sf0.01, the oracle SF
     assert(adaptiveBits(2000) == 8)    // sf0.1, the bench SF
-    assert(adaptiveBits(32768) == 8)
-    // past the floor the expected bucket stays in (64, 128] rows, so the
-    // within-bucket pair volume n²/2^bits is ≤ 128·n — linear, the r11
+    assert(adaptiveBits(16384) == 8)
+    // past the floor the expected bucket stays in (32, 64] rows, so the
+    // within-bucket pair volume n²/2^bits is ≤ 64·n — linear, the r11
     // verdict's quadratic fan-out (constant 8 bits) is structurally gone
+    // (recorded sweep: sf1→sf10 wall-clock 1.11 s → 1.92 s, 1.7× for 10×)
     Seq(100000L, 200000L, 1000000L, 100000000L, 10000000000L).foreach { n =>
       val bits = adaptiveBits(n)
       val bucket = n.toDouble / math.pow(2.0, bits.toDouble)
-      assert(bucket <= 128.0 + 1e-6, s"n=$n bits=$bits bucket=$bucket")
-      assert(bucket > 64.0 - 1e-6, s"n=$n bits=$bits bucket=$bucket")
+      assert(bucket <= 64.0 + 1e-6, s"n=$n bits=$bits bucket=$bucket")
+      assert(bucket > 32.0 - 1e-6, s"n=$n bits=$bits bucket=$bucket")
     }
     // cap: one axis-aligned hyperplane per dimension is the family's max;
-    // the largest Long corpus needs 56 bits (2^56·128 ≈ Long.MaxValue),
+    // the largest Long corpus needs 57 bits (2^57·64 ≈ Long.MaxValue),
     // so the 64 cap is defensive headroom, never binding
-    assert(adaptiveBits(Long.MaxValue) == 56)
+    assert(adaptiveBits(Long.MaxValue) == 57)
     // monotone non-decreasing in n
     val pts = Seq(1L, 500L, 32768L, 65536L, 1000000L, Long.MaxValue)
     pts.zip(pts.tail).foreach { case (a, b) =>
