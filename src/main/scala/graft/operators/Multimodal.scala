@@ -14,12 +14,15 @@ import graft.model.Tables
   * to pixels before any arithmetic. Because the PNG roundtrip is lossless
   * and the written pixels follow a closed formula, the DuckDB oracle can
   * replay the decoded values exactly — a reader that skipped the decode,
-  * mis-parsed the raster, or lost a row hash-mismatches. The audio/video
-  * decode steps remain clearly-marked deterministic STUBS (no audio/video
-  * codecs ship with the JDK), but their Spark-side plumbing is real: a
-  * `binary` content column, a typed metadata struct, and `mapPartitions`
-  * stages with the exact shape a Pandas-UDF / Arrow-batch decoder would
-  * have (iterator-of-batches in, iterator out, fixed feature schema).
+  * mis-parsed the raster, or lost a row hash-mismatches. The AUDIO path
+  * is a real codec too (`javax.sound.sampled` WAV, round 11), and the
+  * VIDEO path (round 12) is a real RIFF/AVI CONTAINER with lossless PNG
+  * frames: `m_frame_sample` genuinely demuxes the chunk tree and decodes
+  * each sampled frame before any arithmetic — completing the codec
+  * trilogy. Only `featuresAgg`'s generic byte-histogram decoder remains a
+  * clearly-marked stand-in (its `mapPartitions` batch shape — iterator
+  * in, iterator out, fixed feature schema — is the exact slot a
+  * Pandas-UDF / JNI decoder drops into).
   *
   * Scale notes (100 TB of media): content stays an opaque binary column —
   * never parsed by Catalyst, never shuffled (feature extraction is
@@ -140,58 +143,170 @@ object Multimodal {
        |  ROUND(SUM(CAST(f1 AS DOUBLE)), 4) AS sum_f1
        |FROM feat GROUP BY mime""".stripMargin
 
-  // ---- frame sampling (video path) ------------------------------------------
+  // ---- frame sampling (REAL container: PNG-in-AVI, round 12) ----------------
 
   /** Frame record emitted by the sampler. */
-  final case class Frame(doc_id: Long, frame_idx: Int, frame_bytes: Long,
+  final case class Frame(doc_id: Long, frame_idx: Int, n_pixels: Long,
       checksum: Long)
 
-  /** STUB frame extractor: treats the blob as fixed-size 256-byte frames
-    * and samples every 4th — the partition-local batch shape of a real
-    * video decoder (one blob in, many frame rows out), with arithmetic
-    * deterministic enough to oracle. A real decoder swaps only the
-    * slicing logic. */
-  private def sampleFrames(rows: Iterator[MediaRow]): Iterator[Frame] =
-    rows.filter(_.mime == "video/mp4").flatMap { r =>
-      val frameSize = 256
-      val nFrames = r.content.length / frameSize
-      (0 until nFrames).filter(_ % 4 == 0).map { i =>
-        val frame = r.content.slice(i * frameSize, (i + 1) * frameSize)
-        var sum = 0L
-        frame.foreach(b => sum += (b & 0xFF))
-        Frame(r.doc_id, i, frame.length.toLong, sum)
-      }.iterator
+  /** One real-AVI media row: `content` is a genuine RIFF/AVI container. */
+  final case class AviRow(doc_id: Long, content: Array[Byte])
+
+  private[graft] val AviW = 16
+  private[graft] val AviH = 12
+  private[graft] def aviFrameCount(docId: Long): Int = (2L + docId % 5L).toInt
+  private[graft] def aviFrameSeed(docId: Long, i: Int): Long =
+    docId * 31L + i
+
+  private def le32(v: Int): Array[Byte] = Array(
+    (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+    ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+  private def riffChunk(id: String, body: Array[Byte]): Array[Byte] =
+    cc(id) ++ le32(body.length) ++ body ++
+      (if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+  private def riffList(typ: String, body: Array[Byte]): Array[Byte] =
+    riffChunk("LIST", cc(typ) ++ body)
+
+  /** Encode one document's clip as a REAL RIFF/AVI container ('vids'
+    * stream, fourcc MPNG — motion-PNG, each '00dc' chunk a genuine PNG
+    * frame encoded by the cached-SPI codec), headers and idx1 per the
+    * RIFF grammar. PNG is LOSSLESS, so a decoded frame sample MUST equal
+    * [[gradientPixel]] — what keeps the oracle a pure formula replay
+    * through a genuine demux + decode (the same discipline as the PNG
+    * and WAV codecs; MJPEG would break the replay with lossy DCT). */
+  private[graft] def encodeAvi(docId: Long): Array[Byte] = {
+    val n = aviFrameCount(docId)
+    val frames =
+      (0 until n).map(i => encodePng(AviW, AviH, aviFrameSeed(docId, i)))
+    val avih = riffChunk("avih",
+      le32(250000) ++ le32(0) ++ le32(0) ++ le32(0x10) ++ // hasIndex
+        le32(n) ++ le32(0) ++ le32(1) ++ le32(0) ++
+        le32(AviW) ++ le32(AviH) ++
+        le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
+    val strh = riffChunk("strh",
+      cc("vids") ++ cc("MPNG") ++ le32(0) ++ le16(0) ++ le16(0) ++
+        le32(0) ++ le32(1) ++ le32(4) ++ le32(0) ++ le32(n) ++
+        le32(frames.map(_.length).max) ++ le32(-1) ++ le32(0) ++
+        le16(0) ++ le16(0) ++ le16(AviW) ++ le16(AviH))
+    val strf = riffChunk("strf",
+      le32(40) ++ le32(AviW) ++ le32(AviH) ++ le16(1) ++ le16(8) ++
+        cc("MPNG") ++ le32(AviW * AviH) ++ le32(0) ++ le32(0) ++
+        le32(0) ++ le32(0))
+    val hdrl = riffList("hdrl", avih ++ riffList("strl", strh ++ strf))
+    val moviBody = frames.map(f => riffChunk("00dc", f))
+    val movi = riffList("movi", moviBody.flatten.toArray)
+    // idx1 offsets are from the 'movi' fourcc (offset 4 = first chunk)
+    val offsets = moviBody.scanLeft(4)((o, c) => o + c.length).init
+    val idx1 = riffChunk("idx1",
+      frames.indices.flatMap(i =>
+        cc("00dc") ++ le32(0x10) ++ le32(offsets(i)) ++
+          le32(frames(i).length)).toArray)
+    riffChunk("RIFF", cc("AVI ") ++ hdrl ++ movi ++ idx1)
+  }
+
+  /** Genuine DEMUX: walk the RIFF chunk tree — verify the RIFF/AVI
+    * magic, find the 'movi' LIST, return each '00dc' payload (a PNG
+    * frame) in stream order. Fails loudly on a malformed container. */
+  private[graft] def demuxAvi(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    def fourccAt(o: Int): String =
+      new String(bytes, o, 4, "US-ASCII")
+    def sizeAt(o: Int): Int =
+      (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+        ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
+    require(bytes.length >= 12 && fourccAt(0) == "RIFF" &&
+      fourccAt(8) == "AVI ", "not a RIFF/AVI container")
+    val end = 8 + sizeAt(4)
+    var o = 12
+    while (o + 8 <= end) {
+      val id = fourccAt(o)
+      val sz = sizeAt(o + 4)
+      if (id == "LIST" && fourccAt(o + 8) == "movi") {
+        val frames = Seq.newBuilder[Array[Byte]]
+        var p = o + 12
+        val listEnd = o + 8 + sz
+        while (p + 8 <= listEnd) {
+          val cid = fourccAt(p)
+          val csz = sizeAt(p + 4)
+          if (cid == "00dc")
+            frames += java.util.Arrays.copyOfRange(bytes, p + 8, p + 8 + csz)
+          p += 8 + csz + (csz % 2)
+        }
+        return frames.result()
+      }
+      o += 8 + sz + (sz % 2)
+    }
+    throw new IllegalArgumentException("AVI container has no movi list")
+  }
+
+  /** Real-AVI media table for the video third of the corpus (the docs
+    * [[media]] labels video/mp4), encoded executor-side. */
+  def aviMedia(spark: SparkSession, sfDir: String): Dataset[AviRow] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => AviRow(id, encodeAvi(id))))
+  }
+
+  /** REAL frame extractor: demux the RIFF/AVI container, decode every
+    * 2nd PNG frame through the cached-SPI codec, checksum the DECODED
+    * raster (map-side flatMap — blobs never shuffle, only frame
+    * metadata does). */
+  private def sampleFrames(rows: Iterator[AviRow]): Iterator[Frame] =
+    rows.flatMap { r =>
+      demuxAvi(r.content).zipWithIndex
+        .filter(_._2 % 2 == 0)
+        .map { case (png, i) =>
+          val img = decodePng(png)
+          val raster = img.getRaster
+          var sum = 0L
+          var y = 0
+          while (y < AviH) {
+            var x = 0
+            while (x < AviW) {
+              sum += raster.getSample(x, y, 0)
+              x += 1
+            }
+            y += 1
+          }
+          Frame(r.doc_id, i, (AviW * AviH).toLong, sum)
+        }.iterator
     }
 
-  /** Frame-sampling pipeline: per-video every-4th-frame extraction
-    * (map-side flatMap — blobs never shuffle, only frame metadata does),
-    * aggregated per document. */
+  /** Frame-sampling pipeline over genuinely demuxed, genuinely decoded
+    * frames, aggregated per document. */
   def frameSample(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    media(spark, sfDir).as[MediaRow]
+    aviMedia(spark, sfDir)
       .mapPartitions(sampleFrames)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_sampled"),
-        sum(col("frame_bytes")).as("sampled_bytes"),
+        sum(col("n_pixels")).as("sampled_pixels"),
         sum(col("checksum")).as("sum_checksum"))
   }
 
-  /** Oracle recomputes the same arithmetic in SQL: frame i covers bytes
-    * [i*256+1, (i+1)*256] (1-based substr on the ASCII text = the blob),
-    * every 4th frame, byte-sum via ascii codes. */
+  /** Oracle replays the pixel formula: frame i of doc d is the gradient
+    * tile seeded d*31+i, so its decoded checksum is
+    * Σ_{x<16,y<12} (x + 2y + seed) mod 256 — a lossless roundtrip
+    * through a real container and codec must reproduce it exactly. */
   val frameSampleSql: String =
-    s"""WITH $mediaCte, frames AS (
-       |  SELECT doc_id, i AS frame_idx,
-       |    substr(text, CAST(i * 256 + 1 AS INT), 256) AS frame
-       |  FROM media, range(0, 10000) r(i)
-       |  WHERE mime = 'video/mp4' AND i % 4 = 0
-       |    AND (i + 1) * 256 <= octet_length(content)
-       |)
-       |SELECT doc_id, COUNT(*) AS n_sampled,
-       |  CAST(SUM(LENGTH(frame)) AS BIGINT) AS sampled_bytes,
-       |  CAST(SUM((SELECT SUM(ascii(c)) FROM unnest(string_split(frame, '')) u(c)))
-       |    AS BIGINT) AS sum_checksum
-       |FROM frames GROUP BY doc_id""".stripMargin
+    """WITH frames AS (
+      |  SELECT doc_id, i AS frame_idx, doc_id * 31 + i AS seed
+      |  FROM documents, range(0, 7) r(i)
+      |  WHERE doc_id % 3 = 2 AND i % 2 = 0 AND i < 2 + doc_id % 5
+      |), px AS (
+      |  SELECT doc_id, frame_idx,
+      |    SUM((x + 2 * y + seed) % 256) AS checksum
+      |  FROM frames, range(0, 16) xs(x), range(0, 12) ys(y)
+      |  GROUP BY doc_id, frame_idx
+      |)
+      |SELECT doc_id, COUNT(*) AS n_sampled,
+      |  CAST(COUNT(*) * 192 AS BIGINT) AS sampled_pixels,
+      |  CAST(SUM(checksum) AS BIGINT) AS sum_checksum
+      |FROM px GROUP BY doc_id""".stripMargin
 
   // ---- audio features (REAL WAV codec, javax.sound.sampled) ------------------
 

@@ -148,6 +148,27 @@ class ColumnarCommitReader(file: String, schema: StructType,
       }
     }
 
+  /** Column provably null-free across EVERY row group (footer num_nulls
+    * stats): the fast reader then skips the per-value definition-level
+    * decode entirely — on a no-null corpus that is half the per-value
+    * work, and PLAIN fixed-width pages degenerate to pure bulk copies. */
+  private val noNulls: Array[Boolean] =
+    if (reader == null) Array.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      val blocks = reader.getFooter.getBlocks.asScala
+      Array.tabulate(requested.getFieldCount) { i =>
+        val path = org.apache.parquet.hadoop.metadata.ColumnPath
+          .get(requested.getColumns.get(i).getPath: _*)
+        blocks.forall(_.getColumns.asScala
+          .filter(_.getPath == path)
+          .forall { c =>
+            val st = c.getStatistics
+            st != null && st.isNumNullsSet && st.getNumNulls == 0L
+          })
+      }
+    }
+
   // per-row-group streaming state
   private var pages: PageReadStore = _
   private var slotReaders: Array[SlotReader] = _ // by slot, null = absent
@@ -189,7 +210,8 @@ class ColumnarCommitReader(file: String, schema: StructType,
             pages.getPageReader(cols.get(req)), fastKind(req),
             if (schema(slot).dataType == TimestampType)
               ColumnarCommitReader.timestampScale(prim)
-            else 0)
+            else 0,
+            noNulls(req))
         else new TripletSlot(store.getColumnReader(cols.get(req)),
           ColumnarCommitReader.fillerFor(prim, schema(slot).dataType),
           cols.get(req).getMaxDefinitionLevel)
@@ -629,7 +651,7 @@ private[sources] object FastColumns {
 private[sources] final class FastColumnReader(
     desc: org.apache.parquet.column.ColumnDescriptor,
     pageReader: org.apache.parquet.column.page.PageReader,
-    kind: Int, tsScale: Int) extends SlotReader {
+    kind: Int, tsScale: Int, noNulls: Boolean = false) extends SlotReader {
 
   import FastColumns._
   import org.apache.parquet.column.Encoding
@@ -732,7 +754,10 @@ private[sources] final class FastColumnReader(
     while (filled < n) {
       if (left == 0) advancePage()
       val m = math.min(n - filled, left)
-      if (maxDef == 0) fillRun(v, filled, m)
+      // a required column, or one the footer proves null-free: every
+      // triplet is present — no definition levels to consult (their page
+      // section, when any, was already skipped by the values-offset setup)
+      if (maxDef == 0 || noNulls) fillRun(v, filled, m)
       else {
         var i = 0
         while (i < m) { defs(i) = defRead(); i += 1 }
