@@ -1233,6 +1233,25 @@ object CommitLogIngest {
         require(missing.isEmpty,
           s"optimizeZOrder: column(s) ${missing.mkString(", ")} not in " +
             s"$tableDir's schema")
+        // Morton interleave is bit arithmetic over longs: a non-numeric
+        // column would cast to NULL and silently cluster nothing —
+        // refuse before the rewrite burns a full table pass
+        val nonNumeric = zorderBy.filter { c =>
+          in.schema(c).dataType match {
+            case org.apache.spark.sql.types.LongType |
+                org.apache.spark.sql.types.IntegerType |
+                org.apache.spark.sql.types.ShortType |
+                org.apache.spark.sql.types.ByteType |
+                org.apache.spark.sql.types.DateType |
+                org.apache.spark.sql.types.TimestampType => false
+            case _ => true
+          }
+        }
+        require(nonNumeric.isEmpty,
+          s"optimizeZOrder: column(s) ${nonNumeric.mkString(", ")} are " +
+            "not integral/date/timestamp — the Morton interleave needs " +
+            "long-normalizable axes (cluster strings via a derived " +
+            "numeric key instead)")
         val totalBytes = paths.map(p => Files.size(Paths.get(p))).sum
         val n =
           math.max(1L, (totalBytes + maxFileBytes - 1) / maxFileBytes).toInt

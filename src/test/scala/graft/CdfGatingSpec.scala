@@ -116,6 +116,49 @@ class CdfGatingSpec extends SparkSuite {
     assert(CommitLogIngest.changeFeed(s, table, uv - 1, uv).count() > 0)
   }
 
+  test("merge on a CDF-enabled table stores keyed pre/post images + inserts") {
+    val s = spark
+    import s.implicits._
+    val table = tmp("merge")
+    appendRows(table, 0L, 100L, enableCdf = true)
+    // 10 matched keys (n bumped by 7) + 5 brand-new keys
+    val upd = ((0L until 10L).map(i => (i * 10, s"p${i * 10}",
+        i * 100 + 7)) ++
+      (500L until 505L).map(i => (i, s"new$i", i)))
+      .toDF("id", "p", "n")
+    val (v, _) = graft.streaming.CommitLogIngest.mergeByKey(s, table, upd,
+      "id", statsCol = Some("id"))
+    val feed = graft.streaming.CommitLogIngest.changeFeed(s, table, v - 1, v)
+    val byType = feed.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType ==
+      Map("update_preimage" -> 10L, "update_postimage" -> 10L,
+        "insert" -> 5L), s"merge CDF tags wrong: $byType")
+    // images pair per key and the post value is the update's
+    val pairs = feed.filter(col("_change_type") =!= "insert")
+      .groupBy("id").agg(
+        sum(when(col("_change_type") === "update_preimage", col("n")))
+          .as("pre"),
+        sum(when(col("_change_type") === "update_postimage", col("n")))
+          .as("post")).collect()
+    assert(pairs.length == 10)
+    pairs.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) == id * 10L, s"pre-image n wrong for id $id")
+      assert(r.getLong(2) == (id / 10L) * 100L + 7L,
+        s"post-image n wrong for id $id")
+    }
+    // inserts are exactly the unmatched keys
+    assert(feed.filter(col("_change_type") === "insert")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      (500L until 505L))
+    // and the V2 surface reads the same stored rows
+    val v2 = s.read.format("graft-commitlog").option("path", table)
+      .option("readChangeFeed", "true")
+      .option("startingVersion", v.toString).load()
+    assert(v2.count() == 25L)
+  }
+
   test("reserved CDF column names are refused on collision") {
     val s = spark
     import s.implicits._

@@ -161,5 +161,14 @@ class ZOrderCommitSpec extends SparkSuite {
     assert(CommitLogIngest.latestVersion(table) == vBefore)
     // and unrelated SQL still parses through the delegate
     assert(s.sql("SELECT 1 + 1").collect()(0).getInt(0) == 2)
+
+    // a non-numeric clustering axis is refused before any rewrite
+    val z = intercept[IllegalArgumentException] {
+      CommitLogIngest.optimizeZOrder(s, table, Seq("user_id", "v"),
+        Some("id"))
+    }
+    assert(z.getMessage.contains("integral"))
+    assert(CommitLogIngest.latestVersion(table) == vBefore,
+      "refused zorder must not commit")
   }
 }
