@@ -501,24 +501,57 @@ class CommitLogBatch(tableDir: String, schema: StructType,
     strBounds: Map[String, (Option[String], Option[String])] = Map.empty)
     extends Batch {
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  private lazy val parts: Array[InputPartition] = {
     val spark = CommitLogPlanning.session
     val v = versionAsOf.getOrElse(CommitLogIngest.latestVersion(tableDir))
     // a CREATEd-but-not-yet-written table is a valid zero-row SELECT
     // (its schema came from the declared marker); an EXPLICIT versionAsOf
     // on such a table still fails loudly through liveFiles
-    if (v < 0 && versionAsOf.isEmpty) return Array.empty
-    val files = CommitLogIngest.liveFiles(spark, tableDir, v)
-    // partition dirs prune FIRST (pure path string work, no reads at
-    // all), then the stats index consults one small metadata read
-    val dirPruned = CommitLogPlanning.pruneByPath(files, partConstraints)
-    CommitLogPlanning.pruneByIndex(spark, tableDir, dirPruned, bounds,
-        strBounds)
-      .map(f => CommitLogInputPartition(f): InputPartition).toArray
+    if (v < 0 && versionAsOf.isEmpty) Array.empty
+    else {
+      val (files, dvs) = CommitLogIngest.liveState(spark, tableDir, v)
+      // partition dirs prune FIRST (pure path string work, no reads at
+      // all), then the stats index consults one small metadata read.
+      // Both stay correct under deletion vectors: a mask only REMOVES
+      // rows, so pruning on pre-delete stats is conservative, never
+      // wrong — at worst a fully-masked file is opened and yields 0 rows
+      val dirPruned = CommitLogPlanning.pruneByPath(files, partConstraints)
+      val pruned = CommitLogPlanning.pruneByIndex(spark, tableDir,
+        dirPruned, bounds, strBounds)
+      // masked files ship their positions IN the partition descriptor —
+      // one driver-side metadata read, O(mask rows), small by design
+      // (OPTIMIZE materializes heavy masks back into clean files)
+      val masked = pruned.filter(dvs.contains)
+      val posByFile: Map[String, Array[Long]] =
+        if (masked.isEmpty) Map.empty
+        else {
+          val versions = masked.flatMap(dvs).distinct.sorted
+          val maskSet = masked.toSet
+          spark.read
+            .parquet(versions.map(CommitLogIngest.dvDir(tableDir, _)): _*)
+            .select("path", "pos").collect()
+            .filter(r => maskSet(r.getString(0)))
+            .groupBy(_.getString(0))
+            .map { case (p, rs) =>
+              p -> rs.map(_.getLong(1)).distinct.sorted }
+        }
+      pruned.map(f => CommitLogInputPartition(f,
+        dvPositions = posByFile.getOrElse(f, Array.emptyLongArray))
+        : InputPartition).toArray
+    }
   }
 
+  override def planInputPartitions(): Array[InputPartition] = parts
+
   override def createReaderFactory(): PartitionReaderFactory =
-    new CommitLogReaderFactory(schema, filters)
+    // Spark refuses mixed row/columnar partitions in one scan, so ANY
+    // live mask forces the whole scan onto the row path (which applies
+    // positions); OPTIMIZE restores the columnar fast path
+    new CommitLogReaderFactory(schema, filters,
+      rowModeForced = parts.exists {
+        case p: CommitLogInputPartition => p.dvPositions.nonEmpty
+        case _ => false
+      })
 }
 
 /** One table version range per micro-batch; versions ARE offsets. */
@@ -756,25 +789,29 @@ private[sources] object CommitLogPlanning {
   * append files and `_commit_version` everywhere), rendered per the
   * declared column type by the readers. */
 case class CommitLogInputPartition(file: String,
-    constants: Map[String, String] = Map.empty) extends InputPartition
+    constants: Map[String, String] = Map.empty,
+    dvPositions: Array[Long] = Array.emptyLongArray)
+    extends InputPartition
 
-class CommitLogReaderFactory(schema: StructType, filters: Array[Filter])
+class CommitLogReaderFactory(schema: StructType, filters: Array[Filter],
+    rowModeForced: Boolean = false)
     extends PartitionReaderFactory {
 
   /** Flat schemas decode COLUMN-AT-A-TIME into ColumnarBatches (see
     * `CommitLogColumnar` — the measured 2-3× row-decode tax is the one
     * scale cost the round-10 verdict flagged); nested schemas keep the
     * Group row path. Uniform per scan: eligibility depends only on the
-    * projected schema, never the file. */
+    * projected schema (and, for deletion-vector scans, on the factory's
+    * forced row mode), never the file. */
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    CommitLogColumnar.supports(schema) &&
+    !rowModeForced && CommitLogColumnar.supports(schema) &&
       !sys.env.get("GRAFT_FORCE_ROW_SCAN").contains("1")
 
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
     CommitLogReaderFactory.lastMode = "row"
     val p = partition.asInstanceOf[CommitLogInputPartition]
-    new GroupRowReader(p.file, schema, filters, p.constants)
+    new GroupRowReader(p.file, schema, filters, p.constants, p.dvPositions)
   }
 
   override def createColumnarReader(partition: InputPartition)
@@ -812,7 +849,8 @@ object CommitLogReadTracker {
   * widths coerce to the declared type. Public parquet API only. */
 class GroupRowReader(file: String, schema: StructType,
     filters: Array[Filter] = Array.empty,
-    constants: Map[String, String] = Map.empty)
+    constants: Map[String, String] = Map.empty,
+    dvPositions: Array[Long] = Array.emptyLongArray)
     extends PartitionReader[InternalRow] {
 
   /** Per-slot constant (converted to the declared type) for projected
@@ -850,9 +888,18 @@ class GroupRowReader(file: String, schema: StructType,
       requested: org.apache.parquet.schema.MessageType) = {
     val c = new Configuration()
     // filters on constant-supplied columns decide against the constants,
-    // never against the file (which lacks them by design)
-    val (activeFilters, constSkip) =
-      ParquetFilters.splitConstants(filters, constants)
+    // never against the file (which lacks them by design).
+    // A deletion-vector mask keys on the PHYSICAL row position, so any
+    // pushdown that skips rows (record filter, stats row-group skip)
+    // would desynchronize the emitted-row counter from the mask — a
+    // masked file reads full-file with Spark re-applying every filter
+    // above (constant-column decisions stay: they skip the WHOLE file,
+    // which is position-independent). Bounded by mask lifetime: OPTIMIZE
+    // materializes masks and restores pushdown for the clean files.
+    val (activeFilters, constSkip) = {
+      val (af, cs) = ParquetFilters.splitConstants(filters, constants)
+      if (dvPositions.nonEmpty) (Array.empty[Filter], cs) else (af, cs)
+    }
     val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile
         .fromPath(new HadoopPath(file), c))
@@ -903,10 +950,28 @@ class GroupRowReader(file: String, schema: StructType,
 
   private var current: Group = _
 
+  // deletion-vector skip state: rows arrive in physical order (no
+  // filter is pushed when a mask is present), so one ascending pointer
+  // into the sorted positions array makes the skip O(1) amortized
+  private var rowPos: Long = -1L
+  private var dvIdx: Int = 0
+
   override def next(): Boolean = {
     if (reader == null) return false
-    current = reader.read()
-    current != null
+    if (dvPositions.isEmpty) {
+      current = reader.read()
+      return current != null
+    }
+    while (true) {
+      current = reader.read()
+      if (current == null) return false
+      rowPos += 1
+      while (dvIdx < dvPositions.length && dvPositions(dvIdx) < rowPos)
+        dvIdx += 1
+      if (dvIdx >= dvPositions.length || dvPositions(dvIdx) != rowPos)
+        return true
+    }
+    false // unreachable
   }
 
   override def get(): InternalRow = {

@@ -84,6 +84,11 @@ class CommitLogWriteBuilder(tableDir: String, info: LogicalWriteInfo)
     // DML from this point on stores its change rows
     if (Option(info.options().get("enableCdf")).exists(_.toBoolean))
       CommitLogIngest.setCdfEnabled(tableDir)
+    // `.option("enableDv", "true")`: deletion vectors (the
+    // delta.enableDeletionVectors shape, default off) — DELETE from this
+    // point on is merge-on-read (positions recorded, no file rewrite)
+    if (Option(info.options().get("enableDv")).exists(_.toBoolean))
+      CommitLogIngest.setDvEnabled(tableDir)
     new CommitLogWrite(tableDir, info.schema(), info.queryId(), overwrite,
       Option(info.options().get("statsCol")), partitionCols,
       AutoCompact.fromOptions(info.options()))

@@ -217,13 +217,64 @@ object DmlCommit {
         max(col("doc_id")).as("max_doc"))
   }
 
+  // -- deletion-vector face: its own table (merge-on-read DELETE) ----------
+
+  private val dvCache = new LayoutCache[String](dropParent)
+
+  /** Documents-backed table with deletion vectors ON: two appends, then
+    * TWO composed merge-on-read deletes — `doc_id % 7 = 3` (version 2)
+    * and `n_chars % 5 = 1` (version 3). No data file is rewritten: the
+    * logical table is the original files MINUS the recorded masks, and
+    * the census reads through the V2 surface with both masks LIVE (the
+    * strongest read-path proof — a reader that ignored a mask, applied
+    * one twice, or desynchronized its position counter hash-mismatches
+    * against DuckDB's WHERE replay). */
+  private[graft] def ensureDv(spark: SparkSession, sfDir: String): String =
+    dvCache.get(sfDir, "documents.parquet") {
+      val root = Files.createTempDirectory("graft-dvq")
+      val table = root.toString + "/table"
+      val docs = Tables.documents(spark, sfDir)
+      (0 until 2).foreach { i =>
+        docs.filter(col("doc_id") % 2 === i)
+          .write.format("graft-commitlog")
+          .option("path", table).option("statsCol", "doc_id")
+          .option("enableDv", "true")
+          .mode("append").save()
+      }
+      val (v1, n1) = CommitLogIngest.deleteWhere(spark, table,
+        col("doc_id") % 7 === 3, statsCol = Some("doc_id"))
+      require(v1 == 2L && n1 > 0,
+        s"dv delete 1 did not commit: v$v1, $n1 files")
+      val (v2, n2) = CommitLogIngest.deleteWhere(spark, table,
+        col("n_chars") % 5 === 1, statsCol = Some("doc_id"))
+      require(v2 == 3L && n2 > 0,
+        s"dv delete 2 did not commit: v$v2, $n2 files")
+      table
+    }
+
+  def dvCensus(spark: SparkSession, sfDir: String): DataFrame = {
+    val table = ensureDv(spark, sfDir)
+    census(spark.read.format("graft-commitlog").option("path", table)
+      .load().select("source", "doc_id", "n_chars"))
+  }
+
+  val dvCensusSql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      |FROM documents WHERE doc_id % 7 <> 3 AND n_chars % 5 <> 1
+      |GROUP BY source""".stripMargin
+
   /** Test hook: drop cached layouts (the shared clear contract). */
-  private[graft] def clearCache(): Unit = { cache.clear(); mergedCache.clear() }
+  private[graft] def clearCache(): Unit = {
+    cache.clear(); mergedCache.clear(); dvCache.clear()
+  }
 
   def queries: Map[String, Q] = Map(
     "src_delete_commit" -> Q(deletedCensusSql)(deletedCensus),
     "src_update_commit" -> Q(updatedCensusSql)(updatedCensus),
     "src_merge_commit" -> Q(mergedCensusSql)(mergedCensus),
     "src_cdc_feed" -> Q(cdcCensusSql)(cdcCensus),
-    "src_cdf_read" -> Q(cdcCensusSql)(cdfReadCensus))
+    "src_cdf_read" -> Q(cdcCensusSql)(cdfReadCensus),
+    "src_dv_delete" -> Q(dvCensusSql)(dvCensus))
 }

@@ -257,11 +257,23 @@ object CommitLogIngest {
       upTo: Long): Unit = {
     val rows = actionRows(spark, tableDir, upTo, ckptBelow = upTo)
     val liveAdds = rows
+      // dv actions annotate a live file, they don't retire it — liveness
+      // is add-vs-remove only (the liveState rule)
+      .filter(col("action").isin("add", "remove"))
       .groupBy(col("path"))
       .agg(max_by(col("action"), col("version")).as("last"),
         max(col("version")).as("v"))
       .filter(col("last") === "add")
       .select(col("path"), col("v"), lit("add").as("action"))
+    // deletion-vector actions for STILL-LIVE paths ride the checkpoint —
+    // a mask is current table state, not history: resolution after log
+    // retention must still know which dv/version=N dirs mask the live
+    // set. Masks of since-rewritten paths (their file left the live set,
+    // the rewrite materialized them) drop out here, bounding growth.
+    val dvRows = rows.filter(col("action") === "dv")
+      .select(col("path"), col("version").as("v"), lit("dv").as("action"))
+      .join(liveAdds.select("path"), Seq("path"), "left_semi")
+      .distinct()
     // the latest schema action rides the checkpoint, so schema-as-of
     // resolution survives retention exactly like the live file set does
     val schemaRow = rows.filter(col("action") === "schema")
@@ -278,6 +290,7 @@ object CommitLogIngest {
       .select(col("m.path"), col("m.version").as("v"),
         lit("txn").as("action"))
     liveAdds.unionByName(schemaRow).unionByName(txnRows)
+      .unionByName(dvRows)
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$tableDir/log_ckpt/c=$upTo")
     writeMarker(ckptMarkerPath(tableDir), upTo)
@@ -756,11 +769,98 @@ object CommitLogIngest {
   def deleteWhere(spark: SparkSession, tableDir: String,
       pred: org.apache.spark.sql.Column,
       statsCol: Option[String] = None): (Long, Int) =
-    rewriteWhere(spark, tableDir, pred, statsCol,
+    // per-table routing (the delta.enableDeletionVectors shape): a
+    // DV-enabled table takes the merge-on-read path — SQL DELETE lands
+    // here through SupportsDeleteV2, so the property governs SQL too
+    if (dvEnabled(tableDir)) deleteWhereDv(spark, tableDir, pred, statsCol)
+    else rewriteWhere(spark, tableDir, pred, statsCol,
       df => df.filter(!coalesce(pred, lit(false))),
       // change set = exactly the rows the rewrite drops
       df => df.filter(coalesce(pred, lit(false)))
         .withColumn("_change_type", lit("delete")))
+
+  /** DELETE WHERE, MERGE-ON-READ (deletion vectors — the Delta DV shape):
+    * instead of rewriting every file containing matches, ONE pushed-
+    * predicate scan records the matching ROW POSITIONS as `(path, pos)`
+    * rows under `dv/version=N`, and the commit is pure metadata —
+    * `("dv", <file>)` actions naming the masked files. No data file
+    * moves: at 100 TB a delete of 0.1% of rows costs O(matched rows ×
+    * 16 bytes) written, not O(affected files) rewritten — the economics
+    * that make frequent selective deletes (GDPR purges, late-event
+    * retractions) viable on wide tables.
+    *
+    * Matches are computed over the CURRENT LOGICAL table — existing
+    * masks applied first — so composed deletes never re-record a
+    * position, and SQL NULL-predicate semantics hold (NULL keeps the
+    * row). Every read surface applies live masks; [[optimize]]
+    * materializes them back into clean files (restoring the V2 columnar
+    * fast path); pinned readers below the dv version never see the mask
+    * (dv actions are versioned like everything else); vacuum reclaims a
+    * mask only after no retained version reads it. Same single-attempt
+    * OCC claim as the CoW path. Returns (newVersion, filesMasked);
+    * a predicate matching nothing commits nothing and returns (-1, 0). */
+  def deleteWhereDv(spark: SparkSession, tableDir: String,
+      pred: org.apache.spark.sql.Column,
+      statsCol: Option[String] = None): (Long, Int) = {
+    requireIndexColMatch(tableDir, statsCol)
+    while (true) {
+      val latest = latestVersion(tableDir)
+      val (live, dvs) = liveState(spark, tableDir, latest)
+      val cur = schemaAt(spark, tableDir, latest)
+      def read(ps: Seq[String]): DataFrame = cur match {
+        case Some(st) => spark.read.schema(st).parquet(ps: _*)
+        case None => spark.read.parquet(ps: _*)
+      }
+      // one scan: predicate pushed to parquet (row-group stats skip
+      // clean files), existing masks anti-joined so already-dead rows
+      // can't match again, surviving matches keep ONLY (file, pos)
+      // non-hidden name (the rw-/mg-/opt- staging convention): this dir
+      // is read BACK below, and Spark's listing ignores dot-prefixed
+      // roots ("All paths were ignored" warnings on every delete)
+      val staged = s"$tableDir/data/dvstage-" +
+        java.util.UUID.randomUUID().toString.take(12)
+      dvApply(spark, tableDir, withDvMeta(read(live)),
+          live.flatMap(dvs.get).flatten.distinct)
+        .filter(pred)
+        .select(col(DvFileCol).as("path"), col(DvPosCol).as("pos"))
+        .write.mode("overwrite").parquet(staged)
+      val affected = spark.read.parquet(staged)
+        .select("path").distinct().collect()
+        .map(_.getString(0)).toSeq.sorted
+      if (affected.isEmpty) {
+        LayoutDirs.deleteQuiet(staged)
+        return (-1L, 0)
+      }
+      // CDF-enabled tables store the materialized deleted ROWS (the
+      // change consumer wants rows, not positions): read back only the
+      // masked files, semi-join the fresh mask — O(masked files)
+      val cdfStaged =
+        if (!cdfEnabled(tableDir)) None
+        else Some {
+          val fresh = spark.read.parquet(staged)
+            .select(col("path").as(DvFileCol), col("pos").as(DvPosCol))
+          stageCdfRows(tableDir,
+            withDvMeta(read(affected))
+              .join(fresh, Seq(DvFileCol, DvPosCol), "left_semi")
+              .drop(DvFileCol, DvPosCol)
+              .withColumn("_change_type", lit("delete")))
+        }
+      val stage = stageActions(spark, tableDir, Seq.empty, Seq.empty,
+        schemaOf = None, txn = None, op = Some("delete-dv"),
+        extra = affected.map(("dv", _)))
+      if (tryClaimVersion(tableDir, stage, latest + 1)) {
+        publishDv(tableDir, staged, latest + 1)
+        cdfStaged.foreach(publishCdf(tableDir, _, latest + 1))
+        postWin(spark, tableDir, latest + 1, statsCol = None,
+          statsDir = None, schemaOf = None)
+        return (latest + 1, affected.size)
+      }
+      LayoutDirs.deleteQuiet(stage.toString)
+      LayoutDirs.deleteQuiet(staged)
+      cdfStaged.foreach(LayoutDirs.deleteQuiet)
+    }
+    (-1L, 0) // unreachable
+  }
 
   /** UPDATE ... SET ... WHERE as one atomic commit: same copy-on-write
     * plan as [[deleteWhere]], but affected files are rewritten with each
@@ -849,19 +949,20 @@ object CommitLogIngest {
     val keys = updates.select(col(key)).distinct()
     while (true) {
       val latest = latestVersion(tableDir)
-      val live = liveFiles(spark, tableDir, latest)
+      val (live, dvs) = liveState(spark, tableDir, latest)
       val cur = schemaAt(spark, tableDir, latest)
-      def readLive(paths: Seq[String]): DataFrame = cur match {
-        case Some(st) => spark.read.schema(st).parquet(paths: _*)
-        case None => spark.read.parquet(paths: _*)
-      }
+      // deletion-vector masks apply to every read here: a key whose only
+      // occurrence is a masked row is an INSERT, not an update, and the
+      // rewrite materializes the affected files' masks as it retires them
+      def readLive(paths: Seq[String]): DataFrame =
+        readWithDv(spark, tableDir, paths, dvs, cur)
       // no broadcast() hint: `keys` derives from caller-supplied updates
       // and can grow with the table — AQE broadcasts it at runtime when
       // its measured size allows (the round-6 forced-broadcast lesson)
-      val affected = readLive(live)
-        .withColumn("_f", LayoutDirs.plainPath(input_file_name()))
-        .join(keys, Seq(key), "left_semi")
-        .select("_f").distinct().collect().map(_.getString(0)).toSeq.sorted
+      val affected =
+        readWithDv(spark, tableDir, live, dvs, cur, fileCol = Some("_f"))
+          .join(keys, Seq(key), "left_semi")
+          .select("_f").distinct().collect().map(_.getString(0)).toSeq.sorted
       val outDir =
         s"$tableDir/data/mg-${java.util.UUID.randomUUID().toString.take(12)}"
       val survivors =
@@ -909,8 +1010,8 @@ object CommitLogIngest {
           val changes =
             if (affected.isEmpty) updates.withColumn(ct, lit("insert"))
             else {
-              val before =
-                spark.read.schema(updates.schema).parquet(affected: _*)
+              val before = readWithDv(spark, tableDir, affected, dvs,
+                Some(updates.schema))
               val pre = before.join(keys, Seq(key), "left_semi")
               val matchedKeys = pre.select(col(key)).distinct()
               pre.withColumn(ct, lit("update_preimage"))
@@ -958,6 +1059,113 @@ object CommitLogIngest {
 
   def cdfEnabled(tableDir: String): Boolean =
     Files.exists(cdfMarker(tableDir))
+
+  // ---- deletion vectors (merge-on-read DELETE) ----------------------------
+
+  private def dvMarker(tableDir: String) =
+    Paths.get(tableDir, "log", "_dv_enabled")
+
+  /** Per-table deletion-vector switch — the `delta.enableDeletionVectors`
+    * shape, DEFAULT OFF. With it on, [[deleteWhere]] (and SQL DELETE,
+    * which lands there through `SupportsDeleteV2`) records WHICH ROW
+    * POSITIONS died instead of rewriting the files that contain them:
+    * merge-on-read. The 100-TB economics this buys: a selective delete
+    * over a wide table writes O(deleted positions) — two longs per row —
+    * instead of rewriting every affected multi-GB file for a handful of
+    * dropped rows. The masks are carried as `("dv", <data-file>)` log
+    * actions plus `(path, pos)` rows under `dv/version=N`, applied by
+    * every read surface, and MATERIALIZED back into clean files by
+    * [[optimize]] (the `REORG ... APPLY (PURGE)` shape), which restores
+    * the columnar fast path and frees the masks for vacuum. */
+  def setDvEnabled(tableDir: String, on: Boolean = true): Unit =
+    if (on) {
+      Files.createDirectories(dvMarker(tableDir).getParent)
+      Files.write(dvMarker(tableDir), Array.emptyByteArray,
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+    } else Files.deleteIfExists(dvMarker(tableDir))
+
+  def dvEnabled(tableDir: String): Boolean =
+    Files.exists(dvMarker(tableDir))
+
+  private[graft] def dvDir(tableDir: String, v: Long) =
+    s"$tableDir/dv/version=$v"
+
+  /** Publish staged mask rows as `dv/version=v` — same atomic-rename /
+    * crash-replay contract as [[publishCdf]]: v is exclusively ours
+    * post-claim, a replay that finds the dir already published discards
+    * the duplicate stage, and a real IO failure propagates rather than
+    * silently dropping the only copy of the mask. */
+  private def publishDv(tableDir: String, staged: String, v: Long): Unit = {
+    val dst = Paths.get(dvDir(tableDir, v))
+    Files.createDirectories(dst.getParent)
+    try Files.move(Paths.get(staged), dst,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileSystemException if Files.exists(dst) =>
+        LayoutDirs.deleteQuiet(staged)
+      case _: java.nio.file.FileSystemException =>
+        Files.move(Paths.get(staged), dst)
+    }
+  }
+
+  /** Read `paths` under the declared `schema` with every deletion-vector
+    * mask in `dvs` applied — THE one read primitive every DV-aware
+    * surface (snapshot, pointRead, DML discovery/rewrite, OPTIMIZE)
+    * funnels through. Unmasked paths read plainly (zero overhead — the
+    * common case pays nothing); masked paths read with the parquet
+    * `_metadata.row_index` column and anti-join their `(file, pos)` mask
+    * rows. No broadcast hint: masks are small by design (OPTIMIZE
+    * materializes heavy ones), so AQE broadcasts the dv side at runtime
+    * when its measured size allows — and degrades to a shuffle join
+    * instead of an OOM when a pathological mask is large. */
+  private[graft] def readWithDv(spark: SparkSession, tableDir: String,
+      paths: Seq[String], dvs: Map[String, Seq[Long]],
+      schema: Option[org.apache.spark.sql.types.StructType],
+      fileCol: Option[String] = None): DataFrame = {
+    def read0(ps: Seq[String]): DataFrame = schema match {
+      case Some(st) => spark.read.schema(st).parquet(ps: _*)
+      case None => spark.read.parquet(ps: _*)
+    }
+    // `fileCol` must come from `_metadata` ON THE SCAN (before any
+    // join): input_file_name() evaluated above a shuffle join returns
+    // "" — the DML discovery scans would silently find zero files
+    def read(ps: Seq[String]): DataFrame =
+      fileCol.map(c => read0(ps).withColumn(c,
+        LayoutDirs.plainPath(col("_metadata.file_path"))))
+        .getOrElse(read0(ps))
+    val (masked, clean) = paths.partition(dvs.contains)
+    if (masked.isEmpty) return read(paths)
+    val m = dvApply(spark, tableDir,
+      withDvMeta(read0(masked)), masked.flatMap(dvs).distinct)
+    val maskedDf = fileCol.map(c => m.withColumn(c, col(DvFileCol)))
+      .getOrElse(m).drop(DvFileCol, DvPosCol)
+    if (clean.isEmpty) maskedDf else maskedDf.unionByName(read(clean))
+  }
+
+  private[graft] val DvFileCol = "_dv_file"
+  private[graft] val DvPosCol = "_dv_pos"
+
+  /** `df` with its file path (log-normalized) and within-file row
+    * position alongside — the join key a deletion vector masks on. The
+    * parquet `_metadata.row_index` counts every physical row whether or
+    * not a filter later drops it, so positions are stable across reads
+    * and across predicates. */
+  private def withDvMeta(df: DataFrame): DataFrame =
+    df.withColumn(DvFileCol,
+        LayoutDirs.plainPath(col("_metadata.file_path")))
+      .withColumn(DvPosCol, col("_metadata.row_index"))
+
+  /** Anti-join `df` (carrying [[DvFileCol]]/[[DvPosCol]]) against the
+    * mask rows of `dvVersions`. Mask rows for paths the caller is not
+    * reading simply never match — no per-path filtering needed. */
+  private def dvApply(spark: SparkSession, tableDir: String,
+      df: DataFrame, dvVersions: Seq[Long]): DataFrame = {
+    if (dvVersions.isEmpty) return df
+    val mask = spark.read
+      .parquet(dvVersions.map(dvDir(tableDir, _)): _*)
+      .select(col("path").as(DvFileCol), col("pos").as(DvPosCol))
+    df.join(mask, Seq(DvFileCol, DvPosCol), "left_anti")
+  }
 
   /** Write a commit's CHANGE-DATA rows (already tagged `_change_type`) —
     * the Delta `_change_data` design. Computed at COMMIT time (the DML
@@ -1026,20 +1234,26 @@ object CommitLogIngest {
     requireIndexColMatch(tableDir, statsCol)
     while (true) {
       val latest = latestVersion(tableDir)
-      val live = liveFiles(spark, tableDir, latest)
+      val (live, dvs) = liveState(spark, tableDir, latest)
       // discovery AND rewrite both read under the declared schema as of
       // `latest`: with mixed generations on disk, a bare parquet read
       // infers one file's footer and a predicate on a late-added column
-      // would crash (or resolve nondeterministically by file order)
+      // would crash (or resolve nondeterministically by file order).
+      // Deletion-vector masks apply to BOTH: a file whose only matches
+      // are already-masked rows is not affected, and a rewrite of a
+      // masked file drops its dead rows (materializing the mask — the
+      // remove action retires mask and file together).
       val cur = schemaAt(spark, tableDir, latest)
-      def readLive(paths: Seq[String]): DataFrame = cur match {
-        case Some(st) => spark.read.schema(st).parquet(paths: _*)
-        case None => spark.read.parquet(paths: _*)
-      }
+      def readLive(paths: Seq[String]): DataFrame =
+        readWithDv(spark, tableDir, paths, dvs, cur)
       // one pushed-predicate scan finds the files that contain matches
-      val affected = readLive(live).filter(pred)
-        .select(LayoutDirs.plainPath(input_file_name()).as("f"))
-        .distinct().collect().map(_.getString(0)).toSeq.sorted
+      // (file identity from `_metadata` via readWithDv — survives the
+      // mask anti-join, unlike input_file_name above a shuffle)
+      val affected =
+        readWithDv(spark, tableDir, live, dvs, cur, fileCol = Some("_f"))
+          .filter(pred)
+          .select("_f")
+          .distinct().collect().map(_.getString(0)).toSeq.sorted
       if (affected.isEmpty) return (-1L, 0)
       val outDir =
         s"$tableDir/data/rw-${java.util.UUID.randomUUID().toString.take(12)}"
@@ -1122,16 +1336,22 @@ object CommitLogIngest {
     // already replaced one of the smalls, resurrecting its dropped rows
     while (true) {
       val v = latestVersion(tableDir)
-      val live = liveFiles(spark, tableDir, v)
+      val (live, dvs) = liveState(spark, tableDir, v)
       // PARTITION-LOCAL: smalls compact within their hive-layout group
       // only — merging across `col=value` dirs would un-cluster the
-      // layout and kill dir pruning for the merged files
+      // layout and kill dir pruning for the merged files.
+      // Deletion-vector-masked files are ALWAYS eligible regardless of
+      // size, even alone in their group (the Delta REORG ... APPLY
+      // (PURGE) semantics): compaction is how a mask gets materialized
+      // back into a clean file — restoring the V2 columnar fast path
+      // and freeing the mask for vacuum.
       val groups = live
-        .filter(p =>
-          try Files.size(Paths.get(p)) < maxFileBytes
-          catch { case _: Exception => false })
+        .filter(p => dvs.contains(p) ||
+          (try Files.size(Paths.get(p)) < maxFileBytes
+           catch { case _: Exception => false }))
         .groupBy(graft.sources.PartitionPaths.segmentsOf)
-        .filter(_._2.size >= 2).toSeq.sortBy(_._1)
+        .filter(g => g._2.size >= 2 || g._2.exists(dvs.contains))
+        .toSeq.sortBy(_._1)
       if (groups.isEmpty) return (-1L, 0, 0)
       val smalls = groups.flatMap(_._2)
       val declared = schemaAt(spark, tableDir, v)
@@ -1146,11 +1366,17 @@ object CommitLogIngest {
         // read would infer ONE footer's schema — a late-added column
         // silently dropped from the compacted output is data loss through
         // an operation documented as "no logical change" (the
-        // rewriteWhere / mergeByKey hazard, guarded the same way)
+        // rewriteWhere / mergeByKey hazard, guarded the same way).
+        // Masks apply: compacted output carries only LIVE rows — for
+        // unmasked inputs this is a pure layout move, for masked ones a
+        // mask materialization (still no logical change: the snapshot
+        // census is identical before and after)
         val in = declared match {
-          case Some(st) => spark.read.schema(st).parquet(paths: _*)
-          case None => spark.read.option("mergeSchema", "true")
-            .parquet(paths: _*)
+          case Some(st) => readWithDv(spark, tableDir, paths, dvs, Some(st))
+          case None =>
+            if (paths.exists(dvs.contains))
+              readWithDv(spark, tableDir, paths, dvs, None)
+            else spark.read.option("mergeSchema", "true").parquet(paths: _*)
         }
         val dst = if (seg.isEmpty) optDir else s"$optDir/$seg"
         (statsCol match {
@@ -1217,17 +1443,21 @@ object CommitLogIngest {
       // rewrite to produce the same layout
       if (zorderSpecAt(spark, tableDir, v).contains(spec))
         return (-1L, 0, 0)
-      val live = liveFiles(spark, tableDir, v)
+      val (live, dvs) = liveState(spark, tableDir, v)
       val declared = schemaAt(spark, tableDir, v)
       val outDir =
         s"$tableDir/data/zo-${java.util.UUID.randomUUID().toString.take(12)}"
       val groups = live
         .groupBy(graft.sources.PartitionPaths.segmentsOf).toSeq.sortBy(_._1)
       groups.foreach { case (seg, paths) =>
+        // masks apply (the whole live set is rewritten, so every mask
+        // materializes here — clustered output carries only live rows)
         val in = declared match {
-          case Some(st) => spark.read.schema(st).parquet(paths: _*)
-          case None => spark.read.option("mergeSchema", "true")
-            .parquet(paths: _*)
+          case Some(st) => readWithDv(spark, tableDir, paths, dvs, Some(st))
+          case None =>
+            if (paths.exists(dvs.contains))
+              readWithDv(spark, tableDir, paths, dvs, None)
+            else spark.read.option("mergeSchema", "true").parquet(paths: _*)
         }
         val missing = zorderBy.filterNot(in.columns.contains)
         require(missing.isEmpty,
@@ -1334,7 +1564,31 @@ object CommitLogIngest {
             .toSeq
         } finally s.close()
       }
-    drop ++ cdfDropped
+    // deletion-vector masks are CURRENT STATE, not history, so their
+    // reclaim rule is liveness, not age: a dv/version=N dir is dead
+    // exactly when NO retained version's live set contains any path it
+    // masks (each mask is self-describing — its own rows name the files
+    // it covers; a mask below the floor whose file is still live must
+    // survive, or every retained snapshot resurrects the deleted rows)
+    val dvRoot = Paths.get(tableDir, "dv")
+    val dvDropped =
+      if (!Files.exists(dvRoot)) Seq.empty[String]
+      else {
+        val s = Files.list(dvRoot)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala
+            .filter(_.getFileName.toString.startsWith("version="))
+            .filter { p =>
+              spark.read.parquet(p.toString)
+                .select("path").distinct().collect()
+                .forall(r => !keep.contains(r.getString(0)))
+            }
+            .map { p => LayoutDirs.deleteQuiet(p.toString); p.toString }
+            .toSeq
+        } finally s.close()
+      }
+    drop ++ cdfDropped ++ dvDropped
   }
 
   /** TIME-BASED retention (the production face of [[vacuum]]): reclaim
@@ -1401,6 +1655,7 @@ object CommitLogIngest {
         sum(when(col("action") === "add", 1).otherwise(0)).as("n_added"),
         sum(when(col("action") === "remove", 1).otherwise(0))
           .as("n_removed"),
+        sum(when(col("action") === "dv", 1).otherwise(0)).as("n_masked"),
         max(when(col("action") === "txn", col("path"))).as("txn"),
         max(when(col("action") === "op", col("path"))).as("op"),
         max((col("action") === "schema").cast("int")).cast("boolean")
@@ -1453,7 +1708,18 @@ object CommitLogIngest {
     * checkpoint was retention-pruned — fail loudly instead of returning
     * a silently partial (here: vacuous) snapshot. */
   private[graft] def liveFiles(spark: SparkSession, tableDir: String,
-      version: Long): Seq[String] = {
+      version: Long): Seq[String] =
+    liveState(spark, tableDir, version)._1
+
+  /** Live files AND deletion-vector state at `version` in ONE log pass:
+    * (live paths, dv versions per masked live path). Liveness is decided
+    * by the last ADD-vs-REMOVE action only — a "dv" action annotates a
+    * live file (it masks rows, it does not retire the file), so letting
+    * it win the max_by would silently drop the file from every read.
+    * Masks for paths no longer live (their file was since rewritten by
+    * CoW DML / OPTIMIZE, which applied them) drop out here. */
+  private[graft] def liveState(spark: SparkSession, tableDir: String,
+      version: Long): (Seq[String], Map[String, Seq[Long]]) = {
     // guard BEFORE the log read: a table with no committed version (or a
     // negative version from a caller that skipped latestVersion) must
     // surface the contract message, not a raw path-not-found
@@ -1464,18 +1730,29 @@ object CommitLogIngest {
       throw new IllegalStateException(
         s"$tableDir has no committed version (latest = " +
           s"${latestVersion(tableDir)}) — nothing to read at $version")
-    val files = actionRows(spark, tableDir, version)
-      .groupBy(col("path"))
-      .agg(max_by(col("action"), col("version")).as("last"))
-      .filter(col("last") === "add")
-      .select("path").collect().map(_.getString(0)).toSeq.sorted
+    val acts = actionRows(spark, tableDir, version)
+      .filter(col("action").isin("add", "remove", "dv"))
+      .select("path", "action", "version").collect()
+    val byPath = acts.groupBy(_.getString(0))
+    val files = byPath.collect { case (p, rs)
+        if {
+          val ar = rs.filter(_.getString(1) != "dv")
+          ar.nonEmpty && ar.maxBy(_.getLong(2)).getString(1) == "add"
+        } => p }.toSeq.sorted
     if (files.isEmpty)
       throw new IllegalStateException(
         s"no live files at version $version: the table is append-only, " +
           "so this version's history predates the oldest surviving " +
           "checkpoint and was retention-pruned — read at a version >= " +
           s"${checkpointsOnDisk(tableDir).headOption.getOrElse(-1L)}")
-    files
+    val liveSet = files.toSet
+    val dvs = byPath.iterator
+      .filter { case (p, _) => liveSet(p) }
+      .map { case (p, rs) =>
+        p -> rs.filter(_.getString(1) == "dv")
+          .map(_.getLong(2)).distinct.sorted.toSeq }
+      .filter(_._2.nonEmpty).toMap
+    (files, dvs)
   }
 
   /** The table at `version` (or the latest committed version when
@@ -1487,11 +1764,8 @@ object CommitLogIngest {
   def snapshot(spark: SparkSession, tableDir: String,
       version: Long = -1L): DataFrame = {
     val v = if (version >= 0) version else latestVersion(tableDir)
-    val files = liveFiles(spark, tableDir, v)
-    schemaAt(spark, tableDir, v) match {
-      case Some(st) => spark.read.schema(st).parquet(files: _*)
-      case None => spark.read.parquet(files: _*)
-    }
+    val (files, dvs) = liveState(spark, tableDir, v)
+    readWithDv(spark, tableDir, files, dvs, schemaAt(spark, tableDir, v))
   }
 
   /** Point lookup at the latest version through log + commit-time index:
@@ -1506,16 +1780,16 @@ object CommitLogIngest {
           "exists, so pointRead has nothing to prune with (pass " +
           "statsCol to start/commitOnce, or scan snapshot() instead)")
     val latest = latestVersion(tableDir)
-    val live = liveFiles(spark, tableDir, latest)
+    val (live, dvs) = liveState(spark, tableDir, latest)
     // both reads go under the declared schema as of `latest`: on a
     // mixed-generation table a bare read infers whichever footer wins, so
     // a late-added column would nondeterministically vanish from point
-    // reads (snapshot() already reads this way)
+    // reads (snapshot() already reads this way). Deletion-vector masks
+    // apply — index bounds may still cover masked rows (stats stay
+    // conservative until OPTIMIZE materializes), the mask drops them.
     def readAs(paths: Seq[String]): DataFrame =
-      schemaAt(spark, tableDir, latest) match {
-        case Some(st) => spark.read.schema(st).parquet(paths: _*)
-        case None => spark.read.parquet(paths: _*)
-      }
+      readWithDv(spark, tableDir, paths, dvs,
+        schemaAt(spark, tableDir, latest))
     val files = spark.read.parquet(s"$tableDir/index")
       .filter(col("path").isin(live: _*))
       .filter(col("min_key") <= key && col("max_key") >= key)
@@ -1606,12 +1880,44 @@ object CommitLogIngest {
             .map(_.getString(1)).toSeq
           val removes = actions.filter(_.getString(0) == "remove")
             .map(_.getString(1)).toSeq
+          val dvMasked = actions.filter(_.getString(0) == "dv")
+            .map(_.getString(1)).toSeq
           val ops = actions.filter(_.getString(0) == "op")
             .map(_.getString(1)).toSet
           def tag(df: DataFrame, t: String): DataFrame =
             df.withColumn("_change_type", lit(t))
               .withColumn("_commit_version", lit(v))
-          if (removes.isEmpty && adds.isEmpty) None // metadata-only
+          if (dvMasked.nonEmpty) {
+            // deletion-vector commit: the deletes are the version's OWN
+            // mask rows joined back to their files — O(masked files),
+            // exact without stored CDF (stored rows, when present, are
+            // identical by construction; reconstruction keeps disabled
+            // tables fully served). Masks of LATER versions must not
+            // leak into this version's change set, so only version v's
+            // dv dir joins.
+            if (hasCdf(tableDir, v) &&
+                LayoutDirs.hasParquetData(cdfDir(tableDir, v))) {
+              val withTag = schema
+                .map(_.add("_change_type",
+                  org.apache.spark.sql.types.StringType))
+              Some((withTag match {
+                case Some(st) => spark.read.schema(st)
+                  .parquet(cdfDir(tableDir, v))
+                case None => spark.read.parquet(cdfDir(tableDir, v))
+              }).withColumn("_commit_version", lit(v)))
+            } else {
+              val mask = spark.read.parquet(dvDir(tableDir, v))
+                .select(col("path").as(DvFileCol), col("pos").as(DvPosCol))
+              Some(tag(
+                readFiles(dvMasked)
+                  .withColumn(DvFileCol,
+                    LayoutDirs.plainPath(col("_metadata.file_path")))
+                  .withColumn(DvPosCol, col("_metadata.row_index"))
+                  .join(mask, Seq(DvFileCol, DvPosCol), "left_semi")
+                  .drop(DvFileCol, DvPosCol), "delete"))
+            }
+          }
+          else if (removes.isEmpty && adds.isEmpty) None // metadata-only
           else if (removes.isEmpty) Some(tag(readFiles(adds), "insert"))
           // layout-only rewrite (OPTIMIZE/ZORDER): identical multisets by
           // construction — nothing changed, nothing to read or diff
@@ -1701,9 +2007,25 @@ object CommitLogIngest {
           .map(_.getString(1)).toSeq
         val removes = actions.filter(_.getString(0) == "remove")
           .map(_.getString(1)).toSeq
+        val hasDv = actions.exists(_.getString(0) == "dv")
         val ops = actions.filter(_.getString(0) == "op")
           .map(_.getString(1)).toSet
-        if (removes.isEmpty && adds.isEmpty) Seq.empty // metadata-only
+        // deletion-vector commit: the V2 surface serves FILES as
+        // partitions and cannot express the mask join — it needs the
+        // STORED change rows (CDF on), same rule as a CoW DML commit
+        if (hasDv) {
+          val c = cdfDir(tableDir, v)
+          if (hasCdf(tableDir, v) && LayoutDirs.hasParquetData(c))
+            LayoutDirs.dataFiles(c).map(p => (p, v, None: Option[String]))
+          else throw new IllegalStateException(
+            s"readChangeFeed: version $v is a deletion-vector DELETE " +
+              s"with no stored change data (cdf/version=$v missing — " +
+              "the table did not have CDF enabled when it committed) — " +
+              "CommitLogIngest.setCdfEnabled(dir) before future DML, and " +
+              "read this range through CommitLogIngest.changeFeed (mask " +
+              "reconstruction) or restart from a snapshot")
+        }
+        else if (removes.isEmpty && adds.isEmpty) Seq.empty // metadata-only
         else if (removes.isEmpty) adds.map(p => (p, v, Some("insert")))
         // layout-only rewrite: identical multisets, nothing changed
         else if (ops.exists(LayoutOps)) Seq.empty
@@ -1792,7 +2114,11 @@ object CommitLogIngest {
         val t = spark.read.option("basePath", logDir).parquet(dirs: _*)
           .select(col("version").cast("long").as("v"), col("action"),
             col("path"))
-        val changeVersions = t.filter(col("action") === "remove")
+        // a deletion-vector commit is a CHANGE commit too: it adds no
+        // files, but rows earlier versions delivered are now dead —
+        // an unaware incremental consumer must fail (or explicitly skip)
+        // exactly like it does for a CoW rewrite
+        val changeVersions = t.filter(col("action").isin("remove", "dv"))
           .select("v").distinct().collect().map(_.getLong(0)).toSet
         if (changeVersions.nonEmpty && !skipChangeCommits)
           throw new IllegalStateException(

@@ -1,0 +1,261 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.CommitLogReaderFactory
+import graft.streaming.CommitLogIngest
+
+/** Deletion vectors — merge-on-read DELETE through the commit log (the
+  * Delta `delta.enableDeletionVectors` shape). What a 100-TB user needs
+  * pinned:
+  *
+  *  - a DV delete is PURE METADATA + positions: no data file moves, the
+  *    commit carries `("dv", file)` actions and `(path, pos)` rows;
+  *  - every read surface applies live masks — API snapshot, V2 batch
+  *    (row mode forced while a mask is live), pointRead, time travel
+  *    pinned BELOW the mask stays pre-delete;
+  *  - composed deletes never re-record a position; NULL predicates keep
+  *    rows (SQL semantics);
+  *  - CoW DML and OPTIMIZE read through masks and MATERIALIZE them as
+  *    they retire the files (restoring the columnar fast path);
+  *  - vacuum's reclaim rule for masks is LIVENESS, not age: a mask
+  *    whose file any retained version still reads must survive;
+  *  - incremental consumers: a dv version is a CHANGE commit (fail by
+  *    default / skipChangeCommits), changeFeed reconstructs the exact
+  *    deleted rows from the mask without stored CDF, and the V2 CDF
+  *    surface serves stored rows when CDF is on. */
+class DeletionVectorSpec extends SparkSuite {
+
+  private def tmp(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft-dv-$prefix")
+    d.toFile.deleteOnExit()
+    d.toString + "/t"
+  }
+
+  private def appendRows(table: String, from: Long, n: Long,
+      enableCdf: Boolean = false): Unit = {
+    val s = spark
+    import s.implicits._
+    val w = (from until from + n).map(i => (i, s"p$i", i * 10))
+      .toDF("id", "p", "n")
+      .write.format("graft-commitlog").option("path", table)
+      .option("statsCol", "id").option("enableDv", "true")
+      .mode("append")
+    (if (enableCdf) w.option("enableCdf", "true") else w).save()
+  }
+
+  private def v2(table: String) =
+    spark.read.format("graft-commitlog").option("path", table).load()
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.select("id").collect().map(_.getLong(0)).sorted.toSeq
+
+  test("DV delete is metadata-only: same files, masked rows gone on " +
+      "every surface, pinned reader unaffected") {
+    val s = spark
+    val table = tmp("basic")
+    appendRows(table, 0L, 100L)
+    appendRows(table, 100L, 100L)
+    assert(CommitLogIngest.dvEnabled(table))
+    val before = CommitLogIngest.latestVersion(table)
+    val filesBefore = CommitLogIngest.liveFiles(s, table, before)
+
+    val (dv, nMasked) = CommitLogIngest.deleteWhere(s, table,
+      col("id") % 7 === 3, statsCol = Some("id"))
+    assert(dv == before + 1 && nMasked > 0)
+    // no data file moved: the live FILE set is identical
+    assert(CommitLogIngest.liveFiles(s, table, dv) == filesBefore)
+    assert(Files.exists(Paths.get(CommitLogIngest.dvDir(table, dv))))
+
+    val expect = (0L until 200L).filter(_ % 7 != 3)
+    assert(ids(CommitLogIngest.snapshot(s, table)) == expect)
+    // V2 surface: same rows, row mode forced while the mask is live
+    assert(ids(v2(table)) == expect)
+    assert(CommitLogReaderFactory.lastMode == "row",
+      "a live mask must force the scan onto the position-aware row path")
+    // pushed filter on a masked file: exact — nothing resurrected, and
+    // the dead row inside the filter range stays dead
+    assert(ids(v2(table).filter(col("id") >= 7L && col("id") <= 31L)) ==
+      (7L to 31L).filter(_ % 7 != 3))
+    // pointRead prunes through the index, mask still applies
+    assert(CommitLogIngest.pointRead(s, table, "id", 10L).count() == 0L)
+    assert(CommitLogIngest.pointRead(s, table, "id", 11L).count() == 1L)
+    // time travel below the mask: pre-delete snapshot intact
+    assert(CommitLogIngest.snapshot(s, table, before).count() == 200L)
+    // history names the operation
+    val h = CommitLogIngest.history(s, table)
+      .filter(col("version") === dv).collect()(0)
+    assert(h.getAs[String]("operation") == "delete-dv")
+    assert(h.getAs[Long]("n_masked") == nMasked.toLong)
+  }
+
+  test("composed DV deletes: no position re-recorded, NULL pred keeps, " +
+      "no-match commits nothing") {
+    val s = spark
+    import s.implicits._
+    val table = tmp("compose")
+    appendRows(table, 0L, 100L)
+    val (dv1, _) = CommitLogIngest.deleteWhere(s, table, col("id") < 10L)
+    // overlapping predicate: ids < 20 — ids < 10 are ALREADY dead, so
+    // dv2's mask must carry only the 10 new positions
+    val (dv2, _) = CommitLogIngest.deleteWhere(s, table, col("id") < 20L)
+    assert(ids(CommitLogIngest.snapshot(s, table)) == (20L until 100L))
+    assert(ids(v2(table)) == (20L until 100L))
+    val mask2 = s.read.parquet(CommitLogIngest.dvDir(table, dv2))
+    assert(mask2.count() == 10L,
+      "second delete must record only newly-dead positions")
+    // a version pinned between the masks sees only the first
+    assert(ids(CommitLogIngest.snapshot(s, table, dv1)) == (10L until 100L))
+    // NULL predicate keeps the row (SQL semantics)
+    val nullTable = tmp("null")
+    Seq((1L, "a"), (2L, null.asInstanceOf[String]), (3L, "c"))
+      .toDF("id", "tag")
+      .write.format("graft-commitlog").option("path", nullTable)
+      .option("enableDv", "true").mode("append").save()
+    CommitLogIngest.deleteWhere(s, nullTable, col("tag") === "a")
+    assert(ids(CommitLogIngest.snapshot(s, nullTable)) == Seq(2L, 3L))
+    // matching nothing commits nothing
+    val vBefore = CommitLogIngest.latestVersion(table)
+    assert(CommitLogIngest.deleteWhere(s, table, col("id") === -1L) ==
+      (-1L, 0))
+    assert(CommitLogIngest.latestVersion(table) == vBefore)
+  }
+
+  test("CoW UPDATE and MERGE read through masks and materialize them") {
+    val s = spark
+    import s.implicits._
+    val table = tmp("cow")
+    appendRows(table, 0L, 100L)
+    CommitLogIngest.deleteWhere(s, table, col("id") % 10 === 0)
+    // update touches every file → rewrite materializes the masks: the
+    // masked rows must neither reappear nor be updated
+    CommitLogIngest.updateWhere(s, table, col("id") % 2 === 0,
+      Map("n" -> (col("n") + 1)), statsCol = Some("id"))
+    val (files, dvs) = CommitLogIngest.liveState(s, table,
+      CommitLogIngest.latestVersion(table))
+    assert(dvs.isEmpty, "rewritten files must shed their masks")
+    val snap = CommitLogIngest.snapshot(s, table)
+    assert(ids(snap) == (0L until 100L).filter(_ % 10 != 0))
+    // updated values correct on survivors only
+    val n4 = snap.filter(col("id") === 4L).collect()(0).getAs[Long]("n")
+    assert(n4 == 41L)
+    // merge: a key alive only as a MASKED row is an INSERT, not an update
+    val table2 = tmp("merge")
+    appendRows(table2, 0L, 50L)
+    CommitLogIngest.deleteWhere(s, table2, col("id") === 7L)
+    val up = Seq((7L, "resurrected", 700L), (8L, "updated", 800L))
+      .toDF("id", "p", "n")
+    CommitLogIngest.mergeByKey(s, table2, up, "id")
+    val m = CommitLogIngest.snapshot(s, table2)
+      .filter(col("id").isin(7L, 8L))
+      .select("id", "p").collect().map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    assert(m == Map(7L -> "resurrected", 8L -> "updated"))
+    assert(CommitLogIngest.snapshot(s, table2).count() == 50L)
+  }
+
+  test("OPTIMIZE materializes masks (purge): census unchanged, columnar " +
+      "path restored, vacuum then reclaims the mask — but never before") {
+    val s = spark
+    val table = tmp("purge")
+    appendRows(table, 0L, 100L)
+    appendRows(table, 100L, 100L)
+    val (dv, _) = CommitLogIngest.deleteWhere(s, table, col("id") % 3 === 0)
+    val expect = (0L until 200L).filter(_ % 3 != 0)
+
+    // vacuum at a floor ABOVE the mask version must keep the mask (the
+    // masked file is still live — dropping it would resurrect the rows)
+    CommitLogIngest.vacuum(s, table, dv)
+    assert(Files.exists(Paths.get(CommitLogIngest.dvDir(table, dv))),
+      "a mask whose file is live at a retained version must survive vacuum")
+    assert(ids(CommitLogIngest.snapshot(s, table)) == expect)
+
+    // OPTIMIZE treats masked files as always-eligible and rewrites them
+    val (ov, nIn, _) = CommitLogIngest.optimize(s, table,
+      statsCol = Some("id"))
+    assert(ov > 0 && nIn > 0)
+    val (_, dvsAfter) = CommitLogIngest.liveState(s, table, ov)
+    assert(dvsAfter.isEmpty, "OPTIMIZE must materialize every mask")
+    assert(ids(CommitLogIngest.snapshot(s, table)) == expect)
+    assert(ids(v2(table)) == expect)
+    assert(CommitLogReaderFactory.lastMode == "columnar",
+      "materialized masks must restore the columnar fast path")
+    // now the mask is dead (no retained version reads it at the floor)
+    val dropped = CommitLogIngest.vacuum(s, table, ov)
+    assert(!Files.exists(Paths.get(CommitLogIngest.dvDir(table, dv))),
+      s"dead mask must be reclaimed (dropped: $dropped)")
+    assert(ids(CommitLogIngest.snapshot(s, table)) == expect)
+  }
+
+  test("incremental consumers: dv version is a change commit; changeFeed " +
+      "reconstructs exact deleted rows without stored CDF") {
+    val s = spark
+    val table = tmp("feed")
+    appendRows(table, 0L, 100L)
+    val v0 = CommitLogIngest.latestVersion(table)
+    val (dv, _) = CommitLogIngest.deleteWhere(s, table, col("id") < 5L)
+    appendRows(table, 100L, 10L)
+    val vEnd = CommitLogIngest.latestVersion(table)
+    // fail-by-default (the Delta rule)
+    val e = intercept[IllegalStateException] {
+      CommitLogIngest.changes(s, table, v0, vEnd).count()
+    }
+    assert(e.getMessage.contains("CHANGE commits"))
+    // skip delivers the pure appends only
+    assert(ids(CommitLogIngest.changes(s, table, v0, vEnd,
+      skipChangeCommits = true)) == (100L until 110L))
+    // changeFeed: the dv version's deletes are the exact masked rows,
+    // reconstructed from the mask itself (no stored CDF on this table)
+    val feed = CommitLogIngest.changeFeed(s, table, dv - 1, dv)
+    assert(feed.select("_change_type").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("delete"))
+    assert(ids(feed) == (0L until 5L))
+    // V2 stored-CDF surface refuses without stored rows, naming the switch
+    val e2 = intercept[Exception] {
+      s.read.format("graft-commitlog").option("path", table)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", dv.toString).load().count()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).toSeq
+    assert(chain(e2).exists(m => m != null && m.contains("setCdfEnabled")))
+    // with CDF enabled, the stored rows serve the V2 surface and agree
+    // with the reconstruction
+    val table2 = tmp("feedcdf")
+    appendRows(table2, 0L, 100L, enableCdf = true)
+    val (dv2, _) = CommitLogIngest.deleteWhere(s, table2, col("id") < 5L)
+    val stored = s.read.format("graft-commitlog").option("path", table2)
+      .option("readChangeFeed", "true")
+      .option("startingVersion", dv2.toString).load()
+    assert(ids(stored.filter(col("_change_type") === "delete")) ==
+      (0L until 5L))
+    assert(ids(CommitLogIngest.changeFeed(s, table2, dv2 - 1, dv2)) ==
+      (0L until 5L))
+  }
+
+  test("masks survive checkpoint resolution and log retention") {
+    val s = spark
+    val table = tmp("ckpt")
+    appendRows(table, 0L, 40L)
+    val (dv, _) = CommitLogIngest.deleteWhere(s, table, col("id") % 4 === 1)
+    // drive past the next checkpoint boundary so resolution goes
+    // checkpoint-first (CheckpointEvery = 10)
+    var next = 100L
+    while (CommitLogIngest.latestVersion(table) <
+        dv + CommitLogIngest.CheckpointEvery + 2) {
+      appendRows(table, next, 10L)
+      next += 10L
+    }
+    val latest = CommitLogIngest.latestVersion(table)
+    val expect = ((0L until 40L) ++ (100L until next))
+      .filterNot(i => i < 40L && i % 4 == 1)
+    assert(ids(CommitLogIngest.snapshot(s, table)) == expect,
+      "mask must survive checkpoint-first resolution")
+    val (_, dvs) = CommitLogIngest.liveState(s, table, latest)
+    assert(dvs.nonEmpty, "dv actions must ride the checkpoint")
+    assert(ids(v2(table)) == expect)
+  }
+}
