@@ -18,6 +18,8 @@ import graft.streaming.CommitLogIngest
   *   OPTIMIZE '<tableDir>' ZORDER BY (colA, colB)
   *   VACUUM '<tableDir>' RETAIN <hours> HOURS
   *   DESCRIBE HISTORY '<tableDir>'
+  *   RESTORE '<tableDir>' TO VERSION AS OF <n>
+  *   CREATE TABLE '<dstDir>' SHALLOW CLONE '<srcDir>'
   * }}}
   *
   * Injected as a DELEGATING parser (`injectParser`): these statements are
@@ -64,6 +66,10 @@ object GraftSqlParser {
     """(?is)\s*VACUUM\s+'([^']+)'\s+RETAIN\s+([0-9.eE+-]+)\s+HOURS\s*;?\s*""".r
   private val History =
     """(?is)\s*DESCRIBE\s+HISTORY\s+'([^']+)'\s*;?\s*""".r
+  private val Restore =
+    """(?is)\s*RESTORE\s+'([^']+)'\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+  private val Clone =
+    """(?is)\s*CREATE\s+TABLE\s+'([^']+)'\s+SHALLOW\s+CLONE\s+'([^']+)'\s*;?\s*""".r
 
   private[plans] def maintenancePlan(sql: String): Option[LogicalPlan] =
     sql match {
@@ -73,6 +79,8 @@ object GraftSqlParser {
       case Vacuum(dir, hours) =>
         Some(VacuumCommand(dir, hours.toDouble))
       case History(dir) => Some(DescribeHistoryCommand(dir))
+      case Restore(dir, v) => Some(RestoreCommand(dir, v.toLong))
+      case Clone(dst, src) => Some(ShallowCloneCommand(src, dst))
       case _ => None
     }
 }
@@ -127,13 +135,43 @@ case class DescribeHistoryCommand(dir: String) extends LeafRunnableCommand {
     AttributeReference("version", LongType)(),
     AttributeReference("n_added", LongType)(),
     AttributeReference("n_removed", LongType)(),
+    AttributeReference("n_masked", LongType)(),
     AttributeReference("txn", StringType)(),
     AttributeReference("schema_change", BooleanType)(),
     AttributeReference("operation", StringType)())
 
   override def run(spark: SparkSession): Seq[Row] =
     CommitLogIngest.history(spark, dir)
-      .select("version", "n_added", "n_removed", "txn", "schema_change",
-        "operation")
+      .select("version", "n_added", "n_removed", "n_masked", "txn",
+        "schema_change", "operation")
       .collect().toSeq
+}
+
+/** `RESTORE '<dir>' TO VERSION AS OF n` — the forward-commit rollback,
+  * identical to the API call (post-target deletion-vector masks
+  * materialize, vacuumed history refuses loudly before any mutation). */
+case class RestoreCommand(dir: String, toVersion: Long)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType)(),
+    AttributeReference("files_removed", IntegerType)(),
+    AttributeReference("files_added", IntegerType)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (v, removed, added) = CommitLogIngest.restore(spark, dir, toVersion)
+    Seq(Row(v, removed, added))
+  }
+}
+
+/** `CREATE TABLE '<dst>' SHALLOW CLONE '<src>'` — zero-copy metadata
+  * clone, identical to the API call. */
+case class ShallowCloneCommand(src: String, dst: String)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType)())
+
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(CommitLogIngest.shallowClone(spark, src, dst)))
 }

@@ -1541,7 +1541,13 @@ object CommitLogIngest {
       .select("path").distinct().collect().map(_.getString(0)).toSet
     val keep = (math.max(retainMin, 0L) to latest)
       .flatMap(v => liveFiles(spark, tableDir, v)).toSet
+    // CONTAINMENT: vacuum deletes only files under its OWN table root
+    // (the Delta rule). A shallow clone's log references the source's
+    // data files by absolute path — vacuuming the clone must never
+    // reach into the source table, only unlink the clone's own rewrites.
+    val root = Paths.get(tableDir).toAbsolutePath.normalize
     val drop = (all -- keep).toSeq.sorted
+      .filter(p => Paths.get(p).toAbsolutePath.normalize.startsWith(root))
     drop.foreach(p => Files.deleteIfExists(Paths.get(p)))
     // stored change data obeys the SAME retention horizon (round-12
     // ADVICE: update-heavy CDF tables leaked cdf/version=v dirs without
@@ -1640,6 +1646,172 @@ object CommitLogIngest {
       }
     val floor = math.min(survivors.minOption.getOrElse(latest), latest)
     (floor, vacuum(spark, tableDir, floor))
+  }
+
+  // ---- shallow clone & restore (the Delta CLONE / RESTORE shapes) ---------
+
+  /** SHALLOW CLONE: a NEW table whose version 0 references the source's
+    * live data files BY PATH — zero data bytes copied, O(files) metadata.
+    * The clone is immediately a full citizen: reads, appends, DML,
+    * OPTIMIZE, time travel all work, and every WRITE lands under the
+    * clone's own root — copy-on-write rewrites diverge from the source
+    * file-by-file (the source is never touched). Cloned state: schema as
+    * of the source's latest version, partitioning, CDF/DV switches, live
+    * deletion-vector masks (re-recorded as the clone's own v0 masks, so
+    * the cloned snapshot is the source's LOGICAL table), and the stats
+    * index (path-keyed rows stay valid — readers intersect with the live
+    * set). The one shared-fate caveat, same as Delta's: vacuuming the
+    * SOURCE can reclaim files the clone still references (the clone's
+    * own vacuum is safe — it deletes only under its root). Returns the
+    * clone's version 0. */
+  def shallowClone(spark: SparkSession, srcDir: String,
+      dstDir: String): Long = {
+    require(latestVersion(dstDir) < 0,
+      s"shallowClone: $dstDir already has committed versions — clone " +
+        "into a fresh directory")
+    val latest = latestVersion(srcDir)
+    require(latest >= 0, s"shallowClone: $srcDir has no committed version")
+    val (files, dvs) = liveState(spark, srcDir, latest)
+    val schema = schemaAt(spark, srcDir, latest)
+    val pcols = partitionColsOf(srcDir)
+    if (pcols.nonEmpty) recordPartitionCols(dstDir, pcols)
+    if (cdfEnabled(srcDir)) setCdfEnabled(dstDir)
+    if (dvEnabled(srcDir)) setDvEnabled(dstDir)
+    indexedCol(srcDir).foreach { k =>
+      // path-keyed stats rows prune for the clone exactly as for the
+      // source; one small metadata copy keeps pointRead working
+      val srcIdx = Paths.get(srcDir, "index")
+      if (Files.exists(srcIdx)) {
+        val s = Files.walk(srcIdx)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.filter(Files.isRegularFile(_)).foreach { p =>
+            val rel = srcIdx.relativize(p)
+            val dst = Paths.get(dstDir, "index").resolve(rel)
+            Files.createDirectories(dst.getParent)
+            Files.copy(p, dst,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          }
+        } finally s.close()
+      }
+      recordIndexCol(dstDir, k)
+    }
+    val masked = files.filter(dvs.contains)
+    val dvStaged =
+      if (masked.isEmpty) None
+      else Some {
+        import spark.implicits._
+        val staged = s"$dstDir/data/dvstage-" +
+          java.util.UUID.randomUUID().toString.take(12)
+        val maskedDf = masked.toDF("path")
+        spark.read
+          .parquet(masked.flatMap(dvs).distinct.sorted
+            .map(dvDir(srcDir, _)): _*)
+          .join(maskedDf, Seq("path"), "left_semi")
+          .select("path", "pos")
+          .write.mode("overwrite").parquet(staged)
+        staged
+      }
+    val stage = stageActions(spark, dstDir, files, Seq.empty,
+      schemaOf = schema, txn = None, op = Some("clone"),
+      extra = masked.map(("dv", _)))
+    require(tryClaimVersion(dstDir, stage, 0L),
+      s"shallowClone: $dstDir version 0 appeared mid-clone")
+    dvStaged.foreach(publishDv(dstDir, _, 0L))
+    postWin(spark, dstDir, 0L, statsCol = None, statsDir = None,
+      schemaOf = schema)
+    0L
+  }
+
+  /** RESTORE the table to the logical state of `toVersion`, as ONE new
+    * commit (the Delta RESTORE shape — history moves FORWARD, the
+    * versions in between stay intact for time travel): re-add the files
+    * live at the target that since left, remove the files that since
+    * arrived. A target-live file carrying a deletion-vector mask
+    * committed AFTER the target cannot be re-exposed raw (a mask applies
+    * to every read at or above its commit — the restored state would
+    * silently miss the target's rows), so restore MATERIALIZES such
+    * files: rewrite with only the target's masks applied, partition-
+    * local, indexed in the same commit — cost O(those files), zero for
+    * the common no-post-target-mask case. Refused loudly when vacuum
+    * already reclaimed a needed file or mask. A restore version is a
+    * CHANGE commit: incremental consumers fail/skip it, and
+    * [[changeFeed]] serves it through the mask-aware read-time diff of
+    * the swapped files. The restored snapshot reads under the CURRENT
+    * declared schema (schema never moves backward — the append-compat
+    * rule): a column added after the target stays declared and
+    * null-fills for the re-added files. Returns (newVersion,
+    * filesRemoved, filesAdded); restoring to the current state commits
+    * nothing and returns (-1, 0, 0). */
+  def restore(spark: SparkSession, tableDir: String,
+      toVersion: Long): (Long, Int, Int) = {
+    while (true) {
+      val latest = latestVersion(tableDir)
+      require(toVersion >= 0 && toVersion <= latest,
+        s"restore: version $toVersion outside committed range " +
+          s"[0, $latest] of $tableDir")
+      val (want, wantDvs) = liveState(spark, tableDir, toVersion)
+      val (cur, _) = liveState(spark, tableDir, latest)
+      val curSet = cur.toSet
+      val wantSet = want.toSet
+      // target-live files with a POST-target mask: swapped out and
+      // rewritten below (checked before the no-op return — a dv delete
+      // after the target leaves the FILE sets identical while the
+      // logical state differs)
+      val laterMasked = actionRows(spark, tableDir, latest)
+        .filter(col("action") === "dv" && col("version") > toVersion)
+        .select("path").distinct().collect().map(_.getString(0))
+        .filter(wantSet).toSet
+      val cleanAdds = want.filterNot(curSet).filterNot(laterMasked)
+      val toMat = want.filter(laterMasked)
+      val removes =
+        (cur.filterNot(wantSet) ++ cur.filter(laterMasked)).sorted
+      if (cleanAdds.isEmpty && toMat.isEmpty && removes.isEmpty)
+        return (-1L, 0, 0)
+      val missing =
+        (cleanAdds ++ toMat).filterNot(p => Files.exists(Paths.get(p)))
+      require(missing.isEmpty,
+        s"restore to $toVersion: vacuum already reclaimed " +
+          s"${missing.take(3).mkString(", ")}" +
+          s"${if (missing.size > 3) ", …" else ""} — that history is " +
+          "gone; restore to a retained version")
+      val needDv = (cleanAdds ++ toMat).flatMap(wantDvs.get).flatten
+        .distinct.sorted.map(dvDir(tableDir, _))
+      val missingDv = needDv.filterNot(LayoutDirs.hasParquetData)
+      require(missingDv.isEmpty,
+        s"restore to $toVersion: vacuum already reclaimed mask(s) " +
+          s"${missingDv.mkString(", ")} a re-added file needs")
+      val outDir =
+        if (toMat.isEmpty) None
+        else Some(s"$tableDir/data/rs-" +
+          java.util.UUID.randomUUID().toString.take(12))
+      outDir.foreach { out =>
+        val cur0 = schemaAt(spark, tableDir, latest)
+        toMat.groupBy(graft.sources.PartitionPaths.segmentsOf)
+          .toSeq.sortBy(_._1).foreach { case (seg, paths) =>
+            val dst = if (seg.isEmpty) out else s"$out/$seg"
+            readWithDv(spark, tableDir, paths,
+              wantDvs.filter(kv => paths.contains(kv._1)), cur0)
+              .coalesce(paths.size).write.mode("overwrite").parquet(dst)
+          }
+      }
+      val matAdds = outDir.map(LayoutDirs.dataFiles).getOrElse(Seq.empty)
+      val adds = (cleanAdds ++ matAdds).sorted
+      val stage = stageActions(spark, tableDir, adds, removes,
+        schemaOf = None, txn = None, op = Some("restore"))
+      if (tryClaimVersion(tableDir, stage, latest + 1)) {
+        // materialized files get index rows in the same commit (the
+        // re-added originals keep their immutable-path rows from their
+        // first commit) — pointRead must keep pruning correctly
+        postWin(spark, tableDir, latest + 1,
+          statsCol = indexedCol(tableDir).filter(_ => matAdds.nonEmpty),
+          statsDir = outDir, schemaOf = None)
+        return (latest + 1, removes.size, adds.size)
+      }
+      LayoutDirs.deleteQuiet(stage.toString) // stale read — recompute
+      outDir.foreach(LayoutDirs.deleteQuiet)
+    }
+    (-1L, 0, 0) // unreachable
   }
 
   /** DESCRIBE HISTORY: one row per SURVIVING log version (retention-pruned
@@ -1948,12 +2120,20 @@ object CommitLogIngest {
               }).withColumn("_commit_version", lit(v)))
             }
           } else {
-            // legacy change commit (pre-stored-cdf): diff the swapped
-            // files at read time
-            val before = readFiles(removes)
+            // legacy change commit (pre-stored-cdf) and RESTORE: diff
+            // the swapped files at read time. Deletion-vector masks
+            // apply on BOTH sides (removes under the pre-commit mask
+            // state, adds under the post-commit state) — a raw read
+            // would double-report rows a mask already deleted at its
+            // own dv version.
+            val dvsBefore = liveState(spark, tableDir, v - 1)._2
+            val dvsAfter = liveState(spark, tableDir, v)._2
+            val before = readWithDv(spark, tableDir, removes,
+              dvsBefore.filter(kv => removes.contains(kv._1)), schema)
             val after =
-              if (adds.isEmpty) readFiles(removes).filter(lit(false))
-              else readFiles(adds)
+              if (adds.isEmpty) before.filter(lit(false))
+              else readWithDv(spark, tableDir, adds,
+                dvsAfter.filter(kv => adds.contains(kv._1)), schema)
             Some(tag(before.exceptAll(after), "delete")
               .unionByName(tag(after.exceptAll(before), "insert")))
           }

@@ -179,6 +179,58 @@ class CommitLogSqlSpec extends SparkSuite {
     } finally s.sql("DROP TABLE IF EXISTS clsqlmrg")
   }
 
+  test("SQL RESTORE / SHALLOW CLONE land identical results to the API; " +
+      "SQL DELETE goes merge-on-read once deletion vectors are enabled") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("sqlrc") + "/t"
+    (0L until 100L).map(i => (i, s"p$i")).toDF("id", "tag")
+      .write.format("graft-commitlog").option("path", dir)
+      .mode("append").save()
+    val target = CommitLogIngest.latestVersion(dir)
+    // flip DV on, then SQL DELETE through the catalog table: the commit
+    // must be a mask, not a rewrite
+    CommitLogIngest.setDvEnabled(dir)
+    s.sql(s"""CREATE TABLE clsqlrc (id BIGINT, tag STRING)
+      USING `graft-commitlog` OPTIONS (path '$dir')""")
+    try {
+      val filesBefore = CommitLogIngest.liveFiles(s, dir, target)
+      s.sql("DELETE FROM clsqlrc WHERE id < 10")
+      val vDel = CommitLogIngest.latestVersion(dir)
+      assert(CommitLogIngest.liveFiles(s, dir, vDel) == filesBefore,
+        "SQL DELETE on a DV table must move no data files")
+      assert(s.sql("SELECT COUNT(*) FROM clsqlrc").collect()(0)
+        .getLong(0) == 90L)
+      // SQL RESTORE: back to the pre-delete state (materializes the mask)
+      val r = s.sql(s"RESTORE '$dir' TO VERSION AS OF $target").collect()(0)
+      assert(r.getLong(0) == vDel + 1)
+      assert(s.sql("SELECT COUNT(*) FROM clsqlrc").collect()(0)
+        .getLong(0) == 100L)
+      assert(CommitLogIngest.snapshot(s, dir).count() == 100L)
+      // SQL SHALLOW CLONE: zero-copy, census equal, then diverges
+      val dst = tmp("sqlclone") + "/c"
+      assert(s.sql(s"CREATE TABLE '$dst' SHALLOW CLONE '$dir'")
+        .collect()(0).getLong(0) == 0L)
+      assert(CommitLogIngest.snapshot(s, dst).count() == 100L)
+      CommitLogIngest.deleteWhere(s, dst, org.apache.spark.sql
+        .functions.col("id") < 50L)
+      assert(CommitLogIngest.snapshot(s, dst).count() == 50L)
+      assert(CommitLogIngest.snapshot(s, dir).count() == 100L,
+        "clone writes must not disturb the source")
+      // DESCRIBE HISTORY carries the mask count column
+      val hist = s.sql(s"DESCRIBE HISTORY '$dir'").collect()
+      assert(hist.exists(r0 => r0.getAs[String]("operation") == "restore"))
+      assert(hist.filter(_.getLong(0) == vDel)
+        .head.getAs[Long]("n_masked") > 0L)
+      // an out-of-range RESTORE refuses with zero mutation
+      val pre = CommitLogIngest.latestVersion(dir)
+      intercept[Exception] {
+        s.sql(s"RESTORE '$dir' TO VERSION AS OF 99999").collect()
+      }
+      assert(CommitLogIngest.latestVersion(dir) == pre)
+    } finally s.sql("DROP TABLE IF EXISTS clsqlrc")
+  }
+
   private def chain(e: Throwable): Seq[String] =
     Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
       .map(t => Option(t.getMessage).getOrElse("")).toSeq
