@@ -20,6 +20,8 @@ import graft.streaming.CommitLogIngest
   *   DESCRIBE HISTORY '<tableDir>'
   *   RESTORE '<tableDir>' TO VERSION AS OF <n>
   *   CREATE TABLE '<dstDir>' SHALLOW CLONE '<srcDir>'
+  *   ALTER TABLE '<tableDir>' ADD CONSTRAINT <name> CHECK (<expr>)
+  *   ALTER TABLE '<tableDir>' DROP CONSTRAINT <name>
   * }}}
   *
   * Injected as a DELEGATING parser (`injectParser`): these statements are
@@ -70,6 +72,10 @@ object GraftSqlParser {
     """(?is)\s*RESTORE\s+'([^']+)'\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   private val Clone =
     """(?is)\s*CREATE\s+TABLE\s+'([^']+)'\s+SHALLOW\s+CLONE\s+'([^']+)'\s*;?\s*""".r
+  private val AddConstraint =
+    """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
+  private val DropConstraint =
+    """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r
 
   private[plans] def maintenancePlan(sql: String): Option[LogicalPlan] =
     sql match {
@@ -81,8 +87,30 @@ object GraftSqlParser {
       case History(dir) => Some(DescribeHistoryCommand(dir))
       case Restore(dir, v) => Some(RestoreCommand(dir, v.toLong))
       case Clone(dst, src) => Some(ShallowCloneCommand(src, dst))
+      case AddConstraint(dir, name, check) =>
+        Some(ConstraintCommand(dir, name, Some(check.trim)))
+      case DropConstraint(dir, name) =>
+        Some(ConstraintCommand(dir, name, None))
       case _ => None
     }
+}
+
+/** `ALTER TABLE '<dir>' ADD CONSTRAINT n CHECK (expr)` /
+  * `... DROP CONSTRAINT n` — identical to the API calls (ADD scans the
+  * existing snapshot and refuses on any violating row). */
+case class ConstraintCommand(dir: String, name: String,
+    check: Option[String]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("existed", BooleanType)())
+
+  override def run(spark: SparkSession): Seq[Row] = check match {
+    case Some(e) =>
+      CommitLogIngest.addCheckConstraint(spark, dir, name, e)
+      Seq(Row(false))
+    case None =>
+      Seq(Row(CommitLogIngest.dropCheckConstraint(dir, name)))
+  }
 }
 
 /** `OPTIMIZE` (size compaction) / `OPTIMIZE ... ZORDER BY` (Morton

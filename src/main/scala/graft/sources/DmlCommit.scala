@@ -265,6 +265,25 @@ object DmlCommit {
       |FROM documents WHERE doc_id % 7 <> 3 AND n_chars % 5 <> 1
       |GROUP BY source""".stripMargin
 
+  /** Incrementally maintained rollup (E-158, `sources/CdfRollup`): the
+    * per-source census INITIALIZED from the pre-DML snapshot (version
+    * delV−1) and advanced ONLY through change-feed deltas across the
+    * delete and update commits — never re-reading the base table. The
+    * oracle is the FULL-recompute SQL of the final state, so hash
+    * equality proves incremental maintenance ≡ recompute through
+    * in-place mutation (the thing `src_incr_rollup`'s append-only
+    * O(delta) path cannot express). */
+  def cdfMvCensus(spark: SparkSession, sfDir: String): DataFrame = {
+    val (table, delV) = ensure(spark, sfDir)
+    CdfRollup.maintained(spark, table, delV - 1)
+  }
+
+  val cdfMvCensusSql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN n_chars + 1000
+      |                ELSE n_chars END) AS BIGINT) AS sum_chars
+      |FROM documents WHERE doc_id % 7 <> 3 GROUP BY source""".stripMargin
+
   /** Test hook: drop cached layouts (the shared clear contract). */
   private[graft] def clearCache(): Unit = {
     cache.clear(); mergedCache.clear(); dvCache.clear()
@@ -276,5 +295,6 @@ object DmlCommit {
     "src_merge_commit" -> Q(mergedCensusSql)(mergedCensus),
     "src_cdc_feed" -> Q(cdcCensusSql)(cdcCensus),
     "src_cdf_read" -> Q(cdcCensusSql)(cdfReadCensus),
-    "src_dv_delete" -> Q(dvCensusSql)(dvCensus))
+    "src_dv_delete" -> Q(dvCensusSql)(dvCensus),
+    "src_cdf_mv" -> Q(cdfMvCensusSql)(cdfMvCensus))
 }

@@ -500,6 +500,12 @@ object CommitLogIngest {
       schemaOf: Option[org.apache.spark.sql.types.StructType],
       txn: Option[String], op: Option[String] = None,
       extra: Seq[(String, String)] = Nil): java.nio.file.Path = {
+    // CHECK constraints gate every commit of NEW rows (append, overwrite,
+    // DML rewrites) right here — the one choke point every path stages
+    // through. Layout/metadata ops (optimize/zorder/clone/restore) re-add
+    // rows that already passed, so they skip the read.
+    if (adds.nonEmpty && (op.isEmpty || op.contains("overwrite")))
+      enforceConstraints(spark, tableDir, adds)
     import spark.implicits._
     val stage = Paths.get(tableDir, "log",
       s".stage-${java.util.UUID.randomUUID().toString.take(12)}")
@@ -1648,6 +1654,92 @@ object CommitLogIngest {
     (floor, vacuum(spark, tableDir, floor))
   }
 
+  // ---- CHECK constraints (the Delta constraints shape) --------------------
+
+  private def constraintsPath(dir: String) =
+    Paths.get(dir, "log", "_constraints")
+
+  /** The table's CHECK constraints, (name, sql expression) in declaration
+    * order. SQL CHECK semantics throughout: a row violates only when the
+    * expression evaluates to FALSE — NULL passes. */
+  def checkConstraintsOf(tableDir: String): Seq[(String, String)] =
+    try {
+      new String(Files.readAllBytes(constraintsPath(tableDir)), "UTF-8")
+        .split("\n").toSeq.filter(_.nonEmpty)
+        .map { l =>
+          val i = l.indexOf('\t'); (l.substring(0, i), l.substring(i + 1))
+        }
+    } catch { case _: Exception => Seq.empty }
+
+  /** ADD CONSTRAINT ... CHECK — the Delta shape: the expression must
+    * hold on EVERY EXISTING ROW before it may gate future writes (one
+    * pushed-predicate violation probe over the current snapshot — at
+    * 100 TB that is the documented one-scan cost of adding a constraint,
+    * and the price of the guarantee that a constraint, once added, is an
+    * invariant of the whole table, not just of later commits). An
+    * unresolvable expression (unknown column, parse error) fails here,
+    * before anything is recorded. */
+  def addCheckConstraint(spark: SparkSession, tableDir: String,
+      name: String, sqlExpr: String): Unit = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"addCheckConstraint: invalid constraint name '$name'")
+    require(!checkConstraintsOf(tableDir).exists(_._1 == name),
+      s"addCheckConstraint: $tableDir already has a constraint '$name'")
+    val probe =
+      if (latestVersion(tableDir) >= 0) snapshot(spark, tableDir)
+      else declaredSchema(tableDir) match {
+        case Some(st) =>
+          spark.createDataFrame(new java.util.ArrayList[Row](), st)
+        case None => throw new IllegalStateException(
+          s"addCheckConstraint: $tableDir has no data and no declared " +
+            "schema — nothing to resolve the expression against")
+      }
+    val viol = probe
+      .filter(!coalesce(expr(sqlExpr).cast("boolean"), lit(true)))
+      .limit(1).collect()
+    require(viol.isEmpty,
+      s"addCheckConstraint: existing row violates CHECK ($sqlExpr): " +
+        s"${viol.headOption.getOrElse("")} — clean the data first " +
+        "(the constraint must be an invariant of the WHOLE table)")
+    val p = constraintsPath(tableDir)
+    Files.createDirectories(p.getParent)
+    Files.write(p, s"$name\t$sqlExpr\n".getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE,
+      StandardOpenOption.APPEND)
+  }
+
+  /** DROP CONSTRAINT; returns whether it existed. */
+  def dropCheckConstraint(tableDir: String, name: String): Boolean = {
+    val cs = checkConstraintsOf(tableDir)
+    if (!cs.exists(_._1 == name)) return false
+    val rest = cs.filterNot(_._1 == name)
+    if (rest.isEmpty) Files.deleteIfExists(constraintsPath(tableDir))
+    else Files.write(constraintsPath(tableDir),
+      rest.map { case (n, e) => s"$n\t$e\n" }.mkString.getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE,
+      StandardOpenOption.TRUNCATE_EXISTING)
+    true
+  }
+
+  /** Violation probe over a commit's staged adds — one pushed-predicate
+    * read of the NEW files only (never the table), run pre-claim so a
+    * refused commit mutates nothing: no version lands, readers never see
+    * the rows. */
+  private def enforceConstraints(spark: SparkSession, tableDir: String,
+      adds: Seq[String]): Unit = {
+    val cs = checkConstraintsOf(tableDir)
+    if (cs.isEmpty) return
+    val df = spark.read.parquet(adds: _*)
+    cs.foreach { case (n, e) =>
+      val viol = df
+        .filter(!coalesce(expr(e).cast("boolean"), lit(true)))
+        .limit(1).collect()
+      if (viol.nonEmpty) throw new IllegalStateException(
+        s"CHECK constraint $n ($e) violated by ${viol.head} — commit " +
+          "refused, no version landed")
+    }
+  }
+
   // ---- shallow clone & restore (the Delta CLONE / RESTORE shapes) ---------
 
   /** SHALLOW CLONE: a NEW table whose version 0 references the source's
@@ -1677,6 +1769,11 @@ object CommitLogIngest {
     if (pcols.nonEmpty) recordPartitionCols(dstDir, pcols)
     if (cdfEnabled(srcDir)) setCdfEnabled(dstDir)
     if (dvEnabled(srcDir)) setDvEnabled(dstDir)
+    if (Files.exists(constraintsPath(srcDir))) {
+      Files.createDirectories(constraintsPath(dstDir).getParent)
+      Files.copy(constraintsPath(srcDir), constraintsPath(dstDir),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
     indexedCol(srcDir).foreach { k =>
       // path-keyed stats rows prune for the clone exactly as for the
       // source; one small metadata copy keeps pointRead working

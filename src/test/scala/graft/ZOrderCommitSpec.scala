@@ -140,8 +140,8 @@ class ZOrderCommitSpec extends SparkSuite {
     val viaSql = s.sql(s"DESCRIBE HISTORY '$table'").collect()
       .map(_.toString).sorted.toSeq
     val viaApi = CommitLogIngest.history(s, table)
-      .select("version", "n_added", "n_removed", "txn", "schema_change",
-        "operation").collect().map(_.toString).sorted.toSeq
+      .select("version", "n_added", "n_removed", "n_masked", "txn",
+        "schema_change", "operation").collect().map(_.toString).sorted.toSeq
     assert(viaSql == viaApi, "DESCRIBE HISTORY diverged from the API")
     assert(viaSql.nonEmpty)
 
