@@ -452,10 +452,21 @@ class CommitLogScan(tableDir: String, schema: StructType,
             ".option(\"startingVersion\", N) (inclusive)"))
       new CommitLogCdfBatch(tableDir, schema, from,
         Option(options.get("endingVersion")).map(_.toLong), filters)
-    } else
+    } else {
+      val vAsOf = Option(options.get("versionAsOf")).map(_.toLong)
+      val tAsOf = Option(options.get("timestampAsOf"))
+      require(vAsOf.isEmpty || tAsOf.isEmpty,
+        "versionAsOf and timestampAsOf are mutually exclusive")
+      // the Delta option: epoch millis or 'yyyy-MM-dd HH:mm:ss' resolve
+      // to the latest version committed at or before that instant
+      val pinned = vAsOf.orElse(tAsOf.map { t =>
+        val ms = t.toLongOption.getOrElse(
+          java.sql.Timestamp.valueOf(t).getTime)
+        CommitLogIngest.versionAt(tableDir, ms)
+      })
       new CommitLogBatch(tableDir, schema,
-        Option(options.get("versionAsOf")).map(_.toLong), bounds, filters,
-        partConstraints, strBounds)
+        pinned, bounds, filters, partConstraints, strBounds)
+    }
 
   override def toMicroBatchStream(checkpointLocation: String)
       : MicroBatchStream =

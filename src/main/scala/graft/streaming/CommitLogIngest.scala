@@ -1740,6 +1740,38 @@ object CommitLogIngest {
     }
   }
 
+  /** TIME-based time travel (the Delta `timestampAsOf` resolution):
+    * the latest version COMMITTED at or before `tsMillis` — commit time
+    * is the version dir's filesystem mtime, set once by the atomic claim
+    * rename and never touched again (the same clock [[vacuumRetention]]
+    * trusts). Fails loudly when the instant predates every surviving
+    * version (retention may have pruned the history, or the table is
+    * younger than the timestamp asks for). */
+  def versionAt(tableDir: String, tsMillis: Long): Long = {
+    val d = Paths.get(s"$tableDir/log")
+    require(Files.exists(d), s"$tableDir has no log — nothing committed")
+    val s = Files.list(d)
+    val candidates =
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("version="))
+          .flatMap { p =>
+            val v = p.getFileName.toString.stripPrefix("version=").toLong
+            val ok =
+              try Files.getLastModifiedTime(p).toMillis <= tsMillis
+              catch { case _: Exception => false }
+            if (ok && LayoutDirs.hasParquetData(p.toString)) Some(v)
+            else None
+          }.toSeq
+      } finally s.close()
+    require(candidates.nonEmpty,
+      s"timestampAsOf $tsMillis predates every surviving version of " +
+        s"$tableDir (earliest surviving commit is newer, or retention " +
+        "pruned the history) — use versionAsOf, or a later timestamp")
+    candidates.max
+  }
+
   // ---- shallow clone & restore (the Delta CLONE / RESTORE shapes) ---------
 
   /** SHALLOW CLONE: a NEW table whose version 0 references the source's
