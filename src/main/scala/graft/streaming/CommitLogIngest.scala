@@ -1780,11 +1780,13 @@ object CommitLogIngest {
     * OPTIMIZE, time travel all work, and every WRITE lands under the
     * clone's own root — copy-on-write rewrites diverge from the source
     * file-by-file (the source is never touched). Cloned state: schema as
-    * of the source's latest version, partitioning, CDF/DV switches, live
-    * deletion-vector masks (re-recorded as the clone's own v0 masks, so
-    * the cloned snapshot is the source's LOGICAL table), and the stats
-    * index (path-keyed rows stay valid — readers intersect with the live
-    * set). The one shared-fate caveat, same as Delta's: vacuuming the
+    * of the source's latest version, partitioning, CDF/DV switches,
+    * CHECK constraints, and the stats index (path-keyed rows stay valid
+    * — readers intersect with the live set); source files carrying a
+    * live deletion-vector mask materialize into the clone (see below),
+    * so the cloned snapshot is the source's LOGICAL table and the
+    * clone's v0 is a pure-append commit every consumer understands.
+    * The one shared-fate caveat, same as Delta's: vacuuming the
     * SOURCE can reclaim files the clone still references (the clone's
     * own vacuum is safe — it deletes only under its root). Returns the
     * clone's version 0. */
@@ -1825,30 +1827,35 @@ object CommitLogIngest {
       }
       recordIndexCol(dstDir, k)
     }
-    val masked = files.filter(dvs.contains)
-    val dvStaged =
+    // source files carrying a live deletion-vector mask MATERIALIZE into
+    // the clone (read minus mask, partition-local, indexed) instead of
+    // re-carrying the mask: a clone whose v0 mixed adds with dv actions
+    // would poison every version-0 consumer — changeFeed would misread
+    // the commit and a fresh streaming reader would have no pure-append
+    // v0 to start from. Zero-copy stays true for the unmasked majority;
+    // the masked minority costs O(those files) once.
+    val (masked, clean) = files.partition(dvs.contains)
+    val outDir =
       if (masked.isEmpty) None
-      else Some {
-        import spark.implicits._
-        val staged = s"$dstDir/data/dvstage-" +
-          java.util.UUID.randomUUID().toString.take(12)
-        val maskedDf = masked.toDF("path")
-        spark.read
-          .parquet(masked.flatMap(dvs).distinct.sorted
-            .map(dvDir(srcDir, _)): _*)
-          .join(maskedDf, Seq("path"), "left_semi")
-          .select("path", "pos")
-          .write.mode("overwrite").parquet(staged)
-        staged
-      }
-    val stage = stageActions(spark, dstDir, files, Seq.empty,
-      schemaOf = schema, txn = None, op = Some("clone"),
-      extra = masked.map(("dv", _)))
+      else Some(s"$dstDir/data/cl-" +
+        java.util.UUID.randomUUID().toString.take(12))
+    outDir.foreach { out =>
+      masked.groupBy(graft.sources.PartitionPaths.segmentsOf)
+        .toSeq.sortBy(_._1).foreach { case (seg, paths) =>
+          val dst = if (seg.isEmpty) out else s"$out/$seg"
+          readWithDv(spark, srcDir, paths,
+            dvs.filter(kv => paths.contains(kv._1)), schema)
+            .coalesce(paths.size).write.mode("overwrite").parquet(dst)
+        }
+    }
+    val matAdds = outDir.map(LayoutDirs.dataFiles).getOrElse(Seq.empty)
+    val stage = stageActions(spark, dstDir, clean ++ matAdds, Seq.empty,
+      schemaOf = schema, txn = None, op = Some("clone"))
     require(tryClaimVersion(dstDir, stage, 0L),
       s"shallowClone: $dstDir version 0 appeared mid-clone")
-    dvStaged.foreach(publishDv(dstDir, _, 0L))
-    postWin(spark, dstDir, 0L, statsCol = None, statsDir = None,
-      schemaOf = schema)
+    postWin(spark, dstDir, 0L,
+      statsCol = indexedCol(dstDir).filter(_ => matAdds.nonEmpty),
+      statsDir = outDir, schemaOf = schema)
     0L
   }
 

@@ -55,19 +55,26 @@ class RestoreCloneSpec extends SparkSuite {
 
     val dst = tmp("dst")
     assert(CommitLogIngest.shallowClone(s, src, dst) == 0L)
-    // no data bytes under the clone's root (metadata + masks only)
-    val dataDir = Paths.get(dst, "data")
-    val copied =
-      if (!Files.exists(dataDir)) Seq.empty
-      else {
-        val w = Files.walk(dataDir)
-        try {
-          import scala.jdk.CollectionConverters._
-          w.iterator().asScala.filter(Files.isRegularFile(_))
-            .map(_.toString).filterNot(_.contains("dvstage")).toSeq
-        } finally w.close()
-      }
-    assert(copied.isEmpty, s"clone copied data files: $copied")
+    // masked source files MATERIALIZE (the clone's v0 must be a pure
+    // append); everything else is referenced by path — the clone's own
+    // data dir holds exactly the materialized minority
+    val (srcLive, srcDvs) = CommitLogIngest.liveState(s, src,
+      CommitLogIngest.latestVersion(src))
+    val cloneLive = CommitLogIngest.liveFiles(s, dst, 0L)
+    val (copied, referenced) = cloneLive.partition(_.startsWith(dst))
+    assert(srcDvs.nonEmpty && copied.nonEmpty &&
+      copied.size <= srcLive.count(srcDvs.contains),
+      s"clone must copy only (the compaction of) the masked files: " +
+        s"$copied")
+    assert(referenced.toSet == srcLive.filterNot(srcDvs.contains).toSet,
+      "every unmasked source file must be referenced, never copied")
+    // no mask rides the clone, and its v0 serves a fresh CDF consumer
+    // as plain inserts
+    assert(CommitLogIngest.liveState(s, dst, 0L)._2.isEmpty)
+    val feed0 = CommitLogIngest.changeFeed(s, dst, -1L, 0L)
+    assert(feed0.select("_change_type").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("insert"))
+    assert(ids(feed0) == srcExpect)
     assert(ids(CommitLogIngest.snapshot(s, dst)) == srcExpect)
     assert(ids(s.read.format("graft-commitlog").option("path", dst)
       .load()) == srcExpect)
