@@ -353,7 +353,7 @@ object ScaleCheck {
       { graft.sources.ZOrderLayout.ensure(s, d); () }),
     // round-12: the one family the r11 verdict flagged quadratic (21× time
     // for 10× data at constant LshBits=8) — now corpus-adaptive bits hold
-    // the expected bucket at ~128 rows, pair volume linear in n
+    // the expected bucket at ~64 rows (Similarity.TargetBucketRows), pair volume linear in n
     "knn_join" -> ((s, d) =>
       { SparkEntry.queries("s_knn_join")(s, d).count(); () }))
 

@@ -297,11 +297,13 @@ class CommitLogScanBuilder(tableDir: String, schema: StructType,
     case LessThan(c, v) => strOf(v).map(s => c -> (None, Some(s)))
     case LessThanOrEqual(c, v) => strOf(v).map(s => c -> (None, Some(s)))
     case StringStartsWith(c, p) if p.nonEmpty =>
-      // rows match only if they carry prefix p: lo = p, and every string
-      // with that prefix is < prefixUpper(p) — an inclusive hi of p
-      // extended is unnecessary; the min-side bound alone prunes files
-      // wholly below the prefix, the max side via prefixUpper at prune
-      Some(c -> (Some(p), None))
+      // rows match only if they carry prefix p: lo = p, and every match
+      // is STRICTLY below prefixUpper(p) — using it as the inclusive hi
+      // is conservative by one boundary string and prunes files lying
+      // wholly ABOVE the prefix range (without it, only the below-lo
+      // side ever pruned prefix probes); no upper bound when the prefix
+      // has no incrementable char
+      Some(c -> (Some(p), CommitLogPlanning.prefixUpper(p)))
     case _ => None
   }
 
@@ -488,19 +490,28 @@ class CommitLogCdfBatch(tableDir: String, schema: StructType,
     startingVersion: Long, endingVersion: Option[Long],
     filters: Array[Filter]) extends Batch {
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  private lazy val parts: Array[InputPartition] = {
     val spark = CommitLogPlanning.session
     val to = endingVersion.getOrElse(CommitLogIngest.latestVersion(tableDir))
     CommitLogIngest.cdfFiles(spark, tableDir, startingVersion - 1, to)
-      .map { case (f, v, tag) =>
+      .map { case (f, v, tag, dvPos) =>
         CommitLogInputPartition(f,
           tag.map(t => "_change_type" -> t).toMap +
-            ("_commit_version" -> v.toString)): InputPartition
+            ("_commit_version" -> v.toString),
+          dvPositions = dvPos): InputPartition
       }.toArray
   }
 
+  override def planInputPartitions(): Array[InputPartition] = parts
+
   override def createReaderFactory(): PartitionReaderFactory =
-    new CommitLogReaderFactory(schema, filters)
+    // an overwrite of a masked file ships positions — the whole scan
+    // drops to the position-aware row path (Spark refuses mixed modes)
+    new CommitLogReaderFactory(schema, filters,
+      rowModeForced = parts.exists {
+        case p: CommitLogInputPartition => p.dvPositions.nonEmpty
+        case _ => false
+      })
 }
 
 /** Snapshot-at-a-version batch scan: live files from the log (checkpoint +
@@ -532,20 +543,8 @@ class CommitLogBatch(tableDir: String, schema: StructType,
       // masked files ship their positions IN the partition descriptor —
       // one driver-side metadata read, O(mask rows), small by design
       // (OPTIMIZE materializes heavy masks back into clean files)
-      val masked = pruned.filter(dvs.contains)
-      val posByFile: Map[String, Array[Long]] =
-        if (masked.isEmpty) Map.empty
-        else {
-          val versions = masked.flatMap(dvs).distinct.sorted
-          val maskSet = masked.toSet
-          spark.read
-            .parquet(versions.map(CommitLogIngest.dvDir(tableDir, _)): _*)
-            .select("path", "pos").collect()
-            .filter(r => maskSet(r.getString(0)))
-            .groupBy(_.getString(0))
-            .map { case (p, rs) =>
-              p -> rs.map(_.getLong(1)).distinct.sorted }
-        }
+      val posByFile =
+        CommitLogIngest.dvPositionsFor(spark, tableDir, dvs, pruned)
       pruned.map(f => CommitLogInputPartition(f,
         dvPositions = posByFile.getOrElse(f, Array.emptyLongArray))
         : InputPartition).toArray
@@ -626,17 +625,20 @@ class CommitLogMicroBatchStream(tableDir: String, schema: StructType,
     if (CommitLogOffset.version(end) <= CommitLogOffset.version(start))
       return Array.empty
     val spark = CommitLogPlanning.session
-    if (cdf)
+    if (cdf) {
       // the CHANGE-FEED stream: each version's changed files, exactly
       // once per version (versions are the offsets — the engine's offset
       // log gives exactly-once delivery of each version's changes)
-      return CommitLogIngest.cdfFiles(spark, tableDir,
+      val ps = CommitLogIngest.cdfFiles(spark, tableDir,
         CommitLogOffset.version(start), CommitLogOffset.version(end))
-        .map { case (f, v, tag) =>
-          CommitLogInputPartition(f,
-            tag.map(t => "_change_type" -> t).toMap +
-              ("_commit_version" -> v.toString)): InputPartition
-        }.toArray
+      lastBatchHadDv = ps.exists(_._4.nonEmpty)
+      return ps.map { case (f, v, tag, dvPos) =>
+        CommitLogInputPartition(f,
+          tag.map(t => "_change_type" -> t).toMap +
+            ("_commit_version" -> v.toString),
+          dvPositions = dvPos): InputPartition
+      }.toArray
+    }
     val files = CommitLogIngest.addedFiles(spark, tableDir,
       CommitLogOffset.version(start), CommitLogOffset.version(end),
       skipChangeCommits)
@@ -646,8 +648,15 @@ class CommitLogMicroBatchStream(tableDir: String, schema: StructType,
       .map(f => CommitLogInputPartition(f): InputPartition).toArray
   }
 
+  /** Whether the LAST planned micro-batch shipped mask positions — the
+    * exec materializes partitions before it asks for the factory
+    * (supportsColumnar iterates partitions first), so this flag is set
+    * by the time createReaderFactory runs for that batch. */
+  @volatile private var lastBatchHadDv = false
+
   override def createReaderFactory(): PartitionReaderFactory =
-    new CommitLogReaderFactory(schema, filters)
+    new CommitLogReaderFactory(schema, filters,
+      rowModeForced = lastBatchHadDv)
 
   override def deserializeOffset(json: String): Offset =
     CommitLogOffset(json.trim.toLong)

@@ -79,26 +79,26 @@ class CommitLogWriteBuilder(tableDir: String, info: LogicalWriteInfo)
   }
 
   override def build(): Write = {
-    // `.option("enableCdf", "true")` flips the per-table CDF switch (the
-    // delta.enableChangeDataFeed shape, default off) before the write —
-    // DML from this point on stores its change rows
-    if (Option(info.options().get("enableCdf")).exists(_.toBoolean))
-      CommitLogIngest.setCdfEnabled(tableDir)
-    // `.option("enableDv", "true")`: deletion vectors (the
-    // delta.enableDeletionVectors shape, default off) — DELETE from this
-    // point on is merge-on-read (positions recorded, no file rewrite)
-    if (Option(info.options().get("enableDv")).exists(_.toBoolean))
-      CommitLogIngest.setDvEnabled(tableDir)
+    // `.option("enableCdf"/"enableDv", "true")` request the per-table
+    // switches (delta.enableChangeDataFeed / enableDeletionVectors,
+    // default off) — flipped at COMMIT time, not here: build() runs at
+    // write PLANNING, and an aborted or failed write must not leave a
+    // permanent table-configuration change behind
     new CommitLogWrite(tableDir, info.schema(), info.queryId(), overwrite,
       Option(info.options().get("statsCol")), partitionCols,
-      AutoCompact.fromOptions(info.options()))
+      AutoCompact.fromOptions(info.options()),
+      enableCdf =
+        Option(info.options().get("enableCdf")).exists(_.toBoolean),
+      enableDv =
+        Option(info.options().get("enableDv")).exists(_.toBoolean))
   }
 }
 
 class CommitLogWrite(tableDir: String, schema: StructType, queryId: String,
     overwrite: Boolean, statsCol: Option[String],
     partitionCols: Seq[String],
-    autoCompact: AutoCompact = AutoCompact(false, 10L, 16, 128L << 20))
+    autoCompact: AutoCompact = AutoCompact(false, 10L, 16, 128L << 20),
+    enableCdf: Boolean = false, enableDv: Boolean = false)
     extends Write {
 
   override def description(): String =
@@ -107,14 +107,14 @@ class CommitLogWrite(tableDir: String, schema: StructType, queryId: String,
 
   override def toBatch: BatchWrite =
     new CommitLogBatchWrite(tableDir, schema, overwrite, statsCol,
-      partitionCols)
+      partitionCols, enableCdf, enableDv)
 
   override def toStreaming: StreamingWrite = {
     require(!overwrite,
       "graft-commitlog streaming sink supports append output mode only " +
         "(complete/update would truncate the log every epoch)")
     new CommitLogStreamingWrite(tableDir, schema, queryId, statsCol,
-      partitionCols, autoCompact)
+      partitionCols, autoCompact, enableCdf, enableDv)
   }
 }
 
@@ -157,7 +157,9 @@ case class CommitLogWriterCommit(files: Seq[String], rows: Long)
 
 class CommitLogBatchWrite(tableDir: String, schema: StructType,
     overwrite: Boolean, statsCol: Option[String],
-    partitionCols: Seq[String] = Seq.empty) extends BatchWrite {
+    partitionCols: Seq[String] = Seq.empty,
+    enableCdf: Boolean = false, enableDv: Boolean = false)
+    extends BatchWrite {
 
   private val dataDir =
     s"$tableDir/data/w-${java.util.UUID.randomUUID().toString.take(12)}"
@@ -168,6 +170,10 @@ class CommitLogBatchWrite(tableDir: String, schema: StructType,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val files = CommitLogWriteCommit.filesOf(messages)
+    // the job succeeded — flip the requested switches alongside the
+    // commit (never at planning: an aborted write must leave no trace)
+    if (enableCdf) CommitLogIngest.setCdfEnabled(tableDir)
+    if (enableDv) CommitLogIngest.setDvEnabled(tableDir)
     // declare the layout with the commit that first uses it (a mismatch
     // with an already-declared layout refuses before any log change)
     if (partitionCols.nonEmpty && files.nonEmpty)
@@ -204,7 +210,8 @@ class CommitLogBatchWrite(tableDir: String, schema: StructType,
 class CommitLogStreamingWrite(tableDir: String, schema: StructType,
     queryId: String, statsCol: Option[String],
     partitionCols: Seq[String] = Seq.empty,
-    autoCompact: AutoCompact = AutoCompact(false, 10L, 16, 128L << 20))
+    autoCompact: AutoCompact = AutoCompact(false, 10L, 16, 128L << 20),
+    enableCdf: Boolean = false, enableDv: Boolean = false)
     extends StreamingWrite {
 
   private val dataDir =
@@ -220,6 +227,8 @@ class CommitLogStreamingWrite(tableDir: String, schema: StructType,
       : Unit = {
     val spark = CommitLogPlanning.session
     val files = CommitLogWriteCommit.filesOf(messages)
+    if (enableCdf) CommitLogIngest.setCdfEnabled(tableDir)
+    if (enableDv) CommitLogIngest.setDvEnabled(tableDir)
     if (partitionCols.nonEmpty && files.nonEmpty)
       CommitLogIngest.recordPartitionCols(tableDir, partitionCols)
     if (files.nonEmpty)

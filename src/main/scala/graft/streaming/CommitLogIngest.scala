@@ -505,7 +505,8 @@ object CommitLogIngest {
     // through. Layout/metadata ops (optimize/zorder/clone/restore) re-add
     // rows that already passed, so they skip the read.
     if (adds.nonEmpty && (op.isEmpty || op.contains("overwrite")))
-      enforceConstraints(spark, tableDir, adds)
+      enforceConstraints(spark, tableDir, adds,
+        schemaOf.orElse(declaredSchema(tableDir)))
     import spark.implicits._
     val stage = Paths.get(tableDir, "log",
       s".stage-${java.util.UUID.randomUUID().toString.take(12)}")
@@ -1167,6 +1168,20 @@ object CommitLogIngest {
   private def dvApply(spark: SparkSession, tableDir: String,
       df: DataFrame, dvVersions: Seq[Long]): DataFrame = {
     if (dvVersions.isEmpty) return df
+    // a version can carry ("dv", path) actions whose mask dir is missing
+    // only if the publish crashed between the claim rename and the mask
+    // move — surface the incomplete commit and its repair instead of a
+    // raw path-not-found from the scan (reading ON anyway would silently
+    // resurrect the deleted rows)
+    val missing = dvVersions.filterNot(v =>
+      LayoutDirs.hasParquetData(dvDir(tableDir, v)))
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"$tableDir: deletion-vector commit(s) ${missing.mkString(", ")} " +
+        "have dv actions but no published mask (the dv publish crashed " +
+        "mid-commit) — the commit is incomplete; remove " +
+        missing.map(v => s"log/version=$v").mkString(", ") +
+        " to roll it back (its staged mask under data/dvstage-* is " +
+        "orphaned debris)")
     val mask = spark.read
       .parquet(dvVersions.map(dvDir(tableDir, _)): _*)
       .select(col("path").as(DvFileCol), col("pos").as(DvPosCol))
@@ -1491,8 +1506,17 @@ object CommitLogIngest {
         val totalBytes = paths.map(p => Files.size(Paths.get(p))).sum
         val n =
           math.max(1L, (totalBytes + maxFileBytes - 1) / maxFileBytes).toInt
+        // per-type long normalization: Spark forbids CAST(date AS
+        // BIGINT), so a date axis goes through unix_date (days since
+        // epoch — exactly the integer the stats index stores for it);
+        // a timestamp axis casts to epoch seconds
+        def axis(c: String) = in.schema(c).dataType match {
+          case org.apache.spark.sql.types.DateType =>
+            unix_date(col(c)).cast("long")
+          case _ => col(c).cast("long")
+        }
         val z = graft.sources.ZOrderLayout.zvalue(
-          col(zorderBy.head).cast("long"), col(zorderBy(1)).cast("long"))
+          axis(zorderBy.head), axis(zorderBy(1)))
         val dst = if (seg.isEmpty) outDir else s"$outDir/$seg"
         in.withColumn("_graft_z", z)
           .repartitionByRange(n, col("_graft_z"))
@@ -1726,10 +1750,18 @@ object CommitLogIngest {
     * refused commit mutates nothing: no version lands, readers never see
     * the rows. */
   private def enforceConstraints(spark: SparkSession, tableDir: String,
-      adds: Seq[String]): Unit = {
+      adds: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType]): Unit = {
     val cs = checkConstraintsOf(tableDir)
     if (cs.isEmpty) return
-    val df = spark.read.parquet(adds: _*)
+    // probe under the commit's (or the table's declared) schema: a
+    // constraint naming a schema-evolved column must see an
+    // older-generation batch NULL-FILL that column (NULL passes — the
+    // SQL CHECK semantic), not fail with an unresolved-column error
+    val df = schema match {
+      case Some(st) => spark.read.schema(st).parquet(adds: _*)
+      case None => spark.read.parquet(adds: _*)
+    }
     cs.foreach { case (n, e) =>
       val viol = df
         .filter(!coalesce(expr(e).cast("boolean"), lit(true)))
@@ -1898,8 +1930,19 @@ object CommitLogIngest {
         .filter(col("action") === "dv" && col("version") > toVersion)
         .select("path").distinct().collect().map(_.getString(0))
         .filter(wantSet).toSet
+      // a RE-ADDED file with target-time masks must ALSO materialize:
+      // re-adding it raw would need its pre-target ("dv", path) actions
+      // to still resolve at the new latest, but a log checkpoint written
+      // after the file's removal legitimately dropped them (masks of
+      // non-live paths don't ride checkpoints) — the re-added file
+      // would silently resurrect its deleted rows. Materialization
+      // reads the mask rows directly (their dirs are verified below)
+      // and owes nothing to log resolution afterwards.
+      val readdMasked = want.filterNot(curSet)
+        .filter(p => !laterMasked(p) && wantDvs.contains(p)).toSet
       val cleanAdds = want.filterNot(curSet).filterNot(laterMasked)
-      val toMat = want.filter(laterMasked)
+        .filterNot(readdMasked)
+      val toMat = want.filter(p => laterMasked(p) || readdMasked(p))
       val removes =
         (cur.filterNot(wantSet) ++ cur.filter(laterMasked)).sorted
       if (cleanAdds.isEmpty && toMat.isEmpty && removes.isEmpty)
@@ -2233,11 +2276,17 @@ object CommitLogIngest {
           // overwrite: the change set IS the file swap — removed files
           // are the deletes, added files the inserts, zero diff compute
           else if (ops.contains("overwrite")) {
+            // pre-commit masks apply to the removed side: rows a dv
+            // version already reported dead must not be re-reported as
+            // this overwrite's deletes (the legacy-diff rule below)
+            val dvsBefore = liveState(spark, tableDir, v - 1)._2
+              .filter(kv => removes.contains(kv._1))
+            val dels = readWithDv(spark, tableDir, removes, dvsBefore,
+              schema)
             val ins =
-              if (adds.isEmpty) readFiles(removes).filter(lit(false))
+              if (adds.isEmpty) dels.filter(lit(false))
               else readFiles(adds)
-            Some(tag(readFiles(removes), "delete")
-              .unionByName(tag(ins, "insert")))
+            Some(tag(dels, "delete").unionByName(tag(ins, "insert")))
           }
           else if (hasCdf(tableDir, v)) {
             // round-11 commits STORE their change rows (cdf/version=v —
@@ -2303,9 +2352,27 @@ object CommitLogIngest {
     * retention-pruned range (same floor rule as [[changes]]) and on a
     * DML commit with no stored change data (CDF was off — the message
     * names [[setCdfEnabled]]) — never a silently partial feed. */
+  /** Per-file mask positions for the V2 readers: one driver-side read of
+    * the relevant `dv/version=N` dirs, O(mask rows), filtered to the
+    * requested files (masks are small by design — OPTIMIZE materializes
+    * heavy ones). */
+  private[graft] def dvPositionsFor(spark: SparkSession, tableDir: String,
+      dvs: Map[String, Seq[Long]], files: Seq[String])
+      : Map[String, Array[Long]] = {
+    val masked = files.filter(dvs.contains)
+    if (masked.isEmpty) return Map.empty
+    val versions = masked.flatMap(dvs).distinct.sorted
+    val maskSet = masked.toSet
+    spark.read.parquet(versions.map(dvDir(tableDir, _)): _*)
+      .select("path", "pos").collect()
+      .filter(r => maskSet(r.getString(0)))
+      .groupBy(_.getString(0))
+      .map { case (p, rs) => p -> rs.map(_.getLong(1)).distinct.sorted }
+  }
+
   private[graft] def cdfFiles(spark: SparkSession, tableDir: String,
       fromExclusive: Long, toInclusive: Long)
-      : Seq[(String, Long, Option[String])] = {
+      : Seq[(String, Long, Option[String], Array[Long])] = {
     val floor = checkpointsOnDisk(tableDir).lastOption.getOrElse(-1L)
     ((fromExclusive + 1) to toInclusive).flatMap { v =>
       val dir = s"$tableDir/log/version=$v"
@@ -2329,10 +2396,12 @@ object CommitLogIngest {
         // deletion-vector commit: the V2 surface serves FILES as
         // partitions and cannot express the mask join — it needs the
         // STORED change rows (CDF on), same rule as a CoW DML commit
+        val none = Array.emptyLongArray
         if (hasDv) {
           val c = cdfDir(tableDir, v)
           if (hasCdf(tableDir, v) && LayoutDirs.hasParquetData(c))
-            LayoutDirs.dataFiles(c).map(p => (p, v, None: Option[String]))
+            LayoutDirs.dataFiles(c)
+              .map(p => (p, v, None: Option[String], none))
           else throw new IllegalStateException(
             s"readChangeFeed: version $v is a deletion-vector DELETE " +
               s"with no stored change data (cdf/version=$v missing — " +
@@ -2342,18 +2411,27 @@ object CommitLogIngest {
               "reconstruction) or restart from a snapshot")
         }
         else if (removes.isEmpty && adds.isEmpty) Seq.empty // metadata-only
-        else if (removes.isEmpty) adds.map(p => (p, v, Some("insert")))
+        else if (removes.isEmpty)
+          adds.map(p => (p, v, Some("insert"), none))
         // layout-only rewrite: identical multisets, nothing changed
         else if (ops.exists(LayoutOps)) Seq.empty
-        // overwrite: removed files ARE the deletes, added the inserts
-        else if (ops.contains("overwrite"))
-          removes.map(p => (p, v, Some("delete"))) ++
-            adds.map(p => (p, v, Some("insert")))
+        // overwrite: removed files ARE the deletes, added the inserts —
+        // MINUS any pre-commit mask (rows a dv version already reported
+        // dead must not re-report here; positions ride the partition and
+        // the row reader skips them)
+        else if (ops.contains("overwrite")) {
+          val dvsBefore = liveState(spark, tableDir, v - 1)._2
+            .filter(kv => removes.contains(kv._1))
+          val pos = dvPositionsFor(spark, tableDir, dvsBefore, removes)
+          removes.map(p =>
+            (p, v, Some("delete"), pos.getOrElse(p, none))) ++
+            adds.map(p => (p, v, Some("insert"), none))
+        }
         else if (hasCdf(tableDir, v)) {
           val c = cdfDir(tableDir, v)
           if (!LayoutDirs.hasParquetData(c)) Seq.empty // OPTIMIZE marker
           else LayoutDirs.dataFiles(c)
-            .map(p => (p, v, None: Option[String]))
+            .map(p => (p, v, None: Option[String], none))
         } else throw new IllegalStateException(
           s"readChangeFeed: version $v is a DML change commit with no " +
             s"stored change data (cdf/version=$v missing — the table did " +

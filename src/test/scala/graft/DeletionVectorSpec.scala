@@ -236,6 +236,41 @@ class DeletionVectorSpec extends SparkSuite {
       (0L until 5L))
   }
 
+  test("an overwrite's change feed excludes rows a mask already " +
+      "reported dead — API and V2 surfaces") {
+    val s = spark
+    import s.implicits._
+    val table = tmp("ovw")
+    appendRows(table, 0L, 100L)
+    val (dv, _) = CommitLogIngest.deleteWhere(s, table, col("id") < 30L)
+    // INSERT OVERWRITE: the overwrite version's deletes must be the
+    // LIVE pre-overwrite rows (30..99), not the raw file contents —
+    // ids < 30 were already reported dead at the dv version
+    Seq((1000L, "z", 0L)).toDF("id", "p", "n")
+      .write.format("graft-commitlog").option("path", table)
+      .mode("overwrite").save()
+    val ov = CommitLogIngest.latestVersion(table)
+    val feed = CommitLogIngest.changeFeed(s, table, ov - 1, ov)
+    assert(ids(feed.filter(col("_change_type") === "delete")) ==
+      (30L until 100L),
+      "overwrite deletes must apply the pre-commit mask")
+    assert(ids(feed.filter(col("_change_type") === "insert")) ==
+      Seq(1000L))
+    // the V2 surface ships the mask positions in its partitions
+    val v2feed = s.read.format("graft-commitlog").option("path", table)
+      .option("readChangeFeed", "true")
+      .option("startingVersion", ov.toString).load()
+    assert(ids(v2feed.filter(col("_change_type") === "delete")) ==
+      (30L until 100L))
+    assert(CommitLogReaderFactory.lastMode == "row")
+    // and the cumulative feed (dv deletes + overwrite) nets to the
+    // final table: every original row dies exactly once
+    val all = CommitLogIngest.changeFeed(s, table, dv - 1, ov)
+    val deadTwice = all.filter(col("_change_type") === "delete")
+      .groupBy("id").count().filter(col("count") > 1).count()
+    assert(deadTwice == 0L, "no row may be reported dead twice")
+  }
+
   test("masks survive checkpoint resolution and log retention") {
     val s = spark
     val table = tmp("ckpt")

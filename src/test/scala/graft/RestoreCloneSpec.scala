@@ -202,4 +202,30 @@ class RestoreCloneSpec extends SparkSuite {
       s"restore to the mid-mask version $dv2 (post-restore-base $dvv) " +
         "must keep its own mask and drop the later one")
   }
+
+  test("restore MATERIALIZES a re-added file whose target state was " +
+      "masked (its dv actions may not survive checkpoints)") {
+    val s = spark
+    val table = tmp("readd")
+    appendRows(table, 0L, 60L, enableDv = true)
+    CommitLogIngest.deleteWhere(s, table, col("id") % 6 === 1) // dv mask
+    val target = CommitLogIngest.latestVersion(table)
+    val targetIds = (0L until 60L).filter(_ % 6 != 1)
+    // a CoW UPDATE (always copy-on-write, even on a DV table) REMOVES
+    // the masked files — the rewrite materializes their masks
+    CommitLogIngest.updateWhere(s, table, col("id") % 2 === 0,
+      Map("n" -> (col("n") + 1L)), statsCol = Some("id"))
+    val (rv, _, _) = CommitLogIngest.restore(s, table, target)
+    assert(ids(CommitLogIngest.snapshot(s, table)) == targetIds,
+      "restored state must equal the masked target")
+    // the restored live set owes NOTHING to the old dv actions: every
+    // re-added-masked file was rewritten, so no mask rides the result
+    // (resolution after a later checkpoint would have dropped the
+    // removed files' dv rows — raw re-adds would resurrect)
+    val (_, dvsNow) = CommitLogIngest.liveState(s, table, rv)
+    assert(dvsNow.isEmpty,
+      s"re-added files must be materialized, not re-masked: $dvsNow")
+    assert(ids(s.read.format("graft-commitlog").option("path", table)
+      .load()) == targetIds)
+  }
 }

@@ -116,4 +116,28 @@ class StringIndexSpec extends SparkSuite {
     assert(CommitLogPlanning.prefixUpper("").isEmpty)
     assert(CommitLogPlanning.prefixUpper("ab") == Some("ac"))
   }
+
+  test("a startsWith probe prunes BOTH sides: files above the prefix " +
+      "range never open") {
+    val s = spark
+    import s.implicits._
+    val table = tmp("prefix")
+    Seq("alpha", "beta", "gamma", "delta").zipWithIndex.foreach {
+      case (band, w) =>
+        (0L until 50L).map(i => (w * 100L + i, f"$band-$i%03d"))
+          .toDF("id", "source").coalesce(1)
+          .write.format("graft-commitlog").option("path", table)
+          .option("statsCol", "id").mode("append").save()
+    }
+    graft.sources.CommitLogReadTracker.enable()
+    val rows = spark.read.format("graft-commitlog").option("path", table)
+      .load().filter(col("source").startsWith("beta"))
+      .collect()
+    val opened = graft.sources.CommitLogReadTracker.drain()
+    assert(rows.length == 50)
+    // without the prefixUpper hi bound, gamma/delta (wholly ABOVE the
+    // prefix range) survived pruning and were opened
+    assert(opened.size == 1,
+      s"startsWith('beta') must open only the beta band, opened $opened")
+  }
 }

@@ -171,4 +171,28 @@ class ZOrderCommitSpec extends SparkSuite {
     assert(CommitLogIngest.latestVersion(table) == vBefore,
       "refused zorder must not commit")
   }
+
+  test("a DateType clustering axis works (unix_date, not the forbidden " +
+      "date->bigint cast)") {
+    val s = spark
+    import s.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-zod")
+    d.toFile.deleteOnExit()
+    val table = d.toString + "/t"
+    (0L until 200L).map(i =>
+        (i, java.sql.Date.valueOf(f"2024-01-${i % 28 + 1}%02d")))
+      .toDF("id", "day")
+      .write.format("graft-commitlog").option("path", table)
+      .mode("append").save()
+    val before = CommitLogIngest.snapshot(s, table).count()
+    val (v, nRem, nAdd) = CommitLogIngest.optimizeZOrder(s, table,
+      Seq("day", "id"))
+    assert(v > 0 && nRem > 0 && nAdd > 0,
+      s"date-axis zorder must commit, got ($v, $nRem, $nAdd)")
+    assert(CommitLogIngest.snapshot(s, table).count() == before)
+    // census-exact through the rewrite
+    assert(CommitLogIngest.snapshot(s, table)
+      .agg(sum(col("id"))).collect()(0).getLong(0) ==
+      (0L until 200L).sum)
+  }
 }
