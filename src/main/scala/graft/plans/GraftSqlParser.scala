@@ -18,6 +18,7 @@ import graft.streaming.CommitLogIngest
   *   OPTIMIZE '<tableDir>' ZORDER BY (colA, colB)
   *   VACUUM '<tableDir>' RETAIN <hours> HOURS
   *   DESCRIBE HISTORY '<tableDir>'
+  *   DESCRIBE DETAIL '<tableDir>'
   *   RESTORE '<tableDir>' TO VERSION AS OF <n>
   *   CREATE TABLE '<dstDir>' SHALLOW CLONE '<srcDir>'
   *   ALTER TABLE '<tableDir>' ADD CONSTRAINT <name> CHECK (<expr>)
@@ -72,6 +73,8 @@ object GraftSqlParser {
     """(?is)\s*RESTORE\s+'([^']+)'\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   private val Clone =
     """(?is)\s*CREATE\s+TABLE\s+'([^']+)'\s+SHALLOW\s+CLONE\s+'([^']+)'\s*;?\s*""".r
+  private val Detail =
+    """(?is)\s*DESCRIBE\s+DETAIL\s+'([^']+)'\s*;?\s*""".r
   private val AddConstraint =
     """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
   private val DropConstraint =
@@ -85,6 +88,7 @@ object GraftSqlParser {
       case Vacuum(dir, hours) =>
         Some(VacuumCommand(dir, hours.toDouble))
       case History(dir) => Some(DescribeHistoryCommand(dir))
+      case Detail(dir) => Some(DescribeDetailCommand(dir))
       case Restore(dir, v) => Some(RestoreCommand(dir, v.toLong))
       case Clone(dst, src) => Some(ShallowCloneCommand(src, dst))
       case AddConstraint(dir, name, check) =>
@@ -173,6 +177,41 @@ case class DescribeHistoryCommand(dir: String) extends LeafRunnableCommand {
       .select("version", "n_added", "n_removed", "n_masked", "txn",
         "schema_change", "operation")
       .collect().toSeq
+}
+
+/** `DESCRIBE DETAIL '<dir>'` — the table-at-a-glance row (the Delta
+  * shape): current version, live file count and bytes, masked-file
+  * count (deletion vectors awaiting OPTIMIZE), layout, switches,
+  * constraint count. Driver-side metadata only — no data reads. */
+case class DescribeDetailCommand(dir: String) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("format", StringType)(),
+    AttributeReference("version", LongType)(),
+    AttributeReference("num_files", IntegerType)(),
+    AttributeReference("size_bytes", LongType)(),
+    AttributeReference("num_masked_files", IntegerType)(),
+    AttributeReference("partition_columns", StringType)(),
+    AttributeReference("stats_column", StringType)(),
+    AttributeReference("cdf_enabled", BooleanType)(),
+    AttributeReference("dv_enabled", BooleanType)(),
+    AttributeReference("num_constraints", IntegerType)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = CommitLogIngest.latestVersion(dir)
+    val (files, dvs) =
+      if (v < 0) (Seq.empty[String], Map.empty[String, Seq[Long]])
+      else CommitLogIngest.liveState(spark, dir, v)
+    val bytes = files.map { p =>
+      try java.nio.file.Files.size(java.nio.file.Paths.get(p))
+      catch { case _: Exception => 0L }
+    }.sum
+    Seq(Row("graft-commitlog", v, files.size, bytes, dvs.size,
+      CommitLogIngest.partitionColsOf(dir).mkString(","),
+      CommitLogIngest.indexedCol(dir).orNull,
+      CommitLogIngest.cdfEnabled(dir), CommitLogIngest.dvEnabled(dir),
+      CommitLogIngest.checkConstraintsOf(dir).size))
+  }
 }
 
 /** `RESTORE '<dir>' TO VERSION AS OF n` — the forward-commit rollback,

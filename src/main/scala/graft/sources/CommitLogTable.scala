@@ -21,7 +21,7 @@ import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionRead
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, IsNull, LessThan, LessThanOrEqual, StringStartsWith}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, StringStartsWith}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.vectorized.ColumnarBatch
@@ -304,6 +304,13 @@ class CommitLogScanBuilder(tableDir: String, schema: StructType,
       // side ever pruned prefix probes); no upper bound when the prefix
       // has no incrementable char
       Some(c -> (Some(p), CommitLogPlanning.prefixUpper(p)))
+    case In(c, vs) if vs.nonEmpty =>
+      // an IN list implies [min(values), max(values)] — coarse (gaps
+      // inside the envelope stay unpruned) but sound, and exactly what
+      // a dashboard's `source IN ('a','b')` needs to skip cold files
+      val ss = vs.toSeq.map(strOf)
+      if (ss.exists(_.isEmpty)) None
+      else Some(c -> (Some(ss.flatten.min), Some(ss.flatten.max)))
     case _ => None
   }
 
@@ -317,6 +324,12 @@ class CommitLogScanBuilder(tableDir: String, schema: StructType,
     case LessThan(c, v) => intOf(v).map(n => c -> (Long.MinValue, n - 1))
     case LessThanOrEqual(c, v) =>
       intOf(v).map(n => c -> (Long.MinValue, n))
+    case In(c, vs) if vs.nonEmpty =>
+      // the [min, max] envelope of the list (sound; interior gaps keep
+      // their files — the per-file probe is a range check, not a set)
+      val ns = vs.toSeq.map(intOf)
+      if (ns.exists(_.isEmpty)) None
+      else Some(c -> (ns.flatten.min, ns.flatten.max))
     case _ => None
   }
 

@@ -217,6 +217,17 @@ class CommitLogSqlSpec extends SparkSuite {
       assert(CommitLogIngest.snapshot(s, dst).count() == 50L)
       assert(CommitLogIngest.snapshot(s, dir).count() == 100L,
         "clone writes must not disturb the source")
+      // DESCRIBE DETAIL: the at-a-glance row reflects table state
+      val det = s.sql(s"DESCRIBE DETAIL '$dir'").collect()(0)
+      assert(det.getAs[String]("format") == "graft-commitlog")
+      assert(det.getAs[Long]("version") ==
+        CommitLogIngest.latestVersion(dir))
+      assert(det.getAs[Int]("num_files") ==
+        CommitLogIngest.liveFiles(s, dir,
+          CommitLogIngest.latestVersion(dir)).size)
+      assert(det.getAs[Boolean]("dv_enabled"))
+      assert(det.getAs[Int]("num_masked_files") == 0,
+        "restore materialized the mask — detail must agree")
       // DESCRIBE HISTORY carries the mask count column
       val hist = s.sql(s"DESCRIBE HISTORY '$dir'").collect()
       assert(hist.exists(r0 => r0.getAs[String]("operation") == "restore"))

@@ -139,5 +139,17 @@ class StringIndexSpec extends SparkSuite {
     // prefix range) survived pruning and were opened
     assert(opened.size == 1,
       s"startsWith('beta') must open only the beta band, opened $opened")
+
+    // an IN list prunes by its [min, max] envelope: both probe values in
+    // one band -> one file opens; results exact
+    graft.sources.CommitLogReadTracker.enable()
+    val inRows = spark.read.format("graft-commitlog").option("path", table)
+      .load()
+      .filter(col("source").isin("beta-001", "beta-040"))
+      .collect()
+    val inOpened = graft.sources.CommitLogReadTracker.drain()
+    assert(inRows.length == 2)
+    assert(inOpened.size == 1,
+      s"IN envelope within one band must open one file, opened $inOpened")
   }
 }
