@@ -164,6 +164,26 @@ object Bench {
 
     val results = shared ++ best
     val total = results.map(_._2).sum
+    // per-pass totals + a fixed CPU calibration probe (round-12 verdict
+    // What's-wrong #2: the committed sf0.1 record swung 121.7 vs 92.3 s
+    // on identical code — uniform 1.42× box load. min-of-two damps
+    // within-run noise but not a WHOLE slow run; these fields let the
+    // round-over-round comparison separate "the box was loaded" — both
+    // passes slow AND the probe slow — from a genuine plan regression,
+    // which moves specific queries against a steady probe.)
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      var acc = 0L
+      var i = 0
+      while (i < 80000000) { acc += java.lang.Long.hashCode(acc + i); i += 1 }
+      if (acc == 42L) System.err.println("") // keep the loop un-eliminable
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calib = math.min(calibrate(), calibrate())
+    def passTotal(p: Seq[(String, (Double, Boolean))]): Double =
+      p.map(_._2._1).sum
+    val p1Total = passTotal(sharedPass1) + passTotal(pass1)
+    val p2Total = passTotal(sharedPass2) + passTotal(pass2)
 
     // Locale.ROOT: the f interpolator uses the JVM default locale, and a
     // comma-decimal locale would emit 0,123 — breaking the very JSON
@@ -186,7 +206,9 @@ object Bench {
     val errJson = jsonStrMap(errors.toSeq)
     val detail =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","n":${results.size},""" +
-        s""""passes":2,"errors":$errJson,"queries":${jsonMap(results)},"sf":"$sfDir"}"""
+        s""""passes":2,"pass_totals":[${num(p1Total)},${num(p2Total)}],""" +
+        s""""calibration_sec":${num(calib)},""" +
+        s""""errors":$errJson,"queries":${jsonMap(results)},"sf":"$sfDir"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_details.json"),
       (detail + "\n").getBytes("UTF-8"))
@@ -223,6 +245,8 @@ object Bench {
     println(
       s"""{"metric":"total","value":${num(total)},"unit":"sec","n":${results.size},""" +
         s""""failed":$errNames,"detail":"bench_details.json",""" +
+        s""""pass_totals":[${num(p1Total)},${num(p2Total)}],""" +
+        s""""calibration_sec":${num(calib)},""" +
         s""""queries":${jsonMap(head)},"sf":"$sfDir"}""")
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -307,7 +307,17 @@ object Similarity {
     // sized on the RAW table count (parquet footer aggregate — no data
     // scan, no norm compute), not emb()'s zero-norm-filtered view: the
     // width is a sizing heuristic, and the raw count keeps the probe O(1)
-    val bits = adaptiveBits(Tables.embeddings(spark, sfDir).count())
+    val n = Tables.embeddings(spark, sfDir).count()
+    val bits = adaptiveBits(n)
+    // the DuckDB oracle hashes with the FIXED LshBits width; above
+    // 2^LshBits * 64 vectors the adaptive width diverges by design and an
+    // oracle comparison would hash-mismatch with no hint at the cause
+    // (round-12 ADVICE) — say so loudly where the bench/verify tail shows
+    // it. Every oracle SF stays below the threshold (sf0.1 ≈ 6k vectors).
+    if (bits != LshBits) System.err.println(
+      s"[graft] s_knn_join: adaptive LSH width $bits bits (corpus n=$n) " +
+        s"diverges from the fixed-$LshBits-bit DuckDB oracle SQL — " +
+        "results are correct but NOT oracle-comparable at this corpus size")
     val e = emb(spark, sfDir)
       .withColumn("bucket", signBucket("embedding", Dim, bits))
     val pairs = e.as("a").join(e.as("b"),

@@ -644,7 +644,6 @@ class CommitLogMicroBatchStream(tableDir: String, schema: StructType,
       // log gives exactly-once delivery of each version's changes)
       val ps = CommitLogIngest.cdfFiles(spark, tableDir,
         CommitLogOffset.version(start), CommitLogOffset.version(end))
-      lastBatchHadDv = ps.exists(_._4.nonEmpty)
       return ps.map { case (f, v, tag, dvPos) =>
         CommitLogInputPartition(f,
           tag.map(t => "_change_type" -> t).toMap +
@@ -661,15 +660,21 @@ class CommitLogMicroBatchStream(tableDir: String, schema: StructType,
       .map(f => CommitLogInputPartition(f): InputPartition).toArray
   }
 
-  /** Whether the LAST planned micro-batch shipped mask positions — the
-    * exec materializes partitions before it asks for the factory
-    * (supportsColumnar iterates partitions first), so this flag is set
-    * by the time createReaderFactory runs for that batch. */
-  @volatile private var lastBatchHadDv = false
-
+  /** Row mode is derived from TABLE STATE, never from plan-order
+    * coupling (round-12 ADVICE: a mutable last-planned-batch flag relied
+    * on Spark materializing partitions before consulting the factory —
+    * true today via supportsColumnar's evaluation order, but a silent
+    * row-resurrection bug the moment that ordering changes). Only CDF
+    * partitions can ever carry mask positions (an overwrite of a masked
+    * file ships them); the plain stream delivers add-time files, which
+    * are unmasked by construction. A published mask dir is the stateless
+    * conservative signal — CDF streams on a table that ever masked read
+    * via the row path (they are O(new data) by design; the columnar fast
+    * path matters for full snapshots, not change feeds). */
   override def createReaderFactory(): PartitionReaderFactory =
     new CommitLogReaderFactory(schema, filters,
-      rowModeForced = lastBatchHadDv)
+      rowModeForced = cdf &&
+        java.nio.file.Files.exists(java.nio.file.Paths.get(tableDir, "dv")))
 
   override def deserializeOffset(json: String): Offset =
     CommitLogOffset(json.trim.toLong)

@@ -284,15 +284,98 @@ object DmlCommit {
       |                ELSE n_chars END) AS BIGINT) AS sum_chars
       |FROM documents WHERE doc_id % 7 <> 3 GROUP BY source""".stripMargin
 
+  // -- FULL-shape merge face (round-12 verdict task 1): its own table ------
+
+  private val fullMergeCache = new LayoutCache[String](dropParent)
+
+  /** Documents-backed table put through ONE full clause-list MERGE
+    * (`CommitLogIngest.merge`) exercising every clause kind the Delta
+    * model has — the CDC-apply shape the upsert path refused until round
+    * 13:
+    *
+    *  - source = the `doc_id % 3 = 0` docs with n_chars SHIFTED +1 (so a
+    *    clause reading the source side is distinguishable from one
+    *    reading the target), plus `doc_id % 13 = 2` docs re-keyed +20M
+    *    (guaranteed unmatched → insert candidates);
+    *  - WHEN MATCHED AND src.n_chars % 4 = 0 THEN DELETE;
+    *  - WHEN MATCHED THEN UPDATE SET n_chars = src.n_chars + 100;
+    *  - WHEN NOT MATCHED AND src.n_chars % 2 = 0 THEN INSERT
+    *    (source = 'merged');
+    *  - WHEN NOT MATCHED BY SOURCE AND doc_id % 17 = 4 THEN UPDATE SET
+    *    n_chars = n_chars + 3;
+    *  - WHEN NOT MATCHED BY SOURCE AND doc_id % 17 = 9 THEN DELETE.
+    *
+    * DuckDB replays the cascade with WHERE/CASE over the original
+    * parquet; hash equality proves first-true-wins clause order, the
+    * matched/unmatched split, and the conditional-insert ignore rule. */
+  private[graft] def ensureFullMerge(spark: SparkSession, sfDir: String)
+      : String =
+    fullMergeCache.get(sfDir, "documents.parquet") {
+      val root = Files.createTempDirectory("graft-mergefull")
+      val table = root.toString + "/table"
+      val docs = Tables.documents(spark, sfDir)
+        .select("doc_id", "source", "n_chars")
+      (0 until 2).foreach { i =>
+        docs.filter(col("doc_id") % 2 === i)
+          .write.format("graft-commitlog")
+          .option("path", table).option("statsCol", "doc_id")
+          .mode("append").save()
+      }
+      import CommitLogIngest.MergeClause._
+      val source = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), (col("n_chars") + lit(1)).as("n_chars"))
+        .unionByName(docs.filter(col("doc_id") % 13 === 2)
+          .select((col("doc_id") + lit(20000000L)).as("doc_id"),
+            (col("n_chars") + lit(1)).as("n_chars")))
+      val (v, n) = CommitLogIngest.merge(spark, table, source, "doc_id",
+        Seq(
+          MatchedDelete(Some(src("n_chars") % 4 === 0)),
+          MatchedUpdate(None,
+            Map("n_chars" -> (src("n_chars") + lit(100)))),
+          NotMatchedInsert(Some(src("n_chars") % 2 === 0),
+            Map("doc_id" -> src("doc_id"), "source" -> lit("merged"),
+              "n_chars" -> src("n_chars"))),
+          NotMatchedBySourceUpdate(Some(col("doc_id") % 17 === 4),
+            Map("n_chars" -> (col("n_chars") + lit(3)))),
+          NotMatchedBySourceDelete(Some(col("doc_id") % 17 === 9))),
+        statsCol = Some("doc_id"))
+      require(v == 2L && n > 0, s"full merge did not commit: v$v, $n files")
+      table
+    }
+
+  def fullMergeCensus(spark: SparkSession, sfDir: String): DataFrame = {
+    val table = ensureFullMerge(spark, sfDir)
+    census(CommitLogIngest.snapshot(spark, table))
+  }
+
+  val fullMergeCensusSql: String =
+    """WITH merged AS (
+      |  SELECT doc_id, source, n_chars + 101 AS n_chars FROM documents
+      |  WHERE doc_id % 3 = 0 AND (n_chars + 1) % 4 <> 0
+      |  UNION ALL
+      |  SELECT doc_id, source,
+      |    CASE WHEN doc_id % 17 = 4 THEN n_chars + 3
+      |         ELSE n_chars END AS n_chars
+      |  FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 17 <> 9
+      |  UNION ALL
+      |  SELECT doc_id + 20000000, 'merged' AS source, n_chars + 1
+      |  FROM documents WHERE doc_id % 13 = 2 AND (n_chars + 1) % 2 = 0)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      |FROM merged GROUP BY source""".stripMargin
+
   /** Test hook: drop cached layouts (the shared clear contract). */
   private[graft] def clearCache(): Unit = {
     cache.clear(); mergedCache.clear(); dvCache.clear()
+    fullMergeCache.clear()
   }
 
   def queries: Map[String, Q] = Map(
     "src_delete_commit" -> Q(deletedCensusSql)(deletedCensus),
     "src_update_commit" -> Q(updatedCensusSql)(updatedCensus),
     "src_merge_commit" -> Q(mergedCensusSql)(mergedCensus),
+    "src_merge_full" -> Q(fullMergeCensusSql)(fullMergeCensus),
     "src_cdc_feed" -> Q(cdcCensusSql)(cdcCensus),
     "src_cdf_read" -> Q(cdcCensusSql)(cdfReadCensus),
     "src_dv_delete" -> Q(dvCensusSql)(dvCensus),

@@ -18,6 +18,18 @@ class AutoCompactSpec extends SparkSuite {
     d.toString
   }
 
+  /** Age version `v` 3 h into the past through BOTH commit clocks: the
+    * claim-time marker (what retention reads since round 13) and the dir
+    * mtime (the pre-marker fallback). */
+  private def age(table: String, v: Long): Unit = {
+    val dir = java.nio.file.Paths.get(s"$table/log/version=$v")
+    val past = System.currentTimeMillis() - 3L * 3600000L
+    java.nio.file.Files.write(dir.resolve("_commit_ms"),
+      past.toString.getBytes("UTF-8"))
+    java.nio.file.Files.setLastModifiedTime(dir,
+      java.nio.file.attribute.FileTime.fromMillis(past))
+  }
+
   test("a sink writing 20 small epochs converges to few files; a live reader is undisturbed") {
     val s = spark
     import s.implicits._
@@ -91,12 +103,7 @@ class AutoCompactSpec extends SparkSuite {
     CommitLogIngest.commitAppend(
       (30L until 40L).map(i => (i, s"p$i")).toDF("id", "p"), table)
     // age versions 0-2 past a 1-hour horizon
-    (0 to 2).foreach { v =>
-      java.nio.file.Files.setLastModifiedTime(
-        java.nio.file.Paths.get(s"$table/log/version=$v"),
-        java.nio.file.attribute.FileTime.fromMillis(
-          System.currentTimeMillis() - 3L * 3600000L))
-    }
+    (0 to 2).foreach(v => age(table, v))
     val (floor, dropped) = CommitLogIngest.vacuumRetention(s, table, 1.0)
     assert(floor == 3L, s"retention floor $floor")
     assert(dropped.nonEmpty, "nothing reclaimed")
@@ -118,12 +125,7 @@ class AutoCompactSpec extends SparkSuite {
 
     // an IDLE table (every commit older than the horizon) retains the
     // latest snapshot — the keep-set can never go empty
-    (3 to 4).foreach { v =>
-      java.nio.file.Files.setLastModifiedTime(
-        java.nio.file.Paths.get(s"$table/log/version=$v"),
-        java.nio.file.attribute.FileTime.fromMillis(
-          System.currentTimeMillis() - 3L * 3600000L))
-    }
+    (3 to 4).foreach(v => age(table, v))
     val (floor2, _) = CommitLogIngest.vacuumRetention(s, table, 1.0)
     assert(floor2 == 4L)
     assert(CommitLogIngest.snapshot(s, table).count() == 40L,

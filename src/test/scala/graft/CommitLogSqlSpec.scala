@@ -154,16 +154,21 @@ class CommitLogSqlSpec extends SparkSuite {
       val viaApi = CommitLogIngest.snapshot(s, apiDir).collect()
         .map(_.toString).sorted.toSeq
       assert(viaSql == viaApi, "SQL MERGE diverged from mergeByKey")
-      // non-upsert shapes are refused loudly, and nothing mutates
+      // WHEN MATCHED THEN DELETE routes through the full clause-shape
+      // merge since round 13 (CommitMergeFullSpec has the full matrix):
+      // one more atomic version, id 3 gone
+      val preDel = CommitLogIngest.latestVersion(sqlDir)
+      s.sql(
+        """MERGE INTO clsqlmrg t USING (SELECT 3 AS id) sRc
+          |ON t.id = sRc.id
+          |WHEN MATCHED THEN DELETE""".stripMargin)
+      assert(CommitLogIngest.latestVersion(sqlDir) == preDel + 1)
+      assert(s.sql("SELECT COUNT(*) FROM clsqlmrg WHERE id = 3")
+        .collect()(0).getLong(0) == 0L)
+      assert(s.sql("SELECT COUNT(*) FROM clsqlmrg")
+        .collect()(0).getLong(0) == viaSql.size - 1L)
+      // a non-equality ON is still refused loudly, and nothing mutates
       val pre = CommitLogIngest.latestVersion(sqlDir)
-      val e1 = intercept[Exception] {
-        s.sql(
-          """MERGE INTO clsqlmrg t USING (SELECT 3 AS id) sRc
-            |ON t.id = sRc.id
-            |WHEN MATCHED THEN DELETE""".stripMargin)
-      }
-      assert(chain(e1).exists(_.contains("upsert shape")),
-        s"wrong refusal: ${e1.getMessage}")
       val e2 = intercept[Exception] {
         s.sql(
           """MERGE INTO clsqlmrg t USING (
@@ -172,7 +177,7 @@ class CommitLogSqlSpec extends SparkSuite {
             |WHEN MATCHED THEN UPDATE SET *
             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
       }
-      assert(chain(e2).exists(_.contains("upsert shape")),
+      assert(chain(e2).exists(_.contains("key equality")),
         s"wrong refusal: ${e2.getMessage}")
       assert(CommitLogIngest.latestVersion(sqlDir) == pre,
         "refused MERGE must not mutate")

@@ -293,4 +293,61 @@ class DeletionVectorSpec extends SparkSuite {
     assert(dvs.nonEmpty, "dv actions must ride the checkpoint")
     assert(ids(v2(table)) == expect)
   }
+
+  test("DV delete-all parity with CoW: a fully-masked table is empty but " +
+      "readable, and OPTIMIZE materializes it (round-12 ADVICE resolution)") {
+    val s = spark
+    // the read invariant is ≥ 1 live FILE, never ≥ 1 live row: CoW
+    // delete-all leaves one 0-row rewrite file (CommitLogSqlSpec pins it
+    // through SQL); the DV path reaches the same logical end state by
+    // masking every position — both must stay readable with the schema
+    // intact, or the two DELETE routes would diverge on the same statement
+    val dvT = tmp("delall")
+    appendRows(dvT, 0L, 50L)
+    val filesBefore = CommitLogIngest.liveFiles(s, dvT,
+      CommitLogIngest.latestVersion(dvT))
+    val (v, masked) = CommitLogIngest.deleteWhereDv(s, dvT, lit(true))
+    assert(v > 0 && masked == filesBefore.size)
+    assert(CommitLogIngest.liveFiles(s, dvT, v) == filesBefore,
+      "delete-all via DV must move no data files")
+    val snap = CommitLogIngest.snapshot(s, dvT)
+    assert(snap.count() == 0L, "fully-masked table must read as empty")
+    assert(snap.columns.toSeq == Seq("id", "p", "n"),
+      "schema must survive the full mask")
+    assert(v2(dvT).count() == 0L, "V2 scan must agree")
+    // time travel below the mask still sees the data
+    assert(CommitLogIngest.snapshot(s, dvT, v - 1).count() == 50L)
+    // appends keep working, and OPTIMIZE purges the mask into clean files
+    appendRows(dvT, 200L, 10L)
+    assert(ids(CommitLogIngest.snapshot(s, dvT)) == (200L until 210L))
+    val (ov, _, _) = CommitLogIngest.optimize(s, dvT,
+      statsCol = Some("id"))
+    assert(ov > 0)
+    assert(ids(CommitLogIngest.snapshot(s, dvT)) == (200L until 210L))
+    val (_, dvsAfter) = CommitLogIngest.liveState(s, dvT,
+      CommitLogIngest.latestVersion(dvT))
+    assert(dvsAfter.isEmpty, "OPTIMIZE must retire the full mask")
+  }
+
+  test("timestampAsOf resolves against the claim-time marker, not dir " +
+      "mtime: a post-claim touch of the version dir cannot move history") {
+    val s = spark
+    val table = tmp("claimts")
+    appendRows(table, 0L, 10L)
+    Thread.sleep(1100) // second-granular mtime on some filesystems
+    val between = System.currentTimeMillis()
+    Thread.sleep(1100)
+    appendRows(table, 10L, 10L)
+    assert(CommitLogIngest.versionAt(table, between) == 0L)
+    // a later touch of version 0's dir (backup tooling, fs crawlers)
+    // must not re-date the commit — the round-12 ADVICE failure mode
+    java.nio.file.Files.setLastModifiedTime(
+      Paths.get(s"$table/log/version=0"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() + 3600000L))
+    assert(CommitLogIngest.versionAt(table, between) == 0L,
+      "dir mtime must not override the claim-time marker")
+    assert(Files.exists(Paths.get(s"$table/log/version=0/_commit_ms")),
+      "the winning claim must stamp its commit instant")
+  }
 }
