@@ -110,6 +110,33 @@ object DvBench {
     require(census(dv) == a, "OPTIMIZE changed the census")
     val readOptimized = minOf2(() => { census(dv); () })
 
+    // UPDATE economics (round-12 verdict task 3): the same hash-spread
+    // ~0.1% selectivity, n_chars bumped in place — CoW rewrites every
+    // affected file, DV writes mask rows + only the re-appended
+    // post-image rows. Runs on the post-OPTIMIZE tables so both sides
+    // start from clean files.
+    val updPred = pmod(hash(col("doc_id")), lit(1000)) === 13
+    val updSet: Map[String, org.apache.spark.sql.Column] =
+      Map("n_chars" -> (col("n_chars") + lit(1000)))
+    val t3 = System.nanoTime()
+    val (_, cowUpdFiles) = CommitLogIngest.updateWhere(spark, cow, updPred,
+      updSet, statsCol = Some("doc_id"))
+    val cowUpdateS = (System.nanoTime() - t3) / 1e9
+    val cowUpdV = CommitLogIngest.latestVersion(cow)
+    val cowUpdBytes = spark.read.parquet(s"$cow/log/version=$cowUpdV")
+      .filter(col("action") === "add").select("path").collect()
+      .map(r => Files.size(Paths.get(r.getString(0)))).sum
+    val t4 = System.nanoTime()
+    val (dvUpdV, dvUpdFiles) = CommitLogIngest.updateWhere(spark, dv,
+      updPred, updSet, statsCol = Some("doc_id"))
+    val dvUpdateS = (System.nanoTime() - t4) / 1e9
+    val dvUpdBytes = dirBytes(CommitLogIngest.dvDir(dv, dvUpdV)) +
+      spark.read.parquet(s"$dv/log/version=$dvUpdV")
+        .filter(col("action") === "add").select("path").collect()
+        .map(r => Files.size(Paths.get(r.getString(0)))).sum
+    val a2 = census(cow); val b2 = census(dv)
+    require(a2 == b2, s"post-update censuses diverge: cow=$a2 dv=$b2")
+
     def r3(d: Double) = math.rint(d * 1000) / 1000
     // the PRE-delete table shape (version 0 = the build commit)
     val tableFiles = CommitLogIngest.liveFiles(spark, cow, 0L)
@@ -125,7 +152,13 @@ object DvBench {
         s""""read_clean_s":${r3(readClean)},""" +
         s""""read_masked_s":${r3(readMasked)},""" +
         s""""optimize_s":${r3(optimizeS)},""" +
-        s""""read_optimized_s":${r3(readOptimized)},"parity":true}""")
+        s""""read_optimized_s":${r3(readOptimized)},""" +
+        s""""cow_update_s":${r3(cowUpdateS)},""" +
+        s""""dv_update_s":${r3(dvUpdateS)},""" +
+        s""""cow_upd_files_rewritten":$cowUpdFiles,""" +
+        s""""dv_upd_files_masked":$dvUpdFiles,""" +
+        s""""cow_upd_bytes_written":$cowUpdBytes,""" +
+        s""""dv_upd_bytes_written":$dvUpdBytes,"parity":true}""")
     graft.sources.LayoutDirs.deleteQuiet(root)
     spark.stop()
   }

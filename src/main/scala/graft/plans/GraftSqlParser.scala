@@ -36,8 +36,9 @@ import graft.streaming.CommitLogIngest
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    GraftSqlParser.maintenancePlan(sqlText)
-      .getOrElse(delegate.parsePlan(sqlText))
+    GraftSqlParser.resolveTimeTravel(
+      GraftSqlParser.maintenancePlan(sqlText)
+        .getOrElse(delegate.parsePlan(sqlText)))
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
@@ -59,6 +60,86 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 }
 
 object GraftSqlParser {
+
+  /** SQL SELECT time travel on commit-log catalog tables (round-12
+    * verdict task 2): Spark's grammar already parses `FROM t [FOR]
+    * VERSION AS OF n` / `[FOR] TIMESTAMP AS OF ts` into
+    * `RelationTimeTravel`, but the session catalog has no
+    * `loadTable(ident, version)` for provider-backed tables, so analysis
+    * throws UNSUPPORTED_FEATURE.TIME_TRAVEL before any injected
+    * resolution rule runs. The delegating parser therefore substitutes
+    * the node RIGHT AFTER PARSE with the analyzed plan of the
+    * OPTION-BASED read (`versionAsOf` on the V2 reader) — SQL and
+    * DataFrame time travel are the same read by construction, and a
+    * pre-table instant refuses with the API's own message (versionAt).
+    * Relations that are not commit-log catalog tables (other providers,
+    * temp views) pass through untouched for Spark's own verdict. */
+  private[plans] def resolveTimeTravel(plan: LogicalPlan): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
+    if (!plan.exists(_.isInstanceOf[RelationTimeTravel])) return plan
+    plan.transform {
+      case tt @ RelationTimeTravel(u: UnresolvedRelation, ts, ver) =>
+        commitLogDirOf(u.multipartIdentifier) match {
+          case None => tt
+          case Some(dir) =>
+            val spark = SparkSession.active
+            val v: Long = ver match {
+              case Some(n) => n.toLongOption.getOrElse(
+                throw new IllegalArgumentException(
+                  s"VERSION AS OF: not a version number: $n"))
+              case None =>
+                val micros = evalTimestampMicros(spark, ts.getOrElse(
+                  throw new IllegalArgumentException(
+                    "time travel needs VERSION AS OF or TIMESTAMP AS OF")))
+                CommitLogIngest.versionAt(dir, micros / 1000L)
+            }
+            spark.read.format("graft-commitlog")
+              .option("path", dir).option("versionAsOf", v.toString)
+              .load().queryExecution.analyzed
+        }
+    }
+  }
+
+  /** Evaluate a (foldable) TIMESTAMP AS OF operand to epoch micros —
+    * string literals go through Cast with the session zone, exactly how
+    * Spark's own time-travel resolution evaluates them. */
+  private def evalTimestampMicros(spark: SparkSession,
+      ts: org.apache.spark.sql.catalyst.expressions.Expression): Long = {
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.types.TimestampType
+    require(ts.foldable,
+      s"TIMESTAMP AS OF must be a constant expression, got $ts")
+    val zid = spark.sessionState.conf.sessionLocalTimeZone
+    val v = Cast(ts, TimestampType, Option(zid)).eval(null)
+    require(v != null, s"TIMESTAMP AS OF: cannot read $ts as a timestamp")
+    v.asInstanceOf[Long]
+  }
+
+  /** The table dir when `ident` names a commit-log table in the session
+    * catalog (and is not shadowed by a temp view); None otherwise. */
+  private def commitLogDirOf(ident: Seq[String]): Option[String] = {
+    val spark = SparkSession.getActiveSession.orNull
+    if (spark == null) return None
+    val cat = spark.sessionState.catalog
+    if (cat.isTempView(ident)) return None
+    val tid = ident match {
+      case Seq(t) => Some(TableIdentifier(t))
+      case Seq(db, t) => Some(TableIdentifier(t, Some(db)))
+      case Seq(c, db, t) if c.equalsIgnoreCase("spark_catalog") =>
+        Some(TableIdentifier(t, Some(db)))
+      case _ => None
+    }
+    tid.filter { t =>
+      try cat.tableExists(t) catch { case _: Exception => false }
+    }.flatMap { t =>
+      val meta = cat.getTableMetadata(t)
+      if (meta.provider.exists(_.equalsIgnoreCase("graft-commitlog")))
+        meta.storage.properties.get("path")
+          .orElse(meta.storage.locationUri.map(_.toString))
+          .map(graft.sources.LayoutDirs.localPath)
+      else None
+    }
+  }
 
   // single-quoted table dir; columns are plain identifiers
   private val OptimizeZorder =

@@ -521,10 +521,12 @@ object CommitLogIngest {
       txn: Option[String], op: Option[String] = None,
       extra: Seq[(String, String)] = Nil): java.nio.file.Path = {
     // CHECK constraints gate every commit of NEW rows (append, overwrite,
-    // DML rewrites) right here — the one choke point every path stages
-    // through. Layout/metadata ops (optimize/zorder/clone/restore) re-add
-    // rows that already passed, so they skip the read.
-    if (adds.nonEmpty && (op.isEmpty || op.contains("overwrite")))
+    // DML rewrites — including the DV update's re-appended post-images)
+    // right here — the one choke point every path stages through.
+    // Layout/metadata ops (optimize/zorder/clone/restore) re-add rows
+    // that already passed, so they skip the read.
+    if (adds.nonEmpty && (op.isEmpty || op.contains("overwrite") ||
+        op.contains("update-dv")))
       enforceConstraints(spark, tableDir, adds,
         schemaOf.orElse(declaredSchema(tableDir)))
     import spark.implicits._
@@ -918,6 +920,10 @@ object CommitLogIngest {
         s"columns of $tableDir — an update cannot move rows between " +
         "partition dirs (DELETE the rows and append them with the new " +
         "partition value instead)")
+    // per-table routing like deleteWhere: a DV-enabled table serves
+    // UPDATE merge-on-read (mask + re-append — the Delta DV-update shape)
+    if (dvEnabled(tableDir))
+      return updateWhereDv(spark, tableDir, pred, set, statsCol)
     def apply(df: DataFrame): DataFrame =
       set.foldLeft(df) { case (d, (name, value)) =>
         d.withColumn(name, when(coalesce(pred, lit(false)), value)
@@ -933,6 +939,100 @@ object CommitLogIngest {
           .unionByName(
             apply(pre).withColumn("_change_type", lit("update_postimage")))
       })
+  }
+
+  /** UPDATE, MERGE-ON-READ (deletion-vector UPDATE — round-12 verdict
+    * task 3, the Delta DV protocol's update face): ONE pushed-predicate
+    * scan records the matched row POSITIONS as a mask AND re-appends the
+    * matched rows with `set` applied — one atomic version carrying both
+    * the `("dv", file)` actions and the add actions for the updated
+    * rows. No affected file is rewritten: the same O(matched) write
+    * economics as [[deleteWhereDv]] (DvBench measures both), where
+    * copy-on-write pays O(affected files) for a handful of changed rows.
+    * Matches are computed over the CURRENT logical table (existing masks
+    * applied), the updated rows land partition-local (an update cannot
+    * move partition values — refused upstream), OPTIMIZE materializes
+    * the mask back into clean files, and pinned readers below the
+    * version still see the pre-update rows. Type-changing `set`
+    * expressions are refused exactly like the CoW path (the appended
+    * rows must reread under the declared schema). Returns (newVersion,
+    * filesMasked); a predicate matching nothing returns (-1, 0). */
+  def updateWhereDv(spark: SparkSession, tableDir: String,
+      pred: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column],
+      statsCol: Option[String] = None): (Long, Int) = {
+    requireIndexColMatch(tableDir, statsCol)
+    while (true) {
+      val latest = latestVersion(tableDir)
+      val (live, dvs) = liveState(spark, tableDir, latest)
+      val cur = schemaAt(spark, tableDir, latest)
+      def read(ps: Seq[String]): DataFrame = dataRead(spark, cur, ps)
+      val staged = s"$tableDir/data/dvstage-" +
+        java.util.UUID.randomUUID().toString.take(12)
+      dvApply(spark, tableDir, withDvMeta(read(live)),
+          live.flatMap(dvs.get).flatten.distinct)
+        .filter(pred)
+        .select(col(DvFileCol).as("path"), col(DvPosCol).as("pos"))
+        .write.mode("overwrite").parquet(staged)
+      val affected = spark.read.parquet(staged)
+        .select("path").distinct().collect()
+        .map(_.getString(0)).toSeq.sorted
+      if (affected.isEmpty) {
+        LayoutDirs.deleteQuiet(staged)
+        return (-1L, 0)
+      }
+      // matched rows BY POSITION (semi-join on the fresh mask — exact
+      // even under a nondeterministic predicate), O(affected files) read
+      val fresh = spark.read.parquet(staged)
+        .select(col("path").as(DvFileCol), col("pos").as(DvPosCol))
+      val matchedRows = withDvMeta(read(affected))
+        .join(fresh, Seq(DvFileCol, DvPosCol), "left_semi")
+        .drop(DvFileCol, DvPosCol)
+      val out = set.foldLeft(matchedRows) { case (d, (name, value)) =>
+        d.withColumn(name, value)
+      }
+      // the re-append records NO schema action, so it must keep the
+      // declared column types — same refusal as the CoW rewrite
+      val changed = matchedRows.schema.fields.zip(out.schema.fields)
+        .collect {
+          case (a, b) if a.name != b.name || a.dataType != b.dataType =>
+            s"${a.name}: ${a.dataType.simpleString} -> " +
+              s"${b.name}: ${b.dataType.simpleString}"
+        }
+      if (changed.nonEmpty) {
+        LayoutDirs.deleteQuiet(staged)
+        throw new IllegalArgumentException(
+          s"updateWhere changes column type(s) ${changed.mkString(", ")} " +
+            "— updates must preserve the schema (cast the set expression " +
+            "back to the column's type, or rebuild the table for a type " +
+            "migration)")
+      }
+      val outDir = s"$tableDir/data/dvu-" +
+        java.util.UUID.randomUUID().toString.take(12)
+      writePartitionLocal(out, partitionColsOf(tableDir), outDir)
+      val adds = LayoutDirs.dataFiles(outDir)
+      val cdfStaged =
+        if (!cdfEnabled(tableDir)) None
+        else Some(stageCdfRows(tableDir,
+          matchedRows.withColumn("_change_type", lit("update_preimage"))
+            .unionByName(
+              out.withColumn("_change_type", lit("update_postimage")))))
+      val stage = stageActions(spark, tableDir, adds, Seq.empty,
+        schemaOf = None, txn = None, op = Some("update-dv"),
+        extra = affected.map(("dv", _)))
+      if (tryClaimVersion(tableDir, stage, latest + 1)) {
+        publishDv(tableDir, staged, latest + 1)
+        cdfStaged.foreach(publishCdf(tableDir, _, latest + 1))
+        postWin(spark, tableDir, latest + 1,
+          statsCol, Some(outDir), schemaOf = None)
+        return (latest + 1, affected.size)
+      }
+      LayoutDirs.deleteQuiet(stage.toString)
+      LayoutDirs.deleteQuiet(staged)
+      LayoutDirs.deleteQuiet(outDir)
+      cdfStaged.foreach(LayoutDirs.deleteQuiet)
+    }
+    (-1L, 0) // unreachable
   }
 
   /** MERGE (upsert) by key as one atomic commit: rows of `updates` REPLACE
@@ -2600,13 +2700,19 @@ object CommitLogIngest {
             } else {
               val mask = spark.read.parquet(dvDir(tableDir, v))
                 .select(col("path").as(DvFileCol), col("pos").as(DvPosCol))
-              Some(tag(
+              val masked = tag(
                 readFiles(dvMasked)
                   .withColumn(DvFileCol,
                     LayoutDirs.plainPath(col("_metadata.file_path")))
                   .withColumn(DvPosCol, col("_metadata.row_index"))
                   .join(mask, Seq(DvFileCol, DvPosCol), "left_semi")
-                  .drop(DvFileCol, DvPosCol), "delete"))
+                  .drop(DvFileCol, DvPosCol), "delete")
+              // a DV UPDATE commit also carries the re-appended rows: in
+              // the no-stored-CDF fallback the update DEGRADES to delete
+              // (the masked pre-images) + insert (the added files) — the
+              // same keyless-diff rule as the legacy CoW fallback
+              if (adds.isEmpty) Some(masked)
+              else Some(masked.unionByName(tag(readFiles(adds), "insert")))
             }
           }
           else if (removes.isEmpty && adds.isEmpty) None // metadata-only
@@ -2744,7 +2850,7 @@ object CommitLogIngest {
             LayoutDirs.dataFiles(c)
               .map(p => (p, v, None: Option[String], none))
           else throw new IllegalStateException(
-            s"readChangeFeed: version $v is a deletion-vector DELETE " +
+            s"readChangeFeed: version $v is a deletion-vector DML commit " +
               s"with no stored change data (cdf/version=$v missing — " +
               "the table did not have CDF enabled when it committed) — " +
               "CommitLogIngest.setCdfEnabled(dir) before future DML, and " +

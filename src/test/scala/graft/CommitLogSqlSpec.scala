@@ -247,6 +247,58 @@ class CommitLogSqlSpec extends SparkSuite {
     } finally s.sql("DROP TABLE IF EXISTS clsqlrc")
   }
 
+  test("SQL SELECT time travel: VERSION AS OF / TIMESTAMP AS OF match " +
+      "the option-based read; pre-table instants refuse like the API") {
+    val s = spark
+    val dir = tmp("sqltt") + "/t"
+    val preTable = System.currentTimeMillis()
+    Thread.sleep(1100) // second-granular commit clocks on some FS
+    s.sql(s"""CREATE TABLE clsqltt (id BIGINT, tag STRING)
+      USING `graft-commitlog` OPTIONS (path '$dir')""")
+    try {
+      s.sql("INSERT INTO clsqltt VALUES (1, 'a'), (2, 'b')")
+      Thread.sleep(1100)
+      val betweenMs = System.currentTimeMillis()
+      Thread.sleep(1100)
+      s.sql("INSERT INTO clsqltt VALUES (3, 'c')")
+      // VERSION AS OF — both grammar forms — equals the option-based read
+      def optRead(v: Long) =
+        s.read.format("graft-commitlog").option("path", dir)
+          .option("versionAsOf", v.toString).load()
+          .collect().map(_.toString).sorted.toSeq
+      def sqlRows(q: String) =
+        s.sql(q).collect().map(_.toString).sorted.toSeq
+      assert(sqlRows("SELECT * FROM clsqltt VERSION AS OF 0") == optRead(0))
+      assert(
+        sqlRows("SELECT * FROM clsqltt FOR VERSION AS OF 0") == optRead(0))
+      assert(sqlRows("SELECT * FROM clsqltt VERSION AS OF 1") == optRead(1))
+      assert(sqlRows("SELECT * FROM clsqltt VERSION AS OF 0").size == 2)
+      // the pinned relation composes with ordinary SQL (agg + filter)
+      assert(s.sql("SELECT COUNT(*) FROM clsqltt VERSION AS OF 1 WHERE " +
+        "id > 1").collect()(0).getLong(0) == 2L)
+      // TIMESTAMP AS OF: an instant between the commits pins version 0,
+      // through the same claim-time clock the API resolves against
+      val t = new java.sql.Timestamp(betweenMs).toString.stripSuffix(".0")
+      assert(sqlRows(s"SELECT * FROM clsqltt TIMESTAMP AS OF '$t'")
+        == optRead(0))
+      assert(CommitLogIngest.versionAt(dir, betweenMs) == 0L,
+        "SQL and API must resolve the instant to the same version")
+      // a pre-table instant refuses with the API's own message
+      val pre = new java.sql.Timestamp(preTable).toString.stripSuffix(".0")
+      val e = intercept[Exception] {
+        s.sql(s"SELECT * FROM clsqltt TIMESTAMP AS OF '$pre'").collect()
+      }
+      assert(chain(e).exists(_.contains("predates every surviving version")),
+        s"wrong refusal: ${e.getMessage}")
+      // a non-commit-log relation keeps Spark's own verdict
+      s.sql("CREATE OR REPLACE TEMP VIEW plainview AS SELECT 1 AS x")
+      val e2 = intercept[Exception] {
+        s.sql("SELECT * FROM plainview VERSION AS OF 0").collect()
+      }
+      assert(chain(e2).nonEmpty)
+    } finally s.sql("DROP TABLE IF EXISTS clsqltt")
+  }
+
   private def chain(e: Throwable): Seq[String] =
     Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
       .map(t => Option(t.getMessage).getOrElse("")).toSeq

@@ -129,10 +129,15 @@ class DeletionVectorSpec extends SparkSuite {
     val table = tmp("cow")
     appendRows(table, 0L, 100L)
     CommitLogIngest.deleteWhere(s, table, col("id") % 10 === 0)
-    // update touches every file → rewrite materializes the masks: the
-    // masked rows must neither reappear nor be updated
+    // UPDATE on a DV-enabled table routes merge-on-read since round 13,
+    // so flip the per-table switch OFF to pin the COPY-ON-WRITE rewrite
+    // reading through a live mask (the dv-update face has its own test):
+    // the rewrite materializes the masks — masked rows must neither
+    // reappear nor be updated
+    CommitLogIngest.setDvEnabled(table, on = false)
     CommitLogIngest.updateWhere(s, table, col("id") % 2 === 0,
       Map("n" -> (col("n") + 1)), statsCol = Some("id"))
+    CommitLogIngest.setDvEnabled(table)
     val (files, dvs) = CommitLogIngest.liveState(s, table,
       CommitLogIngest.latestVersion(table))
     assert(dvs.isEmpty, "rewritten files must shed their masks")
@@ -327,6 +332,74 @@ class DeletionVectorSpec extends SparkSuite {
     val (_, dvsAfter) = CommitLogIngest.liveState(s, dvT,
       CommitLogIngest.latestVersion(dvT))
     assert(dvsAfter.isEmpty, "OPTIMIZE must retire the full mask")
+  }
+
+  test("DV UPDATE is merge-on-read: mask + re-append in ONE version, " +
+      "no original file moves, every surface agrees, OPTIMIZE purges") {
+    val s = spark
+    val table = tmp("upd")
+    appendRows(table, 0L, 100L, enableCdf = true)
+    appendRows(table, 100L, 100L, enableCdf = true)
+    val before = CommitLogIngest.liveFiles(s, table, 1L).toSet
+    // routes through updateWhere (the per-table switch, like DELETE)
+    val (v, masked) = CommitLogIngest.updateWhere(s, table,
+      col("id") % 40 === 7, Map("n" -> (col("n") + lit(100000))),
+      statsCol = Some("id"))
+    assert(v == 2L, s"DV update must land as ONE version, got $v")
+    assert(masked > 0)
+    val (liveAfter, dvs) = CommitLogIngest.liveState(s, table, v)
+    assert(before.subsetOf(liveAfter.toSet),
+      "merge-on-read UPDATE must not move original data files")
+    assert(dvs.nonEmpty, "the update must record a mask")
+    // the version carries BOTH dv actions and add actions atomically
+    val acts = s.read.parquet(s"$table/log/version=$v")
+      .select("action").collect().map(_.getString(0)).toSet
+    assert(acts.contains("dv") && acts.contains("add"), s"actions: $acts")
+    // updated values visible on API and V2 surfaces; row count unchanged
+    def updatedIds(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("n") >= 100000L).select("id").collect()
+        .map(_.getLong(0)).sorted.toSeq
+    val want = (0L until 200L).filter(_ % 40 == 7)
+    assert(CommitLogIngest.snapshot(s, table).count() == 200L)
+    assert(updatedIds(CommitLogIngest.snapshot(s, table)) == want)
+    assert(updatedIds(v2(table)) == want)
+    // pinned below the update: pre-update values
+    assert(CommitLogIngest.snapshot(s, table, v - 1)
+      .filter(col("n") >= 100000L).count() == 0L)
+    // CDF pre/post images exact
+    val feed = CommitLogIngest.changeFeed(s, table, v - 1, v)
+      .select("id", "n", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(feed == want.flatMap(i => Seq(
+      (i, i * 10, "update_preimage"),
+      (i, i * 10 + 100000L, "update_postimage"))).toSet,
+      s"wrong change rows: $feed")
+    // a composed DV delete sees the UPDATED values (id 7: n 70 → 100070)
+    // and kills the post-image, not the masked pre-image
+    val (vDel, _) = CommitLogIngest.deleteWhere(s, table,
+      col("n") === 100070L, statsCol = Some("id"))
+    assert(vDel == v + 1)
+    assert(CommitLogIngest.snapshot(s, table).count() == 199L)
+    assert(!updatedIds(CommitLogIngest.snapshot(s, table)).contains(7L))
+    // restore to the post-update state for the OPTIMIZE leg below
+    CommitLogIngest.restore(s, table, v)
+    // OPTIMIZE materializes mask + appended rows into clean files
+    val (ov, _, _) = CommitLogIngest.optimize(s, table,
+      statsCol = Some("id"))
+    assert(ov > v)
+    assert(updatedIds(CommitLogIngest.snapshot(s, table)) == want)
+    assert(CommitLogIngest.snapshot(s, table).count() == 200L)
+    assert(CommitLogIngest.liveState(s, table,
+      CommitLogIngest.latestVersion(table))._2.isEmpty,
+      "OPTIMIZE must retire the update's mask")
+    // a type-widening set refuses without mutating (same rule as CoW)
+    val pre = CommitLogIngest.latestVersion(table)
+    intercept[IllegalArgumentException] {
+      CommitLogIngest.updateWhere(s, table, col("id") === 1L,
+        Map("n" -> concat(col("n").cast("string"), lit("x"))),
+        statsCol = Some("id"))
+    }
+    assert(CommitLogIngest.latestVersion(table) == pre)
   }
 
   test("timestampAsOf resolves against the claim-time marker, not dir " +
