@@ -85,6 +85,14 @@ object ScanBench {
     val (narrowConnS, narrowConnR) = minOf2(() => narrow(viaConnector()))
     val (narrowNatS, narrowNatR) = minOf2(() => narrow(viaNative()))
 
+    // COUNT leg (round-12 verdict task 7): the footer-only aggregate
+    // pushdown vs the native scan's count — the connector answers from
+    // metadata, so this leg should be near-constant regardless of SF
+    def cnt(df: DataFrame): Long = df.agg(count(lit(1))).head().getLong(0)
+    cnt(viaConnector()); cnt(viaNative())
+    val (cntConnS, cntConnR) = minOf2(() => cnt(viaConnector()))
+    val (cntNatS, cntNatR) = minOf2(() => cnt(viaNative()))
+
     // doubles sum in partition order, which differs between the two scans
     // (per-file partitions vs size-split) — exact for integrals/strings,
     // relative tolerance for floating sums
@@ -94,7 +102,8 @@ object ScanBench {
           math.abs(x - y) <= 1e-9 * math.max(math.abs(x), math.abs(y))
         case (x, y) => x == y
       }
-    val parity = agree(wideConnR, wideNatR) && agree(narrowConnR, narrowNatR)
+    val parity = agree(wideConnR, wideNatR) &&
+      agree(narrowConnR, narrowNatR) && cntConnR == cntNatR && cntConnR == rows
     val mode = graft.sources.CommitLogReaderFactory.lastMode
     println(
       f"""{"metric":"v2_scan_decode_tax","sf_dir":"$sfDir","rows":$rows,""" +
@@ -103,6 +112,7 @@ object ScanBench {
         f""""narrow_connector_s":$narrowConnS%.3f,""" +
         f""""narrow_native_s":$narrowNatS%.3f,""" +
         f""""narrow_tax":${narrowConnS / narrowNatS}%.2f,""" +
+        f""""count_pushdown_s":$cntConnS%.3f,"count_native_s":$cntNatS%.3f,""" +
         s""""reader_mode":"$mode","parity":$parity}""")
     graft.sources.LayoutDirs.deleteQuiet(root.toString)
     spark.stop()

@@ -160,6 +160,10 @@ object GraftSqlParser {
     """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
   private val DropConstraint =
     """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r
+  private val RenameColumn =
+    """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?\s*""".r
+  private val DropColumn =
+    """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+DROP\s+COLUMN\s+(\w+)\s*;?\s*""".r
 
   private[plans] def maintenancePlan(sql: String): Option[LogicalPlan] =
     sql match {
@@ -176,8 +180,25 @@ object GraftSqlParser {
         Some(ConstraintCommand(dir, name, Some(check.trim)))
       case DropConstraint(dir, name) =>
         Some(ConstraintCommand(dir, name, None))
+      case RenameColumn(dir, a, b) => Some(ColumnChangeCommand(dir, a, Some(b)))
+      case DropColumn(dir, a) => Some(ColumnChangeCommand(dir, a, None))
       case _ => None
     }
+}
+
+/** `ALTER TABLE '<dir>' RENAME COLUMN a TO b` / `... DROP COLUMN a` —
+  * the column-mapping metadata commits (no data file touched); identical
+  * to the API calls including every refusal. */
+case class ColumnChangeCommand(dir: String, column: String,
+    renameTo: Option[String]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType)())
+
+  override def run(spark: SparkSession): Seq[Row] = Seq(Row(renameTo match {
+    case Some(b) => CommitLogIngest.renameColumn(spark, dir, column, b)
+    case None => CommitLogIngest.dropColumn(spark, dir, column)
+  }))
 }
 
 /** `ALTER TABLE '<dir>' ADD CONSTRAINT n CHECK (expr)` /

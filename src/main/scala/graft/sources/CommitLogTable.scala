@@ -83,9 +83,20 @@ class CommitLogTableProvider extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val dir = tableDir(options)
+    // a time-travel pin reads under ITS generation's schema (a version
+    // before a rename/drop resolves its own logical names — the API
+    // snapshot()'s rule, now shared by the V2 option surface)
+    val pinned: Option[Long] =
+      Option(options.get("versionAsOf")).map(_.toLong)
+        .orElse(Option(options.get("timestampAsOf")).map { t =>
+          val ms = t.toLongOption.getOrElse(
+            java.sql.Timestamp.valueOf(t).getTime)
+          CommitLogIngest.versionAt(dir, ms)
+        })
     val base =
       if (CommitLogIngest.latestVersion(dir) >= 0)
-        CommitLogIngest.snapshot(CommitLogPlanning.session, dir).schema
+        CommitLogIngest.snapshot(CommitLogPlanning.session, dir,
+          pinned.getOrElse(-1L)).schema
       else
         // a CREATEd-but-empty table declares its schema via the marker
         // (CommitLogIngest.createTable) — what lets a writer or reader
@@ -241,11 +252,40 @@ private[sources] object V2PredicateColumns {
 class CommitLogScanBuilder(tableDir: String, schema: StructType,
     options: CaseInsensitiveStringMap)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private val indexCol: Option[String] = CommitLogIngest.indexedCol(tableDir)
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = schema
+  private var pushedAgg: Option[(StructType, Seq[Any])] = None
+
+  /** Aggregate pushdown (round-12 verdict task 7): COUNT(*) / COUNT(col)
+    * / MIN / MAX with no GROUP BY answer from parquet FOOTERS plus the
+    * deletion-vector masks — zero data pages opened. The gate is strict
+    * and every decline falls back to the normal scan (pure speedup,
+    * never a semantic fork):
+    *
+    *  - no pushed filters (their residual evaluation needs rows);
+    *  - COUNT(*) = Σ footer row counts − Σ masked positions (exact under
+    *    masks: positions are recorded once, never re-recorded);
+    *  - COUNT(col) needs per-chunk null counts and NO masks (a masked
+    *    row's nullness is unknowable from metadata);
+    *  - MIN/MAX need per-chunk stats on an INTEGRAL or STRING column and
+    *    NO masks (the extreme row might be masked) — doubles decline
+    *    (NaN ordering makes footer stats unsafe, the same rule as the
+    *    stats index), and a chunk with absent/empty stats declines. */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = CommitLogAgg.shapeOk(agg, pushed, options)
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    if (!CommitLogAgg.shapeOk(agg, pushed, options)) return false
+    pushedAgg = CommitLogAgg.compute(tableDir, schema, options, agg)
+    pushedAgg.isDefined
+  }
 
   /** Column pruning: the scan delivers only the projected fields, and the
     * reader requests only those columns from parquet — the other columns'
@@ -412,10 +452,196 @@ class CommitLogScanBuilder(tableDir: String, schema: StructType,
         if (his.isEmpty) None else Some(his.min))
     }
 
-  override def build(): Scan =
-    new CommitLogScan(tableDir, required, options, bounds,
-      pushed.filter(ParquetFilters.translatable),
-      pushed.flatMap(partConstraintOf).toSeq, strBounds)
+  override def build(): Scan = pushedAgg match {
+    case Some((st, row)) => new CommitLogAggScan(tableDir, st, row)
+    case None =>
+      new CommitLogScan(tableDir, required, options, bounds,
+        pushed.filter(ParquetFilters.translatable),
+        pushed.flatMap(partConstraintOf).toSeq, strBounds)
+  }
+}
+
+/** Footer-only aggregate evaluation (driver-side, O(files) metadata
+  * reads — the same order as a stats-index write; no data page is ever
+  * opened). */
+private[sources] object CommitLogAgg {
+  import org.apache.spark.sql.connector.expressions.{Expression => VExpr, NamedReference}
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max => VMax, Min => VMin}
+
+  private def refName(e: VExpr): Option[String] = e match {
+    case r: NamedReference if r.fieldNames.length == 1 =>
+      Some(r.fieldNames()(0))
+    case _ => None
+  }
+
+  def shapeOk(agg: Aggregation, pushed: Array[Filter],
+      options: CaseInsensitiveStringMap): Boolean =
+    pushed.isEmpty && agg.groupByExpressions.isEmpty &&
+      !Option(options.get("readChangeFeed")).exists(_.toBoolean) &&
+      agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall {
+        case _: CountStar => true
+        case c: Count => !c.isDistinct && refName(c.column).isDefined
+        case m: VMin => refName(m.column).isDefined
+        case m: VMax => refName(m.column).isDefined
+        case _ => false
+      }
+
+  /** (output schema, one final row) when every aggregate is answerable
+    * EXACTLY from footers + masks; None declines to the normal scan. */
+  def compute(tableDir: String, schema: StructType,
+      options: CaseInsensitiveStringMap, agg: Aggregation)
+      : Option[(StructType, Seq[Any])] = {
+    val spark = CommitLogPlanning.session
+    val vOpt = Option(options.get("versionAsOf")).map(_.toLong)
+      .orElse(Option(options.get("timestampAsOf")).map { t =>
+        val ms = t.toLongOption.getOrElse(
+          java.sql.Timestamp.valueOf(t).getTime)
+        CommitLogIngest.versionAt(tableDir, ms)
+      })
+    val v = vOpt.getOrElse(CommitLogIngest.latestVersion(tableDir))
+    // a CREATEd-but-empty table: COUNT(*) = 0, MIN/MAX = NULL
+    val (files, dvs) =
+      if (v < 0 && vOpt.isEmpty)
+        (Seq.empty[String], Map.empty[String, Seq[Long]])
+      else CommitLogIngest.liveState(spark, tableDir, v)
+    val nameMap = CommitLogIngest.mappingAt(spark, tableDir, v)
+    val needsStats = agg.aggregateExpressions.exists {
+      case _: CountStar => false
+      case _ => true
+    }
+    if (needsStats && dvs.nonEmpty) return None
+    // one footer read per file, reused across every aggregate; ONE
+    // hadoop Configuration for the whole pass (its XML parse costs more
+    // than the footer read itself)
+    val conf = new Configuration()
+    val footers = files.map { f =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new HadoopPath(f), conf))
+      try {
+        import scala.jdk.CollectionConverters._
+        val blocks = r.getFooter.getBlocks.asScala.toSeq
+        (blocks.map(_.getRowCount).sum,
+          blocks.flatMap(_.getColumns.asScala.map(c =>
+            (c.getPath.toDotString, c.getStatistics,
+              c.getValueCount))))
+      } finally r.close()
+    }
+    val totalRows = footers.map(_._1).sum
+    val masked =
+      if (dvs.isEmpty) 0L
+      else CommitLogIngest.dvPositionsFor(spark, tableDir, dvs, files)
+        .values.map(_.length.toLong).sum
+    def chunksOf(phys: String) =
+      footers.flatMap(_._2.filter(_._1 == phys))
+    def declaredType(c: String): Option[org.apache.spark.sql.types.DataType] =
+      schema.find(_.name == c).map(_.dataType)
+    def statsOk(st: org.apache.parquet.column.statistics.Statistics[_])
+        : Boolean = st != null && !st.isEmpty
+    // exact extreme over every chunk carrying the column; None = decline,
+    // Some(null) = the column is all-NULL table-wide
+    def extreme(c: String, wantMin: Boolean): Option[Any] = {
+      val ok = declaredType(c).exists {
+        case org.apache.spark.sql.types.LongType |
+            org.apache.spark.sql.types.IntegerType |
+            org.apache.spark.sql.types.ShortType |
+            org.apache.spark.sql.types.ByteType |
+            org.apache.spark.sql.types.StringType => true
+        case _ => false
+      }
+      if (!ok) return None
+      val phys = nameMap.getOrElse(c, c)
+      val chunks = chunksOf(phys)
+      // a file lacking the column (older generation) reads all-NULL —
+      // it simply doesn't appear in chunks and contributes nothing
+      if (chunks.exists(ch => !statsOk(ch._2))) return None
+      val vals = chunks.filter(_._2.hasNonNullValue).map { ch =>
+        if (wantMin) ch._2.genericGetMin() else ch._2.genericGetMax()
+      }
+      if (vals.isEmpty) return Some(null)
+      def toComparable(x: Any): Any = x match {
+        case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
+        case other => other
+      }
+      val cs = vals.map(toComparable)
+      Some(cs.reduce { (a, b) =>
+        val cmp = (a, b) match {
+          case (x: java.lang.Long, y: java.lang.Long) => x.compareTo(y)
+          case (x: java.lang.Integer, y: java.lang.Integer) => x.compareTo(y)
+          case (x: String, y: String) =>
+            // UTF8 binary order = parquet's unsigned byte order for the
+            // footer's string stats; compare the same way
+            org.apache.spark.unsafe.types.UTF8String.fromString(x)
+              .compareTo(org.apache.spark.unsafe.types.UTF8String
+                .fromString(y))
+          case _ => return None // mixed widths across generations: decline
+        }
+        if ((cmp <= 0) == wantMin) a else b
+      })
+    }
+    def nonNullCount(c: String): Option[Any] = {
+      val phys = nameMap.getOrElse(c, c)
+      val chunks = chunksOf(phys)
+      if (chunks.exists(ch => !statsOk(ch._2) || !ch._2.isNumNullsSet))
+        return None
+      Some(java.lang.Long.valueOf(
+        chunks.map(ch => ch._3 - ch._2.getNumNulls).sum))
+    }
+    val out = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar =>
+        Some(("count_star", org.apache.spark.sql.types.LongType,
+          java.lang.Long.valueOf(totalRows - masked): Any))
+      case c: Count =>
+        val n = refName(c.column).get
+        nonNullCount(n).map(v0 =>
+          (s"count_$n", org.apache.spark.sql.types.LongType, v0))
+      case m: VMin =>
+        val n = refName(m.column).get
+        extreme(n, wantMin = true).map(v0 =>
+          (s"min_$n", declaredType(n).get, v0))
+      case m: VMax =>
+        val n = refName(m.column).get
+        extreme(n, wantMin = false).map(v0 =>
+          (s"max_$n", declaredType(n).get, v0))
+      case _ => None
+    }
+    if (out.exists(_.isEmpty)) return None
+    val fields = out.flatten
+    Some((StructType(fields.zipWithIndex.map { case ((nm, dt, _), i) =>
+      org.apache.spark.sql.types.StructField(s"$nm$i", dt)
+    }), fields.map(_._3)))
+  }
+}
+
+/** The single-row scan a completely-pushed aggregate plans to: no input
+  * files at all — the row was computed from footers at pushdown time. */
+class CommitLogAggScan(tableDir: String, schema: StructType,
+    row: Seq[Any]) extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def description(): String =
+    s"graft-commitlog[$tableDir] AGG-PUSHDOWN $schema"
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(CommitLogInputPartition("<agg>"))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new AggRowReaderFactory(schema, row.toArray)
+}
+
+private[sources] class AggRowReaderFactory(schema: StructType,
+    row: Array[Any]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var done = false
+      override def next(): Boolean = { val r = !done; done = true; r }
+      override def get(): InternalRow =
+        new GenericInternalRow(row.zipWithIndex.map {
+          case (s: String, _) => UTF8String.fromString(s)
+          case (v, _) => v
+        })
+      override def close(): Unit = ()
+    }
 }
 
 /** Partition-dir pruning constraints (scan-planning side of the hive
@@ -536,45 +762,59 @@ class CommitLogBatch(tableDir: String, schema: StructType,
     strBounds: Map[String, (Option[String], Option[String])] = Map.empty)
     extends Batch {
 
-  private lazy val parts: Array[InputPartition] = {
+  /** Partitions AND the column mapping in force at the pinned version —
+    * resolved together so the factory translates through the same
+    * generation the planner pruned with. */
+  private lazy val resolved
+      : (Array[InputPartition], Map[String, String]) = {
     val spark = CommitLogPlanning.session
     val v = versionAsOf.getOrElse(CommitLogIngest.latestVersion(tableDir))
     // a CREATEd-but-not-yet-written table is a valid zero-row SELECT
     // (its schema came from the declared marker); an EXPLICIT versionAsOf
     // on such a table still fails loudly through liveFiles
-    if (v < 0 && versionAsOf.isEmpty) Array.empty
+    if (v < 0 && versionAsOf.isEmpty) (Array.empty, Map.empty)
     else {
+      // liveState FIRST: its contract guard owns the "no committed
+      // version" refusal (the mapping resolve reads the log and would
+      // otherwise surface a raw PATH_NOT_FOUND on an empty table)
       val (files, dvs) = CommitLogIngest.liveState(spark, tableDir, v)
+      val nameMap = CommitLogIngest.mappingAt(spark, tableDir, v)
       // partition dirs prune FIRST (pure path string work, no reads at
       // all), then the stats index consults one small metadata read.
       // Both stay correct under deletion vectors: a mask only REMOVES
       // rows, so pruning on pre-delete stats is conservative, never
-      // wrong — at worst a fully-masked file is opened and yields 0 rows
+      // wrong — at worst a fully-masked file is opened and yields 0 rows.
+      // Index rows are keyed by PHYSICAL column names (they are written
+      // from the files), so logical filter bounds translate first.
+      def physKeys[T](m: Map[String, T]): Map[String, T] =
+        if (nameMap.isEmpty) m
+        else m.map { case (c, b) => nameMap.getOrElse(c, c) -> b }
       val dirPruned = CommitLogPlanning.pruneByPath(files, partConstraints)
       val pruned = CommitLogPlanning.pruneByIndex(spark, tableDir,
-        dirPruned, bounds, strBounds)
+        dirPruned, physKeys(bounds), physKeys(strBounds))
       // masked files ship their positions IN the partition descriptor —
       // one driver-side metadata read, O(mask rows), small by design
       // (OPTIMIZE materializes heavy masks back into clean files)
       val posByFile =
         CommitLogIngest.dvPositionsFor(spark, tableDir, dvs, pruned)
-      pruned.map(f => CommitLogInputPartition(f,
+      (pruned.map(f => CommitLogInputPartition(f,
         dvPositions = posByFile.getOrElse(f, Array.emptyLongArray))
-        : InputPartition).toArray
+        : InputPartition).toArray, nameMap)
     }
   }
 
-  override def planInputPartitions(): Array[InputPartition] = parts
+  override def planInputPartitions(): Array[InputPartition] = resolved._1
 
   override def createReaderFactory(): PartitionReaderFactory =
     // Spark refuses mixed row/columnar partitions in one scan, so ANY
     // live mask forces the whole scan onto the row path (which applies
     // positions); OPTIMIZE restores the columnar fast path
     new CommitLogReaderFactory(schema, filters,
-      rowModeForced = parts.exists {
+      rowModeForced = resolved._1.exists {
         case p: CommitLogInputPartition => p.dvPositions.nonEmpty
         case _ => false
-      })
+      },
+      nameMap = resolved._2)
 }
 
 /** One table version range per micro-batch; versions ARE offsets. */
@@ -654,11 +894,23 @@ class CommitLogMicroBatchStream(tableDir: String, schema: StructType,
     val files = CommitLogIngest.addedFiles(spark, tableDir,
       CommitLogOffset.version(start), CommitLogOffset.version(end),
       skipChangeCommits)
+    val m = nameMap
+    def physKeys[T](b: Map[String, T]): Map[String, T] =
+      if (m.isEmpty) b else b.map { case (c, x) => m.getOrElse(c, c) -> x }
     val dirPruned = CommitLogPlanning.pruneByPath(files, partConstraints)
-    CommitLogPlanning.pruneByIndex(spark, tableDir, dirPruned, bounds,
-        strBounds)
+    CommitLogPlanning.pruneByIndex(spark, tableDir, dirPruned,
+        physKeys(bounds), physKeys(strBounds))
       .map(f => CommitLogInputPartition(f): InputPartition).toArray
   }
+
+  /** Column mapping at stream construction (streams read forward; a
+    * mid-stream rename applies from the next restart). CDF partitions
+    * read stored change files, which carry their stage-time logical
+    * names — they stay untranslated. */
+  private lazy val nameMap: Map[String, String] =
+    if (cdf) Map.empty
+    else CommitLogIngest.mappingAt(CommitLogPlanning.session, tableDir,
+      CommitLogIngest.latestVersion(tableDir))
 
   /** Row mode is derived from TABLE STATE, never from plan-order
     * coupling (round-12 ADVICE: a mutable last-planned-batch flag relied
@@ -674,7 +926,8 @@ class CommitLogMicroBatchStream(tableDir: String, schema: StructType,
   override def createReaderFactory(): PartitionReaderFactory =
     new CommitLogReaderFactory(schema, filters,
       rowModeForced = cdf &&
-        java.nio.file.Files.exists(java.nio.file.Paths.get(tableDir, "dv")))
+        java.nio.file.Files.exists(java.nio.file.Paths.get(tableDir, "dv")),
+      nameMap = nameMap)
 
   override def deserializeOffset(json: String): Offset =
     CommitLogOffset(json.trim.toLong)
@@ -832,8 +1085,23 @@ case class CommitLogInputPartition(file: String,
     extends InputPartition
 
 class CommitLogReaderFactory(schema: StructType, filters: Array[Filter],
-    rowModeForced: Boolean = false)
+    rowModeForced: Boolean = false,
+    nameMap: Map[String, String] = Map.empty)
     extends PartitionReaderFactory {
+
+  /** Column mapping is applied AT THIS BOUNDARY: the readers receive the
+    * scan schema with mapped fields under their PHYSICAL names (what the
+    * files carry) and filters translated the same way — their output is
+    * positional, so Spark still sees the logical readSchema. Identity
+    * for unmapped tables. */
+  private val physSchema: StructType =
+    if (nameMap.isEmpty) schema
+    else StructType(schema.fields.map(f =>
+      nameMap.get(f.name).map(p => f.copy(name = p)).getOrElse(f)))
+
+  private val physFilters: Array[Filter] =
+    if (nameMap.isEmpty) filters
+    else filters.flatMap(ParquetFilters.mapNames(_, nameMap))
 
   /** Flat schemas decode COLUMN-AT-A-TIME into ColumnarBatches (see
     * `CommitLogColumnar` — the measured 2-3× row-decode tax is the one
@@ -849,14 +1117,15 @@ class CommitLogReaderFactory(schema: StructType, filters: Array[Filter],
       : PartitionReader[InternalRow] = {
     CommitLogReaderFactory.lastMode = "row"
     val p = partition.asInstanceOf[CommitLogInputPartition]
-    new GroupRowReader(p.file, schema, filters, p.constants, p.dvPositions)
+    new GroupRowReader(p.file, physSchema, physFilters, p.constants,
+      p.dvPositions)
   }
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[ColumnarBatch] = {
     CommitLogReaderFactory.lastMode = "columnar"
     val p = partition.asInstanceOf[CommitLogInputPartition]
-    new ColumnarCommitReader(p.file, schema, filters, p.constants)
+    new ColumnarCommitReader(p.file, physSchema, physFilters, p.constants)
   }
 }
 
@@ -1168,6 +1437,36 @@ private[sources] object ParquetFilters {
     case IsNull(a) => Some((a, Null, null))
     case IsNotNull(a) => Some((a, NotNull, null))
     case _ => None
+  }
+
+  /** Rename a filter's attribute references (logical → physical column
+    * mapping). A shape this translator does not know that references a
+    * mapped name is DROPPED (pushdown is optional — Spark re-filters);
+    * unmapped-only shapes pass through untouched. */
+  def mapNames(f: Filter, m: Map[String, String]): Option[Filter] = {
+    import org.apache.spark.sql.sources._
+    def r(n: String) = m.getOrElse(n, n)
+    f match {
+      case EqualTo(a, v) => Some(EqualTo(r(a), v))
+      case EqualNullSafe(a, v) => Some(EqualNullSafe(r(a), v))
+      case GreaterThan(a, v) => Some(GreaterThan(r(a), v))
+      case GreaterThanOrEqual(a, v) => Some(GreaterThanOrEqual(r(a), v))
+      case LessThan(a, v) => Some(LessThan(r(a), v))
+      case LessThanOrEqual(a, v) => Some(LessThanOrEqual(r(a), v))
+      case In(a, vs) => Some(In(r(a), vs))
+      case IsNull(a) => Some(IsNull(r(a)))
+      case IsNotNull(a) => Some(IsNotNull(r(a)))
+      case StringStartsWith(a, v) => Some(StringStartsWith(r(a), v))
+      case StringEndsWith(a, v) => Some(StringEndsWith(r(a), v))
+      case StringContains(a, v) => Some(StringContains(r(a), v))
+      case And(l, rr) =>
+        for (a <- mapNames(l, m); b <- mapNames(rr, m)) yield And(a, b)
+      case Or(l, rr) =>
+        for (a <- mapNames(l, m); b <- mapNames(rr, m)) yield Or(a, b)
+      case Not(c) => mapNames(c, m).map(Not)
+      case other =>
+        if (other.references.exists(m.contains)) None else Some(other)
+    }
   }
 
   def translatable(f: Filter): Boolean =

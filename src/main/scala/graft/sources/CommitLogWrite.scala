@@ -166,7 +166,11 @@ class CommitLogBatchWrite(tableDir: String, schema: StructType,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory =
-    new CommitLogWriterFactory(dataDir, schema, partitionCols)
+    // files always carry PHYSICAL column names (identity when the table
+    // has no column mapping); the commit below records the LOGICAL
+    // schema, with the mapping merged in by the schema-action choke point
+    new CommitLogWriterFactory(dataDir,
+      CommitLogIngest.physicalWriteSchema(tableDir, schema), partitionCols)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val files = CommitLogWriteCommit.filesOf(messages)
@@ -221,7 +225,8 @@ class CommitLogStreamingWrite(tableDir: String, schema: StructType,
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : StreamingDataWriterFactory =
-    new CommitLogStreamingWriterFactory(dataDir, schema, partitionCols)
+    new CommitLogStreamingWriterFactory(dataDir,
+      CommitLogIngest.physicalWriteSchema(tableDir, schema), partitionCols)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage])
       : Unit = {
