@@ -85,6 +85,25 @@ object ScanBench {
     val (narrowConnS, narrowConnR) = minOf2(() => narrow(viaConnector()))
     val (narrowNatS, narrowNatR) = minOf2(() => narrow(viaNative()))
 
+    // ARRAY leg (round-12 verdict task 8): an embeddings-style
+    // array<float> column through the vectorized array decode vs the
+    // native scan — the vector-corpus case the flagship ANN surface reads
+    val embT = s"$root/emb"
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    (0 until 2).foreach { i =>
+      CommitLogIngest.commitAppend(
+        emb.filter(col("vec_id") % 2 === i).repartition(8), embT)
+    }
+    def viaConnE(): DataFrame =
+      spark.read.format("graft-commitlog").option("path", embT).load()
+    def viaNatE(): DataFrame = CommitLogIngest.snapshot(spark, embT)
+    def arrAgg(df: DataFrame): Seq[Any] =
+      df.agg(sum(size(col("embedding"))),
+        count(when(element_at(col("embedding"), 1) > 0f, 1))).head().toSeq
+    arrAgg(viaConnE()); arrAgg(viaNatE())
+    val (arrConnS, arrConnR) = minOf2(() => arrAgg(viaConnE()))
+    val (arrNatS, arrNatR) = minOf2(() => arrAgg(viaNatE()))
+
     // COUNT leg (round-12 verdict task 7): the footer-only aggregate
     // pushdown vs the native scan's count — the connector answers from
     // metadata, so this leg should be near-constant regardless of SF
@@ -103,7 +122,8 @@ object ScanBench {
         case (x, y) => x == y
       }
     val parity = agree(wideConnR, wideNatR) &&
-      agree(narrowConnR, narrowNatR) && cntConnR == cntNatR && cntConnR == rows
+      agree(narrowConnR, narrowNatR) && cntConnR == cntNatR &&
+      cntConnR == rows && agree(arrConnR, arrNatR)
     val mode = graft.sources.CommitLogReaderFactory.lastMode
     println(
       f"""{"metric":"v2_scan_decode_tax","sf_dir":"$sfDir","rows":$rows,""" +
@@ -113,6 +133,8 @@ object ScanBench {
         f""""narrow_native_s":$narrowNatS%.3f,""" +
         f""""narrow_tax":${narrowConnS / narrowNatS}%.2f,""" +
         f""""count_pushdown_s":$cntConnS%.3f,"count_native_s":$cntNatS%.3f,""" +
+        f""""array_connector_s":$arrConnS%.3f,"array_native_s":$arrNatS%.3f,""" +
+        f""""array_tax":${arrConnS / arrNatS}%.2f,""" +
         s""""reader_mode":"$mode","parity":$parity}""")
     graft.sources.LayoutDirs.deleteQuiet(root.toString)
     spark.stop()

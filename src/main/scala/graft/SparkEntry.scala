@@ -29,6 +29,7 @@ object SparkEntry {
       graft.sources.BucketedTables.queries ++
       graft.sources.OrcRoundTrip.queries ++
       graft.sources.IvfLayout.queries ++
+      graft.sources.ClusterLayout.queries ++
       graft.sources.EventsLayout.queries ++
       graft.sources.Compaction.queries ++
       graft.sources.ZOrderLayout.queries ++

@@ -142,6 +142,8 @@ object GraftSqlParser {
   }
 
   // single-quoted table dir; columns are plain identifiers
+  private val OptimizeCluster =
+    """(?is)\s*OPTIMIZE\s+'([^']+)'\s+CLUSTER\s+BY\s+CELL\s*\(\s*(\w+)\s*,\s*(\d+)\s*,\s*(\w+)\s*\)\s*;?\s*""".r
   private val OptimizeZorder =
     """(?is)\s*OPTIMIZE\s+'([^']+)'\s+ZORDER\s+BY\s*\(\s*([\w.]+)\s*,\s*([\w.]+)\s*\)\s*;?\s*""".r
   private val Optimize =
@@ -167,6 +169,8 @@ object GraftSqlParser {
 
   private[plans] def maintenancePlan(sql: String): Option[LogicalPlan] =
     sql match {
+      case OptimizeCluster(dir, c, k, id) =>
+        Some(ClusterCommand(dir, c, k.toInt, id))
       case OptimizeZorder(dir, a, b) =>
         Some(OptimizeCommand(dir, Seq(a, b)))
       case Optimize(dir) => Some(OptimizeCommand(dir, Seq.empty))
@@ -216,6 +220,24 @@ case class ConstraintCommand(dir: String, name: String,
       Seq(Row(false))
     case None =>
       Seq(Row(CommitLogIngest.dropCheckConstraint(dir, name)))
+  }
+}
+
+/** `OPTIMIZE '<dir>' CLUSTER BY CELL (embedCol, k, idCol)` — the ANN
+  * cell-clustering rewrite, identical to the API call. */
+case class ClusterCommand(dir: String, embedCol: String, k: Int,
+    idCol: String) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType)(),
+    AttributeReference("files_removed", IntegerType)(),
+    AttributeReference("files_added", IntegerType)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (v, removed, added) = CommitLogIngest.optimizeClusterByCell(
+      spark, dir, embedCol, k, idCol,
+      statsCol = CommitLogIngest.indexedCol(dir))
+    Seq(Row(v, removed, added))
   }
 }
 

@@ -46,12 +46,19 @@ object CommitLogColumnar {
   val BatchRows = 4096
 
   /** Columnar eligibility: every projected field is an atomic type the
-    * vector writers cover. Nested types take the row path. */
+    * vector writers cover, or an ARRAY of a numeric primitive (round-12
+    * verdict task 8 — an `array<float>` embeddings corpus is exactly the
+    * nested case this engine's ANN surface serves; the repetition-level
+    * triplet decode fills Spark's array vectors directly). Deeper
+    * nesting (structs, arrays of arrays/strings, maps) keeps the row
+    * path. */
   def supports(schema: StructType): Boolean =
     schema.fields.forall(f => f.dataType match {
       case LongType | IntegerType | ShortType | ByteType | DoubleType |
           FloatType | BooleanType | StringType | BinaryType |
           TimestampType | DateType => true
+      case ArrayType(LongType | IntegerType | DoubleType | FloatType, _) =>
+        true
       case _ => false
     })
 }
@@ -139,8 +146,12 @@ class ColumnarCommitReader(file: String, schema: StructType,
         val path = org.apache.parquet.hadoop.metadata.ColumnPath
           .get(desc.getPath: _*)
         val slot = slotToReq.indexOf(i)
-        val kind = FastColumns.kindOf(
-          requested.getType(i).asPrimitiveType(), schema(slot).dataType)
+        // group fields (array<primitive>) decode through the repetition-
+        // aware triplet slot, never the flat bulk path
+        val kind =
+          if (!requested.getType(i).isPrimitive) -1
+          else FastColumns.kindOf(
+            requested.getType(i).asPrimitiveType(), schema(slot).dataType)
         val encOk = blocks.forall(_.getColumns.asScala
           .filter(_.getPath == path)
           .forall(c => FastColumns.encodingsOk(c.getEncodings)))
@@ -194,27 +205,35 @@ class ColumnarCommitReader(file: String, schema: StructType,
     // triplet (ColumnReadStoreImpl), never both: the page reader is a
     // stateful stream, so the store is built only if some column needs it
     val needTriplet = (0 until schema.length).exists { slot =>
-      val req = slotToReq(slot); req >= 0 && fastKind(req) < 0
+      val req = slotToReq(slot)
+      req >= 0 && (fastKind(req) < 0 ||
+        schema(slot).dataType.isInstanceOf[ArrayType])
     }
     val store =
       if (!needTriplet) null
       else new ColumnReadStoreImpl(pages,
-        ColumnarCommitReader.NoopConverter, requested, createdBy)
+        ColumnarCommitReader.noopTree(requested)
+          .asInstanceOf[GroupConverter],
+        requested, createdBy)
     slotReaders = Array.tabulate(schema.length) { slot =>
       val req = slotToReq(slot)
       if (req < 0) null
-      else {
-        val prim = requested.getType(req).asPrimitiveType()
-        if (fastKind(req) >= 0)
-          new FastColumnReader(cols.get(req),
-            pages.getPageReader(cols.get(req)), fastKind(req),
-            if (schema(slot).dataType == TimestampType)
-              ColumnarCommitReader.timestampScale(prim)
-            else 0,
-            noNulls(req))
-        else new TripletSlot(store.getColumnReader(cols.get(req)),
-          ColumnarCommitReader.fillerFor(prim, schema(slot).dataType),
-          cols.get(req).getMaxDefinitionLevel)
+      else schema(slot).dataType match {
+        case ArrayType(elem, _) =>
+          new ArrayTripletSlot(store.getColumnReader(cols.get(req)),
+            cols.get(req), requested.getType(req), elem)
+        case _ =>
+          val prim = requested.getType(req).asPrimitiveType()
+          if (fastKind(req) >= 0)
+            new FastColumnReader(cols.get(req),
+              pages.getPageReader(cols.get(req)), fastKind(req),
+              if (schema(slot).dataType == TimestampType)
+                ColumnarCommitReader.timestampScale(prim)
+              else 0,
+              noNulls(req))
+          else new TripletSlot(store.getColumnReader(cols.get(req)),
+            ColumnarCommitReader.fillerFor(prim, schema(slot).dataType),
+            cols.get(req).getMaxDefinitionLevel)
       }
     }
     true
@@ -543,15 +562,24 @@ object ColumnarCommitReader {
       case _ => 0
     }
 
-  /** ColumnReadStoreImpl requires a converter tree, but the triplet
-    * accessors (getLong/getBinary/…) never call it — a no-op satisfies
-    * the constructor. */
-  private[sources] object NoopConverter extends GroupConverter {
-    private val prim = new PrimitiveConverter {}
-    override def getConverter(fieldIndex: Int): Converter = prim
-    override def start(): Unit = ()
-    override def end(): Unit = ()
-  }
+  /** ColumnReadStoreImpl requires a converter tree MATCHING the schema's
+    * shape (it descends group converters along each column's path), but
+    * the triplet accessors (getLong/getBinary/…) never call into it — a
+    * recursive no-op satisfies both the constructor and the descent for
+    * nested (array) columns. */
+  private[sources] def noopTree(
+      t: org.apache.parquet.schema.Type): Converter =
+    if (t.isPrimitive) new PrimitiveConverter {}
+    else {
+      import scala.jdk.CollectionConverters._
+      val kids = t.asGroupType().getFields.asScala.map(noopTree).toArray
+      new GroupConverter {
+        override def getConverter(fieldIndex: Int): Converter =
+          kids(fieldIndex)
+        override def start(): Unit = ()
+        override def end(): Unit = ()
+      }
+    }
 
   /** 12-byte INT96: nanos-of-day (LE long) + julian day (LE int). */
   private[sources] def int96Micros(b: Array[Byte]): Long = {
@@ -572,6 +600,94 @@ private[sources] sealed trait SlotReader {
 private[sources] final class TripletSlot(cr: ColumnReader,
     f: ColumnarCommitReader.Filler, maxDef: Int) extends SlotReader {
   def read(v: OnHeapColumnVector, n: Int): Unit = f.fill(cr, v, n, maxDef)
+}
+
+/** ARRAY<primitive> decode through the triplet readers (round-12 verdict
+  * task 8): repetition levels assemble each top-level row's element run
+  * directly into the Spark array vector's child — offsets + child values,
+  * no Group materialization, no per-element boxing beyond the triplet
+  * API's own accessors. Handles the standard 3-level LIST shape (what
+  * Spark's writer emits, element optional or required) and the legacy
+  * 2-level repeated primitive:
+  *
+  *  - def == maxDef          → present element
+  *  - def == maxDef−1        → NULL element (only when the element is
+  *                             optional)
+  *  - def == elemBase−1      → empty array
+  *  - anything lower         → NULL array
+  *
+  * where elemBase = maxDef − (element optional ? 1 : 0). Row boundaries
+  * come from repetition levels: a triplet with rep 0 starts a new row. */
+private[sources] final class ArrayTripletSlot(cr: ColumnReader,
+    desc: org.apache.parquet.column.ColumnDescriptor,
+    fieldType: org.apache.parquet.schema.Type,
+    elem: DataType) extends SlotReader {
+
+  private val maxDef = desc.getMaxDefinitionLevel
+  private val maxRep = desc.getMaxRepetitionLevel
+  require(maxRep == 1,
+    s"graft-commitlog columnar reader: ${desc} is not a flat list " +
+      s"(maxRep=$maxRep)")
+
+  /** Element optionality, from the requested type tree: 3-level LIST =
+    * group(field) → repeated group(list) → element; 2-level legacy =
+    * repeated primitive (never optional). */
+  private val elementOptional: Boolean =
+    if (fieldType.isPrimitive) false
+    else {
+      val inner = fieldType.asGroupType().getType(0)
+      if (inner.isPrimitive)
+        inner.getRepetition ==
+          org.apache.parquet.schema.Type.Repetition.OPTIONAL
+      else inner.asGroupType().getType(0).getRepetition ==
+        org.apache.parquet.schema.Type.Repetition.OPTIONAL
+    }
+
+  private val elemBase = maxDef - (if (elementOptional) 1 else 0)
+  private val total = cr.getTotalValueCount
+  private var consumed = 0L
+
+  // one element decode per declared element type; file/declared identity
+  // is guaranteed by the engine's no-type-change rule
+  private def putElem(child: org.apache.spark.sql.execution.vectorized
+      .WritableColumnVector, at: Int): Unit = elem match {
+    case LongType => child.putLong(at, cr.getLong)
+    case IntegerType => child.putInt(at, cr.getInteger)
+    case DoubleType => child.putDouble(at, cr.getDouble)
+    case FloatType => child.putFloat(at, cr.getFloat)
+    case other => throw new UnsupportedOperationException(
+      s"graft-commitlog columnar reader: array element type $other")
+  }
+
+  override def read(v: OnHeapColumnVector, n: Int): Unit = {
+    val child = v.getChild(0)
+      .asInstanceOf[org.apache.spark.sql.execution.vectorized
+        .WritableColumnVector]
+    var childOff = 0
+    var row = 0
+    while (row < n) {
+      val d = cr.getCurrentDefinitionLevel
+      if (d < elemBase) {
+        // a single triplet describes the whole row: empty or null list
+        if (d == elemBase - 1) v.putArray(row, childOff, 0)
+        else v.putNull(row)
+        cr.consume(); consumed += 1
+      } else {
+        val start = childOff
+        var more = true
+        while (more) {
+          child.reserve(childOff + 1)
+          if (cr.getCurrentDefinitionLevel == maxDef) putElem(child, childOff)
+          else child.putNull(childOff)
+          childOff += 1
+          cr.consume(); consumed += 1
+          more = consumed < total && cr.getCurrentRepetitionLevel == maxRep
+        }
+        v.putArray(row, start, childOff - start)
+      }
+      row += 1
+    }
+  }
 }
 
 /** Fast-path eligibility: the identity decode kinds the page-level bulk

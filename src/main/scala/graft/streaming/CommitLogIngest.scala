@@ -747,7 +747,7 @@ object CommitLogIngest {
     * logically deleted and the new one inserted, whether or not rows
     * coincide — round-12 ADVICE: the exceptAll diff made a 100-TB
     * overwrite do O(table) work on the commit path). */
-  private[graft] val LayoutOps = Set("optimize", "zorder")
+  private[graft] val LayoutOps = Set("optimize", "zorder", "cluster")
 
   private def stageActions(spark: SparkSession, tableDir: String,
       adds: Seq[String], removes: Seq[String],
@@ -2194,6 +2194,151 @@ object CommitLogIngest {
       LayoutDirs.deleteQuiet(outDir)
     }
     (-1L, 0, 0) // unreachable
+  }
+
+  // ---- OPTIMIZE ... CLUSTER BY CELL (ANN index as a log citizen) ----------
+
+  private def centroidsPath(dir: String) =
+    Paths.get(dir, "cluster", "_centroids")
+  private def clusterSpecPath(dir: String) =
+    Paths.get(dir, "cluster", "_spec")
+
+  private[graft] def clusterSpecOf(tableDir: String): Option[String] =
+    try {
+      val s0 = new String(
+        Files.readAllBytes(clusterSpecPath(tableDir)), "UTF-8").trim
+      if (s0.isEmpty) None else Some(s0)
+    } catch { case _: Exception => None }
+
+  private[graft] def centroidsOf(tableDir: String)
+      : Option[Array[Array[Double]]] =
+    try Some(graft.sources.CellMath.parse(new String(
+      Files.readAllBytes(centroidsPath(tableDir)), "UTF-8")))
+    catch { case _: Exception => None }
+
+  /** The cell a clustered file belongs to — parsed from its `gcell=N`
+    * path segment; None for unclustered files (appends since the last
+    * OPTIMIZE, DML rewrites) — the probe path always reads those. */
+  private[graft] def cellOfFile(path: String): Option[Int] =
+    graft.sources.PartitionPaths.valueOf(path, "gcell")
+      .flatMap(_.toIntOption)
+
+  /** `OPTIMIZE ... CLUSTER BY CELL` — the ANN serving index as a LOG
+    * CITIZEN (round-12 verdict task 6; brings `src_ivf_layout`'s
+    * cell-partitioned serving layout through the table format): ONE
+    * layout-only commit rewrites the live set grouped by trained IVF
+    * cell — files land under `gcell=N` dirs, so a file's path IS its
+    * cell id and probe pruning is pure path-string work like hive
+    * partition pruning. The quantizer trains ONCE on a bounded
+    * deterministic sample (first call; k·dim floats under
+    * `cluster/_centroids`) and later re-clusters reuse it, so cell ids
+    * are stable across maintenance; appends land unclustered and the
+    * next OPTIMIZE folds them in; DML rewrites lose their cell segment
+    * and degrade to always-read remainder — conservative, never wrong.
+    * Same commit semantics as ZORDER: add(clustered) + remove(live) at
+    * exactly latest+1, ("op","cluster") so change-feed readers skip it
+    * with zero diff work, pinned readers keep the pre-rewrite snapshot,
+    * stats index refreshes in the same commit. A re-run against a table
+    * whose latest version is already this clustering is a no-op.
+    * Partitioned tables refuse (two dir layouts cannot nest). Returns
+    * (version, filesRemoved, filesAdded). */
+  def optimizeClusterByCell(spark: SparkSession, tableDir: String,
+      embedCol: String, k: Int, idCol: String,
+      statsCol: Option[String] = None): (Long, Int, Int) = {
+    require(partitionColsOf(tableDir).isEmpty,
+      s"optimizeClusterByCell: $tableDir is hive-partitioned — cell " +
+        "clustering is its own dir layout; use one or the other")
+    requireIndexColMatch(tableDir, statsCol)
+    val spec = s"$embedCol,$k"
+    require(clusterSpecOf(tableDir).forall(_ == spec),
+      s"optimizeClusterByCell: $tableDir is already clustered as " +
+        s"(${clusterSpecOf(tableDir).get}) — one quantizer per table " +
+        "(cell ids must stay stable); rebuild to re-quantize")
+    while (true) {
+      val v = latestVersion(tableDir)
+      require(v >= 0, s"$tableDir has no committed version")
+      // no-op: the latest version is already this clustering and
+      // nothing landed since
+      if (clusterSpecAt(spark, tableDir, v).contains(spec))
+        return (-1L, 0, 0)
+      val (live, dvs) = liveState(spark, tableDir, v)
+      val cur = schemaAt(spark, tableDir, v)
+      val in = readWithDv(spark, tableDir, live, dvs, cur)
+      require(in.columns.contains(embedCol) && in.columns.contains(idCol),
+        s"optimizeClusterByCell: $tableDir lacks $embedCol/$idCol")
+      val cents = centroidsOf(tableDir).getOrElse {
+        val c = graft.sources.CellMath.trainCentroids(in, embedCol,
+          idCol, k)
+        Files.createDirectories(centroidsPath(tableDir).getParent)
+        Files.write(centroidsPath(tableDir),
+          graft.sources.CellMath.render(c).getBytes("UTF-8"))
+        Files.write(clusterSpecPath(tableDir), spec.getBytes("UTF-8"))
+        c
+      }
+      val outDir = s"$tableDir/data/cc-" +
+        java.util.UUID.randomUUID().toString.take(12)
+      // ONE shuffle on the derived cell, then a partitioned write whose
+      // dirs carry the cell id — the column never enters the files, so
+      // the schema is untouched
+      // cell derives from the LOGICAL column; physical renaming follows
+      // (gcell itself is unmapped and stripped into the dir name)
+      toPhysical(in.withColumn("gcell",
+          graft.sources.CellMath.cellColumn(embedCol, cents)), tableDir)
+        .repartition(col("gcell"))
+        .write.partitionBy("gcell").mode("overwrite").parquet(outDir)
+      val adds = LayoutDirs.dataFiles(outDir)
+      val stage = stageActions(spark, tableDir, adds, live,
+        schemaOf = None, txn = None, op = Some("cluster"),
+        extra = Seq(("clusterBy", spec)))
+      if (tryClaimVersion(tableDir, stage, v + 1)) {
+        if (cdfEnabled(tableDir)) writeCdfEmpty(tableDir, v + 1)
+        postWin(spark, tableDir, v + 1, statsCol, Some(outDir),
+          schemaOf = None)
+        return (v + 1, live.size, adds.size)
+      }
+      LayoutDirs.deleteQuiet(stage.toString)
+      LayoutDirs.deleteQuiet(outDir)
+    }
+    (-1L, 0, 0) // unreachable
+  }
+
+  private def clusterSpecAt(spark: SparkSession, tableDir: String,
+      v: Long): Option[String] = {
+    val dir = s"$tableDir/log/version=$v"
+    if (!LayoutDirs.hasParquetData(dir)) None
+    else spark.read.parquet(dir)
+      .filter(col("action") === "clusterBy")
+      .select("path").collect().headOption.map(_.getString(0))
+  }
+
+  /** The live files a probe of `cells` must open: clustered files of the
+    * probed cells + every UNCLUSTERED live file (post-cluster appends and
+    * DML rewrites — the always-read remainder that keeps probes exact
+    * between maintenance runs). Pure driver-side path work. */
+  private[graft] def probeFiles(spark: SparkSession, tableDir: String,
+      cells: Seq[Int]): (Seq[String], Map[String, Seq[Long]]) = {
+    val latest = latestVersion(tableDir)
+    val (live, dvs) = liveState(spark, tableDir, latest)
+    val want = cells.toSet
+    val keep = live.filter(f =>
+      cellOfFile(f).forall(want.contains))
+    (keep, dvs.filter(kv => keep.contains(kv._1)))
+  }
+
+  /** Probe-pruned ANN read: the `nprobe` nearest cells to `query` by the
+    * table's trained quantizer, opened through [[probeFiles]] — at scale
+    * a probe reads nprobe/k of the corpus plus the unclustered remainder,
+    * never the table. Deletion-vector masks apply. */
+  def probeRead(spark: SparkSession, tableDir: String,
+      query: Array[Double], nprobe: Int): DataFrame = {
+    val cents = centroidsOf(tableDir).getOrElse(
+      throw new IllegalStateException(
+        s"probeRead: $tableDir has no trained quantizer — run " +
+          "optimizeClusterByCell first"))
+    val cells = graft.sources.CellMath.probeCells(cents, query, nprobe)
+    val (files, dvs) = probeFiles(spark, tableDir, cells)
+    readWithDv(spark, tableDir, files, dvs,
+      schemaAt(spark, tableDir, latestVersion(tableDir)))
   }
 
   /** The ("zorderBy", spec) action of version `v`, when v is a zorder
