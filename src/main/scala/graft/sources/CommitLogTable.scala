@@ -86,6 +86,9 @@ class CommitLogTableProvider extends TableProvider with DataSourceRegister {
     // a time-travel pin reads under ITS generation's schema (a version
     // before a rename/drop resolves its own logical names — the API
     // snapshot()'s rule, now shared by the V2 option surface)
+    require(options.get("versionAsOf") == null ||
+        options.get("timestampAsOf") == null,
+      "versionAsOf and timestampAsOf are mutually exclusive")
     val pinned: Option[Long] =
       Option(options.get("versionAsOf")).map(_.toLong)
         .orElse(Option(options.get("timestampAsOf")).map { t =>
@@ -493,6 +496,12 @@ private[sources] object CommitLogAgg {
       options: CaseInsensitiveStringMap, agg: Aggregation)
       : Option[(StructType, Seq[Any])] = {
     val spark = CommitLogPlanning.session
+    // the same dual-pin refusal CommitLogScan.toBatch enforces — the
+    // pushed-aggregate path must not silently prefer one pin (round-13
+    // regression: count(*) bypassed toBatch entirely)
+    require(options.get("versionAsOf") == null ||
+        options.get("timestampAsOf") == null,
+      "versionAsOf and timestampAsOf are mutually exclusive")
     val vOpt = Option(options.get("versionAsOf")).map(_.toLong)
       .orElse(Option(options.get("timestampAsOf")).map { t =>
         val ms = t.toLongOption.getOrElse(
