@@ -443,10 +443,18 @@ object CommitLogIngest {
 
   /** The mapping in force AT `version` (declared marker when negative) —
     * what a versioned V2 scan translates its logical schema/filters
-    * through. Empty for unmapped tables and pre-mapping generations. */
+    * through. Empty for unmapped tables and pre-mapping generations.
+    * LATEST-version resolution reads the schema MARKER (one file read,
+    * zero Spark jobs — the same trust [[toPhysical]] and
+    * [[schemaActionFor]] already place in it; round-13 fix: the initial
+    * log-replaying resolve added ~0.5 s of metadata jobs to EVERY
+    * connector query's planning, visible as decode-tax inflation in
+    * ScanBench); only a genuinely PINNED historical read replays the
+    * log for its generation's mapping. */
   private[graft] def mappingAt(spark: SparkSession, tableDir: String,
       version: Long): Map[String, String] =
-    (if (version >= 0) schemaAt(spark, tableDir, version)
+    (if (version >= 0 && version != latestVersion(tableDir))
+       schemaAt(spark, tableDir, version)
      else declaredSchema(tableDir))
       .map(mappingOf).getOrElse(Map.empty)
 
@@ -2915,31 +2923,34 @@ object CommitLogIngest {
         s"$tableDir has no committed version (latest = " +
           s"${latestVersion(tableDir)}) — nothing to read at $version")
     // liveness aggregates IN SPARK (round-12 ADVICE: collecting every
-    // add/remove/dv action row grew the driver set with tail churn) —
-    // only the RESULTS come back: live paths (O(live files), the
-    // irreducible driver cost) and the dv rows of still-live paths
-    // (small by design; OPTIMIZE materializes heavy masks). liveness is
-    // decided by the last ADD-vs-REMOVE action only — a "dv" action
-    // annotates a live file, it does not retire it.
-    val acts = actionRows(spark, tableDir, version)
+    // add/remove/dv action row grew the driver set with tail churn) and
+    // in ONE job (round-13: a two-job shape doubled every connector
+    // query's planning metadata cost — ScanBench caught the inflation):
+    // per path, the last ADD-vs-REMOVE action decides liveness (a "dv"
+    // action annotates a live file, it does not retire it — max_by
+    // skips the null ordering its rows carry) while collect_set gathers
+    // the path's dv versions in the same aggregation. Only the RESULTS
+    // come back: live paths + their mask versions, O(live files).
+    val rows = actionRows(spark, tableDir, version)
       .filter(col("action").isin("add", "remove", "dv"))
-    val liveDf = acts.filter(col("action") =!= "dv")
       .groupBy(col("path"))
-      .agg(max_by(col("action"), col("version")).as("last"))
+      .agg(
+        max_by(when(col("action") =!= "dv", col("action")),
+          when(col("action") =!= "dv", col("version"))).as("last"),
+        collect_set(when(col("action") === "dv", col("version")))
+          .as("dvv"))
       .filter(col("last") === "add")
-      .select("path")
-    val dvDf = acts.filter(col("action") === "dv")
-      .join(liveDf, Seq("path"), "left_semi")
-      .select("path", "version").distinct().collect()
-    val files = liveDf.collect().map(_.getString(0)).toSeq.sorted
+      .select("path", "dvv").collect()
+    val files = rows.map(_.getString(0)).toSeq.sorted
     if (files.isEmpty)
       throw new IllegalStateException(
         s"no live files at version $version: the table is append-only, " +
           "so this version's history predates the oldest surviving " +
           "checkpoint and was retention-pruned — read at a version >= " +
           s"${checkpointsOnDisk(tableDir).headOption.getOrElse(-1L)}")
-    val dvs = dvDf.groupBy(_.getString(0))
-      .map { case (p, rs) => p -> rs.map(_.getLong(1)).sorted.toSeq }
+    val dvs = rows.iterator
+      .map(r => r.getString(0) -> r.getSeq[Long](1).distinct.sorted.toSeq)
+      .filter(_._2.nonEmpty).toMap
     (files, dvs)
   }
 
