@@ -302,11 +302,11 @@ object Dedup {
 
   // ---- MinHash + LSH banding ------------------------------------------------
 
-  private val NumHashes = 16
-  private val BandSize = 4 // → 4 bands of 4 hashes
+  private[graft] val NumHashes = 16
+  private[graft] val BandSize = 4 // → 4 bands of 4 hashes
 
   /** Carter-Wegman modulus (prime > 2³²). */
-  private val MinHashP = 4294967311L
+  private[graft] val MinHashP = 4294967311L
 
   /** MinHash signatures via Carter-Wegman permutations h_i(x) = (h1 + i·h2)
     * mod p over ONE md5 per shingle (h1/h2 = first/second 8 hex chars),
@@ -389,10 +389,10 @@ object Dedup {
         round(estExpr, 6).as("est_jaccard"))
   }
 
-  private val mhHashCols: String = (0 until NumHashes)
+  private[graft] val mhHashCols: String = (0 until NumHashes)
     .map(i => s"MIN((h1 + $i * h2) % $MinHashP) AS m$i").mkString(",\n    ")
 
-  private def mhBandSig(b: Int): String =
+  private[graft] def mhBandSig(b: Int): String =
     "md5(" + (0 until BandSize).map(j => s"CAST(m${b * BandSize + j} AS VARCHAR)")
       .mkString(" || '|' || ") + ")"
 

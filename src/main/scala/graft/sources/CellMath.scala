@@ -74,12 +74,16 @@ object CellMath {
 
   /** The `nprobe` nearest cell ids to a query vector. */
   def probeCells(cents: Array[Array[Double]], q: Array[Double],
-      nprobe: Int): Seq[Int] =
+      nprobe: Int): Seq[Int] = {
+    require(q.length == cents.head.length,
+      s"probeCells: query dim ${q.length} != trained dim " +
+        s"${cents.head.length}")
     cents.indices.sortBy { c =>
       var d = 0.0; var i = 0
       while (i < q.length) { val t = q(i) - cents(c)(i); d += t * t; i += 1 }
       d
     }.take(math.max(1, nprobe))
+  }
 
   /** Distributed cell assignment as a pure Column: squared-L2 against
     * each centroid via `aggregate`/`zip_with` over literal arrays, argmin

@@ -574,7 +574,7 @@ private[sources] object CommitLogAgg {
         case other => other
       }
       val cs = vals.map(toComparable)
-      Some(cs.reduce { (a, b) =>
+      val winner = cs.reduce { (a, b) =>
         val cmp = (a, b) match {
           case (x: java.lang.Long, y: java.lang.Long) => x.compareTo(y)
           case (x: java.lang.Integer, y: java.lang.Integer) => x.compareTo(y)
@@ -587,9 +587,34 @@ private[sources] object CommitLogAgg {
           case _ => return None // mixed widths across generations: decline
         }
         if ((cmp <= 0) == wantMin) a else b
+      }
+      // Short/Byte columns are stored as parquet INT32, so footer stats
+      // box to java.lang.Integer — narrow to the declared width or the
+      // GenericInternalRow's getShort/getByte accessor throws CCE
+      Some(winner match {
+        case i: java.lang.Integer => declaredType(c) match {
+          case Some(org.apache.spark.sql.types.ShortType) =>
+            java.lang.Short.valueOf(i.shortValue)
+          case Some(org.apache.spark.sql.types.ByteType) =>
+            java.lang.Byte.valueOf(i.byteValue)
+          case _ => i
+        }
+        case other => other
       })
     }
     def nonNullCount(c: String): Option[Any] = {
+      // complex columns (array/struct/map) store their chunks under LEAF
+      // paths (`c.list.element`, `c.key_value.key`), never the top-level
+      // name — chunksOf would come back empty and the "absent column →
+      // all-NULL → 0" rule below would silently misreport COUNT(c) as 0.
+      // Only flat (atomic) columns are answerable from top-level stats.
+      val flat = declaredType(c).exists {
+        case _: org.apache.spark.sql.types.ArrayType |
+            _: org.apache.spark.sql.types.StructType |
+            _: org.apache.spark.sql.types.MapType => false
+        case _ => true
+      }
+      if (!flat) return None
       val phys = nameMap.getOrElse(c, c)
       val chunks = chunksOf(phys)
       if (chunks.exists(ch => !statsOk(ch._2) || !ch._2.isNumNullsSet))

@@ -569,9 +569,8 @@ object CommitLogIngest {
         "drop it")
     val newSt = org.apache.spark.sql.types.StructType(
       st.fields.filterNot(_.name == name))
-    retireCol(tableDir,
-      physicalName(st.fields.find(_.name == name).get))
-    commitSchemaChange(spark, tableDir, newSt, "drop-column")
+    commitSchemaChange(spark, tableDir, newSt, "drop-column",
+      retire = Some(physicalName(st.fields.find(_.name == name).get)))
   }
 
   private def retiredColsPath(dir: String) =
@@ -595,12 +594,17 @@ object CommitLogIngest {
   }
 
   private def commitSchemaChange(spark: SparkSession, tableDir: String,
-      newSt: org.apache.spark.sql.types.StructType, op: String): Long = {
+      newSt: org.apache.spark.sql.types.StructType, op: String,
+      retire: Option[String] = None): Long = {
     while (true) {
       val latest = latestVersion(tableDir)
       val stage = stageActions(spark, tableDir, Seq.empty, Seq.empty,
         schemaOf = Some(newSt), txn = None, op = Some(op))
       if (tryClaimVersion(tableDir, stage, latest + 1)) {
+        // retirement is stamped only AFTER the claim wins: a crash or a
+        // lost race before this point must not permanently blacklist a
+        // physical name whose column was never actually dropped
+        retire.foreach(retireCol(tableDir, _))
         if (cdfEnabled(tableDir)) writeCdfEmpty(tableDir, latest + 1)
         postWin(spark, tableDir, latest + 1, statsCol = None,
           statsDir = None, schemaOf = Some(newSt))
@@ -1506,7 +1510,8 @@ object CommitLogIngest {
     * matches any clause commits nothing and returns (-1, 0). */
   def merge(spark: SparkSession, tableDir: String, source: DataFrame,
       key: String, clauses: Seq[MergeClause],
-      statsCol: Option[String] = None): (Long, Int) = {
+      statsCol: Option[String] = None,
+      txn: Option[String] = None): (Long, Int) = {
     import MergeClause._
     require(clauses.nonEmpty, "merge: no clauses")
     require(source.columns.contains(key),

@@ -119,6 +119,33 @@ class AggPushdownSpec extends SparkSuite {
     assert(mr.queryExecution.executedPlan.toString.contains("AGG-PUSHDOWN"))
   }
 
+  test("COUNT over an array column declines (leaf-path chunks would read " +
+      "as absent → 0); SHORT/BYTE extremes narrow to the declared width") {
+    val s = spark
+    import s.implicits._
+    val table = tmp("complex")
+    (0 until 50).map(i => (i.toLong, Seq(i.toFloat, i + 1f),
+        (i % 7).toShort, (i % 5).toByte))
+      .toDF("id", "vec", "sh", "by")
+      .write.format("graft-commitlog").option("path", table)
+      .option("statsCol", "id").mode("append").save()
+    // COUNT(array col): its footer chunks live under vec.list.element,
+    // so the top-level-name match is empty — must decline to the scan,
+    // never answer 0
+    val c = v2(table).agg(count(col("vec")).as("nv"))
+    assert(!c.queryExecution.executedPlan.toString.contains("AGG-PUSHDOWN"),
+      "COUNT over a complex column must not be footer-answered")
+    assert(c.collect()(0).getLong(0) == 50L)
+    // SHORT/BYTE columns store as parquet INT32: the pushed extreme must
+    // narrow the boxed Integer stat or row access throws CCE
+    val m = v2(table).agg(min(col("sh")).as("a"), max(col("sh")).as("b"),
+      min(col("by")).as("c"), max(col("by")).as("d"))
+    assert(m.queryExecution.executedPlan.toString.contains("AGG-PUSHDOWN"))
+    val r = m.collect()(0)
+    assert(r.getShort(0) == 0.toShort && r.getShort(1) == 6.toShort)
+    assert(r.getByte(2) == 0.toByte && r.getByte(3) == 4.toByte)
+  }
+
   test("SQL COUNT(*) on the catalog table rides the same pushdown") {
     val s = spark
     val table = tmp("sql")
