@@ -41,7 +41,8 @@ object SparkEntry {
       graft.sources.CommitSchemaEvolution.queries ++
       graft.sources.DsvWrite.queries ++
       graft.sources.DmlCommit.queries ++
-      graft.sources.PartitionedCommit.queries
+      graft.sources.PartitionedCommit.queries ++
+      graft.sources.DedupIndex.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's core operation: keyed concat/count aggregation over the

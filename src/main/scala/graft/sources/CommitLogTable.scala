@@ -261,7 +261,7 @@ class CommitLogScanBuilder(tableDir: String, schema: StructType,
   private val indexCol: Option[String] = CommitLogIngest.indexedCol(tableDir)
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = schema
-  private var pushedAgg: Option[(StructType, Seq[Any])] = None
+  private var pushedAgg: Option[(StructType, Seq[Seq[Any]])] = None
 
   /** Aggregate pushdown (round-12 verdict task 7): COUNT(*) / COUNT(col)
     * / MIN / MAX with no GROUP BY answer from parquet FOOTERS plus the
@@ -280,12 +280,12 @@ class CommitLogScanBuilder(tableDir: String, schema: StructType,
     *    stats index), and a chunk with absent/empty stats declines. */
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Boolean = CommitLogAgg.shapeOk(agg, pushed, options)
+      : Boolean = CommitLogAgg.shapeOk(agg, pushed, options, partCols)
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Boolean = {
-    if (!CommitLogAgg.shapeOk(agg, pushed, options)) return false
+    if (!CommitLogAgg.shapeOk(agg, pushed, options, partCols)) return false
     pushedAgg = CommitLogAgg.compute(tableDir, schema, options, agg)
     pushedAgg.isDefined
   }
@@ -477,9 +477,17 @@ private[sources] object CommitLogAgg {
     case _ => None
   }
 
+  /** Pushable shape: no residual filters, no CDF, aggregates from the
+    * supported set, and GROUP BY either absent or entirely on PARTITION
+    * columns — the hive layout makes each file a member of exactly one
+    * group, so per-group answers are per-group footer sums (round-13
+    * verdict task 5). */
   def shapeOk(agg: Aggregation, pushed: Array[Filter],
-      options: CaseInsensitiveStringMap): Boolean =
-    pushed.isEmpty && agg.groupByExpressions.isEmpty &&
+      options: CaseInsensitiveStringMap,
+      partCols: Seq[String]): Boolean =
+    pushed.isEmpty &&
+      agg.groupByExpressions.forall(e =>
+        refName(e).exists(partCols.contains)) &&
       !Option(options.get("readChangeFeed")).exists(_.toBoolean) &&
       agg.aggregateExpressions.nonEmpty &&
       agg.aggregateExpressions.forall {
@@ -490,11 +498,12 @@ private[sources] object CommitLogAgg {
         case _ => false
       }
 
-  /** (output schema, one final row) when every aggregate is answerable
-    * EXACTLY from footers + masks; None declines to the normal scan. */
+  /** (output schema, result rows — one per group, or one global row)
+    * when every aggregate is answerable EXACTLY from footers + masks;
+    * None declines to the normal scan. */
   def compute(tableDir: String, schema: StructType,
       options: CaseInsensitiveStringMap, agg: Aggregation)
-      : Option[(StructType, Seq[Any])] = {
+      : Option[(StructType, Seq[Seq[Any]])] = {
     val spark = CommitLogPlanning.session
     // the same dual-pin refusal CommitLogScan.toBatch enforces — the
     // pushed-aggregate path must not silently prefer one pin (round-13
@@ -524,134 +533,223 @@ private[sources] object CommitLogAgg {
     // hadoop Configuration for the whole pass (its XML parse costs more
     // than the footer read itself)
     val conf = new Configuration()
-    val footers = files.map { f =>
+    type Chunks =
+      Seq[(String, org.apache.parquet.column.statistics.Statistics[_], Long)]
+    val footers: Seq[(String, Long, Chunks)] = files.map { f =>
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
           new HadoopPath(f), conf))
       try {
         import scala.jdk.CollectionConverters._
         val blocks = r.getFooter.getBlocks.asScala.toSeq
-        (blocks.map(_.getRowCount).sum,
+        (f, blocks.map(_.getRowCount).sum,
           blocks.flatMap(_.getColumns.asScala.map(c =>
             (c.getPath.toDotString, c.getStatistics,
-              c.getValueCount))))
+              c.getValueCount))): Chunks)
       } finally r.close()
     }
-    val totalRows = footers.map(_._1).sum
-    val masked =
-      if (dvs.isEmpty) 0L
+    val maskedByFile: Map[String, Long] =
+      if (dvs.isEmpty) Map.empty
       else CommitLogIngest.dvPositionsFor(spark, tableDir, dvs, files)
-        .values.map(_.length.toLong).sum
-    def chunksOf(phys: String) =
-      footers.flatMap(_._2.filter(_._1 == phys))
+        .map { case (f, ps) => f -> ps.length.toLong }
     def declaredType(c: String): Option[org.apache.spark.sql.types.DataType] =
       schema.find(_.name == c).map(_.dataType)
     def statsOk(st: org.apache.parquet.column.statistics.Statistics[_])
         : Boolean = st != null && !st.isEmpty
-    // exact extreme over every chunk carrying the column; None = decline,
-    // Some(null) = the column is all-NULL table-wide
-    def extreme(c: String, wantMin: Boolean): Option[Any] = {
-      val ok = declaredType(c).exists {
-        case org.apache.spark.sql.types.LongType |
-            org.apache.spark.sql.types.IntegerType |
-            org.apache.spark.sql.types.ShortType |
-            org.apache.spark.sql.types.ByteType |
-            org.apache.spark.sql.types.StringType => true
-        case _ => false
-      }
-      if (!ok) return None
-      val phys = nameMap.getOrElse(c, c)
-      val chunks = chunksOf(phys)
-      // a file lacking the column (older generation) reads all-NULL —
-      // it simply doesn't appear in chunks and contributes nothing
-      if (chunks.exists(ch => !statsOk(ch._2))) return None
-      val vals = chunks.filter(_._2.hasNonNullValue).map { ch =>
-        if (wantMin) ch._2.genericGetMin() else ch._2.genericGetMax()
-      }
-      if (vals.isEmpty) return Some(null)
-      def toComparable(x: Any): Any = x match {
-        case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
-        case other => other
-      }
-      val cs = vals.map(toComparable)
-      val winner = cs.reduce { (a, b) =>
-        val cmp = (a, b) match {
-          case (x: java.lang.Long, y: java.lang.Long) => x.compareTo(y)
-          case (x: java.lang.Integer, y: java.lang.Integer) => x.compareTo(y)
-          case (x: String, y: String) =>
-            // UTF8 binary order = parquet's unsigned byte order for the
-            // footer's string stats; compare the same way
-            org.apache.spark.unsafe.types.UTF8String.fromString(x)
-              .compareTo(org.apache.spark.unsafe.types.UTF8String
-                .fromString(y))
-          case _ => return None // mixed widths across generations: decline
+    /** The aggregate list evaluated over a footer SUBSET (one partition
+      * group, or the whole table): None = decline to the normal scan. */
+    def evalAggs(sub: Seq[(String, Long, Chunks)])
+        : Option[Seq[(String,
+          org.apache.spark.sql.types.DataType, Any)]] = {
+      val totalRows = sub.map(_._2).sum
+      val masked = sub.map(t => maskedByFile.getOrElse(t._1, 0L)).sum
+      def chunksOf(phys: String) = sub.flatMap(_._3.filter(_._1 == phys))
+      // exact extreme over every chunk carrying the column; None =
+      // decline, Some(null) = the column is all-NULL subset-wide
+      def extreme(c: String, wantMin: Boolean): Option[Any] = {
+        val ok = declaredType(c).exists {
+          case org.apache.spark.sql.types.LongType |
+              org.apache.spark.sql.types.IntegerType |
+              org.apache.spark.sql.types.ShortType |
+              org.apache.spark.sql.types.ByteType |
+              org.apache.spark.sql.types.StringType => true
+          case _ => false
         }
-        if ((cmp <= 0) == wantMin) a else b
-      }
-      // Short/Byte columns are stored as parquet INT32, so footer stats
-      // box to java.lang.Integer — narrow to the declared width or the
-      // GenericInternalRow's getShort/getByte accessor throws CCE
-      Some(winner match {
-        case i: java.lang.Integer => declaredType(c) match {
-          case Some(org.apache.spark.sql.types.ShortType) =>
-            java.lang.Short.valueOf(i.shortValue)
-          case Some(org.apache.spark.sql.types.ByteType) =>
-            java.lang.Byte.valueOf(i.byteValue)
-          case _ => i
+        if (!ok) return None
+        val phys = nameMap.getOrElse(c, c)
+        val chunks = chunksOf(phys)
+        // a file lacking the column (older generation) reads all-NULL —
+        // it simply doesn't appear in chunks and contributes nothing
+        if (chunks.exists(ch => !statsOk(ch._2))) return None
+        val vals = chunks.filter(_._2.hasNonNullValue).map { ch =>
+          if (wantMin) ch._2.genericGetMin() else ch._2.genericGetMax()
         }
-        case other => other
-      })
-    }
-    def nonNullCount(c: String): Option[Any] = {
-      // complex columns (array/struct/map) store their chunks under LEAF
-      // paths (`c.list.element`, `c.key_value.key`), never the top-level
-      // name — chunksOf would come back empty and the "absent column →
-      // all-NULL → 0" rule below would silently misreport COUNT(c) as 0.
-      // Only flat (atomic) columns are answerable from top-level stats.
-      val flat = declaredType(c).exists {
-        case _: org.apache.spark.sql.types.ArrayType |
-            _: org.apache.spark.sql.types.StructType |
-            _: org.apache.spark.sql.types.MapType => false
-        case _ => true
+        if (vals.isEmpty) return Some(null)
+        def toComparable(x: Any): Any = x match {
+          case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
+          case other => other
+        }
+        val cs = vals.map(toComparable)
+        val winner = cs.reduce { (a, b) =>
+          val cmp = (a, b) match {
+            case (x: java.lang.Long, y: java.lang.Long) => x.compareTo(y)
+            case (x: java.lang.Integer, y: java.lang.Integer) =>
+              x.compareTo(y)
+            case (x: String, y: String) =>
+              // UTF8 binary order = parquet's unsigned byte order for
+              // the footer's string stats; compare the same way
+              org.apache.spark.unsafe.types.UTF8String.fromString(x)
+                .compareTo(org.apache.spark.unsafe.types.UTF8String
+                  .fromString(y))
+            case _ => return None // mixed widths across generations
+          }
+          if ((cmp <= 0) == wantMin) a else b
+        }
+        // Short/Byte columns are stored as parquet INT32, so footer
+        // stats box to java.lang.Integer — narrow to the declared width
+        // or the GenericInternalRow's getShort/getByte accessor throws
+        Some(winner match {
+          case i: java.lang.Integer => declaredType(c) match {
+            case Some(org.apache.spark.sql.types.ShortType) =>
+              java.lang.Short.valueOf(i.shortValue)
+            case Some(org.apache.spark.sql.types.ByteType) =>
+              java.lang.Byte.valueOf(i.byteValue)
+            case _ => i
+          }
+          case other => other
+        })
       }
-      if (!flat) return None
-      val phys = nameMap.getOrElse(c, c)
-      val chunks = chunksOf(phys)
-      if (chunks.exists(ch => !statsOk(ch._2) || !ch._2.isNumNullsSet))
-        return None
-      Some(java.lang.Long.valueOf(
-        chunks.map(ch => ch._3 - ch._2.getNumNulls).sum))
+      def nonNullCount(c: String): Option[Any] = {
+        // complex columns (array/struct/map) store their chunks under
+        // LEAF paths (`c.list.element`, `c.key_value.key`), never the
+        // top-level name — chunksOf would come back empty and the
+        // "absent column → all-NULL → 0" rule below would silently
+        // misreport COUNT(c) as 0. Only flat (atomic) columns are
+        // answerable from top-level stats.
+        val flat = declaredType(c).exists {
+          case _: org.apache.spark.sql.types.ArrayType |
+              _: org.apache.spark.sql.types.StructType |
+              _: org.apache.spark.sql.types.MapType => false
+          case _ => true
+        }
+        if (!flat) return None
+        val phys = nameMap.getOrElse(c, c)
+        val chunks = chunksOf(phys)
+        if (chunks.exists(ch => !statsOk(ch._2) || !ch._2.isNumNullsSet))
+          return None
+        Some(java.lang.Long.valueOf(
+          chunks.map(ch => ch._3 - ch._2.getNumNulls).sum))
+      }
+      val out = agg.aggregateExpressions.toSeq.map {
+        case _: CountStar =>
+          Some(("count_star", org.apache.spark.sql.types.LongType,
+            java.lang.Long.valueOf(totalRows - masked): Any))
+        case c: Count =>
+          val n = refName(c.column).get
+          nonNullCount(n).map(v0 =>
+            (s"count_$n", org.apache.spark.sql.types.LongType, v0))
+        case m: VMin =>
+          val n = refName(m.column).get
+          extreme(n, wantMin = true).map(v0 =>
+            (s"min_$n", declaredType(n).get, v0))
+        case m: VMax =>
+          val n = refName(m.column).get
+          extreme(n, wantMin = false).map(v0 =>
+            (s"max_$n", declaredType(n).get, v0))
+        case _ => None
+      }
+      if (out.exists(_.isEmpty)) None else Some(out.flatten)
     }
-    val out = agg.aggregateExpressions.toSeq.map {
-      case _: CountStar =>
-        Some(("count_star", org.apache.spark.sql.types.LongType,
-          java.lang.Long.valueOf(totalRows - masked): Any))
-      case c: Count =>
-        val n = refName(c.column).get
-        nonNullCount(n).map(v0 =>
-          (s"count_$n", org.apache.spark.sql.types.LongType, v0))
-      case m: VMin =>
-        val n = refName(m.column).get
-        extreme(n, wantMin = true).map(v0 =>
-          (s"min_$n", declaredType(n).get, v0))
-      case m: VMax =>
-        val n = refName(m.column).get
-        extreme(n, wantMin = false).map(v0 =>
-          (s"max_$n", declaredType(n).get, v0))
-      case _ => None
+    val gb = agg.groupByExpressions.toSeq.map(e => refName(e).get)
+    // the field TEMPLATE (names + types) comes from a whole-set pass —
+    // also the global answer when there is no GROUP BY. A whole-set
+    // decline falls back even if individual groups could answer
+    // (soundness over coverage).
+    val template = evalAggs(footers) match {
+      case Some(t) => t
+      case None => return None
     }
-    if (out.exists(_.isEmpty)) return None
-    val fields = out.flatten
-    Some((StructType(fields.zipWithIndex.map { case ((nm, dt, _), i) =>
-      org.apache.spark.sql.types.StructField(s"$nm$i", dt)
-    }), fields.map(_._3)))
+    if (gb.isEmpty) {
+      Some((StructType(template.zipWithIndex.map { case ((nm, dt, _), i) =>
+        org.apache.spark.sql.types.StructField(s"$nm$i", dt)
+      }), Seq(template.map(_._3))))
+    } else {
+      // GROUP BY partition columns: each hive-laid-out file belongs to
+      // exactly ONE group (its `col=value` dir chain), so a group's
+      // answer is the aggregate over its own files' footers. Any file
+      // missing a segment (legacy flat layout) makes attribution
+      // impossible → decline. String group values are declined when the
+      // rendered dir is the NULL sentinel (a real "null" string and SQL
+      // NULL share the dir — only the row bytes can distinguish them).
+      val gbTypes = gb.map { c =>
+        declaredType(c) match {
+          case Some(dt) => dt
+          case None => return None
+        }
+      }
+      def parseSeg(v: String,
+          dt: org.apache.spark.sql.types.DataType): Option[Any] =
+        if (v == PartitionPaths.NullDir) dt match {
+          case org.apache.spark.sql.types.StringType => None // ambiguous
+          case _ => Some(null)
+        }
+        else dt match {
+          case org.apache.spark.sql.types.LongType =>
+            v.toLongOption.map(java.lang.Long.valueOf)
+          case org.apache.spark.sql.types.IntegerType |
+              org.apache.spark.sql.types.DateType =>
+            v.toIntOption.map(java.lang.Integer.valueOf)
+          case org.apache.spark.sql.types.ShortType =>
+            v.toShortOption.map(java.lang.Short.valueOf)
+          case org.apache.spark.sql.types.ByteType =>
+            v.toByteOption.map(java.lang.Byte.valueOf)
+          case org.apache.spark.sql.types.BooleanType =>
+            v.toBooleanOption.map(java.lang.Boolean.valueOf)
+          case org.apache.spark.sql.types.StringType =>
+            Some(java.net.URLDecoder.decode(v, "UTF-8"))
+          case _ => None
+        }
+      val byGroup = footers.map { t =>
+        val segs = gb.map(c => PartitionPaths.valueOf(t._1, c) match {
+          case Some(s) => s
+          case None => return None
+        })
+        (segs, t)
+      }.groupBy(_._1)
+      val rows = byGroup.toSeq.sortBy(_._1.mkString(" ")).flatMap {
+        case (segs, members) =>
+          val sub = members.map(_._2)
+          val live = sub.map(_._2).sum -
+            sub.map(t => maskedByFile.getOrElse(t._1, 0L)).sum
+          if (live <= 0L) None // a fully-masked group has no rows
+          else {
+            val keyVals = segs.zip(gbTypes).map { case (s, dt) =>
+              parseSeg(s, dt) match {
+                case Some(x) => x
+                case None => return None
+              }
+            }
+            evalAggs(sub) match {
+              case Some(fields) => Some(keyVals ++ fields.map(_._3))
+              case None => return None
+            }
+          }
+      }
+      val st = StructType(
+        gb.zip(gbTypes).map { case (c, dt) =>
+          org.apache.spark.sql.types.StructField(c, dt) } ++
+        template.zipWithIndex.map { case ((nm, dt, _), i) =>
+          org.apache.spark.sql.types.StructField(s"$nm$i", dt) })
+      Some((st, rows))
+    }
   }
 }
 
-/** The single-row scan a completely-pushed aggregate plans to: no input
-  * files at all — the row was computed from footers at pushdown time. */
+/** The scan a completely-pushed aggregate plans to: no input files at
+  * all — the rows (one per group; one global row without GROUP BY) were
+  * computed from footers at pushdown time. */
 class CommitLogAggScan(tableDir: String, schema: StructType,
-    row: Seq[Any]) extends Scan with Batch {
+    rows: Seq[Seq[Any]]) extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def description(): String =
     s"graft-commitlog[$tableDir] AGG-PUSHDOWN $schema"
@@ -659,20 +757,20 @@ class CommitLogAggScan(tableDir: String, schema: StructType,
   override def planInputPartitions(): Array[InputPartition] =
     Array(CommitLogInputPartition("<agg>"))
   override def createReaderFactory(): PartitionReaderFactory =
-    new AggRowReaderFactory(schema, row.toArray)
+    new AggRowReaderFactory(schema, rows.map(_.toArray).toArray)
 }
 
 private[sources] class AggRowReaderFactory(schema: StructType,
-    row: Array[Any]) extends PartitionReaderFactory {
+    rows: Array[Array[Any]]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
-      private var done = false
-      override def next(): Boolean = { val r = !done; done = true; r }
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.length }
       override def get(): InternalRow =
-        new GenericInternalRow(row.zipWithIndex.map {
-          case (s: String, _) => UTF8String.fromString(s)
-          case (v, _) => v
+        new GenericInternalRow(rows(i).map {
+          case s: String => UTF8String.fromString(s)
+          case v => v
         })
       override def close(): Unit = ()
     }

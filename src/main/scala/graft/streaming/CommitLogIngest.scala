@@ -1698,7 +1698,7 @@ object CommitLogIngest {
           stageCdfRows(tableDir, changes)
         }
       val stage = stageActions(spark, tableDir, adds, affected,
-        schemaOf = None, txn = None)
+        schemaOf = None, txn = txn)
       if (tryClaimVersion(tableDir, stage, latest + 1)) {
         cdfStaged.foreach(publishCdf(tableDir, _, latest + 1))
         postWin(spark, tableDir, latest + 1,

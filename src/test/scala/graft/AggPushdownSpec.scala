@@ -146,6 +146,57 @@ class AggPushdownSpec extends SparkSuite {
     assert(r.getByte(2) == 0.toByte && r.getByte(3) == 4.toByte)
   }
 
+  test("GROUP BY a partition column answers from footers (round-13 task " +
+      "5): zero data pages, exact per-day counts/extremes; masked counts " +
+      "subtract per group and fully-masked groups vanish; extremes under " +
+      "masks and non-partition keys decline") {
+    val s = spark
+    import s.implicits._
+    val table = tmp("grp")
+    (0L until 1000L).map(i => (i, i % 4, s"p$i")).toDF("id", "day", "tag")
+      .write.format("graft-commitlog").option("path", table)
+      .option("partitionCols", "day").option("statsCol", "id")
+      .option("enableDv", "true").mode("append").save()
+    val df = v2(table).groupBy(col("day"))
+      .agg(count(lit(1)).as("n"), min(col("id")).as("mn"),
+        max(col("id")).as("mx"))
+    CommitLogReadTracker.enable()
+    val r = try df.collect() finally CommitLogReadTracker.disable()
+    assert(CommitLogReadTracker.drain().isEmpty,
+      "a pushed grouped aggregate must open no data pages")
+    assert(df.queryExecution.executedPlan.toString.contains("AGG-PUSHDOWN"))
+    val m = r.map(x =>
+      x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    assert(m == (0L until 4L).map(d =>
+      d -> ((250L, d, 996L + d))).toMap, s"wrong groups: $m")
+    // non-partition group key declines even on a partitioned table
+    val gt = v2(table).groupBy(col("tag")).count()
+    assert(!gt.queryExecution.executedPlan.toString.contains("AGG-PUSHDOWN"))
+    assert(gt.count() == 1000L)
+    // dv-delete ALL of day 1 and half of day 2: counts stay pushed and
+    // exact (footer rows − per-file mask), the empty group disappears
+    CommitLogIngest.deleteWhere(s, table, col("day") === 1L,
+      statsCol = Some("id"))
+    CommitLogIngest.deleteWhere(s, table,
+      col("day") === 2L && col("id") < 500L, statsCol = Some("id"))
+    val c2 = v2(table).groupBy(col("day")).agg(count(lit(1)).as("n"))
+    CommitLogReadTracker.enable()
+    val r2 = try c2.collect() finally CommitLogReadTracker.disable()
+    assert(CommitLogReadTracker.drain().isEmpty,
+      "masked grouped COUNT(*) is still metadata-only")
+    assert(c2.queryExecution.executedPlan.toString.contains("AGG-PUSHDOWN"))
+    val m2 = r2.map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(m2 == Map(0L -> 250L, 2L -> 125L, 3L -> 250L),
+      s"masked group counts wrong: $m2")
+    // grouped MIN under a mask cannot come from footers — falls back and
+    // stays exact (first live day-2 id is 502)
+    val gmn = v2(table).groupBy(col("day")).agg(min(col("id")).as("mn"))
+    assert(!gmn.queryExecution.executedPlan.toString
+      .contains("AGG-PUSHDOWN"))
+    val m3 = gmn.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(m3 == Map(0L -> 0L, 2L -> 502L, 3L -> 3L), s"fallback wrong: $m3")
+  }
+
   test("SQL COUNT(*) on the catalog table rides the same pushdown") {
     val s = spark
     val table = tmp("sql")
