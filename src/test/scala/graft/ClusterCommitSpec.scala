@@ -129,4 +129,48 @@ class ClusterCommitSpec extends SparkSuite {
       "post-DML probes must still see every surviving anchor-0 row")
     assert(CommitLogIngest.snapshot(s, table).count() == 399L)
   }
+
+  test("ANN under DV DML (round-13 task 6): a probe never returns a " +
+      "masked vector; the next OPTIMIZE materializes the masks and " +
+      "re-clusters the survivors into stable cells") {
+    val s = spark
+    val table = tmp("dv")
+    seed(table)
+    val (v, _, nAdd) = CommitLogIngest.optimizeClusterByCell(s, table,
+      "embedding", 4, "vec_id", statsCol = Some("vec_id"))
+    assert(v == 2L && nAdd > 0)
+    // merge-on-read delete of half the label-0 anchors: pure metadata,
+    // no clustered file moves — the mask alone hides the dead vectors
+    CommitLogIngest.setDvEnabled(table)
+    val before = CommitLogIngest.liveFiles(s, table, 2L).toSet
+    val (dv, nMask) = CommitLogIngest.deleteWhere(s, table,
+      col("label") === 0 && col("vec_id") % 8 === 0,
+      statsCol = Some("vec_id"))
+    assert(dv == 3L && nMask > 0)
+    assert(CommitLogIngest.liveFiles(s, table, 3L).toSet == before,
+      "a dv delete must not move clustered files")
+    // label-0 ids are ≡ 0 (mod 4); the masked half is ≡ 0 (mod 8)
+    val q = Array(0.0, 0.0, 3.0, 0.0)
+    def probe0(): Set[Long] = CommitLogIngest.probeRead(s, table, q, 2)
+      .filter(col("label") === 0).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val got = probe0()
+    assert(got.size == 50 &&
+        got.forall(id => id % 4 == 0 && id % 8 != 0),
+      s"the probe returned a masked vector: ${got.filter(_ % 8 == 0)}")
+    // re-cluster: same spec, stable quantizer — the rewrite reads under
+    // the mask, so the masks materialize and every survivor lands in a
+    // gcell dir (no unclustered remainder, no live dv)
+    val (v2, _, nAdd2) = CommitLogIngest.optimizeClusterByCell(s, table,
+      "embedding", 4, "vec_id", statsCol = Some("vec_id"))
+    assert(v2 == 4L && nAdd2 > 0)
+    val (live2, dvs2) = CommitLogIngest.liveState(s, table, v2)
+    assert(dvs2.isEmpty, "re-cluster must materialize the masks")
+    assert(live2.forall(f =>
+        graft.sources.PartitionPaths.valueOf(f, "gcell").isDefined),
+      "re-cluster left an unclustered remainder")
+    assert(probe0() == got,
+      "probe answers changed across the mask-materializing re-cluster")
+    assert(CommitLogIngest.snapshot(s, table).count() == 350L)
+  }
 }

@@ -1,0 +1,153 @@
+package graft
+
+import java.util.concurrent.CyclicBarrier
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.CommitLogIngest
+
+/** DML-vs-DML write conflicts (round-13 verdict task 4):
+  * CommitConcurrencySpec proves racing APPENDS; here two row-level
+  * writers race. The OCC contract under contention is:
+  *
+  *  - writers on DISJOINT file sets both commit — neither client
+  *    retries its WORK (the loser of the version claim re-plans from
+  *    fresh liveState and finds its affected set untouched);
+  *  - writers on OVERLAPPING file sets serialize with ZERO lost
+  *    updates: the claim loser re-discovers against the winner's
+  *    committed state, so its rewrite reads the winner's files, never
+  *    the stale originals — both mutations land compositionally;
+  *  - the lost race is observable: the conflict metric counts it and
+  *    the history holds one version per writer.
+  *
+  * Updates are commutative increments so the final state is
+  * deterministic regardless of serialization order. */
+class DmlConcurrencySpec extends SparkSuite {
+
+  private def tmp(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft-dmlocc-$prefix")
+    d.toFile.deleteOnExit()
+    d.toString + "/t"
+  }
+
+  private def seed(table: String, n: Long): Unit = {
+    val s = spark
+    import s.implicits._
+    // two appends → at least two files, id-ranged halves
+    Seq(0L, 1L).foreach { half =>
+      (half * n / 2 until (half + 1) * n / 2).map(i => (i, i % 100))
+        .toDF("id", "v")
+        .write.format("graft-commitlog").option("path", table)
+        .option("statsCol", "id").mode("append").save()
+    }
+  }
+
+  private def race(work: Seq[() => (Long, Int)])
+      : Seq[Either[Throwable, (Long, Int)]] = {
+    val barrier = new CyclicBarrier(work.size)
+    val out = new java.util.concurrent.ConcurrentHashMap[Int,
+      Either[Throwable, (Long, Int)]]()
+    val ts = work.zipWithIndex.map { case (w, i) =>
+      new Thread(() => {
+        barrier.await()
+        out.put(i,
+          try Right(w()) catch { case t: Throwable => Left(t) })
+      })
+    }
+    ts.foreach(_.start())
+    ts.foreach(_.join(180000))
+    work.indices.map(out.get)
+  }
+
+  private def sumV(table: String): Long =
+    CommitLogIngest.snapshot(spark, table)
+      .agg(sum(col("v"))).head().getLong(0)
+
+  test("disjoint updateWhere writers both commit, zero lost updates") {
+    val s = spark
+    val table = tmp("disjoint")
+    seed(table, 2000L)
+    val base = sumV(table)
+    val results = race(Seq(
+      () => CommitLogIngest.updateWhere(s, table, col("id") < 1000L,
+        Map("v" -> (col("v") + lit(1L))), statsCol = Some("id")),
+      () => CommitLogIngest.updateWhere(s, table, col("id") >= 1000L,
+        Map("v" -> (col("v") + lit(10L))), statsCol = Some("id"))))
+    results.foreach(r => assert(r.isRight, s"writer died: $r"))
+    val versions = results.map(_.toOption.get._1).sorted
+    assert(versions == Seq(2L, 3L),
+      s"both writers must land their own contiguous version: $versions")
+    assert(sumV(table) == base + 1000L * 1L + 1000L * 10L,
+      "a disjoint concurrent update was lost")
+  }
+
+  test("overlapping updateWhere writers serialize: both land, both " +
+      "mutations compose, the race is visible") {
+    val s = spark
+    val conflictsBefore = CommitLogIngest.conflicts
+    var sawBothOrders = 0
+    // a handful of racing rounds: each round the two writers target the
+    // SAME files (every file holds even and odd ids), so the claim loser
+    // MUST re-discover over the winner's rewrite or it would resurrect
+    // pre-update rows (a lost update)
+    (0 until 3).foreach { round =>
+      val table = tmp(s"overlap$round")
+      seed(table, 2000L)
+      val base = sumV(table)
+      val results = race(Seq(
+        () => CommitLogIngest.updateWhere(s, table, col("id") % 2 === 0,
+          Map("v" -> (col("v") + lit(1L))), statsCol = Some("id")),
+        () => CommitLogIngest.updateWhere(s, table, col("id") % 3 === 0,
+          Map("v" -> (col("v") + lit(100L))), statsCol = Some("id"))))
+      results.foreach(r => assert(r.isRight, s"writer died: $r"))
+      val versions = results.map(_.toOption.get._1).sorted
+      assert(versions == Seq(2L, 3L),
+        s"overlapping writers must serialize to contiguous versions: " +
+          s"$versions")
+      // ids%2==0: 1000 rows × +1; ids%3==0: 667 rows × +100 — additive
+      // regardless of commit order, and BOTH must have applied to the
+      // rows in the 6k overlap (id%6==0 rows get +101)
+      val n3 = (0L until 2000L).count(_ % 3 == 0)
+      assert(sumV(table) == base + 1000L + n3 * 100L,
+        s"round $round lost an update under overlap")
+      val overlap = CommitLogIngest.snapshot(s, table)
+        .filter(col("id") % 6 === 0)
+        .agg(sum(col("v"))).head().getLong(0)
+      val overlapBase = (0L until 2000L).filter(_ % 6 == 0)
+        .map(_ % 100).sum
+      assert(overlap == overlapBase +
+          (0L until 2000L).count(_ % 6 == 0) * 101L,
+        s"round $round: the overlap rows did not receive BOTH updates")
+      sawBothOrders += 1
+    }
+    assert(CommitLogIngest.conflicts > conflictsBefore,
+      "three barrier-aligned overlapping rounds produced zero claim " +
+        "conflicts — the race never actually raced")
+  }
+
+  test("overlapping mergeByKey writers on disjoint keys in the same " +
+      "files: both upserts survive") {
+    val s = spark
+    import s.implicits._
+    val table = tmp("merge")
+    seed(table, 1000L)
+    val evens = (0L until 1000L by 2).map(i => (i, 777L)).toDF("id", "v")
+    val odds = (1L until 1000L by 2).map(i => (i, 888L)).toDF("id", "v")
+    val results = race(Seq(
+      () => CommitLogIngest.mergeByKey(s, table, evens, "id",
+        statsCol = Some("id")),
+      () => CommitLogIngest.mergeByKey(s, table, odds, "id",
+        statsCol = Some("id"))))
+    results.foreach(r => assert(r.isRight, s"merger died: $r"))
+    assert(results.map(_.toOption.get._1).sorted == Seq(2L, 3L))
+    val byPar = CommitLogIngest.snapshot(s, table)
+      .groupBy(col("id") % 2).agg(count(lit(1)).as("n"),
+        countDistinct(col("v")).as("nv"), min(col("v")).as("mv"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    assert(byPar(0L) == ((500L, 1L, 777L)),
+      s"even-key upsert lost rows: $byPar")
+    assert(byPar(1L) == ((500L, 1L, 888L)),
+      s"odd-key upsert lost rows: $byPar")
+  }
+}
