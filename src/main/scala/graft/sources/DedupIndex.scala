@@ -81,7 +81,7 @@ object DedupIndex {
 
   /** Explode an index frame (doc_id, sig0..sig3) to band rows
     * (doc_id, band, sig) — the join shape of every candidate query. */
-  private def bandRows(idx: DataFrame): DataFrame =
+  private[graft] def bandRows(idx: DataFrame): DataFrame =
     idx.select(col("doc_id"), explode(array((0 until NumBands).map(b =>
         struct(lit(b).as("band"), col(s"sig$b").as("sig"))): _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
@@ -176,8 +176,14 @@ object DedupIndex {
     * identical shape to the full-recompute `minhashCandidates`). Hash
     * equality against the full-recompute oracle IS the maintenance
     * proof. */
-  def pairsFromIndex(spark: SparkSession, indexDir: String): DataFrame = {
-    val bands = bandRows(CommitLogIngest.snapshot(spark, indexDir))
+  def pairsFromIndex(spark: SparkSession, indexDir: String): DataFrame =
+    pairsOf(CommitLogIngest.snapshot(spark, indexDir))
+
+  /** Band-bucket self-join over any (doc_id, sig0..sig3) frame — shared
+    * by the index face above and the full-recompute comparator in
+    * `DedupIndexBench`. */
+  private[graft] def pairsOf(sigs: DataFrame): DataFrame = {
+    val bands = bandRows(sigs)
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
