@@ -54,6 +54,12 @@ object IngestBench {
     val nReqs = args.headOption.map(_.toInt).getOrElse(100000)
     val conc = args.lift(1).map(_.toInt).getOrElse(10)
     val edge = args.lift(2).getOrElse("jdk")
+    // sink `count` = the reference-comparable ACK sink; `lake` = the
+    // full proxy-on-lakehouse path (round-13 verdict task 7): the edge
+    // stream lands in a commit-log TABLE through the exactly-once
+    // streaming sink, so "delivered" means a committed, queryable
+    // version — the number also reports the commit cadence
+    val sinkMode = args.lift(3).getOrElse("count")
     val warmupReqs = math.min(5000, nReqs / 2)
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -77,9 +83,21 @@ object IngestBench {
       case _ => new HttpReceiver(dropDir, rollMillis = 100,
         maxQueued = nReqs + warmupReqs)
     }).start()
-    val q = IngestPipeline.start(
-      RequestSource.fileStream(spark, dropDir).select("uri", "body"),
-      dlqDir, ckptDir, new CountSink, syncSec = 2)
+    val lakeTable = Files.createTempDirectory("ingestbench-lake")
+      .toString + "/t"
+    val q = sinkMode match {
+      case "lake" =>
+        RequestSource.fileStream(spark, dropDir).select("uri", "body")
+          .writeStream.format("graft-commitlog")
+          .option("path", lakeTable)
+          .option("checkpointLocation", ckptDir)
+          .trigger(org.apache.spark.sql.streaming.Trigger
+            .ProcessingTime("2 seconds"))
+          .start()
+      case _ => IngestPipeline.start(
+        RequestSource.fileStream(spark, dropDir).select("uri", "body"),
+        dlqDir, ckptDir, new CountSink, syncSec = 2)
+    }
 
     val tables = Seq("a", "b", "c")
     val port = rx.boundPort
@@ -151,16 +169,25 @@ object IngestBench {
       wall
     }
 
-    /** Poll until the sink has delivered `target` total rows. Returns the
-      * drain completion instant (nanos). */
+    /** Poll until the sink has delivered `target` total rows — ACKed
+      * through the counting sink, or COMMITTED AND QUERYABLE in the
+      * commit-log table (lake mode reads the table back like any
+      * consumer would). Returns the drain completion instant (nanos). */
+    def delivered0(): Long = sinkMode match {
+      case "lake" =>
+        if (graft.streaming.CommitLogIngest.latestVersion(lakeTable) < 0) 0L
+        else graft.streaming.CommitLogIngest.snapshot(spark, lakeTable)
+          .count()
+      case _ => sunk.get()
+    }
     def drainUntil(target: Long): Long = {
       val deadline = System.nanoTime() + 120L * 1000000000L
-      while (sunk.get() < target && System.nanoTime() < deadline) {
+      while (delivered0() < target && System.nanoTime() < deadline) {
         q.processAllAvailable()
-        if (sunk.get() < target) Thread.sleep(50)
+        if (delivered0() < target) Thread.sleep(50)
       }
-      require(sunk.get() == target,
-        s"drain incomplete: ${sunk.get()} of $target rows delivered")
+      require(delivered0() == target,
+        s"drain incomplete: ${delivered0()} of $target rows delivered")
       System.nanoTime()
     }
 
@@ -185,12 +212,24 @@ object IngestBench {
       val e2eRate = nReqs / e2eWall
       // AB's "time per request (mean, across all concurrent)"
       val msPerReq = postWall * 1000.0 / nReqs
+      val lakeExtra = sinkMode match {
+        case "lake" =>
+          // commit cadence: one exactly-once version per non-empty 2 s
+          // micro-batch — `versions` over the whole run (warmup + 3
+          // timed passes) shows the table advanced continuously rather
+          // than absorbing the bench as one giant commit
+          val versions =
+            graft.streaming.CommitLogIngest.latestVersion(lakeTable) + 1
+          s""","sink":"commitlog","versions":$versions"""
+        case _ => ""
+      }
       println(
         f"""{"metric":"ingest_http","edge":"$edge","reqs":$nReqs,""" +
           f""""concurrency":$conc,""" +
           f""""http_reqs_per_s":$httpRate%.1f,"ms_per_req":$msPerReq%.4f,""" +
           f""""post_wall_s":$postWall%.3f,"e2e_wall_s":$e2eWall%.3f,""" +
-          f""""e2e_rows_per_s":$e2eRate%.1f,"passes":3,"sync_sec":2}""")
+          f""""e2e_rows_per_s":$e2eRate%.1f,"passes":3,"sync_sec":2""" +
+          lakeExtra + "}")
     } finally {
       q.stop(); rx.stop(); spark.stop()
     }

@@ -68,7 +68,9 @@ object ScaleCheck {
     if (mode == "volumes") volumes(spark)
     if (mode == "skew") generateSkew(spark)
     if (mode == "sf10") generateSf10(spark)
+    if (mode == "sf100") generateSf100(spark)
     if (mode == "measure3") measure3(spark)
+    if (mode == "measure100") measure100(spark)
     if (mode == "family") measureFamily(spark, args(1), args(2))
     // result-volume probe: row count of one registered query at one SF dir
     // (e.g. `ScaleCheck count s_embed_neardup target/sf10` to check that a
@@ -213,6 +215,86 @@ object ScaleCheck {
     println(s"""{"generated":"$Sf10","replicas":$Replicas}""")
   }
 
+  // ---- fourth scale point: sf100 from sf10 (round-14 verdict task 3) --------
+
+  private val Sf100 = "target/sf100"
+
+  /** 10× sf10 (1000× sf0.1) — DOCUMENTS and EMBEDDINGS only: the heavy
+    * tail the sf100 probe measures (dedup pairs, simhash, embed
+    * families, kmeans, tfidf, boilerplate) reads no other table, and the
+    * decade's purpose is exposing superlinear terms hiding below sf10,
+    * not a full-suite record. Third-decade word tag is `x<letter k>`
+    * (injective per replica, vocabularies disjoint across replicas —
+    * same construction argument as the sf10 decade); embedding sign
+    * patterns are seeded 'sf100', independent of both lower decades. */
+  def generateSf100(spark: SparkSession): Unit = {
+    if (!new java.io.File(s"$Sf10/documents.parquet").exists())
+      generateSf10(spark)
+
+    val docs = spark.read.parquet(s"$Sf10/documents.parquet")
+    (0 until Replicas).map { k =>
+      val tag = s"x${('a' + k).toChar}"
+      docs.select(
+        (col("doc_id") * Replicas + k).as("doc_id"),
+        regexp_replace(col("text"), "([A-Za-z]+)", s"$$1$tag").as("text"),
+        col("lang"), col("source"))
+        .withColumn("n_chars", length(col("text")))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$Sf100/documents.parquet")
+
+    val emb = spark.read.parquet(s"$Sf10/embeddings.parquet")
+    (0 until Replicas).map { k =>
+      val v =
+        if (k == 0) col("embedding")
+        else expr(s"transform(embedding, (v, i) -> CAST(CASE WHEN " +
+          s"pmod(xxhash64('sf100', $k * 64 + i), 2) = 0 " +
+          "THEN v ELSE -v END AS FLOAT))")
+      emb.select(
+        (col("vec_id") * Replicas + k).as("vec_id"),
+        v.as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$Sf100/embeddings.parquet")
+    println(s"""{"generated":"$Sf100","replicas":$Replicas}""")
+  }
+
+  /** The six heaviest suite entries at sf10 AND sf100, min-of-two with
+    * cache clears (the round-13 verdict task 3 bar: per-query sf100 wall
+    * ≤ ~12× its sf10 number, else a named cause). One JSON line per
+    * family plus a verdict line. */
+  def measure100(spark: SparkSession): Unit = {
+    require(new java.io.File(s"$Sf100/documents.parquet").exists(),
+      s"run `ScaleCheck sf100` first: $Sf100 missing")
+    val heavy = Seq(
+      "dedup_pairs", "kmeans_model", "tfidf", "boilerplate",
+      "simhash", "embed_families")
+    val fams = families.filter(f => heavy.contains(f._1))
+    require(fams.size == heavy.size,
+      s"missing heavy families: ${heavy.toSet -- fams.map(_._1).toSet}")
+    fams.foreach { case (_, f) =>
+      try f(spark, "/root/testdata/sf0.001") catch { case _: Throwable => () }
+    }
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def minOf2(f: (SparkSession, String) => Unit, d: String): Double = {
+      val a = timed(f(spark, d)); clearModelCaches()
+      val b = timed(f(spark, d)); clearModelCaches()
+      math.min(a, b)
+    }
+    val rows = fams.map { case (name, f) =>
+      val t10 = minOf2(f, Sf10)
+      val t100 = minOf2(f, Sf100)
+      val ratio = t100 / t10
+      println(f"""{"family":"$name","sf10_sec":$t10%.2f,""" +
+        f""""sf100_sec":$t100%.2f,"ratio":$ratio%.2f}""")
+      (name, ratio)
+    }
+    val bad = rows.filter(_._2 > 12.0)
+    println(s"""{"probe":"sf100","families":${rows.size},""" +
+      s""""over_12x":${bad.map("\"" + _._1 + "\"").mkString("[", ",", "]")}}""")
+  }
+
   /** Structural-volume anchor for the timing claims: proves the sf1
     * corpus carries ~10× the sf0.1 WORK (rows, near-dup pairs, distinct
     * terms), i.e. the sublinear wall-clock exponents reflect engine
@@ -355,7 +437,13 @@ object ScaleCheck {
     // for 10× data at constant LshBits=8) — now corpus-adaptive bits hold
     // the expected bucket at ~64 rows (Similarity.TargetBucketRows), pair volume linear in n
     "knn_join" -> ((s, d) =>
-      { SparkEntry.queries("s_knn_join")(s, d).count(); () }))
+      { SparkEntry.queries("s_knn_join")(s, d).count(); () }),
+    // round-14: the two remaining heavy-tail entries the sf100 probe
+    // needs as first-class families
+    "simhash" -> ((s, d) =>
+      { SparkEntry.queries("d_simhash_pairs")(s, d).count(); () }),
+    "embed_families" -> ((s, d) =>
+      { SparkEntry.queries("s_embed_families")(s, d).count(); () }))
 
   def measure(spark: SparkSession): Unit = {
     // JIT/codegen warmup at the smallest SF, same discipline as Bench
