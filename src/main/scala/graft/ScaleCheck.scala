@@ -72,6 +72,11 @@ object ScaleCheck {
     if (mode == "measure3") measure3(spark)
     if (mode == "measure100") measure100(spark)
     if (mode == "family") measureFamily(spark, args(1), args(2))
+    // single timed pass (after warmup): for sf100-sized families whose
+    // two-pass run exceeds one harness budget — run the MODE twice and
+    // take the min across JVMs (the BENCH_NOTES round-14 discipline:
+    // cross-JVM min-of-2 is the stable read anyway)
+    if (mode == "family1") measureFamily1(spark, args(1), args(2))
     // result-volume probe: row count of one registered query at one SF dir
     // (e.g. `ScaleCheck count s_embed_neardup target/sf10` to check that a
     // scaled corpus carries the intended work volume, not an artifact)
@@ -492,6 +497,17 @@ object ScaleCheck {
     val a = timed(f(spark, dir)); clearModelCaches()
     val b = timed(f(spark, dir)); clearModelCaches()
     println(f"""{"family":"$name","dir":"$dir","pass1_sec":$a%.2f,"pass2_sec":$b%.2f,"min_sec":${math.min(a, b)}%.2f}""")
+  }
+
+  def measureFamily1(spark: SparkSession, name: String, dir: String)
+      : Unit = {
+    val f = families.toMap.apply(name)
+    try f(spark, "/root/testdata/sf0.001") catch { case _: Throwable => () }
+    val t0 = System.nanoTime()
+    f(spark, dir)
+    val a = (System.nanoTime() - t0) / 1e9
+    clearModelCaches()
+    println(f"""{"family":"$name","dir":"$dir","pass1_sec":$a%.2f,"passes":1}""")
   }
 
   /** Three-point exponent refit (VERDICT r8 item 4): times every family at

@@ -215,10 +215,26 @@ object Similarity {
   // ---- LSH-blocked embedding near-dup ---------------------------------------
 
   /** Near-duplicate vectors: same LSH bucket AND cosine ≥ 0.3. The bucket
-    * equi-join bounds pair generation (corpus²/256 in expectation). */
+    * equi-join bounds pair generation — and the bucket width SCALES WITH
+    * THE CORPUS like [[knnJoin]]'s (round-14 sf100 probe: at fixed
+    * LshBits=8 this self-join's pair volume is n²/256 — embed_families
+    * measured 38.5× wall for 10× data at sf100, the exact quadratic the
+    * round-11 verdict caught on knnJoin). One footer-count derives
+    * bits = ⌈log₂(n/64)⌉, holding the expected bucket at ~64 rows so
+    * pair volume stays ~64·n; the 8-bit floor keeps every oracle SF on
+    * the exact bucketing the static DuckDB oracle hashes with
+    * (divergence above 2^8·64 vectors is announced on stderr, same
+    * contract as knnJoin). */
   def embedNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = Tables.embeddings(spark, sfDir).count()
+    val bits = adaptiveBits(n)
+    if (bits != LshBits) System.err.println(
+      s"[graft] s_embed_neardup/s_embed_families: adaptive LSH width " +
+        s"$bits bits (corpus n=$n) diverges from the fixed-$LshBits-bit " +
+        "DuckDB oracle SQL — results are correct but NOT " +
+        "oracle-comparable at this corpus size")
     val e = emb(spark, sfDir)
-      .withColumn("bucket", signBucket("embedding", Dim, LshBits))
+      .withColumn("bucket", signBucket("embedding", Dim, bits))
     val pairs = e.as("a").join(e.as("b"),
         col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
