@@ -95,9 +95,39 @@ object PartitionedCommit {
       |FROM e, m WHERE e.day IN (m.d0, m.d0 + 1)
       |GROUP BY e.day""".stripMargin
 
+  /** Per-day census answered ENTIRELY from parquet footers (E-172,
+    * round-13 verdict task 5): GROUP BY the partition column with no
+    * filter plans to the footer-only agg scan — one output row per
+    * `day=` dir, zero data pages (AggPushdownSpec gates the zero-page
+    * property; this oracle proves the VALUES across the same
+    * append+delete+optimize composition the window census reads). */
+  def groupedAggCensus(spark: SparkSession, sfDir: String): DataFrame = {
+    val table = ensure(spark, sfDir)
+    val df = spark.read.format("graft-commitlog").option("path", table)
+      .load()
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+    // the oracle must grade the PUSHED plan, not a silent fallback: if
+    // the footer path ever declines this shape, fail loudly instead of
+    // passing on the normal scan's (identical) answer
+    require(df.queryExecution.executedPlan.toString
+        .contains("AGG-PUSHDOWN"),
+      "src_grouped_agg no longer plans to the footer-only agg scan")
+    df
+  }
+
+  val groupedAggCensusSql: String =
+    """SELECT epoch_ms(ts) // 86400000 AS day, COUNT(*) AS n_events,
+      |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
+      |FROM events WHERE event_type <> 'purchase'
+      |GROUP BY 1""".stripMargin
+
   /** Test hook: drop cached layouts (the shared clear contract). */
   private[graft] def clearCache(): Unit = cache.clear()
 
   def queries: Map[String, Q] = Map(
-    "src_partitioned_commit" -> Q(windowCensusSql)(windowCensus))
+    "src_partitioned_commit" -> Q(windowCensusSql)(windowCensus),
+    "src_grouped_agg" -> Q(groupedAggCensusSql)(groupedAggCensus))
 }

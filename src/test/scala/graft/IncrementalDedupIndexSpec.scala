@@ -149,6 +149,43 @@ class IncrementalDedupIndexSpec extends SparkSuite {
     assert(idxPairs(index) == fullPairs(base))
   }
 
+  test("two BARRIER-ALIGNED concurrent advances over the same range are " +
+      "net-exactly-once: the index equals full recompute either way") {
+    val (base, index) = tmp()
+    append(base, docs((0L until 8L).map(i => i -> txt(i.toInt))))
+    DedupIndex.init(spark, base, index, baseVersion = 0L)
+    // one range carrying an insert, a delete and an update
+    append(base, docs(Seq(600L -> txt(1), 601L -> txt(660))))
+    CommitLogIngest.deleteWhere(spark, base, col("doc_id") === 6L,
+      statsCol = Some("doc_id"))
+    CommitLogIngest.updateWhere(spark, base, col("doc_id") === 2L,
+      Map("text" -> lit(txt(7))), statsCol = Some("doc_id"))
+    val s = spark
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[
+      Either[Throwable, Long]]()
+    val ts = (0 until 2).map(_ => new Thread(() => {
+      barrier.await()
+      out.add(try Right(DedupIndex.advance(s, base, index))
+        catch { case t: Throwable => Left(t) })
+    }))
+    ts.foreach(_.start()); ts.foreach(_.join(120000))
+    // both racers either applied the range or observed it applied; a
+    // double-applied merge is idempotent by clause construction (same
+    // sigs re-SET, tombstones of absent docs ignored) — the INDEX, not
+    // the racers' return values, is the contract
+    import scala.jdk.CollectionConverters._
+    out.iterator().asScala.foreach(r =>
+      assert(r.isRight, s"racing advance died: $r"))
+    assert(DedupIndex.appliedVersion(spark, index) == 3L)
+    assert(idxPairs(index) == fullPairs(base),
+      "racing advances corrupted the index")
+    // planted: (1,600) pair present; (2,7) pair from the update; doc 6 gone
+    val got = idxPairs(index)
+    assert(got.contains((1L, 600L, 4L)) && got.contains((2L, 7L, 4L)))
+    assert(!got.exists(p => p._1 == 6L || p._2 == 6L))
+  }
+
   test("newPairsAt == full pairs filtered to the delta's docs") {
     val (base, index) = tmp()
     append(base, docs((0L until 10L).map(i => i -> txt(i.toInt)) ++
