@@ -182,12 +182,18 @@ object IngestBench {
     }
     def drainUntil(target: Long): Long = {
       val deadline = System.nanoTime() + 120L * 1000000000L
-      while (delivered0() < target && System.nanoTime() < deadline) {
+      // one delivered0() per iteration: in lake mode each probe is a
+      // snapshot count (a Spark job on the session the sink commits
+      // through) — probing twice per 50 ms poll would tax the measured
+      // e2e window with harness overhead
+      var d = delivered0()
+      while (d < target && System.nanoTime() < deadline) {
         q.processAllAvailable()
-        if (delivered0() < target) Thread.sleep(50)
+        d = delivered0()
+        if (d < target) Thread.sleep(50)
       }
-      require(delivered0() == target,
-        s"drain incomplete: ${delivered0()} of $target rows delivered")
+      require(d == target,
+        s"drain incomplete: $d of $target rows delivered")
       System.nanoTime()
     }
 

@@ -75,6 +75,7 @@ object CellMath {
   /** The `nprobe` nearest cell ids to a query vector. */
   def probeCells(cents: Array[Array[Double]], q: Array[Double],
       nprobe: Int): Seq[Int] = {
+    require(cents.nonEmpty, "probeCells: no trained centroids")
     require(q.length == cents.head.length,
       s"probeCells: query dim ${q.length} != trained dim " +
         s"${cents.head.length}")

@@ -42,10 +42,12 @@ import graft.streaming.CommitLogIngest
   * transaction-identifier shape), so the applied-through watermark moves
   * atomically with the signature rows and a replayed advance is a no-op.
   *
-  * Signature math is byte-identical to [[graft.operators.Dedup]]'s
-  * shared chain (same 16 Carter-Wegman hashes over one md5 per distinct
-  * 3-shingle, same 4×4 banding) — the constants are imported, not
-  * copied, so the two paths cannot drift. */
+  * Signature math matches [[graft.operators.Dedup]]'s shared chain
+  * (same 16 Carter-Wegman hashes over one md5 per distinct 3-shingle,
+  * same 4×4 banding): the CONSTANTS are imported, the expression chain
+  * is mirrored here for an arbitrary (doc_id, text) frame, and the
+  * tri-SF `d_incr_index` oracle pins the two paths equal — a drift in
+  * either chain hash-mismatches the full-recompute replay. */
 object DedupIndex {
 
   import Dedup.{BandSize, MinHashP, NumHashes}
@@ -96,13 +98,33 @@ object DedupIndex {
   /** Initialize the index from the base table's snapshot AT `baseVersion`
     * (the one unavoidable O(corpus) pass — everything after is O(delta)).
     * The index table is stats-indexed on doc_id so later merges prune
-    * their rewrite set. */
+    * their rewrite set.
+    *
+    * Contract: `doc_id` is the base table's PRIMARY KEY — the same rule
+    * every advance's MERGE enforces on its source. Refused loudly here
+    * (one aggregation over the init corpus): with duplicate keys the
+    * full-recompute chain unions ALL rows' shingles per doc_id while the
+    * keyed index can hold only one signature, so exactness would fail
+    * silently later instead of now. */
   def init(spark: SparkSession, baseDir: String, indexDir: String,
       baseVersion: Long): Unit = {
-    require(appliedVersion(spark, indexDir) < 0,
-      s"init: $indexDir already initialized")
-    sigRows(CommitLogIngest.snapshot(spark, baseDir, baseVersion)
-        .select("doc_id", "text"))
+    // the signature append and the watermark stamp are two commits: a
+    // crash between them must surface as a LOUD partial-init refusal on
+    // retry, never a silent double-append (duplicate band rows would
+    // inflate n_bands and mint phantom pairs forever)
+    require(appliedVersion(spark, indexDir) < 0 &&
+        CommitLogIngest.latestVersion(indexDir) < 0,
+      s"init: $indexDir already holds commits (a crashed init leaves " +
+        "data without a watermark) — wipe the index dir and re-init")
+    val snap = CommitLogIngest.snapshot(spark, baseDir, baseVersion)
+      .select("doc_id", "text")
+    val dup = snap.groupBy(col("doc_id")).count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"init: base table carries duplicate doc_id = " +
+        s"${dup.headOption.map(_.get(0)).orNull} — the index is keyed " +
+        "by doc_id (the merge contract); dedupe the base table first")
+    sigRows(snap)
       .write.format("graft-commitlog").option("path", indexDir)
       .option("statsCol", "doc_id").mode("append").save()
     // watermark: an empty action-only commit carrying the txn row (the

@@ -579,11 +579,64 @@ object CommitLogIngest {
   /** Physical column names that once lived in this table's files but are
     * no longer owned by any current field (DROP COLUMN retires them). A
     * NEW column may not claim such a name — its reads would resurrect
-    * the dead column's bytes ([[schemaActionFor]] refuses). */
-  private[graft] def retiredCols(dir: String): Set[String] =
-    try new String(Files.readAllBytes(retiredColsPath(dir)), "UTF-8")
-      .split("\n").filter(_.nonEmpty).toSet
-    catch { case _: Exception => Set.empty }
+    * the dead column's bytes ([[schemaActionFor]] refuses).
+    *
+    * Durability model (round-14): the authoritative record is a
+    * `_retire-<name>` marker STAGED INSIDE the drop commit's log
+    * partition — it becomes durable in the same atomic rename that
+    * claims the version, so no crash window can separate "column
+    * dropped" from "name retired" (retire-before-claim could blacklist
+    * without a drop; retire-after-claim could drop without a blacklist
+    * and let a later ADD resurrect old bytes). The `_retired_cols` side
+    * file is a self-healing CACHE: reads scan version dirs above the
+    * file's `#scanned:<v>` high-water mark, fold any markers found into
+    * the file, and advance the mark — so the scan cost is O(new
+    * versions since the last read), not O(log). */
+  private[graft] def retiredCols(dir: String): Set[String] = {
+    val (cached, mark) =
+      try {
+        val lines = new String(
+          Files.readAllBytes(retiredColsPath(dir)), "UTF-8")
+          .split("\n").filter(_.nonEmpty).toSeq
+        (lines.filterNot(_.startsWith("#")).toSet,
+          lines.find(_.startsWith("#scanned:"))
+            .flatMap(_.stripPrefix("#scanned:").toLongOption)
+            .getOrElse(-1L))
+      } catch { case _: Exception => (Set.empty[String], -1L) }
+    val latest = latestVersion(dir)
+    if (latest <= mark) return cached
+    val found = ((mark + 1) to latest).flatMap { v =>
+      val d = Paths.get(dir, "log", s"version=$v")
+      if (!Files.isDirectory(d)) Seq.empty
+      else {
+        val s = Files.list(d)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.map(_.getFileName.toString)
+            .filter(_.startsWith(RetireMarkerPrefix))
+            .map(_.stripPrefix(RetireMarkerPrefix)).toList
+        } finally s.close()
+      }
+    }.toSet
+    val all = cached ++ found
+    val p = retiredColsPath(dir)
+    Files.createDirectories(p.getParent)
+    // atomic swap: a concurrent reader must never see a torn cache (it
+    // would parse junk names); losing a concurrent writer's append is
+    // harmless — the marker scan re-finds everything
+    val tmp = p.resolveSibling(
+      s".retired-${java.util.UUID.randomUUID().toString.take(8)}")
+    Files.write(tmp,
+      (all.toSeq.sorted :+ s"#scanned:$latest").mkString("", "\n", "\n")
+        .getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+    try Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    catch { case _: Exception => Files.deleteIfExists(tmp) }
+    all
+  }
+
+  private val RetireMarkerPrefix = "_retire-"
 
   private def retireCol(dir: String, physical: String): Unit = {
     val p = retiredColsPath(dir)
@@ -600,10 +653,18 @@ object CommitLogIngest {
       val latest = latestVersion(tableDir)
       val stage = stageActions(spark, tableDir, Seq.empty, Seq.empty,
         schemaOf = Some(newSt), txn = None, op = Some(op))
+      // the retire marker rides INSIDE the staged partition: the atomic
+      // claim rename makes "column dropped" and "name retired" one
+      // durable event — no crash window in either direction (a lost
+      // race deletes the stage, marker included)
+      retire.foreach { phys =>
+        Files.write(stage.resolve(RetireMarkerPrefix + phys),
+          Array.emptyByteArray,
+          StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      }
       if (tryClaimVersion(tableDir, stage, latest + 1)) {
-        // retirement is stamped only AFTER the claim wins: a crash or a
-        // lost race before this point must not permanently blacklist a
-        // physical name whose column was never actually dropped
+        // eager side-file mirror (the cache retiredCols self-heals from
+        // markers anyway; this just keeps the common path scan-free)
         retire.foreach(retireCol(tableDir, _))
         if (cdfEnabled(tableDir)) writeCdfEmpty(tableDir, latest + 1)
         postWin(spark, tableDir, latest + 1, statsCol = None,

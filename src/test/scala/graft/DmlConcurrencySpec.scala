@@ -85,7 +85,6 @@ class DmlConcurrencySpec extends SparkSuite {
       "mutations compose, the race is visible") {
     val s = spark
     val conflictsBefore = CommitLogIngest.conflicts
-    var sawBothOrders = 0
     // a handful of racing rounds: each round the two writers target the
     // SAME files (every file holds even and odd ids), so the claim loser
     // MUST re-discover over the winner's rewrite or it would resurrect
@@ -118,7 +117,6 @@ class DmlConcurrencySpec extends SparkSuite {
       assert(overlap == overlapBase +
           (0L until 2000L).count(_ % 6 == 0) * 101L,
         s"round $round: the overlap rows did not receive BOTH updates")
-      sawBothOrders += 1
     }
     assert(CommitLogIngest.conflicts > conflictsBefore,
       "three barrier-aligned overlapping rounds produced zero claim " +

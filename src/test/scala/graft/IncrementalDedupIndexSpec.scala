@@ -51,21 +51,14 @@ class IncrementalDedupIndexSpec extends SparkSuite {
       .mode("append").save()
 
   /** Full-recompute pair set over the base's LIVE snapshot — the truth
-    * the index must match (same band join as pairsFromIndex, but from
-    * freshly-computed signatures, never the index). */
-  private def fullPairs(base: String): Set[(Long, Long, Long)] = {
-    val sigs = DedupIndex.sigRows(
-      CommitLogIngest.snapshot(spark, base).select("doc_id", "text"))
-    val bands = sigs.select(col("doc_id"), explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"), col(s"sig$b").as("sig"))): _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-    bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_bands"))
+    * the index must match: freshly-computed signatures (never the
+    * index), through the SAME shared band join (`DedupIndex.pairsOf`);
+    * the join logic itself is pinned independently by the DuckDB oracle
+    * (`d_incr_index`), so sharing it here is reuse, not circularity. */
+  private def fullPairs(base: String): Set[(Long, Long, Long)] =
+    DedupIndex.pairsOf(DedupIndex.sigRows(
+        CommitLogIngest.snapshot(spark, base).select("doc_id", "text")))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-  }
 
   private def idxPairs(index: String): Set[(Long, Long, Long)] =
     DedupIndex.pairsFromIndex(spark, index)
