@@ -171,6 +171,33 @@ class ColumnMappingSpec extends SparkSuite {
       .columns.contains("a"), "OPTIMIZE must shed the dropped column")
   }
 
+  test("retirement survives losing the side-file cache: the commit's " +
+      "own _retire marker self-heals it (round-14 crash-window fix)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp("heal")
+    seed(table)
+    CommitLogIngest.dropColumn(s, table, "a")
+    // simulate the crash window / a lost cache: delete _retired_cols
+    // entirely — the marker staged INSIDE the drop commit's log
+    // partition is the durable record
+    val side = java.nio.file.Paths.get(table, "log", "_retired_cols")
+    assert(java.nio.file.Files.deleteIfExists(side))
+    assert(CommitLogIngest.retiredCols(table).exists(_.nonEmpty),
+      "retiredCols must re-derive the name from the commit marker")
+    // and the healed knowledge still refuses the resurrection append
+    val e = intercept[Exception] {
+      (0L until 5L).map(i => (i + 500L, i, s"n$i")).toDF("id", "a", "tag")
+        .write.format("graft-commitlog").option("path", table)
+        .option("statsCol", "id").mode("append").save()
+    }
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(t => Option(t.getMessage).exists(_.contains("resurrect"))),
+      s"wrong refusal after heal: ${e.getMessage}")
+    // the heal rewrote the cache with its high-water mark
+    assert(java.nio.file.Files.exists(side))
+  }
+
   test("SQL forms and refusals: ALTER TABLE RENAME/DROP COLUMN; " +
       "collisions, partition and stats columns refuse") {
     val s = spark
