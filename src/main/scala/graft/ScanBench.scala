@@ -55,8 +55,14 @@ object ScanBench {
     // so both scans parallelize across the 32 threads and the ratio
     // measures DECODE, not partition-count accidents
     (0 until 4).foreach { i =>
+      // statsCol: each commit takes l_orderkey%4==i, so the four file
+      // sets' key RANGES nearly coincide while their key SETS are
+      // disjoint — min/max stats prune nothing and the bloom leg below
+      // measures the sketch alone (scan legs are unaffected: the index
+      // is a side table)
       CommitLogIngest.commitAppend(
-        li.filter(col("l_orderkey") % 4 === i).repartition(8), table)
+        li.filter(col("l_orderkey") % 4 === i).repartition(8), table,
+        statsCol = Some("l_orderkey"))
     }
     val rows = CommitLogIngest.snapshot(spark, table).count()
 
@@ -112,6 +118,26 @@ object ScanBench {
     val (cntConnS, cntConnR) = minOf2(() => cnt(viaConnector()))
     val (cntNatS, cntNatR) = minOf2(() => cnt(viaNative()))
 
+    // BLOOM leg (E-177): point probe on the interleaved-by-construction
+    // layout — every file's [min,max] covers every key, so the per-file
+    // sketch is the only working prune; vs the native scan, which opens
+    // all files and filters rows
+    val probeKey = li.agg(max(col("l_orderkey"))).head().getLong(0)
+    def bloomProbe(): Long =
+      viaConnector().filter(col("l_orderkey") === probeKey).count()
+    def nativeProbe(): Long =
+      viaNative().filter(col("l_orderkey") === probeKey).count()
+    bloomProbe(); nativeProbe()
+    graft.sources.CommitLogReadTracker.enable()
+    bloomProbe()
+    val bloomOpened =
+      graft.sources.CommitLogReadTracker.drain().distinct.size
+    graft.sources.CommitLogReadTracker.disable()
+    val liveFiles = graft.sources.LayoutDirs
+      .dataFiles(s"$table/data").size
+    val (bloomS, bloomR) = minOf2(() => bloomProbe())
+    val (bloomNatS, bloomNatR) = minOf2(() => nativeProbe())
+
     // doubles sum in partition order, which differs between the two scans
     // (per-file partitions vs size-split) — exact for integrals/strings,
     // relative tolerance for floating sums
@@ -123,7 +149,8 @@ object ScanBench {
       }
     val parity = agree(wideConnR, wideNatR) &&
       agree(narrowConnR, narrowNatR) && cntConnR == cntNatR &&
-      cntConnR == rows && agree(arrConnR, arrNatR)
+      cntConnR == rows && agree(arrConnR, arrNatR) &&
+      bloomR == bloomNatR && bloomR > 0
     val mode = graft.sources.CommitLogReaderFactory.lastMode
     println(
       f"""{"metric":"v2_scan_decode_tax","sf_dir":"$sfDir","rows":$rows,""" +
@@ -135,6 +162,8 @@ object ScanBench {
         f""""count_pushdown_s":$cntConnS%.3f,"count_native_s":$cntNatS%.3f,""" +
         f""""array_connector_s":$arrConnS%.3f,"array_native_s":$arrNatS%.3f,""" +
         f""""array_tax":${arrConnS / arrNatS}%.2f,""" +
+        f""""bloom_probe_s":$bloomS%.3f,"bloom_native_s":$bloomNatS%.3f,""" +
+        s""""bloom_files_opened":$bloomOpened,"bloom_files_live":$liveFiles,""" +
         s""""reader_mode":"$mode","parity":$parity}""")
     graft.sources.LayoutDirs.deleteQuiet(root.toString)
     spark.stop()

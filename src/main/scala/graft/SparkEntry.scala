@@ -42,7 +42,8 @@ object SparkEntry {
       graft.sources.DsvWrite.queries ++
       graft.sources.DmlCommit.queries ++
       graft.sources.PartitionedCommit.queries ++
-      graft.sources.DedupIndex.queries
+      graft.sources.DedupIndex.queries ++
+      graft.sources.BloomPointLookup.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's core operation: keyed concat/count aggregation over the

@@ -443,6 +443,36 @@ class CommitLogScanBuilder(tableDir: String, schema: StructType,
       }
   }
 
+  /** Per-column equality-key sets for the BLOOM consult (E-177): an
+    * EqualTo contributes its key, a bounded In its list (an unbounded
+    * list would make the per-file probe itself expensive — the [min,max]
+    * envelope in [[anyBound]] still applies). Multiple equality filters
+    * on one column intersect; an EMPTY intersection (x=1 AND x=2) simply
+    * skips the bloom consult — the row filters already yield the empty
+    * result, pruning has nothing to add. The explicit `index.eq` option
+    * (comma-separated keys, addressing the declared statsCol) is the
+    * STREAMING reader's route to the same skipping — the engine does not
+    * push data filters into micro-batch scans, exactly like
+    * `index.lo`/`index.hi` for the range consult. */
+  private def eqKeys: Map[String, Seq[Long]] = {
+    val perFilter: Seq[(String, Seq[Long])] = pushed.toSeq.flatMap {
+      case EqualTo(c, v) => intOf(v).map(n => c -> Seq(n))
+      case In(c, vs) if vs.nonEmpty && vs.length <= 256 =>
+        val ns = vs.toSeq.map(intOf)
+        if (ns.exists(_.isEmpty)) None else Some(c -> ns.flatten)
+      case _ => None
+    }
+    val fromOptions = Option(options.get("index.eq")).toSeq.flatMap { s =>
+      val ks = s.split(',').toSeq.flatMap(_.trim.toLongOption)
+      if (ks.isEmpty) Seq.empty else indexCol.toSeq.map(c => c -> ks)
+    }
+    (perFilter ++ fromOptions).groupBy(_._1)
+      .map { case (c, ks) =>
+        c -> ks.map(_._2.toSet).reduce(_ intersect _).toSeq.sorted
+      }
+      .filter(_._2.nonEmpty)
+  }
+
   /** Per-column INCLUSIVE string bounds for the truncated-string index
     * consult, intersected per column (max of los, min of his — any
     * ordering disagreement is resolved safely at prune time by the
@@ -460,7 +490,7 @@ class CommitLogScanBuilder(tableDir: String, schema: StructType,
     case None =>
       new CommitLogScan(tableDir, required, options, bounds,
         pushed.filter(ParquetFilters.translatable),
-        pushed.flatMap(partConstraintOf).toSeq, strBounds)
+        pushed.flatMap(partConstraintOf).toSeq, strBounds, eqKeys)
   }
 }
 
@@ -801,7 +831,8 @@ private[sources] case class PartIsNull(col: String) extends PartConstraint {
 class CommitLogScan(tableDir: String, schema: StructType,
     options: CaseInsensitiveStringMap, bounds: Map[String, (Long, Long)],
     filters: Array[Filter], partConstraints: Seq[PartConstraint] = Seq.empty,
-    strBounds: Map[String, (Option[String], Option[String])] = Map.empty)
+    strBounds: Map[String, (Option[String], Option[String])] = Map.empty,
+    eqKeys: Map[String, Seq[Long]] = Map.empty)
     extends Scan {
 
   override def readSchema(): StructType = schema
@@ -838,7 +869,7 @@ class CommitLogScan(tableDir: String, schema: StructType,
         CommitLogIngest.versionAt(tableDir, ms)
       })
       new CommitLogBatch(tableDir, schema,
-        pinned, bounds, filters, partConstraints, strBounds)
+        pinned, bounds, filters, partConstraints, strBounds, eqKeys)
     }
 
   override def toMicroBatchStream(checkpointLocation: String)
@@ -848,7 +879,7 @@ class CommitLogScan(tableDir: String, schema: StructType,
       filters,
       Option(options.get("skipChangeCommits")).exists(_.toBoolean),
       partConstraints, cdf = cdf, startingVersion = startingVersion,
-      strBounds = strBounds)
+      strBounds = strBounds, eqKeys = eqKeys)
 }
 
 /** Batch CHANGE-FEED scan over [startingVersion, endingVersion]: one
@@ -891,7 +922,8 @@ class CommitLogCdfBatch(tableDir: String, schema: StructType,
 class CommitLogBatch(tableDir: String, schema: StructType,
     versionAsOf: Option[Long], bounds: Map[String, (Long, Long)],
     filters: Array[Filter], partConstraints: Seq[PartConstraint] = Seq.empty,
-    strBounds: Map[String, (Option[String], Option[String])] = Map.empty)
+    strBounds: Map[String, (Option[String], Option[String])] = Map.empty,
+    eqKeys: Map[String, Seq[Long]] = Map.empty)
     extends Batch {
 
   /** Partitions AND the column mapping in force at the pinned version —
@@ -923,7 +955,7 @@ class CommitLogBatch(tableDir: String, schema: StructType,
         else m.map { case (c, b) => nameMap.getOrElse(c, c) -> b }
       val dirPruned = CommitLogPlanning.pruneByPath(files, partConstraints)
       val pruned = CommitLogPlanning.pruneByIndex(spark, tableDir,
-        dirPruned, physKeys(bounds), physKeys(strBounds))
+        dirPruned, physKeys(bounds), physKeys(strBounds), physKeys(eqKeys))
       // masked files ship their positions IN the partition descriptor —
       // one driver-side metadata read, O(mask rows), small by design
       // (OPTIMIZE materializes heavy masks back into clean files)
@@ -955,7 +987,8 @@ class CommitLogMicroBatchStream(tableDir: String, schema: StructType,
     filters: Array[Filter], skipChangeCommits: Boolean = false,
     partConstraints: Seq[PartConstraint] = Seq.empty,
     cdf: Boolean = false, startingVersion: Option[Long] = None,
-    strBounds: Map[String, (Option[String], Option[String])] = Map.empty)
+    strBounds: Map[String, (Option[String], Option[String])] = Map.empty,
+    eqKeys: Map[String, Seq[Long]] = Map.empty)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   require(maxVersionsPerTrigger.forall(_ > 0),
@@ -1031,7 +1064,7 @@ class CommitLogMicroBatchStream(tableDir: String, schema: StructType,
       if (m.isEmpty) b else b.map { case (c, x) => m.getOrElse(c, c) -> x }
     val dirPruned = CommitLogPlanning.pruneByPath(files, partConstraints)
     CommitLogPlanning.pruneByIndex(spark, tableDir, dirPruned,
-        physKeys(bounds), physKeys(strBounds))
+        physKeys(bounds), physKeys(strBounds), physKeys(eqKeys))
       .map(f => CommitLogInputPartition(f): InputPartition).toArray
   }
 
@@ -1114,9 +1147,11 @@ private[sources] object CommitLogPlanning {
     * small metadata read. */
   def pruneByIndex(spark: SparkSession, tableDir: String,
       files: Seq[String], bounds: Map[String, (Long, Long)],
-      strBounds: Map[String, (Option[String], Option[String])] = Map.empty)
+      strBounds: Map[String, (Option[String], Option[String])] = Map.empty,
+      eqKeys: Map[String, Seq[Long]] = Map.empty)
       : Seq[String] = {
-    if ((bounds.isEmpty && strBounds.isEmpty) || files.isEmpty ||
+    if ((bounds.isEmpty && strBounds.isEmpty && eqKeys.isEmpty) ||
+        files.isEmpty ||
         !LayoutDirs.hasParquetData(s"$tableDir/index")) return files
     val idx = spark.read.option("mergeSchema", "true")
       .parquet(s"$tableDir/index")
@@ -1140,9 +1175,26 @@ private[sources] object CommitLogPlanning {
         mx < lo || mn > hi, org.apache.spark.sql.functions.lit(false))
       legacy ++ v2.toSeq
     }
+    // BLOOM prune (E-177): an equality/IN probe on the sketched column
+    // drops every file whose stored filter PROVES none of the keys is
+    // present. Judged IN the distributed metadata job — the sketch bytes
+    // (~1 MiB/file) are deserialized executor-side and never collected;
+    // only surviving paths return. NULL/absent sketch keeps the file
+    // (legacy index rows, non-integral statsCol). The sketch is built
+    // over the declared statsCol only, so other columns never consult it.
+    val bloomHere = schema.fields.exists(f =>
+      f.name == "bloom" && f.dataType ==
+        org.apache.spark.sql.types.BinaryType)
+    val bloomConds = eqKeys.toSeq.flatMap { case (c, keys) =>
+      if (!bloomHere || keys.isEmpty || !indexCol.contains(c)) Seq.empty
+      else Seq(col("bloom").isNotNull &&
+        !org.apache.spark.sql.graft.BloomAgg.mightContainAny(
+          col("bloom"), keys))
+    }
+    val allConds = conds ++ bloomConds
     val intPrunable: Set[String] =
-      if (conds.isEmpty) Set.empty
-      else idx.filter(conds.reduce(_ || _))
+      if (allConds.isEmpty) Set.empty
+      else idx.filter(allConds.reduce(_ || _))
         .select("path").collect().map(_.getString(0)).toSet
     // TRUNCATED-STRING bounds judge DRIVER-SIDE over the same metadata
     // read (the prefix-incremented upper bound is per-row logic): prune a

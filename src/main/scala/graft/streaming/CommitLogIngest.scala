@@ -932,7 +932,18 @@ object CommitLogIngest {
       (if (atomic.isEmpty) Seq.empty
        else Seq(
          struct(atomic.map(c =>
-           count(when(col(c).isNull, 1)).as(c)): _*).as("nullCounts")))
+           count(when(col(c).isNull, 1)).as(c)): _*).as("nullCounts"))) ++
+      // BLOOM-FILTER data skipping over the declared statsCol (E-177, the
+      // Delta bloom-index shape): min/max cannot prune a point probe on a
+      // high-cardinality column whose values interleave across files;
+      // the per-file sketch proves non-membership for ~97% of the
+      // non-containing files. Integral statsCol only (pointRead's own
+      // contract); rides this same one-pass aggregation. Readers treat a
+      // missing/NULL field as "no sketch → keep", so index rows written
+      // before this column existed stay valid (mergeSchema read).
+      (if (!integral.contains(k)) Seq.empty
+       else Seq(org.apache.spark.sql.graft.BloomAgg.of(
+         col(k).cast("long")).as("bloom")))
     df.groupBy(input_file_name().as("path"))
       .agg(aggCols.head, aggCols.tail: _*)
       .withColumn("path", LayoutDirs.plainPath(col("path")))
@@ -3055,9 +3066,22 @@ object CommitLogIngest {
     def readAs(paths: Seq[String]): DataFrame =
       readWithDv(spark, tableDir, paths, dvs,
         schemaAt(spark, tableDir, latest))
-    val files = spark.read.parquet(s"$tableDir/index")
+    // mergeSchema: index rows from pre-bloom versions lack the sketch
+    // column — the merged read null-fills them, and a NULL sketch keeps
+    // its file (prune is a speedup, never a correctness dependency)
+    val idx = spark.read.option("mergeSchema", "true")
+      .parquet(s"$tableDir/index")
       .filter(col("path").isin(live: _*))
       .filter(col("min_key") <= key && col("max_key") >= key)
+    // BLOOM consult (E-177): on a high-cardinality interleaved key the
+    // [min,max] overlap keeps most files; the per-file sketch cuts the
+    // survivors to the true containers (± fpp). Judged executor-side —
+    // sketch bytes never reach the driver, only paths do.
+    val files = (if (idx.schema.fieldNames.contains("bloom"))
+        idx.filter(col("bloom").isNull ||
+          org.apache.spark.sql.graft.BloomAgg.mightContainAny(
+            col("bloom"), Seq(key)))
+      else idx)
       .select("path").collect().map(_.getString(0)).toSeq
     if (files.isEmpty)
       // empty result, O(1): one file supplies the schema, the false
