@@ -17,7 +17,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.functions.col
@@ -833,7 +833,7 @@ class CommitLogScan(tableDir: String, schema: StructType,
     filters: Array[Filter], partConstraints: Seq[PartConstraint] = Seq.empty,
     strBounds: Map[String, (Option[String], Option[String])] = Map.empty,
     eqKeys: Map[String, Seq[Long]] = Map.empty)
-    extends Scan {
+    extends Scan with SupportsReportStatistics {
 
   override def readSchema(): StructType = schema
 
@@ -848,6 +848,29 @@ class CommitLogScan(tableDir: String, schema: StructType,
       s"filters=${filters.mkString(",")} " +
       s"partitionPrune=${partConstraints.mkString(",")} cdf=$cdf"
 
+  private lazy val pinnedVersion: Option[Long] = {
+    val vAsOf = Option(options.get("versionAsOf")).map(_.toLong)
+    val tAsOf = Option(options.get("timestampAsOf"))
+    require(vAsOf.isEmpty || tAsOf.isEmpty,
+      "versionAsOf and timestampAsOf are mutually exclusive")
+    // the Delta option: epoch millis or 'yyyy-MM-dd HH:mm:ss' resolve
+    // to the latest version committed at or before that instant
+    vAsOf.orElse(tAsOf.map { t =>
+      val ms = t.toLongOption.getOrElse(
+        java.sql.Timestamp.valueOf(t).getTime)
+      CommitLogIngest.versionAt(tableDir, ms)
+    })
+  }
+
+  /** Snapshot resolution (live files → dir/index/sketch prune → mask
+    * positions), computed ONCE per scan and shared between partition
+    * planning and the statistics report below — a second metadata pass
+    * per query measurably inflates connector planning cost (the
+    * round-13 liveState lesson). */
+  private[sources] lazy val resolvedSnapshot =
+    CommitLogBatch.resolve(tableDir, pinnedVersion, bounds,
+      partConstraints, strBounds, eqKeys)
+
   override def toBatch: Batch =
     if (cdf) {
       val from = startingVersion.getOrElse(
@@ -856,20 +879,36 @@ class CommitLogScan(tableDir: String, schema: StructType,
             ".option(\"startingVersion\", N) (inclusive)"))
       new CommitLogCdfBatch(tableDir, schema, from,
         Option(options.get("endingVersion")).map(_.toLong), filters)
-    } else {
-      val vAsOf = Option(options.get("versionAsOf")).map(_.toLong)
-      val tAsOf = Option(options.get("timestampAsOf"))
-      require(vAsOf.isEmpty || tAsOf.isEmpty,
-        "versionAsOf and timestampAsOf are mutually exclusive")
-      // the Delta option: epoch millis or 'yyyy-MM-dd HH:mm:ss' resolve
-      // to the latest version committed at or before that instant
-      val pinned = vAsOf.orElse(tAsOf.map { t =>
-        val ms = t.toLongOption.getOrElse(
-          java.sql.Timestamp.valueOf(t).getTime)
-        CommitLogIngest.versionAt(tableDir, ms)
-      })
-      new CommitLogBatch(tableDir, schema,
-        pinned, bounds, filters, partConstraints, strBounds, eqKeys)
+    } else new CommitLogBatch(schema, filters, () => resolvedSnapshot)
+
+  /** PRUNE-AWARE planning statistics (`SupportsReportStatistics`) — a
+    * V2 scan without them reports `defaultSizeInBytes` (effectively
+    * infinite), so a commit-log dimension table could NEVER
+    * auto-broadcast and every join against one planned sort-merge.
+    * sizeInBytes is the on-disk sum of exactly the files this scan will
+    * open — AFTER partition/index/sketch pruning, so a day-filtered
+    * fact side shrinks to its pruned size and becomes broadcastable —
+    * via driver-side Files.size calls, the same O(files) metadata order
+    * as planning itself (no Spark job). Deletion-vector masks only
+    * remove rows, so the pre-mask size is a slight over-estimate —
+    * conservative for broadcast decisions, never a wrong plan. numRows
+    * stays unreported: exact row counts would cost footer reads per
+    * planned query; size alone drives join strategy. CDF scans report
+    * unknown (their cost is O(changed files), not snapshot size). */
+  override def estimateStatistics(): Statistics =
+    if (cdf) CommitLogScan.UnknownStats
+    else {
+      val bytes = resolvedSnapshot._3.map { f =>
+        try java.nio.file.Files.size(
+          java.nio.file.Paths.get(LayoutDirs.localPath(f)))
+        catch { case _: Exception => 0L }
+      }.sum
+      new Statistics {
+        override def sizeInBytes(): java.util.OptionalLong =
+          java.util.OptionalLong.of(bytes)
+        override def numRows(): java.util.OptionalLong =
+          java.util.OptionalLong.empty()
+      }
     }
 
   override def toMicroBatchStream(checkpointLocation: String)
@@ -880,6 +919,15 @@ class CommitLogScan(tableDir: String, schema: StructType,
       Option(options.get("skipChangeCommits")).exists(_.toBoolean),
       partConstraints, cdf = cdf, startingVersion = startingVersion,
       strBounds = strBounds, eqKeys = eqKeys)
+}
+
+private[sources] object CommitLogScan {
+  val UnknownStats: Statistics = new Statistics {
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.empty()
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.empty()
+  }
 }
 
 /** Batch CHANGE-FEED scan over [startingVersion, endingVersion]: one
@@ -916,27 +964,47 @@ class CommitLogCdfBatch(tableDir: String, schema: StructType,
       })
 }
 
-/** Snapshot-at-a-version batch scan: live files from the log (checkpoint +
-  * direct-addressed tail), dir- and index-pruned, one input partition per
-  * file. */
-class CommitLogBatch(tableDir: String, schema: StructType,
-    versionAsOf: Option[Long], bounds: Map[String, (Long, Long)],
-    filters: Array[Filter], partConstraints: Seq[PartConstraint] = Seq.empty,
-    strBounds: Map[String, (Option[String], Option[String])] = Map.empty,
-    eqKeys: Map[String, Seq[Long]] = Map.empty)
+/** Snapshot-at-a-version batch scan over a resolution the owning
+  * [[CommitLogScan]] computed (and shares with its statistics report —
+  * one metadata pass per query, not two). */
+class CommitLogBatch(schema: StructType, filters: Array[Filter],
+    resolve: () => (Array[InputPartition], Map[String, String], Seq[String]))
     extends Batch {
 
-  /** Partitions AND the column mapping in force at the pinned version —
-    * resolved together so the factory translates through the same
-    * generation the planner pruned with. */
-  private lazy val resolved
-      : (Array[InputPartition], Map[String, String]) = {
+  private lazy val resolved = resolve()
+
+  override def planInputPartitions(): Array[InputPartition] = resolved._1
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    // Spark refuses mixed row/columnar partitions in one scan, so ANY
+    // live mask forces the whole scan onto the row path (which applies
+    // positions); OPTIMIZE restores the columnar fast path
+    new CommitLogReaderFactory(schema, filters,
+      rowModeForced = resolved._1.exists {
+        case p: CommitLogInputPartition => p.dvPositions.nonEmpty
+        case _ => false
+      },
+      nameMap = resolved._2)
+}
+
+private[sources] object CommitLogBatch {
+
+  /** Partitions, the column mapping in force at the pinned version
+    * (resolved together so the factory translates through the same
+    * generation the planner pruned with), and the pruned file list (the
+    * statistics report sizes exactly these). */
+  def resolve(tableDir: String, versionAsOf: Option[Long],
+      bounds: Map[String, (Long, Long)],
+      partConstraints: Seq[PartConstraint],
+      strBounds: Map[String, (Option[String], Option[String])],
+      eqKeys: Map[String, Seq[Long]])
+      : (Array[InputPartition], Map[String, String], Seq[String]) = {
     val spark = CommitLogPlanning.session
     val v = versionAsOf.getOrElse(CommitLogIngest.latestVersion(tableDir))
     // a CREATEd-but-not-yet-written table is a valid zero-row SELECT
     // (its schema came from the declared marker); an EXPLICIT versionAsOf
     // on such a table still fails loudly through liveFiles
-    if (v < 0 && versionAsOf.isEmpty) (Array.empty, Map.empty)
+    if (v < 0 && versionAsOf.isEmpty) (Array.empty, Map.empty, Seq.empty)
     else {
       // liveState FIRST: its contract guard owns the "no committed
       // version" refusal (the mapping resolve reads the log and would
@@ -963,22 +1031,9 @@ class CommitLogBatch(tableDir: String, schema: StructType,
         CommitLogIngest.dvPositionsFor(spark, tableDir, dvs, pruned)
       (pruned.map(f => CommitLogInputPartition(f,
         dvPositions = posByFile.getOrElse(f, Array.emptyLongArray))
-        : InputPartition).toArray, nameMap)
+        : InputPartition).toArray, nameMap, pruned)
     }
   }
-
-  override def planInputPartitions(): Array[InputPartition] = resolved._1
-
-  override def createReaderFactory(): PartitionReaderFactory =
-    // Spark refuses mixed row/columnar partitions in one scan, so ANY
-    // live mask forces the whole scan onto the row path (which applies
-    // positions); OPTIMIZE restores the columnar fast path
-    new CommitLogReaderFactory(schema, filters,
-      rowModeForced = resolved._1.exists {
-        case p: CommitLogInputPartition => p.dvPositions.nonEmpty
-        case _ => false
-      },
-      nameMap = resolved._2)
 }
 
 /** One table version range per micro-batch; versions ARE offsets. */
