@@ -303,13 +303,7 @@ class CommitLogScanBuilder(tableDir: String, schema: StructType,
     * against a file whose keys live in [5.6, 5.9]. A double/float-keyed
     * index is simply never pruned through pushed filters (the explicit
     * index.lo/index.hi options remain available). */
-  private def intOf(v: Any): Option[Long] = v match {
-    case n: java.lang.Long => Some(n.longValue)
-    case n: java.lang.Integer => Some(n.longValue)
-    case n: java.lang.Short => Some(n.longValue)
-    case n: java.lang.Byte => Some(n.longValue)
-    case _ => None
-  }
+  private def intOf(v: Any): Option[Long] = CommitLogPlanning.intOf(v)
 
   private def boundOf(c: String, f: Filter): Option[(Long, Long)] = f match {
     case EqualTo(`c`, v) => intOf(v).map(n => (n, n))
@@ -323,11 +317,7 @@ class CommitLogScanBuilder(tableDir: String, schema: StructType,
   /** Filter value as a String, for the truncated-string index consult
     * (round 12). ASCII enforcement happens at PRUNE time against both
     * sides — here any string value is accepted. */
-  private def strOf(v: Any): Option[String] = v match {
-    case s: String => Some(s)
-    case u: UTF8String => Some(u.toString)
-    case _ => None
-  }
+  private def strOf(v: Any): Option[String] = CommitLogPlanning.strOf(v)
 
   /** INCLUSIVE [lo, hi] string bounds a filter implies on a column —
     * strict comparisons weaken to inclusive (strings have no +1; a
@@ -824,6 +814,14 @@ private[sources] case class PartEquals(col: String, v: String)
     extends PartConstraint {
   def keeps(value: String): Boolean = value == v
 }
+/** Membership in a rendered dir-value set — the DPP shape (`In` over a
+  * partition column with the join side's collected keys). NULL's dir
+  * never matches: SQL `IN` never matches NULL. */
+private[sources] case class PartIn(col: String, vs: Set[String])
+    extends PartConstraint {
+  def keeps(value: String): Boolean =
+    value != PartitionPaths.NullDir && vs.contains(value)
+}
 private[sources] case class PartIsNull(col: String) extends PartConstraint {
   def keeps(value: String): Boolean = value == PartitionPaths.NullDir
 }
@@ -833,7 +831,8 @@ class CommitLogScan(tableDir: String, schema: StructType,
     filters: Array[Filter], partConstraints: Seq[PartConstraint] = Seq.empty,
     strBounds: Map[String, (Option[String], Option[String])] = Map.empty,
     eqKeys: Map[String, Seq[Long]] = Map.empty)
-    extends Scan with SupportsReportStatistics {
+    extends Scan with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = schema
 
@@ -862,14 +861,135 @@ class CommitLogScan(tableDir: String, schema: StructType,
     })
   }
 
+  // ---- RUNTIME FILTERING (E-179, the Iceberg/Delta dynamic-file-pruning
+  // shape): after the build side of a join materializes, Spark hands this
+  // scan the collected join-key values as `In`/`EqualTo` filters; they
+  // merge into the SAME dir/index/sketch prune the static filters feed,
+  // so a fact scan joined to a filtered dim opens only the files the
+  // dim's keys can touch — decided before a single fact byte moves.
+  @volatile private var rtBounds: Map[String, (Long, Long)] = Map.empty
+  @volatile private var rtStrBounds
+      : Map[String, (Option[String], Option[String])] = Map.empty
+  @volatile private var rtEqKeys: Map[String, Seq[Long]] = Map.empty
+  @volatile private var rtPart: Seq[PartConstraint] = Seq.empty
+  @volatile private var rtGen: Int = 0
+
+  private lazy val partCols: Set[String] =
+    CommitLogIngest.partitionColsOf(tableDir).toSet
+
+  /** Columns a runtime filter can act on: partition dirs prune the
+    * layout columns; integral leaves prune through the stats index
+    * (legacy + mins/maxs) and the statsCol's bloom sketch; string leaves
+    * through the truncated-string bounds. Only columns of THIS scan's
+    * (pruned) read schema may be advertised — Spark resolves the list
+    * against the scan relation's output and a stray name is an
+    * AnalysisException, not a skip (a join key is always in the output,
+    * so nothing prunable is lost). Advertising a column the index lacks
+    * stats for is safe — the prune keeps those files. */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    schema.fields.collect {
+      case f if f.dataType == LongType || f.dataType == IntegerType ||
+        f.dataType == ShortType || f.dataType == ByteType ||
+        f.dataType == StringType =>
+        org.apache.spark.sql.connector.expressions.Expressions.column(f.name)
+          : org.apache.spark.sql.connector.expressions.NamedReference
+    }
+
+  /** Runtime filters arrive ONCE, after the broadcast completes and
+    * before the (re-)planning of input partitions; translation mirrors
+    * the builder's static derivation. A value that does not render
+    * (fractional against an integral column, unexpected type) simply
+    * contributes nothing — Spark re-applies the row-level join anyway,
+    * so runtime pruning is a speedup, never a semantic fork. */
+  override def filter(filters: Array[Filter]): Unit = {
+    def renderPart(v: Any): Option[String] =
+      CommitLogPlanning.intOf(v).map(_.toString).orElse(v match {
+        case s: String => Some(PartitionPaths.escape(s))
+        case u: UTF8String => Some(PartitionPaths.escape(u.toString))
+        case b: java.lang.Boolean => Some(b.toString)
+        case _ => None
+      })
+    val bounds = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    val strs = scala.collection.mutable.Map
+      .empty[String, (Option[String], Option[String])]
+    val eqs = scala.collection.mutable.Map.empty[String, Seq[Long]]
+    val parts = scala.collection.mutable.ArrayBuffer.empty[PartConstraint]
+    filters.foreach {
+      case EqualTo(c, v) =>
+        CommitLogPlanning.intOf(v).foreach { n =>
+          bounds(c) = (n, n); eqs(c) = Seq(n)
+        }
+        CommitLogPlanning.strOf(v).foreach(s => strs(c) = (Some(s), Some(s)))
+        if (partCols.contains(c)) renderPart(v).foreach(r =>
+          parts += PartIn(c, Set(r)))
+      case In(c, vs) if vs.nonEmpty =>
+        val ns = vs.toSeq.flatMap(CommitLogPlanning.intOf)
+        if (ns.length == vs.length) {
+          bounds(c) = (ns.min, ns.max)
+          if (ns.length <= 256) eqs(c) = ns.distinct.sorted
+        }
+        val ss = vs.toSeq.flatMap(CommitLogPlanning.strOf)
+        if (ss.length == vs.length && ss.nonEmpty)
+          strs(c) = (Some(ss.min), Some(ss.max))
+        if (partCols.contains(c)) {
+          val rendered = vs.toSeq.filter(_ != null).flatMap(renderPart)
+          // translate only when EVERY non-null value rendered — a
+          // partial set would wrongly prune the unrendered values' dirs
+          if (rendered.length == vs.count(_ != null))
+            parts += PartIn(c, rendered.toSet)
+        }
+      case _ => () // other shapes carry no file-level evidence
+    }
+    rtBounds = bounds.toMap
+    rtStrBounds = strs.toMap
+    rtEqKeys = eqs.toMap
+    rtPart = parts.toSeq
+    rtGen += 1
+  }
+
+  private def intersect(a: Map[String, (Long, Long)],
+      b: Map[String, (Long, Long)]): Map[String, (Long, Long)] =
+    (a.keySet ++ b.keySet).map { c =>
+      val bs = a.get(c).toSeq ++ b.get(c).toSeq
+      c -> (bs.map(_._1).max, bs.map(_._2).min)
+    }.toMap
+
   /** Snapshot resolution (live files → dir/index/sketch prune → mask
-    * positions), computed ONCE per scan and shared between partition
-    * planning and the statistics report below — a second metadata pass
-    * per query measurably inflates connector planning cost (the
-    * round-13 liveState lesson). */
-  private[sources] lazy val resolvedSnapshot =
-    CommitLogBatch.resolve(tableDir, pinnedVersion, bounds,
-      partConstraints, strBounds, eqKeys)
+    * positions) under static AND runtime filters, memoized per
+    * runtime-filter generation and shared between partition planning and
+    * the statistics report — a second metadata pass per query measurably
+    * inflates connector planning cost (the round-13 liveState lesson).
+    * A runtime filter arriving after the statistics report (it always
+    * does — stats are an optimizer-time question) recomputes once. */
+  private val resolutionMemo = new java.util.concurrent.atomic.AtomicReference[
+    (Int, (Array[InputPartition], Map[String, String], Seq[String]))]()
+
+  private[graft] def resolvedSnapshot
+      : (Array[InputPartition], Map[String, String], Seq[String]) = {
+    val gen = rtGen
+    val cached = resolutionMemo.get()
+    if (cached != null && cached._1 == gen) cached._2
+    else {
+      val mergedEq = (eqKeys.keySet ++ rtEqKeys.keySet).flatMap { c =>
+        val sets = eqKeys.get(c).toSeq ++ rtEqKeys.get(c).toSeq
+        val merged = sets.map(_.toSet).reduce(_ intersect _)
+        if (merged.isEmpty) None else Some(c -> merged.toSeq.sorted)
+      }.toMap
+      val mergedStr = (strBounds.keySet ++ rtStrBounds.keySet).map { c =>
+        val bs = strBounds.get(c).toSeq ++ rtStrBounds.get(c).toSeq
+        val los = bs.flatMap(_._1)
+        val his = bs.flatMap(_._2)
+        c -> (if (los.isEmpty) None else Some(los.max),
+          if (his.isEmpty) None else Some(his.min))
+      }.toMap
+      val r = CommitLogBatch.resolve(tableDir, pinnedVersion,
+        intersect(bounds, rtBounds), partConstraints ++ rtPart,
+        mergedStr, mergedEq)
+      resolutionMemo.set((gen, r))
+      r
+    }
+  }
 
   override def toBatch: Batch =
     if (cdf) {
@@ -1174,6 +1294,25 @@ object CommitLogOffset {
 
 /** Driver-side planning helpers shared by the batch and streaming scans. */
 private[sources] object CommitLogPlanning {
+
+  /** Filter value as an exact Long — INTEGRAL widths only (truncating a
+    * fractional value would STRENGTHEN a bound and prune matching
+    * files; see the builder's bound derivation). */
+  def intOf(v: Any): Option[Long] = v match {
+    case n: java.lang.Long => Some(n.longValue)
+    case n: java.lang.Integer => Some(n.longValue)
+    case n: java.lang.Short => Some(n.longValue)
+    case n: java.lang.Byte => Some(n.longValue)
+    case _ => None
+  }
+
+  /** Filter value as a String (ASCII enforcement happens at prune time
+    * against both sides — here any string is accepted). */
+  def strOf(v: Any): Option[String] = v match {
+    case s: String => Some(s)
+    case u: UTF8String => Some(u.toString)
+    case _ => None
+  }
 
   def session: SparkSession =
     SparkSession.getActiveSession
