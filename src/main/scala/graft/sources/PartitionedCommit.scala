@@ -67,6 +67,13 @@ object PartitionedCommit {
         statsCol = Some("event_id"))
       require(optV == 3L && nIn > 1,
         s"partitioned optimize did not commit: v$optV, $nIn smalls")
+      // a FILE-backed day dimension for the runtime-prune oracle: DPP
+      // requires a visible selective predicate on the build side (an
+      // in-memory dim's filter constant-folds away), and a real star
+      // schema's dim is a table anyway
+      ev.select(col("day").as("dday")).distinct()
+        .withColumn("nm", concat(lit("d"), col("dday").cast("string")))
+        .coalesce(1).write.parquet(root.toString + "/dim")
       table
     }
 
@@ -124,10 +131,64 @@ object PartitionedCommit {
       |FROM events WHERE event_type <> 'purchase'
       |GROUP BY 1""".stripMargin
 
+  /** Two-day census again — but the days arrive as RUNTIME join keys
+    * (E-179): the dim is filtered by NAME, so static planning cannot
+    * know which days survive; Spark's dynamic partition pruning hands
+    * the scan the collected keys after the dim broadcasts, and the scan
+    * opens only those days' dirs. The in-query gate proves both halves:
+    * the executed plan carries the injected `dynamicpruning` subquery,
+    * and the read opened a strict subset of the live files (this query
+    * must never silently degrade to scan-everything-then-join). DuckDB
+    * replays the dim filter as day arithmetic on the original parquet. */
+  def runtimePruneCensus(spark: SparkSession, sfDir: String): DataFrame = {
+    val table = ensure(spark, sfDir)
+    val root = java.nio.file.Paths.get(table).getParent.toString
+    val d0 = Tables.events(spark, sfDir)
+      .agg(min(expr(s"ts div ${EventsLayout.NanosPerDay}"))).head().getLong(0)
+    val dim = spark.read.parquet(root + "/dim")
+      .filter(col("nm").isin(s"d${d0 + 1}", s"d${d0 + 3}"))
+    def q: DataFrame = spark.read.format("graft-commitlog")
+      .option("path", table).load()
+      .join(dim, col("day") === col("dday"))
+      .groupBy(col("day").cast("long").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(sum(col("value")), 4).as("sum_value"))
+    CommitLogReadTracker.enable()
+    val probe = q
+    probe.collect()
+    val opened = CommitLogReadTracker.drain().distinct
+      .filter(_.startsWith(table)) // the dim read is not under the gate
+    CommitLogReadTracker.disable()
+    val live = CommitLogIngest.liveState(spark, table,
+      CommitLogIngest.latestVersion(table))._1
+    val planStr = probe.queryExecution.executedPlan.toString
+    require(planStr.contains("dynamicpruning"),
+      "src_runtime_prune no longer injects the runtime filter")
+    require(opened.nonEmpty && opened.size < live.size &&
+        opened.forall(f => f.contains(s"day=${d0 + 1}") ||
+          f.contains(s"day=${d0 + 3}")),
+      s"src_runtime_prune no longer prunes at runtime: opened " +
+        s"${opened.size} of ${live.size} live files: $opened")
+    q
+  }
+
+  val runtimePruneCensusSql: String =
+    """WITH e AS (
+      |  SELECT epoch_ms(ts) // 86400000 AS day, user_id, value FROM events
+      |  WHERE event_type <> 'purchase'
+      |), m AS (SELECT MIN(epoch_ms(ts) // 86400000) AS d0 FROM events)
+      |SELECT e.day, COUNT(*) AS n_events,
+      |  COUNT(DISTINCT e.user_id) AS n_users,
+      |  ROUND(SUM(e.value), 4) AS sum_value
+      |FROM e, m WHERE e.day IN (m.d0 + 1, m.d0 + 3)
+      |GROUP BY e.day""".stripMargin
+
   /** Test hook: drop cached layouts (the shared clear contract). */
   private[graft] def clearCache(): Unit = cache.clear()
 
   def queries: Map[String, Q] = Map(
     "src_partitioned_commit" -> Q(windowCensusSql)(windowCensus),
-    "src_grouped_agg" -> Q(groupedAggCensusSql)(groupedAggCensus))
+    "src_grouped_agg" -> Q(groupedAggCensusSql)(groupedAggCensus),
+    "src_runtime_prune" -> Q(runtimePruneCensusSql)(runtimePruneCensus))
 }
