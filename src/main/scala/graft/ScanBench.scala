@@ -138,6 +138,41 @@ object ScanBench {
     val (bloomS, bloomR) = minOf2(() => bloomProbe())
     val (bloomNatS, bloomNatR) = minOf2(() => nativeProbe())
 
+    // RUNTIME-PRUNE leg (E-179): the two-day star join over the
+    // day-partitioned events table, with dynamic partition pruning ON
+    // (runtime keys prune the fact's day dirs) vs OFF (scan every day,
+    // join, discard) — same plan shape otherwise, same result
+    val evTable = graft.sources.PartitionedCommit.ensure(spark, sfDir)
+    val evRoot = java.nio.file.Paths.get(evTable).getParent.toString
+    val evD0 = graft.model.Tables.events(spark, sfDir)
+      .agg(min(expr(s"ts div ${graft.sources.EventsLayout.NanosPerDay}")))
+      .head().getLong(0)
+    def dppJoin(): Long = {
+      val dim = spark.read.parquet(evRoot + "/dim")
+        .filter(col("nm").isin(s"d${evD0 + 1}", s"d${evD0 + 3}"))
+      spark.read.format("graft-commitlog").option("path", evTable).load()
+        .join(dim, col("day") === col("dday"))
+        .agg(count(lit(1))).head().getLong(0)
+    }
+    val dppKey = "spark.sql.optimizer.dynamicPartitionPruning.enabled"
+    def withDpp[T](on: Boolean)(f: () => T): T = {
+      val old = spark.conf.get(dppKey)
+      spark.conf.set(dppKey, on.toString)
+      try f() finally spark.conf.set(dppKey, old)
+    }
+    withDpp(true)(dppJoin _); withDpp(false)(dppJoin _) // warm both
+    graft.sources.CommitLogReadTracker.enable()
+    withDpp(true)(dppJoin _)
+    val dppFiles = graft.sources.CommitLogReadTracker.drain()
+      .distinct.count(_.startsWith(evTable))
+    graft.sources.CommitLogReadTracker.enable()
+    withDpp(false)(dppJoin _)
+    val noDppFiles = graft.sources.CommitLogReadTracker.drain()
+      .distinct.count(_.startsWith(evTable))
+    graft.sources.CommitLogReadTracker.disable()
+    val (dppOnS, dppOnR) = minOf2(() => withDpp(true)(dppJoin _))
+    val (dppOffS, dppOffR) = minOf2(() => withDpp(false)(dppJoin _))
+
     // doubles sum in partition order, which differs between the two scans
     // (per-file partitions vs size-split) — exact for integrals/strings,
     // relative tolerance for floating sums
@@ -150,7 +185,8 @@ object ScanBench {
     val parity = agree(wideConnR, wideNatR) &&
       agree(narrowConnR, narrowNatR) && cntConnR == cntNatR &&
       cntConnR == rows && agree(arrConnR, arrNatR) &&
-      bloomR == bloomNatR && bloomR > 0
+      bloomR == bloomNatR && bloomR > 0 &&
+      dppOnR == dppOffR && dppOnR > 0
     val mode = graft.sources.CommitLogReaderFactory.lastMode
     println(
       f"""{"metric":"v2_scan_decode_tax","sf_dir":"$sfDir","rows":$rows,""" +
@@ -164,6 +200,8 @@ object ScanBench {
         f""""array_tax":${arrConnS / arrNatS}%.2f,""" +
         f""""bloom_probe_s":$bloomS%.3f,"bloom_native_s":$bloomNatS%.3f,""" +
         s""""bloom_files_opened":$bloomOpened,"bloom_files_live":$liveFiles,""" +
+        f""""dpp_join_s":$dppOnS%.3f,"no_dpp_join_s":$dppOffS%.3f,""" +
+        s""""dpp_files_opened":$dppFiles,"no_dpp_files_opened":$noDppFiles,""" +
         s""""reader_mode":"$mode","parity":$parity}""")
     graft.sources.LayoutDirs.deleteQuiet(root.toString)
     spark.stop()
