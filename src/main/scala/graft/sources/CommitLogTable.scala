@@ -815,12 +815,16 @@ private[sources] case class PartEquals(col: String, v: String)
   def keeps(value: String): Boolean = value == v
 }
 /** Membership in a rendered dir-value set — the DPP shape (`In` over a
-  * partition column with the join side's collected keys). NULL's dir
-  * never matches: SQL `IN` never matches NULL. */
+  * partition column with the join side's collected keys). NO special
+  * NULL-dir exclusion: the `null` dir is SHARED between NULL rows and
+  * rows whose real string value renders as "null" (see
+  * PartitionPaths.NullDir) — when the key set contains that rendering,
+  * the dir may hold matching rows and must be kept; when it does not,
+  * no row there can match (NULL never matches IN, and the dir's other
+  * rows carry exactly the "null" rendering) and pruning is sound. */
 private[sources] case class PartIn(col: String, vs: Set[String])
     extends PartConstraint {
-  def keeps(value: String): Boolean =
-    value != PartitionPaths.NullDir && vs.contains(value)
+  def keeps(value: String): Boolean = vs.contains(value)
 }
 private[sources] case class PartIsNull(col: String) extends PartConstraint {
   def keeps(value: String): Boolean = value == PartitionPaths.NullDir
@@ -1018,12 +1022,18 @@ class CommitLogScan(tableDir: String, schema: StructType,
   override def estimateStatistics(): Statistics =
     if (cdf) CommitLogScan.UnknownStats
     else {
+      // any unsizable file → UNKNOWN, never 0: counting a file as free
+      // would let a concurrently-vacuumed (or remote-storage) multi-GB
+      // table report itself under the broadcast threshold and OOM the
+      // join; unknown just keeps Spark's conservative default
+      var failed = false
       val bytes = resolvedSnapshot._3.map { f =>
         try java.nio.file.Files.size(
           java.nio.file.Paths.get(LayoutDirs.localPath(f)))
-        catch { case _: Exception => 0L }
+        catch { case _: Exception => failed = true; 0L }
       }.sum
-      new Statistics {
+      if (failed) CommitLogScan.UnknownStats
+      else new Statistics {
         override def sizeInBytes(): java.util.OptionalLong =
           java.util.OptionalLong.of(bytes)
         override def numRows(): java.util.OptionalLong =

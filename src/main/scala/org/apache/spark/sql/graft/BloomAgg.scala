@@ -107,9 +107,13 @@ object BloomAgg {
     val ks = keys.toArray
     val probe = udf((bits: Array[Byte]) =>
       bits == null || {
+        // NonFatal, not just IOException: corrupt bytes can surface as
+        // unchecked throws (e.g. a garbage length header allocating a
+        // negative-sized array) and "undecodable" must KEEP the file,
+        // never fail the query
         val bf =
           try BloomFilter.readFrom(new ByteArrayInputStream(bits))
-          catch { case _: java.io.IOException => null }
+          catch { case scala.util.control.NonFatal(_) => null }
         bf == null || ks.exists(bf.mightContain)
       })
     probe(bloom)

@@ -114,6 +114,39 @@ class RuntimeFilterSpec extends SparkSuite {
       "a fractional value against an integral column must not prune")
   }
 
+  test("a runtime In containing the literal string \"null\" keeps the " +
+      "shared null dir (real \"null\"-string rows must not vanish)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp("nulldir")
+    Seq((1L, "a"), (2L, "null"), (3L, null.asInstanceOf[String]))
+      .toDF("id", "src").coalesce(1)
+      .write.format("graft-commitlog").option("path", table)
+      .option("partitionCols", "src")
+      .option("statsCol", "id").mode("append").save()
+    val scan = {
+      val df = v2(table)
+      df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case a: AdaptiveSparkPlanExec =>
+          a.inputPlan.collectLeaves().collectFirst {
+            case b: BatchScanExec => b.scan
+          }.get
+        case b: BatchScanExec => b.scan
+      }.get.asInstanceOf[CommitLogScan]
+    }
+    scan.filter(Array[Filter](In("src", Array("null"))))
+    // the null dir is SHARED between NULL rows and real "null" strings —
+    // it may hold a match, so it must survive the runtime prune (Spark's
+    // row-level re-filter then drops the NULL row, never here)
+    assert(scan.resolvedSnapshot._3.exists(_.contains("src=null")),
+      s"the shared null dir was pruned: ${scan.resolvedSnapshot._3}")
+    assert(!scan.resolvedSnapshot._3.exists(_.contains("src=a")))
+    // end-to-end: the real "null" string row survives, the NULL row and
+    // the "a" row do not match
+    assert(v2(table).filter(col("src").isin("null"))
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   test("runtime-pruned join values equal the unpruned join") {
     val s = spark
     import s.implicits._
