@@ -78,12 +78,19 @@ object Dedup {
     * over the FULL shingle sets of candidate pairs. */
   private val MaxShingleDf = 10
 
-  /** Byte budget for broadcasting the doc→hashed-shingle-set table into the
-    * verify joins (estimated from measured row/element counts: 8 B per hash
-    * + 32 B per-row overhead). 512 MiB estimated ≈ ≤ ~1.5 GiB as an in-heap
-    * HashedRelation — safe in the 8 GiB bench JVM, and ~20× the sf1 corpus.
-    * Above it the verify runs as a shuffle join (the 100 TB regime). */
-  private val VerifyBroadcastMaxBytes = 512L << 20
+  /** Byte budget for broadcasting the doc→(n, stop-shingles) verify table
+    * into the verify joins (estimated from measured row/element counts:
+    * 8 B per hash + 48 B per-row overhead). 512 MiB estimated ≈ ≤ ~1.5 GiB
+    * as an in-heap HashedRelation — safe in the 8 GiB bench JVM. Above it
+    * the verify runs as a shuffle join (the 100 TB regime).
+    * `SPARK_GRAFT_VERIFY_BCAST_MAX` overrides the budget (bytes): 0 forces
+    * the shuffle regime — the dial the at-scale shuffle measurements in
+    * BENCH_NOTES use, and the production knob for executors with less
+    * headroom than the bench JVM. The default is the measured-safe local
+    * value; results are identical in either regime (join strategy only). */
+  private val VerifyBroadcastMaxBytes: Long =
+    sys.env.get("SPARK_GRAFT_VERIFY_BCAST_MAX").flatMap(_.toLongOption)
+      .getOrElse(512L << 20)
 
   /** Pairwise 3-shingle Jaccard ≥ 0.1, two-phase: (1) candidate pairs from
     * a self-join on rare shingles (df ≤ MaxShingleDf — bounds fan-out, no
@@ -128,6 +135,10 @@ object Dedup {
     sourceGramsCache.synchronized {
       sourceGramsCache.values.foreach { case (_, df) => unpersistQuiet(df) }
       sourceGramsCache.clear()
+    }
+    simSigCache.synchronized {
+      simSigCache.values.foreach { case (_, df) => unpersistQuiet(df) }
+      simSigCache.clear()
     }
   }
 
@@ -203,31 +214,55 @@ object Dedup {
         .filter(col("df") <= MaxShingleDf).select("h"),
       Seq("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Candidate pairs WITH their common-RARE-shingle count folded into
+    // the same aggregation that used to dedupe them (round-14 verdict,
+    // Next round #1): the rare/stop split below needs |A ∩ B ∩ rare| per
+    // pair, and the self-join already emits one row per common rare
+    // shingle — counting them rides the exchange the old `.distinct()`
+    // paid anyway. DISTINCT count (not count(*)) so a 60-bit md5
+    // collision inside one doc cannot double-count a hash that
+    // array_intersect semantics (and the DuckDB twin's list_intersect)
+    // would count once.
     val cand = rare.as("a").join(rare.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    // verify phase: per-pair set intersection over full (hashed) shingle
-    // sets — one codegen'd array_intersect per candidate instead of
-    // re-exploding into a (candidates × shingles-per-doc) join.
-    //
-    // Join strategy is a MEASURED size gate, not a blind hint. Shuffling
-    // shH per candidate ships BOTH shingle arrays once per pair — at the
-    // sf10 scale probe that was 43.6M candidates × ~0.9 KB of arrays
-    // ≈ 36 GB of shuffle, 94% of the build (495 s of a 524 s build);
-    // broadcasting the 224 MB doc→set table instead cut the verify phase
-    // to 29 s (17×). AQE can't make that call here (its 10 MB threshold is
-    // session-wide; raising it would license unbounded broadcasts
-    // everywhere), so the builder measures shH from its persisted blocks
-    // (one cheap agg job) and broadcasts ONLY under an explicit byte
-    // budget; past the budget — the true 100 TB regime — it falls back to
-    // the unhinted shuffle join, which is O(candidates) and AQE-planned.
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(countDistinct(col("a.h")).as("c_rare"))
+    // verify phase: c = |A ∩ B| decomposes by GLOBAL shingle df into
+    // |A ∩ B ∩ rare| (c_rare above, already paid for) + |A ∩ B ∩ stop|
+    // — so the per-pair join only needs each doc's STOP (df >
+    // MaxShingleDf) shingles and its total distinct-shingle count,
+    // never the full set. Shipping full sets was the round-14 at-scale
+    // failure: ~36 GB of shuffle at sf10 and ENOSPC at sf100 once the
+    // table outgrew the broadcast budget, because both full hashed
+    // arrays crossed the exchanges once per candidate. Stop shingles
+    // are the hot tail of the df distribution — a bounded number of
+    // DISTINCT values by construction, and per doc a small fraction of
+    // its shingles — so the verify payload per pair drops from
+    // O(|doc|) to O(|doc ∩ stop|) + two ints (measured ratios in
+    // OPTIMIZATION_r15.md).
+    val rareSets = rare.groupBy(col("doc_id"))
+      .agg(collect_list(col("h")).as("rh"))
+    val vtab = shH.join(rareSets, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("s")).as("n"),
+        array_except(col("s"),
+          coalesce(col("rh"), typedLit(Array.empty[Long]))).as("st"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Join strategy is a MEASURED size gate, not a blind hint. AQE can't
+    // make this call (its 10 MB threshold is session-wide; raising it
+    // would license unbounded broadcasts everywhere), so the builder
+    // measures the verify table from its persisted blocks (one cheap agg
+    // job) and broadcasts ONLY under an explicit byte budget; past the
+    // budget — the true 100 TB regime — it falls back to the unhinted
+    // shuffle join, which is O(candidates) and AQE-planned, and now
+    // ships only the stop arrays. The rare/stop split also moves the
+    // broadcast crossover ~2 decades right: the gate measures stop
+    // bytes, not corpus bytes.
     // coalesce: sum() over ZERO rows is NULL (an empty/all-empty-text
     // corpus) — getLong would NPE where the right answer is "nothing to
     // verify, don't broadcast"
-    val shStats = shH.agg(count(lit(1)),
-      coalesce(sum(size(col("s"))), lit(0L))).head()
-    val estBytes = shStats.getLong(1) * 8L + shStats.getLong(0) * 32L
+    val vStats = vtab.agg(count(lit(1)),
+      coalesce(sum(size(col("st"))), lit(0L))).head()
+    val estBytes = vStats.getLong(1) * 8L + vStats.getLong(0) * 48L
     // the broadcast COLLECT is also bounded by spark.driver.maxResultSize
     // (serialized rows ≈ estBytes): cap the budget at half the session's
     // limit so an estimate-vs-serialized margin can't turn the
@@ -238,20 +273,22 @@ object Dedup {
     val budget =
       if (maxResult > 0) math.min(VerifyBroadcastMaxBytes, maxResult / 2)
       else VerifyBroadcastMaxBytes
-    val gatedShH =
-      if (estBytes <= budget) broadcast(shH) else shH
+    val gatedV =
+      if (estBytes <= budget) broadcast(vtab) else vtab
     val scored = cand
-      .join(gatedShH.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(gatedShH.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .join(gatedV.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(gatedV.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("sa.s"), col("sb.s"))).cast("double").as("c"),
-        size(col("sa.s")).cast("double").as("na"),
-        size(col("sb.s")).cast("double").as("nb"))
+        (col("c_rare") +
+          size(array_intersect(col("sa.st"), col("sb.st"))))
+          .cast("double").as("c"),
+        col("sa.n").cast("double").as("na"),
+        col("sb.n").cast("double").as("nb"))
       .select(col("doc_a"), col("doc_b"),
         (col("c") / (col("na") + col("nb") - col("c"))).as("jaccard"),
         (col("c") / least(col("na"), col("nb"))).as("containment"))
       .filter(col("jaccard") >= 0.1 || col("containment") >= 0.5)
-    (scored, Seq(shH, rare))
+    (scored, Seq(shH, rare, vtab))
   }
 
   /** Shared oracle CTE chain: shingles → rare-shingle candidate pairs →
@@ -557,22 +594,57 @@ object Dedup {
     * md5/conv evaluated once per shingle via codegen subexpression
     * elimination, one shuffle of 64 longs per doc, no shingles×64 row
     * explosion. */
-  def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val tok = toks(spark, sfDir)
-      .select(col("doc_id"), explode(shingles("t", 3)).as("token"))
-      .select(col("doc_id"),
-        conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long").as("va"),
-        conv(substring(md5(col("token")), 9, 8), 16, 10).cast("long").as("vb"))
-    val bitSums = (0 until SimBits).map { b =>
-      val v = if (b < 32) col("va") else col("vb")
-      sum(when(shiftright(v, b % 32).bitwiseAND(lit(1L)) === 1L, 1L)
-        .otherwise(-1L)).as(s"s$b")
+  /** One persisted (doc_id, lo, hi) SimHash signature table per
+    * (session, SF) — the shingle-explode + 64-column bit-sum agg is the
+    * expensive prefix shared by d_simhash_pairs AND d_detector_votes
+    * (which re-ran the whole chain per query before round 15); the
+    * signature is 2 longs per doc, corpus-linear and tiny, exactly the
+    * minsCache economics. Fingerprint-keyed like the other model caches
+    * (regeneration-staleness hazard). */
+  private val simSigCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (String, DataFrame)]
+
+  private def simhashSig(spark: SparkSession, sfDir: String): DataFrame =
+    simSigCache.synchronized {
+      val fp = docsFp(sfDir)
+      simSigCache.get((spark, sfDir)) match {
+        case Some((`fp`, df)) => df
+        case stale =>
+          stale.foreach { case (_, df) => unpersistQuiet(df) }
+          val tok = toks(spark, sfDir)
+            .select(col("doc_id"), explode(shingles("t", 3)).as("token"))
+            .select(col("doc_id"),
+              conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long")
+                .as("va"),
+              conv(substring(md5(col("token")), 9, 8), 16, 10).cast("long")
+                .as("vb"))
+          val bitSums = (0 until SimBits).map { b =>
+            val v = if (b < 32) col("va") else col("vb")
+            sum(when(shiftright(v, b % 32).bitwiseAND(lit(1L)) === 1L, 1L)
+              .otherwise(-1L)).as(s"s$b")
+          }
+          val sums = tok.groupBy(col("doc_id"))
+            .agg(bitSums.head, bitSums.tail: _*)
+          def half(off: Int) = (0 until 32).map(b =>
+            when(col(s"s${off + b}") >= 0, lit(1L << b)).otherwise(lit(0L)))
+            .reduce(_ + _)
+          val sig = sums.select(col("doc_id"), half(0).as("lo"),
+            half(32).as("hi"))
+          sig.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          simSigCache.put((spark, sfDir), (fp, sig))
+          sig
+      }
     }
-    val sums = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    def half(off: Int) = (0 until 32).map(b =>
-      when(col(s"s${off + b}") >= 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    val sig = sums.select(col("doc_id"), half(0).as("lo"), half(32).as("hi"))
+
+  /** Force the shared SimHash signature table to materialize — Bench
+    * times this as its own entry (shared_simhash_sig) so consumer
+    * queries time steady-state plans. */
+  def materializeSimhash(spark: SparkSession, sfDir: String): Unit = {
+    simhashSig(spark, sfDir).count(); ()
+  }
+
+  def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val sig = simhashSig(spark, sfDir)
     val bands = sig.select(col("doc_id"), col("lo"), col("hi"),
       explode(array(
         struct(lit(0).as("band"),

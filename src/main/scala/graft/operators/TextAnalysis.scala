@@ -351,12 +351,16 @@ object TextAnalysis {
         col("norm"))
       .select(col("doc_id"), col("i"),
         expr(s"CAST(conv(substring(md5(substring(norm, i, $K)), 1, 15), 16, 10) AS BIGINT)")
-          .as("g"))
+          .as("g"),
+        // per-doc gram count n = length(norm) - (K-1), carried as a
+        // row-local column (round-15: it was recomputed as an UNBOUNDED
+        // count window over each doc partition — a full extra window
+        // pass buffering every doc's grams — for a value the sequence
+        // bound above already knows)
+        (length(col("norm")) - (K - 1)).as("n"))
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("i")).rowsBetween(0, W - 1)
     val kept = grams
-      .withColumn("n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
       .withColumn("f", min(col("g")).over(win))
       .filter(col("i") <= col("n") - (W - 1)) // only full windows
     kept.groupBy(col("doc_id"))
@@ -855,7 +859,14 @@ object TextAnalysis {
       .select(col("doc_id"), col("source"),
         col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val c2 = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-    val cctx = big.groupBy(col("w1")).agg(count(lit(1)).as("cctx"))
+    // c(w1·) = Σ_w2 c(w1,w2) EXACTLY (both count bigram occurrences), so
+    // derive the context counts from c2 instead of re-tokenizing the
+    // corpus a third time: the plan's two c2 subtrees share one
+    // ReusedExchange, and the context aggregation shuffles |bigram
+    // vocabulary| pre-counted rows instead of every bigram occurrence
+    // (round-15: one fewer full corpus tokenize+explode pass; counts are
+    // longs, so the sum is bit-identical to the direct count).
+    val cctx = c2.groupBy(col("w1")).agg(sum(col("c2")).as("cctx"))
     val vocab = arrs.select(explode(col("arr")).as("tk"))
       .agg(countDistinct(col("tk")).cast("double").as("v"))
     big.join(c2, Seq("w1", "w2")).join(cctx, Seq("w1"))

@@ -865,6 +865,24 @@ class CommitLogScan(tableDir: String, schema: StructType,
     })
   }
 
+  /** The ONE table version every resolution of this scan reads (round-14
+    * ADVICE, medium): without it each runtime-filter generation re-read
+    * latestVersion, and a commit landing between planning and execution
+    * of a DPP query paired gen-1 partitions with the gen-0 reader
+    * factory's nameMap/rowModeForced — a racing rename would translate
+    * through a stale column mapping, and a racing DV-adding DML could
+    * leave new deletion masks unapplied. Resolved lazily at the first
+    * resolution (statistics or planning, whichever asks first) and fixed
+    * for the scan's lifetime: stats, planning, factory and execution all
+    * read one snapshot. None = the table had no committed version at
+    * first resolution — such a scan stays a valid zero-row read even if
+    * a first commit races in (snapshot isolation, same as any other
+    * version). */
+  private lazy val lockedVersion: Option[Long] = pinnedVersion.orElse {
+    val latest = CommitLogIngest.latestVersion(tableDir)
+    if (latest < 0) None else Some(latest)
+  }
+
   // ---- RUNTIME FILTERING (E-179, the Iceberg/Delta dynamic-file-pruning
   // shape): after the build side of a join materializes, Spark hands this
   // scan the collected join-key values as `In`/`EqualTo` filters; they
@@ -888,14 +906,47 @@ class CommitLogScan(tableDir: String, schema: StructType,
     * (pruned) read schema may be advertised — Spark resolves the list
     * against the scan relation's output and a stray name is an
     * AnalysisException, not a skip (a join key is always in the output,
-    * so nothing prunable is lost). Advertising a column the index lacks
-    * stats for is safe — the prune keeps those files. */
+    * so nothing prunable is lost).
+    *
+    * RESTRICTED (round-14 ADVICE) to columns the scan can actually prune
+    * with: partition columns, the declared statsCol, and columns the
+    * stats index carries mins/maxs or strMins for. Advertising every
+    * integral/string column made Spark inject DPP/runtime-filter
+    * subqueries — build-side key collection on the driver — for join
+    * keys whose files the prune would keep anyway: pure planning cost,
+    * zero skipping. */
+  private lazy val runtimePrunableCols: Set[String] = {
+    val indexDir = s"$tableDir/index"
+    val indexed: Set[String] =
+      if (!LayoutDirs.hasParquetData(indexDir)) Set.empty
+      else try {
+        val idxSchema = CommitLogPlanning.session.read
+          .option("mergeSchema", "true").parquet(indexDir).schema
+        def leaves(s: String): Set[String] =
+          idxSchema.find(_.name == s).map(_.dataType).collect {
+            case st: StructType => st.fieldNames.toSet
+          }.getOrElse(Set.empty)
+        leaves("mins") ++ leaves("maxs") ++ leaves("strMins")
+      } catch { case _: Exception => Set.empty }
+    val statsKey = CommitLogIngest.indexedCol(tableDir).toSet
+    // index rows are keyed by PHYSICAL names — translate each read-schema
+    // (logical) column through the scan's pinned mapping before testing
+    // membership (resolvedSnapshot is memoized; statistics already
+    // resolved it, so this re-reads no metadata)
+    val nameMap = resolvedSnapshot._2
+    schema.fieldNames.filter { c =>
+      val phys = nameMap.getOrElse(c, c)
+      partCols.contains(c) || statsKey.contains(phys) ||
+        indexed.contains(phys)
+    }.toSet
+  }
+
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     schema.fields.collect {
-      case f if f.dataType == LongType || f.dataType == IntegerType ||
+      case f if (f.dataType == LongType || f.dataType == IntegerType ||
         f.dataType == ShortType || f.dataType == ByteType ||
-        f.dataType == StringType =>
+        f.dataType == StringType) && runtimePrunableCols.contains(f.name) =>
         org.apache.spark.sql.connector.expressions.Expressions.column(f.name)
           : org.apache.spark.sql.connector.expressions.NamedReference
     }
@@ -987,9 +1038,17 @@ class CommitLogScan(tableDir: String, schema: StructType,
         c -> (if (los.isEmpty) None else Some(los.max),
           if (his.isEmpty) None else Some(his.min))
       }.toMap
-      val r = CommitLogBatch.resolve(tableDir, pinnedVersion,
-        intersect(bounds, rtBounds), partConstraints ++ rtPart,
-        mergedStr, mergedEq)
+      // lockedVersion (not pinnedVersion): every generation resolves at
+      // the SAME snapshot — see the lockedVersion doc for the race this
+      // closes. A scan over a never-committed table resolves empty
+      // without consulting the log again.
+      val r = lockedVersion match {
+        case None => (Array.empty[InputPartition],
+          Map.empty[String, String], Seq.empty[String])
+        case pinned => CommitLogBatch.resolve(tableDir, pinned,
+          intersect(bounds, rtBounds), partConstraints ++ rtPart,
+          mergedStr, mergedEq)
+      }
       resolutionMemo.set((gen, r))
       r
     }

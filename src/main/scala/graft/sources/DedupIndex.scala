@@ -166,28 +166,40 @@ object DedupIndex {
       .join(sigRows(alive), Seq("doc_id"), "left")
     val dead = ranked.filter(col("_alive") === 0).select("doc_id")
     val sigCols = (0 until NumBands).map(b => s"sig$b")
+    // PERSIST the merge source (round-14 verdict, Next #3): the MERGE
+    // underneath runs ≥3 actions over it (duplicate-key guard, matched-
+    // file discovery, the survivor/insert write), and each one otherwise
+    // re-executes the whole CDF-read → net-outcome window → shingle →
+    // 16-min-agg chain — the dominant share of the advance's flat
+    // per-call overhead. The source is O(delta) by construction, so the
+    // cached blocks are small at any corpus size.
     val source = sigged
       .withColumn("_dead",
         when(col("sig0").isNull, lit(1)).otherwise(lit(0)))
       .unionByName(dead
         .select(col("doc_id") +: (sigCols.map(c =>
           lit(null).cast("string").as(c)) :+ lit(1).as("_dead")): _*))
-    import CommitLogIngest.MergeClause._
-    val (v, _) = CommitLogIngest.merge(spark, indexDir, source, "doc_id",
-      Seq(
-        MatchedDelete(Some(src("_dead") === 1)),
-        MatchedUpdate(None,
-          sigCols.map(c => c -> src(c)).toMap),
-        NotMatchedInsert(Some(src("_dead") === 0),
-          (("doc_id" -> src("doc_id")) +:
-            sigCols.map(c => c -> src(c))).toMap)),
-      statsCol = Some("doc_id"), txn = Some(s"$TxnId:$latest"))
-    if (v < 0)
-      // every change in the range was a no-op against the index (e.g.
-      // deletes of never-indexed docs): nothing to merge, but the
-      // watermark must still advance — an action-only commit carries it
-      CommitLogIngest.commitActions(spark, indexDir, Seq.empty, Seq.empty,
-        statsCol = None, statsDir = None, txn = Some(s"$TxnId:$latest"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      import CommitLogIngest.MergeClause._
+      val (v, _) = CommitLogIngest.merge(spark, indexDir, source, "doc_id",
+        Seq(
+          MatchedDelete(Some(src("_dead") === 1)),
+          MatchedUpdate(None,
+            sigCols.map(c => c -> src(c)).toMap),
+          NotMatchedInsert(Some(src("_dead") === 0),
+            (("doc_id" -> src("doc_id")) +:
+              sigCols.map(c => c -> src(c))).toMap)),
+        statsCol = Some("doc_id"), txn = Some(s"$TxnId:$latest"))
+      if (v < 0)
+        // every change in the range was a no-op against the index (e.g.
+        // deletes of never-indexed docs): nothing to merge, but the
+        // watermark must still advance — an action-only commit carries it
+        CommitLogIngest.commitActions(spark, indexDir, Seq.empty, Seq.empty,
+          statsCol = None, statsDir = None, txn = Some(s"$TxnId:$latest"))
+    } finally {
+      try { source.unpersist(); () } catch { case _: Exception => () }
+    }
     latest
   }
 

@@ -619,20 +619,27 @@ object CommitLogIngest {
       }
     }.toSet
     val all = cached ++ found
-    val p = retiredColsPath(dir)
-    Files.createDirectories(p.getParent)
-    // atomic swap: a concurrent reader must never see a torn cache (it
-    // would parse junk names); losing a concurrent writer's append is
-    // harmless — the marker scan re-finds everything
-    val tmp = p.resolveSibling(
-      s".retired-${java.util.UUID.randomUUID().toString.take(8)}")
-    Files.write(tmp,
-      (all.toSeq.sorted :+ s"#scanned:$latest").mkString("", "\n", "\n")
-        .getBytes("UTF-8"),
-      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
-    try Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    catch { case _: Exception => Files.deleteIfExists(tmp) }
+    // the cache rewrite is BEST-EFFORT in its entirety (round-14 ADVICE):
+    // the retired-name set is already computed, and the cache is
+    // explicitly self-healing — an IO failure anywhere in the rewrite
+    // (mkdir, tmp write, swap) must only cost a rescan on the next read,
+    // never fail the calling schema action out of a pure lookup
+    try {
+      val p = retiredColsPath(dir)
+      Files.createDirectories(p.getParent)
+      // atomic swap: a concurrent reader must never see a torn cache (it
+      // would parse junk names); losing a concurrent writer's append is
+      // harmless — the marker scan re-finds everything
+      val tmp = p.resolveSibling(
+        s".retired-${java.util.UUID.randomUUID().toString.take(8)}")
+      Files.write(tmp,
+        (all.toSeq.sorted :+ s"#scanned:$latest").mkString("", "\n", "\n")
+          .getBytes("UTF-8"),
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      try Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      catch { case _: Exception => Files.deleteIfExists(tmp) }
+    } catch { case _: Exception => () }
     all
   }
 

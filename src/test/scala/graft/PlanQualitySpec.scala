@@ -71,9 +71,11 @@ class PlanQualitySpec extends SparkSuite {
         "dims", // rollup dimension literal fan-out
         "hot", "custHot"), // limit(16) hot keys + ≤16-row dim slice
       "Dedup.scala" -> Set("thr", // 4-threshold literal
-        "shH"), // verify-join side, gated on a MEASURED byte budget
-                // (VerifyBroadcastMaxBytes) with shuffle fallback — the
-                // broadcast() call is unreachable above 512 MiB estimated
+        "vtab"), // verify-join side (doc, n, stop-shingles), gated on a
+                 // MEASURED byte budget (VerifyBroadcastMaxBytes) with
+                 // shuffle fallback — the broadcast() call is unreachable
+                 // above 512 MiB estimated, and the round-15 rare/stop
+                 // split shrank the measured side vs the old full-set shH
       "Similarity.scala" -> Set(
         "q", "probes", // fixed query/probe sets
         "cent", "centArrays", "pqCentArrays", "qcd", // K-row trained models
@@ -130,7 +132,15 @@ class PlanQualitySpec extends SparkSuite {
       // assembly from the driver-held sketch — the distributed stages
       // (sketch merge + exact top-k) ran before the collect, so a
       // LocalTableScan root is its expected shape, not a missing scan
-      val localAssembly = Set("t_cms_heavy")
+      // src_runtime_prune (round-15): the gated probe EXECUTES the star
+      // join inside runtimePruneCensus (read-tracker assertions ran
+      // against that execution); the returned frame is the probed rows
+      // re-wrapped as a local relation so the caller doesn't run the
+      // full join a second time (round-14 ADVICE) — a LocalTableScan
+      // root is its expected shape; the pruning behavior is gated by
+      // runtimePruneCensus's own read-tracker require (which this test's
+      // execution just exercised) plus RuntimeFilterSpec
+      val localAssembly = Set("t_cms_heavy", "src_runtime_prune")
       // DataSource V2 reads (the commit-log scans) plan BatchScanExec,
       // not FileSourceScanExec — a real scan for the vacuous-gate test,
       // with its own pruning gate: the V2 scan's readSchema must be the
