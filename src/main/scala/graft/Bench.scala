@@ -34,6 +34,13 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // the one remaining WARN in the round-14 bench tail: plan strings
+      // wider than the 25-field default log a truncation warning per
+      // occurrence. Rendering the full string costs nothing measurable
+      // (plan strings are driver-side debug output) and keeps the
+      // driver's bench tail literally warning-free (round-14 verdict
+      // What's-wrong #2).
+      .config("spark.sql.debug.maxToStringFields", "10000")
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     graft.model.Tables.bootstrap(spark)
@@ -83,6 +90,8 @@ object Bench {
     }
     warm("shared_dedup_pairs")(graft.operators.Dedup.ngramJaccard(spark, warmSf).count())
     warm("shared_minhash_mins")(graft.operators.Dedup.materializeMinhash(spark, warmSf))
+    warm("shared_simhash_sig")(graft.operators.Dedup.materializeSimhash(spark, warmSf))
+    warm("shared_embed_pairs")(graft.operators.Similarity.materializeEmbedPairs(spark, warmSf))
     warm("shared_kmeans_model")(graft.operators.Similarity.materializeKmeans(spark, warmSf))
     warm("shared_pq_model")(graft.operators.Similarity.materializePq(spark, warmSf))
     warm("shared_ivfpq_model")(graft.operators.Similarity.materializeIvfPq(spark, warmSf))
@@ -139,6 +148,16 @@ object Bench {
         (() => { graft.operators.Dedup.ngramJaccard(spark, sfDir).count(); () }),
       "shared_minhash_mins" ->
         (() => graft.operators.Dedup.materializeMinhash(spark, sfDir)),
+      // round-15: the SimHash signature table joins the shared-build set
+      // (it was rebuilt once per consumer — d_simhash_pairs AND
+      // d_detector_votes — every pass; same economics as minhash_mins)
+      "shared_simhash_sig" ->
+        (() => graft.operators.Dedup.materializeSimhash(spark, sfDir)),
+      // round-15: the LSH-blocked embedding near-dup pair list joins the
+      // shared-build set (it was rebuilt once per consumer — five
+      // declared queries — every pass; same economics as dedup_pairs)
+      "shared_embed_pairs" ->
+        (() => graft.operators.Similarity.materializeEmbedPairs(spark, sfDir)),
       "shared_kmeans_model" ->
         (() => graft.operators.Similarity.materializeKmeans(spark, sfDir)),
       "shared_pq_model" ->
@@ -152,6 +171,7 @@ object Bench {
     val sharedPass1 = sharedBuilds.map { case (name, f) => name -> timed(name, f) }
     warm("cache-clear") {
       graft.operators.Dedup.clearPairCache()
+      graft.operators.Similarity.clearEmbedPairCache()
       graft.operators.Similarity.clearKmeansCache()
       graft.operators.Similarity.clearPqCache()
       graft.operators.TextAnalysis.clearBpeCache()
@@ -228,7 +248,7 @@ object Bench {
     // truncation and parses. `value` is still the FULL suite total.
     val headline = Seq(
       "shared_dedup_pairs", "shared_minhash_mins", "shared_kmeans_model",
-      "shared_source_grams",
+      "shared_source_grams", "shared_simhash_sig", "shared_embed_pairs",
       "q1_pricing_summary", "q3_shipping_priority", "q5_nation_revenue",
       "q18_large_orders",
       "o15_format_sniff", "o18_uri_rewrite", "o20_o34_dlq_replay",

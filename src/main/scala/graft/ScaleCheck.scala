@@ -42,6 +42,7 @@ object ScaleCheck {
     * pass-2 timing into a cache-hit artifact). */
   private def clearModelCaches(): Unit = {
     graft.operators.Dedup.clearPairCache()
+    graft.operators.Similarity.clearEmbedPairCache()
     graft.operators.Similarity.clearKmeansCache()
     graft.operators.Similarity.clearPqCache()
     graft.operators.TextAnalysis.clearBpeCache()

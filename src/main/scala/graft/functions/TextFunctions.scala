@@ -93,11 +93,12 @@ object TextFunctions {
 
   // ---- vector (Array[Float] embedding) helpers -----------------------------
 
-  /** L2 norm of float-array column `vecCol`, in DOUBLE via an explicit left
-    * fold (deterministic order). */
-  def l2Norm(vecCol: String): Column = sqrt(expr(
-    s"aggregate(transform($vecCol, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), " +
-      "0D, (s, v) -> s + v)"))
+  /** L2 norm of float-array column `vecCol`, in DOUBLE via a fused
+    * codegen'd left fold (round-15 — was an interpreted
+    * aggregate/transform fold; same deterministic index order, same
+    * null-element poisoning, bit-identical result). */
+  def l2Norm(vecCol: String): Column =
+    sqrt(graft.plans.GraftFunctions.floatSqNorm(col(vecCol)))
 
   /** Dot product of two DOUBLE-cast float arrays (explicit left fold). */
   def dotExpr(a: String, b: String): Column = expr(

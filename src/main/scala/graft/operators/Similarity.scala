@@ -7,7 +7,7 @@ import graft.Q
 import graft.Checkpoints.LineageOps
 import graft.model.Tables
 import graft.functions.TextFunctions._
-import graft.plans.GraftFunctions.cosineSim
+import graft.plans.GraftFunctions.{cosineSim, sqDist, sqDistLong, sqDistPico}
 
 /** Similarity search over the `embeddings` table (Array[Float], dim 64):
   * brute-force cosine top-k as the exact baseline, sign-LSH bucketed ANN as
@@ -225,7 +225,50 @@ object Similarity {
     * the exact bucketing the static DuckDB oracle hashes with
     * (divergence above 2^8·64 vectors is announced on stderr, same
     * contract as knnJoin). */
-  def embedNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+  /** One persisted near-dup pair list per (session, SF): the bucket
+    * self-join + cosine filter is the expensive subtree behind FIVE
+    * declared queries (s_embed_neardup, s_embed_families,
+    * d_curation_funnel, d_modal_agreement, d_purge_audit — each re-ran
+    * the whole build per query before round 15), and its output is tiny
+    * (near-dup pairs only) — exactly the Dedup.pairList economics.
+    * Fingerprint-keyed like kmCache: a path-only key would serve pairs
+    * mined from regenerated parquet's old bytes. */
+  private val embPairCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (String, DataFrame)]
+
+  /** Drop the cached embedding near-dup pair lists (Dedup.clearPairCache
+    * counterpart; builder monitor held, same clear-vs-build discipline). */
+  def clearEmbedPairCache(): Unit = embPairCache.synchronized {
+    embPairCache.values.foreach { case (_, df) =>
+      try { df.unpersist(); () } catch { case _: Exception => () }
+    }
+    embPairCache.clear()
+  }
+
+  /** Force the shared pair list to materialize — Bench times this as its
+    * own entry (shared_embed_pairs) so consumers time steady-state. */
+  def materializeEmbedPairs(spark: SparkSession, sfDir: String): Unit = {
+    embedNearDup(spark, sfDir).count(); ()
+  }
+
+  def embedNearDup(spark: SparkSession, sfDir: String): DataFrame =
+    embPairCache.synchronized {
+      val fp = graft.sources.SourceFingerprint.key(sfDir, "embeddings.parquet")
+      embPairCache.get((spark, sfDir)) match {
+        case Some((`fp`, df)) => df
+        case stale =>
+          stale.foreach { case (_, df) =>
+            try { df.unpersist(); () } catch { case _: Exception => () }
+          }
+          val df = embedNearDupCompute(spark, sfDir)
+          df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          embPairCache.put((spark, sfDir), (fp, df))
+          df
+      }
+    }
+
+  private def embedNearDupCompute(
+      spark: SparkSession, sfDir: String): DataFrame = {
     val n = Tables.embeddings(spark, sfDir).count()
     val bits = adaptiveBits(n)
     if (bits != LshBits) System.err.println(
@@ -587,7 +630,9 @@ object Similarity {
       centUsed = cent
       val dist = vecs.crossJoin(broadcast(centArrays(cent)))
         .select(col("vec_id"), col("cell"),
-          round(expr(sqDistSql("xs", "cxs")), 6)
+          // fused codegen kernel (round-15), bit-identical to the
+          // round(aggregate(zip_with(...)), 6) fold it replaces
+          round(sqDist(col("xs"), col("cxs")), 6)
             .as("d"))
       val w = Window.partitionBy(col("vec_id")).orderBy(col("d"), col("cell"))
       asg = dist.withColumn("rn", row_number().over(w))
@@ -1290,8 +1335,8 @@ object Similarity {
     for (k <- 1 to PqIters) {
       val dist = sv.join(broadcast(pqCentArrays(cent)), Seq("sub"))
         .select(col("vec_id"), col("sub"), col("cell"),
-          (if (micro) expr(sqDistLongSql("sxs", "cxs"))
-           else round(expr(sqDistSql("sxs", "cxs")), 6))
+          (if (micro) sqDistLong(col("sxs"), col("cxs"))
+           else round(sqDist(col("sxs"), col("cxs")), 6))
             .as("d"))
       val w = Window.partitionBy(col("vec_id"), col("sub"))
         .orderBy(col("d"), col("cell"))
@@ -1342,7 +1387,7 @@ object Similarity {
     val qcd = subVecs(spark, sfDir).filter(col("vec_id") < 50)
       .join(broadcast(pqCentArrays(cent)), Seq("sub"))
       .select(col("vec_id").as("q_id"), col("sub"), col("cell"),
-        round(expr(sqDistSql("sxs", "cxs")), 6)
+        round(sqDist(col("sxs"), col("cxs")), 6)
           .as("qd"))
     val adc = codes.select(col("vec_id"), col("sub"), col("cell"))
       .join(broadcast(qcd), Seq("sub", "cell"))
@@ -1367,7 +1412,7 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("xs").as("qxs"))
     val wE = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("vec_id"))
     val exactTop = vecs.join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .withColumn("d2", round(expr(sqDistSql("xs", "qxs")), 6))
+      .withColumn("d2", round(sqDist(col("xs"), col("qxs")), 6))
       .withColumn("rk", row_number().over(wE))
       .filter(col("rk") <= 5)
       .select(col("q_id"), col("vec_id").as("neighbor_id"))
@@ -1582,7 +1627,7 @@ object Similarity {
         expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("xs"))
     val cqd = q.crossJoin(broadcast(cArr))
       .select(col("q_id"), col("cell"),
-        expr(sqDistPicoSql("xs", "cxs")).as("qd"))
+        sqDistPico(col("xs"), col("cxs")).as("qd"))
     val wP = Window.partitionBy(col("q_id")).orderBy(col("qd"), col("cell"))
     val probed = cqd.withColumn("prk", row_number().over(wP))
       .filter(col("prk") <= IvfPqProbes).select(col("q_id"), col("cell"))
@@ -1596,7 +1641,7 @@ object Similarity {
       .join(broadcast(pqCentArrays(rcent)), Seq("sub"))
       .select(col("q_id"), col("ccell"), col("sub"),
         col("cell").as("code"),
-        expr(sqDistLongSql("sxs", "cxs")).as("qd_pico"))
+        sqDistLong(col("sxs"), col("cxs")).as("qd_pico"))
     // the whole ADC path is exact long arithmetic in picounits (see
     // sqDistPicoSql) — the one division back to a double divides the
     // SAME long in both engines, so the emitted adc is bit-identical
@@ -1625,7 +1670,7 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("xs").as("qxs"))
     val wE = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("vec_id"))
     val exactTop = vecs.join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .withColumn("d2", expr(sqDistPicoSql("xs", "qxs")))
+      .withColumn("d2", sqDistPico(col("xs"), col("qxs")))
       .withColumn("rk", row_number().over(wE))
       .filter(col("rk") <= 5)
       .select(col("q_id"), col("vec_id").as("neighbor_id"))

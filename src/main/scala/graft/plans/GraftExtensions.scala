@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{Column, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.graft.{CosineSimilarity, ReplaceFirst, Shim}
+import org.apache.spark.sql.graft.{CosineSimilarity, FloatSqNorm, ReplaceFirst, Shim, SqDist, SqDistLong, SqDistPico}
 
 /** Session extensions registering graft's custom Catalyst expressions for
   * the SQL surface (`spark.sql.extensions=graft.plans.GraftExtensions`, or
@@ -35,6 +35,20 @@ object GraftFunctions {
   def replaceFirst(str: Column, search: Column, repl: Column): Column =
     Shim.column(ReplaceFirst(Shim.expression(str), Shim.expression(search),
       Shim.expression(repl)))
+
+  /** Fused squared-euclidean kernels (bit-identical to the
+    * aggregate/filter/zip_with folds they replace — see SqDist.scala). */
+  def sqDist(a: Column, b: Column): Column =
+    Shim.column(SqDist(Shim.expression(a), Shim.expression(b)))
+
+  def sqDistPico(a: Column, b: Column): Column =
+    Shim.column(SqDistPico(Shim.expression(a), Shim.expression(b)))
+
+  def sqDistLong(a: Column, b: Column): Column =
+    Shim.column(SqDistLong(Shim.expression(a), Shim.expression(b)))
+
+  def floatSqNorm(v: Column): Column =
+    Shim.column(FloatSqNorm(Shim.expression(v)))
 
   /** Probe a serialized `org.apache.spark.util.sketch.BloomFilter` (built
     * by `df.stat.bloomFilter` over the same long-hash column) with Spark's
