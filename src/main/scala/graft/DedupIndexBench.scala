@@ -90,7 +90,10 @@ object DedupIndexBench {
     val deltaDocs = CommitLogIngest.snapshot(spark, base).count() -
       corpusDocs
     meter.reset()
+    if (sys.env.contains("GRAFT_ADVANCE_TRACE"))
+      spark.sparkContext.setLogLevel("INFO")
     val advanceS = timed(() => { DedupIndex.advance(spark, base, index); () })
+    spark.sparkContext.setLogLevel("ERROR")
     var newPairs = 0L
     val newPairsS = timed(() => {
       newPairs = DedupIndex.newPairsAt(spark, base, index, version = 1L)

@@ -1361,10 +1361,26 @@ object Dedup {
     * and the output is |sources|² rows at most — safe at any corpus
     * size; the distinct-per-source reduction happens map-side first. */
   def crossContamination(spark: SparkSession, sfDir: String): DataFrame = {
+    // One aggregation pass instead of a hash self-join (round 15, guide
+    // §2.4): group the distinct (source, h) table by h once, emit the
+    // per-hash source set, and expand it to ordered pairs ROW-LOCALLY.
+    // The old a.h = b.h self-join shuffled the grams table twice (or
+    // broadcast a vocabulary-sized side — a driver hazard at corpus
+    // scale) and its fan-out was Σ df² rows through the join; here one
+    // exchange on h carries each gram once and the pair expansion is
+    // bounded by |sources|² per hash — identical (source_a, source_b,
+    // n_shared) counts, pairs generated from the SAME sorted-distinct
+    // source set the join's a.source < b.source condition walked.
     val sh = sourceGrams(spark, sfDir)
-    sh.as("a").join(sh.as("b"),
-        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+    sh.groupBy(col("h"))
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .filter(size(col("srcs")) > 1)
+      .select(explode(expr(
+        "flatten(transform(srcs, (a, i) -> transform(" +
+          "slice(srcs, i + 2, size(srcs)), " +
+          "b -> struct(a AS source_a, b AS source_b))))")).as("p"))
+      .groupBy(col("p.source_a").as("source_a"),
+        col("p.source_b").as("source_b"))
       .agg(count(lit(1)).as("n_shared"))
   }
 
@@ -1394,13 +1410,22 @@ object Dedup {
     * distinct-(source, hash) reduction as d_cross_contam; the per-hash
     * source count is a second tiny agg, never a join fan-out. */
   def sourceNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    // Same one-pass shape as [[crossContamination]] (round 15, guide
+    // §2.4): the old plan aggregated per-hash source counts in one pass,
+    // then joined them BACK onto the grams table (a second full pass +
+    // a vocabulary-sized build side). Grouping by h once and exploding
+    // the per-hash source list carries each gram through one exchange
+    // and derives n_sources = size(list) row-locally — identical counts
+    // (sh is distinct (source, h), so list size IS the source count).
     val sh = sourceGrams(spark, sfDir)
-    val spread = sh.groupBy(col("h")).agg(count(lit(1)).as("n_sources"))
-    sh.join(spread, Seq("h"))
+    sh.groupBy(col("h"))
+      .agg(collect_list(col("source")).as("srcs"))
+      .select(explode(col("srcs")).as("source"),
+        (size(col("srcs")) === 1).as("novel"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_hashes"),
-        sum(when(col("n_sources") === 1, 1L).otherwise(0L)).as("n_novel"),
-        round(sum(when(col("n_sources") === 1, 1L).otherwise(0L))
+        sum(when(col("novel"), 1L).otherwise(0L)).as("n_novel"),
+        round(sum(when(col("novel"), 1L).otherwise(0L))
           .cast("double") / count(lit(1)), 4).as("novelty_ratio"))
   }
 

@@ -634,9 +634,18 @@ object Similarity {
           // round(aggregate(zip_with(...)), 6) fold it replaces
           round(sqDist(col("xs"), col("cxs")), 6)
             .as("d"))
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("d"), col("cell"))
-      asg = dist.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1).select(col("vec_id"), col("cell"), col("d"))
+      // nearest-cell pick as an AGGREGATE, not a window (round 15, guide
+      // §2.3 "aggregate before you shuffle"): row_number over
+      // (partitionBy vec_id, orderBy d, cell) shuffled all n·K distance
+      // rows and sorted each group; min(struct(d, cell)) partial-
+      // aggregates map-side — the crossJoin leaves all K rows of a
+      // vector in one partition, so the exchange carries n pre-reduced
+      // rows, K× fewer, and no sort. struct ordering is (d, cell)
+      // lexicographic = the window's orderBy, so the winner (and every
+      // tie-break) is identical.
+      asg = dist.groupBy(col("vec_id"))
+        .agg(min(struct(col("d"), col("cell"))).as("m"))
+        .select(col("vec_id"), col("m.cell").as("cell"), col("m.d").as("d"))
       // per-round materialization — the same lesson dupClusters already
       // applies (Dedup.scala clusterLabels): without an action per round
       // the final lineage nests KmIters windows + joins + aggregates and
@@ -1338,11 +1347,15 @@ object Similarity {
           (if (micro) sqDistLong(col("sxs"), col("cxs"))
            else round(sqDist(col("sxs"), col("cxs")), 6))
             .as("d"))
-      val w = Window.partitionBy(col("vec_id"), col("sub"))
-        .orderBy(col("d"), col("cell"))
-      asg = dist.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("sub"), col("cell"), col("d"))
+      // same aggregate-not-window nearest-cell pick as the kmeans loop
+      // (round 15): min(struct(d, cell)) per (vec_id, sub) partial-
+      // aggregates the n·PqM·PqK distance rows map-side before the
+      // exchange and drops the per-group sort; struct ordering equals
+      // the old orderBy(d, cell), so assignments are identical.
+      asg = dist.groupBy(col("vec_id"), col("sub"))
+        .agg(min(struct(col("d"), col("cell"))).as("m"))
+        .select(col("vec_id"), col("sub"), col("m.cell").as("cell"),
+          col("m.d").as("d"))
       // the final assignment IS the model output — no round-PqIters
       // centroid recompute (kmeansTrainCompute pays one; here the skipped
       // job also avoids leaking an unconsumed checkpoint's blocks)

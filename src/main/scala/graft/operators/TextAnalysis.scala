@@ -788,7 +788,16 @@ object TextAnalysis {
       .select(col("doc_id"), col("source"),
         explode(tokens(col("text"))).as("tk"))
     val counts = tok.groupBy(col("tk")).agg(count(lit(1)).as("c"))
-    val total = counts.agg(sum(col("c")).cast("double").as("t_total"))
+    // t_total = Σ_tk c(tk) = total token INSTANCES — so derive it from a
+    // row-local size() aggregate over the token arrays instead of
+    // summing the counts table (round 15): the old form re-ran the whole
+    // tokenize → explode → groupBy(tk) → exchange chain a second time
+    // just to add the counts up (no exchange reuse across a broadcast
+    // and a shuffle consumer). Same exact long total, cast to the same
+    // double; one corpus pass and two exchanges fewer.
+    val total = Tables.documents(spark, sfDir)
+      .select(size(tokens(col("text"))).as("n"))
+      .agg(sum(col("n")).cast("double").as("t_total"))
     tok.join(counts, Seq("tk"))
       .crossJoin(broadcast(total))
       .select(col("doc_id"), col("source"),

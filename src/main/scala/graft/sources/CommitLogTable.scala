@@ -916,19 +916,18 @@ class CommitLogScan(tableDir: String, schema: StructType,
     * keys whose files the prune would keep anyway: pure planning cost,
     * zero skipping. */
   private lazy val runtimePrunableCols: Set[String] = {
-    val indexDir = s"$tableDir/index"
-    val indexed: Set[String] =
-      if (!LayoutDirs.hasParquetData(indexDir)) Set.empty
-      else try {
-        val idxSchema = CommitLogPlanning.session.read
-          .option("mergeSchema", "true").parquet(indexDir).schema
-        def leaves(s: String): Set[String] =
-          idxSchema.find(_.name == s).map(_.dataType).collect {
-            case st: StructType => st.fieldNames.toSet
-          }.getOrElse(Set.empty)
-        leaves("mins") ++ leaves("maxs") ++ leaves("strMins")
-      } catch { case _: Exception => Set.empty }
-    val statsKey = CommitLogIngest.indexedCol(tableDir).toSet
+    // the stats-indexed physical column set is MEMOIZED per
+    // (tableDir, version) in the companion (round 15): computing it
+    // reads the index dir's merged parquet schema — a driver listing +
+    // one footer per index file — and a fresh CommitLogScan is built
+    // per query, so the unmemoized form re-paid that metadata I/O on
+    // every planning of every commit-log query (measured ~2× steady-
+    // state wall on src_grouped_agg). The index only changes when a
+    // commit lands, and a commit moves the version — the memo key —
+    // so a cached set can never be stale for the snapshot this scan
+    // reads.
+    val indexed =
+      CommitLogScan.prunablePhysCols(tableDir, lockedVersion.getOrElse(-1L))
     // index rows are keyed by PHYSICAL names — translate each read-schema
     // (logical) column through the scan's pinned mapping before testing
     // membership (resolvedSnapshot is memoized; statistics already
@@ -936,8 +935,7 @@ class CommitLogScan(tableDir: String, schema: StructType,
     val nameMap = resolvedSnapshot._2
     schema.fieldNames.filter { c =>
       val phys = nameMap.getOrElse(c, c)
-      partCols.contains(c) || statsKey.contains(phys) ||
-        indexed.contains(phys)
+      partCols.contains(c) || indexed.contains(phys)
     }.toSet
   }
 
@@ -1117,6 +1115,31 @@ private[sources] object CommitLogScan {
     override def numRows(): java.util.OptionalLong =
       java.util.OptionalLong.empty()
   }
+
+  /** Physical column names the table's stats index can prune with
+    * (mins/maxs/strMins leaves + the declared statsCol), memoized per
+    * (tableDir, version) — see runtimePrunableCols for why. Bounded: one
+    * small Set per (table, version) actually scanned in the session. */
+  private val prunableMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), Set[String]]
+
+  private[sources] def prunablePhysCols(tableDir: String,
+      version: Long): Set[String] =
+    prunableMemo.getOrElseUpdate((tableDir, version), {
+      val indexDir = s"$tableDir/index"
+      val indexed: Set[String] =
+        if (!LayoutDirs.hasParquetData(indexDir)) Set.empty
+        else try {
+          val idxSchema = CommitLogPlanning.session.read
+            .option("mergeSchema", "true").parquet(indexDir).schema
+          def leaves(s: String): Set[String] =
+            idxSchema.find(_.name == s).map(_.dataType).collect {
+              case st: StructType => st.fieldNames.toSet
+            }.getOrElse(Set.empty)
+          leaves("mins") ++ leaves("maxs") ++ leaves("strMins")
+        } catch { case _: Exception => Set.empty }
+      indexed ++ CommitLogIngest.indexedCol(tableDir).toSet
+    })
 }
 
 /** Batch CHANGE-FEED scan over [startingVersion, endingVersion]: one
