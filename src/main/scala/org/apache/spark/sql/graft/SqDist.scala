@@ -147,18 +147,45 @@ object SqDistPico {
   val info: ExpressionInfo = new ExpressionInfo(
     classOf[SqDistPico].getName, "sq_dist_pico")
 
-  /** `CAST(round(p, 0) AS BIGINT)` verbatim: Round's DoubleType branch
-    * (BigDecimal.valueOf — i.e. the shortest-decimal-string value —
-    * setScale(0, HALF_UP), back to double; NaN/Infinity returned as-is),
-    * then the non-ANSI double→long cast (`toDouble.toLong`: NaN → 0,
-    * ±∞ saturates). Called from generated code — keep it a static-shaped
-    * method on the companion. */
+  /** `CAST(round(p, 0) AS BIGINT)` verbatim — but in pure arithmetic,
+    * PROVABLY equal to Round's DoubleType branch (BigDecimal.valueOf, i.e.
+    * the shortest-decimal-string value, setScale(0, HALF_UP), back to
+    * double, then the non-ANSI double→long cast: NaN → 0, ±∞ saturates).
+    *
+    * Why the string round can be replaced (round-15: the BigDecimal path
+    * was one Double.toString allocation PER VECTOR ELEMENT and dominated
+    * the brute-force recall baselines — a measured 2.5 s single job at
+    * sf0.1):
+    *  - |p| ≥ 2⁵² : every such double is an integer; setScale(0) is the
+    *    identity, so the round is `p.toLong` (and the long cast saturates
+    *    past 2⁶³ exactly as before).
+    *  - |p| < 2⁵² : the half-way points k.5 are themselves representable
+    *    doubles here (spacing ≤ 0.5), so any decimal string that parses
+    *    back to p lies strictly on p's side of every k.5 (a string on the
+    *    far side would be nearer to k.5 — a different double — than to p).
+    *    The shortest-string HALF_UP decision therefore agrees with the
+    *    EXACT binary comparison of p's fraction against 0.5 — and that
+    *    comparison is computable without error: floor(p) and p − floor(p)
+    *    are exact for |p| < 2⁵² (both multiples of ulp(p), Sterbenz).
+    *  - NaN/±∞: Round passes them through untouched; the cast gives 0 /
+    *    saturation — preserved verbatim below.
+    *
+    * SqDistParitySpec pins this equivalence against the original
+    * BigDecimal formula on boundary-adversarial inputs. Called from
+    * generated code — keep it a static-shaped method on the companion. */
   def roundPicoToLong(p: Double): Long = {
-    val rounded =
-      if (java.lang.Double.isNaN(p) || java.lang.Double.isInfinite(p)) p
-      else java.math.BigDecimal.valueOf(p)
-        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
-    rounded.toLong
+    if (java.lang.Double.isNaN(p)) return 0L
+    if (p >= 4.503599627370496e15) return p.toLong // integral; +∞ saturates
+    if (p <= -4.503599627370496e15) return p.toLong
+    if (p >= 0) {
+      val r = Math.floor(p)
+      val b = r.toLong
+      if (p - r >= 0.5) b + 1 else b
+    } else {
+      val r = Math.ceil(p)
+      val b = r.toLong
+      if (r - p >= 0.5) b - 1 else b // HALF_UP = away from zero
+    }
   }
 }
 

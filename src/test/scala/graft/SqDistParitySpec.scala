@@ -4,6 +4,8 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import org.apache.spark.sql.graft.SqDistPico
+
 import graft.plans.GraftFunctions.{sqDist, sqDistLong, sqDistPico}
 
 /** The fused SqDist/SqDistPico/SqDistLong kernels (round-15 codegen
@@ -117,6 +119,49 @@ class SqDistParitySpec extends SparkSuite {
       assert(r.isNullAt(0) == r.isNullAt(1), s"case $i: null parity")
       if (!r.isNullAt(0))
         assert(r.getLong(0) == r.getLong(1), s"case $i: value parity")
+    }
+  }
+
+  test("roundPicoToLong's arithmetic fast path equals the BigDecimal round") {
+    // the ORIGINAL implementation, verbatim (round-15 swapped it for pure
+    // arithmetic — one Double.toString allocation per vector element was
+    // the measured cost of every brute-force recall baseline)
+    def reference(p: Double): Long = {
+      val rounded =
+        if (java.lang.Double.isNaN(p) || java.lang.Double.isInfinite(p)) p
+        else java.math.BigDecimal.valueOf(p)
+          .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+      rounded.toLong
+    }
+    val twoTo52 = 4.503599627370496e15
+    val boundary = Seq(0.0, -0.0, 0.5, -0.5, 1.5, 2.5, -1.5, -2.5,
+      0.49999999999999994, // largest double < 0.5
+      0.5000000000000001, 2.675, -2.675,
+      Math.nextDown(1.5), Math.nextUp(1.5), Math.nextDown(-1.5),
+      twoTo52, Math.nextDown(twoTo52), Math.nextUp(twoTo52),
+      twoTo52 - 0.5, -(twoTo52 - 0.5), twoTo52 + 1.0,
+      4503599627370495.5, // largest representable k.5 below 2^52
+      9.007199254740992e15, 1.8e18, 9.3e18, -9.3e18, // beyond Long.MaxValue
+      Double.MaxValue, Double.MinValue, Double.MinPositiveValue,
+      Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity,
+      1.0e12, 7.0710678118654755e-7, 5.0e-13, 1.4999999999999998e0)
+    boundary.foreach { p =>
+      assert(SqDistPico.roundPicoToLong(p) == reference(p),
+        s"boundary $p: fast=${SqDistPico.roundPicoToLong(p)} " +
+          s"ref=${reference(p)}")
+    }
+    val rnd = new scala.util.Random(7)
+    (0 until 200000).foreach { _ =>
+      // mix magnitudes across the whole domain incl. the 2^52 band
+      val p = rnd.nextInt(4) match {
+        case 0 => (rnd.nextDouble() - 0.5) * 1e3
+        case 1 => (rnd.nextDouble() - 0.5) * 1e13
+        case 2 => (rnd.nextDouble() - 0.5) * 1.1e16
+        case _ => math.floor(rnd.nextDouble() * 1e6) + 0.5 // exact halves
+      }
+      assert(SqDistPico.roundPicoToLong(p) == reference(p),
+        s"random $p: fast=${SqDistPico.roundPicoToLong(p)} " +
+          s"ref=${reference(p)}")
     }
   }
 
