@@ -30,6 +30,31 @@ object Dedup {
       .select(col("doc_id"), col("source"), col("text"),
         tokens(col("text")).as("t"))
 
+  /** Scale-adaptive corpus spread for the tokenize/hash-heavy SHARED
+    * builds: a small corpus arrives as one parquet file = one scan
+    * partition, so the expensive per-doc work (regex tokenize, shingle,
+    * md5-per-shingle) runs on a single core while 31 idle. Repartition by
+    * the deterministic row key ONLY when the scan is under-partitioned —
+    * at any real scale the scan already has ≥ defaultParallelism splits
+    * and this is a provable no-op (no extra exchange at 100 TB; the guide
+    * rule "partitioning must be scale-adaptive, not tuned for local").
+    * Hash-by-key, not round-robin: round-robin pays a sort-before-
+    * repartition and is retry-hazardous on nondeterministic input. */
+  private def spread(df: DataFrame, key: String = "doc_id"): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores, col(key))
+    else df
+  }
+
+  /** [[toks]] with the RAW documents spread first, so the regex tokenize
+    * itself runs post-exchange on every core (spreading the tokenized
+    * frame would evaluate the regex on the map side — the single scan
+    * partition this exists to escape — and ship the token arrays). */
+  private def spreadToks(spark: SparkSession, sfDir: String): DataFrame =
+    spread(Tables.documents(spark, sfDir))
+      .select(col("doc_id"), col("source"), col("text"),
+        tokens(col("text")).as("t"))
+
   /** DuckDB twin of [[toks]]+distinct 3-shingles, shared by the oracles. */
   private val shingleCte: String =
     """toks AS (
@@ -159,7 +184,9 @@ object Dedup {
           // materialize eagerly so the build-only intermediates (hashed
           // shingle sets, rare-shingle explode) can be freed immediately —
           // they are several times larger than the pair list they produce
+          spark.sparkContext.setJobDescription("dedup_pairs: verify phase")
           df.count()
+          spark.sparkContext.setJobDescription(null)
           intermediates.foreach(unpersistQuiet)
           pairCache.put((spark, sfDir), (fp, df))
           df
@@ -193,7 +220,7 @@ object Dedup {
     * regressed to the suite's largest (round-5 finding). */
   private def pairListCompute(
       spark: SparkSession, sfDir: String): (DataFrame, Seq[DataFrame]) = {
-    val base = toks(spark, sfDir)
+    val base = spreadToks(spark, sfDir)
     // everything downstream works on 60-bit md5-prefix hashes of the
     // shingles: long join keys and long-array intersects instead of
     // strings (cheaper shuffles and equality); a hash collision perturbs
@@ -207,26 +234,37 @@ object Dedup {
     val shH = base.select(col("doc_id"), hashShingles.as("s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ex = shH.select(col("doc_id"), explode(col("s")).as("h"))
-    // persisted before the self-join so the explode+df-filter subtree runs
-    // once, not once per join side
-    val rare = ex.join(
-      ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= MaxShingleDf).select("h"),
-      Seq("h"))
+    // ONE groupBy(h) yields both the shingle's occurrence count (the
+    // df ≤ MaxShingleDf rare gate, occurrence semantics identical to the
+    // old ex.groupBy(h).count()) and — capped at MaxShingleDf+1 — the
+    // distinct doc set carrying it. The cap keeps a stop shingle carried
+    // by millions of docs from accumulating an unbounded list (the
+    // collect_set hazard); capped sets are only READ where df ≤
+    // MaxShingleDf, where set size ≤ row count ≤ df makes them provably
+    // complete. Round-15 rewrite of the round-14 shape: the old path
+    // JOINED ex back to the df-filtered keys (a second full pass over the
+    // exploded table) and SELF-JOINED the result on h — the Σ df² fan-out
+    // exchange. Pairs now explode row-locally from each rare shingle's
+    // sorted doc set; the only exchanges left are the groupBy(h) the df
+    // census always paid and the (doc_a, doc_b) count.
+    val dfh = ex.groupBy(col("h"))
+      .agg(count(lit(1)).as("df"),
+        org.apache.spark.sql.graft.BoundedSetAgg(col("doc_id"),
+          MaxShingleDf + 1).as("docs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Candidate pairs WITH their common-RARE-shingle count folded into
-    // the same aggregation that used to dedupe them (round-14 verdict,
-    // Next round #1): the rare/stop split below needs |A ∩ B ∩ rare| per
-    // pair, and the self-join already emits one row per common rare
-    // shingle — counting them rides the exchange the old `.distinct()`
-    // paid anyway. DISTINCT count (not count(*)) so a 60-bit md5
-    // collision inside one doc cannot double-count a hash that
-    // array_intersect semantics (and the DuckDB twin's list_intersect)
-    // would count once.
-    val cand = rare.as("a").join(rare.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(countDistinct(col("a.h")).as("c_rare"))
+    // Candidate pairs WITH their common-RARE-shingle count: `docs` is a
+    // sorted SET (BoundedSetAgg dedupes — a 60-bit md5 collision inside
+    // one doc cannot double-count, same property the old
+    // countDistinct(a.h) enforced), so each rare shingle contributes each
+    // ordered pair exactly once and count(*) per pair IS the distinct
+    // common-rare-shingle count.
+    val cand = dfh.filter(col("df") <= MaxShingleDf)
+      .select(explode(expr(
+        "flatten(transform(docs, (a, i) -> " +
+          "transform(slice(docs, i + 2, size(docs)), " +
+          "b -> struct(a AS doc_a, b AS doc_b))))")).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("c_rare"))
     // verify phase: c = |A ∩ B| decomposes by GLOBAL shingle df into
     // |A ∩ B ∩ rare| (c_rare above, already paid for) + |A ∩ B ∩ stop|
     // — so the per-pair join only needs each doc's STOP (df >
@@ -240,12 +278,20 @@ object Dedup {
     // its shingles — so the verify payload per pair drops from
     // O(|doc|) to O(|doc ∩ stop|) + two ints (measured ratios in
     // OPTIMIZATION_r15.md).
-    val rareSets = rare.groupBy(col("doc_id"))
-      .agg(collect_list(col("h")).as("rh"))
-    val vtab = shH.join(rareSets, Seq("doc_id"), "left")
+    // st = each doc's distinct STOP (df > MaxShingleDf) shingles. The old
+    // formulation collected every doc's RARE list (Σ rare-df rows — most
+    // of the corpus — through a doc_id exchange) just to array_except it
+    // away; joining the exploded table against the FEW stop keys instead
+    // sends only stop occurrences through that exchange (the same
+    // "bounded distinct stop values" fact the verify payload already
+    // rests on). collect_set dedupes like array_except did; downstream
+    // reads are order-insensitive (size(array_intersect), size(st)).
+    val stopSets = ex
+      .join(dfh.filter(col("df") > MaxShingleDf).select(col("h")), Seq("h"))
+      .groupBy(col("doc_id")).agg(collect_set(col("h")).as("sth"))
+    val vtab = shH.join(stopSets, Seq("doc_id"), "left")
       .select(col("doc_id"), size(col("s")).as("n"),
-        array_except(col("s"),
-          coalesce(col("rh"), typedLit(Array.empty[Long]))).as("st"))
+        coalesce(col("sth"), typedLit(Array.empty[Long])).as("st"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Join strategy is a MEASURED size gate, not a blind hint. AQE can't
     // make this call (its 10 MB threshold is session-wide; raising it
@@ -260,8 +306,10 @@ object Dedup {
     // coalesce: sum() over ZERO rows is NULL (an empty/all-empty-text
     // corpus) — getLong would NPE where the right answer is "nothing to
     // verify, don't broadcast"
+    spark.sparkContext.setJobDescription("dedup_pairs: stats+persist phase")
     val vStats = vtab.agg(count(lit(1)),
       coalesce(sum(size(col("st"))), lit(0L))).head()
+    spark.sparkContext.setJobDescription(null)
     val estBytes = vStats.getLong(1) * 8L + vStats.getLong(0) * 48L
     // the broadcast COLLECT is also bounded by spark.driver.maxResultSize
     // (serialized rows ≈ estBytes): cap the budget at half the session's
@@ -288,7 +336,7 @@ object Dedup {
         (col("c") / (col("na") + col("nb") - col("c"))).as("jaccard"),
         (col("c") / least(col("na"), col("nb"))).as("containment"))
       .filter(col("jaccard") >= 0.1 || col("containment") >= 0.5)
-    (scored, Seq(shH, rare, vtab))
+    (scored, Seq(shH, dfh, vtab))
   }
 
   /** Shared oracle CTE chain: shingles → rare-shingle candidate pairs →
@@ -372,7 +420,7 @@ object Dedup {
         case Some((`fp`, df)) => df
         case stale =>
           stale.foreach { case (_, df) => unpersistQuiet(df) }
-          val hx = toks(spark, sfDir)
+          val hx = spreadToks(spark, sfDir)
             .select(col("doc_id"), explode(shingles("t", 3)).as("shingle"))
             .select(col("doc_id"),
               conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long").as("h1"),
@@ -611,7 +659,7 @@ object Dedup {
         case Some((`fp`, df)) => df
         case stale =>
           stale.foreach { case (_, df) => unpersistQuiet(df) }
-          val tok = toks(spark, sfDir)
+          val tok = spreadToks(spark, sfDir)
             .select(col("doc_id"), explode(shingles("t", 3)).as("token"))
             .select(col("doc_id"),
               conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long")
@@ -1339,7 +1387,7 @@ object Dedup {
           val hashed = expr(
             "transform(" + shinglesSql("t", ContamK) +
               ", x -> CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT))")
-          val sh = toks(spark, sfDir)
+          val sh = spreadToks(spark, sfDir)
             .select(col("source"), explode(hashed).as("h")).distinct()
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           sourceGramsCache.put((spark, sfDir), (fp, sh))
