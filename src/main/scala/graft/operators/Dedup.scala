@@ -998,6 +998,61 @@ object Dedup {
     math.min(shuffle.toLong, math.max(8L, edges / 2000000L + 1L)).toInt
   }
 
+  /** Edge-count ceiling for the single-task component fast path — the
+    * same ~2M-edges-per-partition density ccLoopPartitions uses: below
+    * ONE partition's worth of edges, an iterated distributed loop is pure
+    * scheduler overhead (measured at sf0.1: 8-20 sub-second jobs and
+    * their planning gaps per loop for a few-thousand-edge graph), while
+    * union-find over ≤ 2M edges is tens of milliseconds in one task.
+    * Above the ceiling the loops run their documented 100 TB shape
+    * unchanged. */
+  private def smallGraphMaxEdges(spark: SparkSession): Long =
+    spark.conf.getOption("graft.cc.smallGraphMaxEdges").map(_.toLong)
+      .getOrElse(2000000L)
+
+  /** Exact component-min labels of a small undirected pair graph in ONE
+    * task: union-find with smaller-root-wins linking, so every tree root
+    * is its component's min id and `find` after all unions IS the label.
+    * Output is identical to the iterated loops BY CONSTRUCTION —
+    * (node, component-min) is a property of the graph, not of the
+    * algorithm — pinned against both loop implementations in
+    * DedupStarSpec/SmallGraphCcSpec. A deliberate exception to the
+    * "builtins over closures" rule: this is a whole-graph algorithm below
+    * the distribution threshold, the executor-side analogue of the binary
+    * codecs in Multimodal (and the coalesce(1) reads the tiny persisted
+    * pair blocks without a shuffle). */
+  private def unionFindLabels(pairs: DataFrame, nodeCol: String): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val cols = pairs.columns
+    pairs.select(col(cols(0)).cast("long"), col(cols(1)).cast("long"))
+      .as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x // path compression
+          while (parent.getOrElse(c, c) != r) {
+            val n = parent.getOrElse(c, c); parent(c) = r; c = n
+          }
+          r
+        }
+        it.foreach { case (a, b) =>
+          if (!parent.contains(a)) parent(a) = a
+          if (!parent.contains(b)) parent(b) = b
+          val ra = find(a); val rb = find(b)
+          if (ra < rb) parent(rb) = ra
+          else if (rb < ra) parent(ra) = rb
+        }
+        // materialize keys before the final finds: compression rewrites
+        // values, and iterating a map while mutating it is undefined
+        parent.keys.toArray.iterator.map(d => (d, find(d)))
+      }
+      .toDF(nodeCol, "lbl")
+  }
+
   /** Component labels (doc, lbl = component-min doc_id) for every node of
     * the Jaccard ≥ 0.5 near-dup graph — the label loop shared by
     * dupClusters (family sizes) and dedupBest (keep-best selection). */
@@ -1019,7 +1074,12 @@ object Dedup {
     // checkpointing is the right durability tier here: loss just recomputes
     // from the persisted pair list; under dynamic allocation use
     // reliable checkpoint() instead.
-    val ccParts = ccLoopPartitions(spark, pairs.count() * 2)
+    val nPairs = pairs.count()
+    // single-task exact fast path below the distribution threshold — the
+    // loop below is the 100 TB shape, unchanged past it
+    if (nPairs * 2 <= smallGraphMaxEdges(spark))
+      return unionFindLabels(pairs.select("doc_a", "doc_b"), "doc")
+    val ccParts = ccLoopPartitions(spark, nPairs * 2)
     val edges = pairs.unionByName(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .coalesce(ccParts)
@@ -1559,7 +1619,18 @@ object Dedup {
     // the measured edge count — the count itself is a cheap scan of the
     // just-written checkpoint blocks.
     var edges = symmetrize(pairs).truncateLineage(true)
-    val ccParts = ccLoopPartitions(pairs.sparkSession, edges.count())
+    val nEdges = edges.count()
+    if (nEdges <= smallGraphMaxEdges(pairs.sparkSession)) {
+      // single-task exact fast path (see unionFindLabels); the star loop
+      // below is the documented 100 TB shape, unchanged past the
+      // threshold. The symmetrized checkpoint already materialized for
+      // the count — feed it so the pair-scoring subtree isn't re-run
+      // (its blocks must outlive the returned lazy frame, so no
+      // unpersist here; the loop's exit leaves its final round's
+      // checkpoint alive the same way).
+      return unionFindLabels(edges.select("u", "v"), "u")
+    }
+    val ccParts = ccLoopPartitions(pairs.sparkSession, nEdges)
     var prevSum = Long.MinValue
     var prevCnt = -1L
     var rounds = 0

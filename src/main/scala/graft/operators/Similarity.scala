@@ -94,6 +94,16 @@ object Similarity {
     s"aggregate(filter(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), " +
       "v -> v IS NOT NULL), CAST(0 AS BIGINT), (s, v) -> s + v)"
 
+  // MEASURED NON-CHANGE (round 15): spreading the embeddings scan across
+  // cores (Dedup.spreadToks' twin) was tried here and REVERTED — a full
+  // A/B bench showed every multi-reference consumer regress (the s_*
+  // family re-plans emb() up to 6× per query, so the adaptive repartition
+  // added an exchange + a partition-count probe per reference: kmeans
+  // build +0.88 s, int8/ann/probe/pq recalls +0.5 s each), while the one
+  // genuinely single-task hot job this aimed at (the brute-force recall
+  // baselines' distance pass) was already fixed by SqDistPico's
+  // arithmetic rounding. The text-side spread stays: those builds
+  // reference the corpus once and their regex+md5 pass dominates.
   private def emb(spark: SparkSession, sfDir: String): DataFrame =
     Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"), col("label"),
