@@ -130,6 +130,26 @@ object Tables {
     }
   }
 
+  /** Scale-adaptive scan spread for tokenize/hash-heavy SINGLE-REFERENCE
+    * passes: a small corpus arrives as one parquet file = one scan
+    * partition, so a per-doc regex/md5 pass runs on one core while the
+    * rest idle. Repartitions by a deterministic row key ONLY when the
+    * scan has fewer partitions than the session's cores — at any real
+    * scale the scan already has ≥ defaultParallelism splits and this is
+    * a provable no-op (no extra exchange at 100 TB). Hash-by-key, not
+    * round-robin: round-robin pays a sort-before-repartition and is
+    * retry-hazardous on nondeterministic input. Apply ONLY where (a) the
+    * frame is referenced once (each reference re-plans the exchange — a
+    * measured regression on the multi-reference similarity family) and
+    * (b) downstream reductions are order-insensitive (integer counts,
+    * min/max, row-local expressions). */
+  def spread(df: DataFrame, key: String): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores)
+      df.repartition(cores, col(key))
+    else df
+  }
+
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")

@@ -781,6 +781,11 @@ object Analytics {
     }
     val stackArgs = ProfileCols.map(c =>
       s"'$c', ${c}_nulls, ${c}_distinct, ${c}_min, ${c}_max").mkString(", ")
+    // MEASURED NON-CHANGE (round 15): Tables.spread on this scan was
+    // tried and reverted — steady state went 1.5 → 1.65 s at sf0.1. The
+    // Expand(×5) partial aggregate is NOT scan-bound here: the exchange
+    // ships 600k×5 columns to save a pass the vectorized reader already
+    // overlaps, and the wall is the countDistinct final phase either way.
     Tables.lineitem(spark, sfDir)
       .agg(aggs.head, aggs.tail: _*)
       .selectExpr(s"stack(${ProfileCols.size}, $stackArgs) " +

@@ -30,28 +30,13 @@ object Dedup {
       .select(col("doc_id"), col("source"), col("text"),
         tokens(col("text")).as("t"))
 
-  /** Scale-adaptive corpus spread for the tokenize/hash-heavy SHARED
-    * builds: a small corpus arrives as one parquet file = one scan
-    * partition, so the expensive per-doc work (regex tokenize, shingle,
-    * md5-per-shingle) runs on a single core while 31 idle. Repartition by
-    * the deterministic row key ONLY when the scan is under-partitioned —
-    * at any real scale the scan already has ≥ defaultParallelism splits
-    * and this is a provable no-op (no extra exchange at 100 TB; the guide
-    * rule "partitioning must be scale-adaptive, not tuned for local").
-    * Hash-by-key, not round-robin: round-robin pays a sort-before-
-    * repartition and is retry-hazardous on nondeterministic input. */
-  private def spread(df: DataFrame, key: String = "doc_id"): DataFrame = {
-    val cores = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < cores) df.repartition(cores, col(key))
-    else df
-  }
-
-  /** [[toks]] with the RAW documents spread first, so the regex tokenize
-    * itself runs post-exchange on every core (spreading the tokenized
-    * frame would evaluate the regex on the map side — the single scan
-    * partition this exists to escape — and ship the token arrays). */
+  /** [[toks]] with the RAW documents spread first (Tables.spread), so the
+    * regex tokenize itself runs post-exchange on every core (spreading
+    * the tokenized frame would evaluate the regex on the map side — the
+    * single scan partition this exists to escape — and ship the token
+    * arrays). */
   private def spreadToks(spark: SparkSession, sfDir: String): DataFrame =
-    spread(Tables.documents(spark, sfDir))
+    Tables.spread(Tables.documents(spark, sfDir), "doc_id")
       .select(col("doc_id"), col("source"), col("text"),
         tokens(col("text")).as("t"))
 

@@ -460,7 +460,10 @@ object TextAnalysis {
     * WindowGroupLimit). Ranking is on the ROUNDED score so both engines
     * rank identical values; term asc breaks ties. */
   def tfIdf(spark: SparkSession, sfDir: String): DataFrame = {
-    val tf = Tables.documents(spark, sfDir)
+    // Tables.spread: the tokenize+explode pass is the query's dominant
+    // compute and otherwise runs on the corpus file's single scan
+    // partition; every aggregate here is an integer count (order-free)
+    val tf = Tables.spread(Tables.documents(spark, sfDir), "doc_id")
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -660,7 +663,9 @@ object TextAnalysis {
     * partial prunes each scan task to ≤ 3 rows per source before the
     * exchange; the `rnk` window then runs over ≤ 3·|sources| rows. */
   def boilerplate(spark: SparkSession, sfDir: String): DataFrame = {
-    val grams = Tables.documents(spark, sfDir)
+    // Tables.spread: the 5-gram explode dominates and integer counts are
+    // order-free (same rationale as tfIdf)
+    val grams = Tables.spread(Tables.documents(spark, sfDir), "doc_id")
       .select(col("source"), tokens(col("text")).as("t"))
       .select(col("source"), explode(expr(shinglesAllSql("t", 5))).as("gram"))
     val counts = grams.groupBy(col("source"), col("gram"))
