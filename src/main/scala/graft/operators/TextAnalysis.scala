@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Q
@@ -1020,10 +1020,19 @@ object TextAnalysis {
         lit("||")).as("s"), col("wc"))
       .truncateLineage(true)
     var cur = vocab0
-    var rounds: Seq[DataFrame] = Nil
-    // the RAW checkpointed winners — freeLocalCheckpoint matches a bare
-    // LogicalRDD, which the withColumn/union wrapping in `rounds` hides
-    var winsRaw: Seq[DataFrame] = Nil
+    // Round-15 loop restructure: each round's winner is ONE row by
+    // construction (orderBy + limit 1), so it comes to the DRIVER as a
+    // bounded limit(1) collect — the same metadata-plane class as the
+    // existing ≤1-row guards — instead of a per-round checkpoint +
+    // isEmpty probe + broadcast crossJoin. The rewrite then embeds the
+    // winner as string LITERALS, so each round is a plain projection
+    // over the previous one: projections collapse, no per-round lineage
+    // truncation or checkpoint blocks are needed at all (the chain stays
+    // BpeRounds replace()s over the one checkpointed vocab0), and the
+    // loop runs ONE job per round instead of three-plus. The merges
+    // table is rebuilt from the collected rows — values and types
+    // identical to the old per-round union.
+    val mergeRows = scala.collection.mutable.ArrayBuffer.empty[Row]
     for (r <- 1 to BpeRounds) {
       val syms = cur.select(col("wc"),
         expr("filter(split(s, '\\\\|\\\\|'), x -> x <> '')").as("syms"))
@@ -1034,38 +1043,40 @@ object TextAnalysis {
             "(a, b) -> struct(a AS l, b AS r))")).as("p"))
         .groupBy(col("p.l").as("l_sym"), col("p.r").as("r_sym"))
         .agg(sum(col("wc")).as("pair_count"))
-      val win = pairs
+      val winArr = pairs
         .orderBy(col("pair_count").desc, col("l_sym"), col("r_sym"))
         .limit(1)
-        .withColumn("merged", concat(col("l_sym"), col("r_sym")))
-        .truncateLineage(true)
-      rounds = rounds :+ win.withColumn("merge_round", lit(r))
-      winsRaw = winsRaw :+ win
-      // a dry round (no pairs left) yields an EMPTY winner; the
-      // crossJoin rewrite would then annihilate the vocabulary and the
-      // census would report a null/empty corpus — keep the last real
-      // vocab instead (win is a checkpointed ≤1-row frame, so the
-      // emptiness probe is a sub-ms local scan)
-      if (!win.isEmpty) {
-        // every live round rewrites (the final vocab is the census
-        // consumer's input); intermediates free once the next round
-        // materializes, but round 0 stays — it is the census baseline
-        val stale = cur
-        cur = cur
-          .crossJoin(broadcast(
-            win.select(col("l_sym"), col("r_sym"), col("merged"))))
-          .select(expr("replace(s, '|' || l_sym || '||' || r_sym || '|', " +
-            "'|' || merged || '|')").as("s"), col("wc"))
-          .truncateLineage(true)
-        if (stale ne vocab0) {
-          graft.operators.Similarity.freeLocalCheckpoint(stale)
-        }
+        .select(col("l_sym"), col("r_sym"), col("pair_count"))
+        .collect()
+      // a dry round (no pairs left) has no winner; keep the last real
+      // vocab (the old code's isEmpty guard, now a zero-length array)
+      if (winArr.nonEmpty) {
+        val w = winArr(0)
+        val (l, rs, pc) = (w.getString(0), w.getString(1), w.getLong(2))
+        // symbols are concatenations of [a-z]+ token characters — assert
+        // before embedding them as SQL literals
+        require(l.matches("[a-z]+") && rs.matches("[a-z]+"),
+          s"BPE symbol escapes its [a-z]+ domain: '$l' / '$rs'")
+        mergeRows += Row(r, l, rs, l + rs, pc)
+        cur = cur.select(
+          expr(s"replace(s, '|$l||$rs|', '|${l + rs}|')").as("s"),
+          col("wc"))
       }
     }
-    val merges = rounds.reduce(_ unionByName _)
-      .select(col("merge_round"), col("l_sym"), col("r_sym"),
-        col("merged"), col("pair_count"))
-    (merges, vocab0, cur, winsRaw)
+    val merges = spark.createDataFrame(
+      java.util.Arrays.asList(mergeRows.toSeq: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("merge_round",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("l_sym",
+          org.apache.spark.sql.types.StringType, nullable = true),
+        org.apache.spark.sql.types.StructField("r_sym",
+          org.apache.spark.sql.types.StringType, nullable = true),
+        org.apache.spark.sql.types.StructField("merged",
+          org.apache.spark.sql.types.StringType, nullable = true),
+        org.apache.spark.sql.types.StructField("pair_count",
+          org.apache.spark.sql.types.LongType, nullable = true))))
+    (merges, vocab0, cur, Nil)
   }
 
   def bpeMerges(spark: SparkSession, sfDir: String): DataFrame =
