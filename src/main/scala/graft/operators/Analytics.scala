@@ -288,6 +288,11 @@ object Analytics {
     val w = Window.partitionBy(col("l_suppkey"))
       .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
         col("l_linenumber"))
+    // MEASURED NON-CHANGE (round 15): Tables.spread here regressed
+    // steady state 0.89 -> 1.51 s — the added full-table exchange (the
+    // spread ships all four columns) costs more than the single-task
+    // WindowGroupLimit sort it parallelizes. The spread only pays where
+    // a sub-MB scan feeds millions of per-row hash/regex evaluations.
     Tables.lineitem(spark, sfDir)
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         col("l_extendedprice"))

@@ -1300,6 +1300,12 @@ object Dedup {
     * shuffles are the per-hash count and the unhinted count join (AQE
     * broadcasts it only if the distinct-chunk table fits). */
   def chunkDup(spark: SparkSession, sfDir: String): DataFrame = {
+    // MEASURED NON-CHANGE (round 15): spreadToks here regressed steady
+    // state 0.70 -> 1.87 s — the chunk explode hashes only ~tens of
+    // thousands of ~100-token chunks (unlike the per-SHINGLE md5 passes
+    // where the spread pays), so the added exchange plus the lost
+    // exchange-reuse between the two chunk legs cost more than the
+    // single-task tokenize it parallelized.
     val chunks = toks(spark, sfDir).select(col("source"),
       explode(expr(
         s"CASE WHEN size(t) >= $ChunkTok THEN " +
