@@ -1627,11 +1627,24 @@ object CommitLogIngest {
       case c: NotMatchedBySourceUpdate => (c.cond, Some(c.set))
       case c: NotMatchedBySourceDelete => (c.cond, None)
     }
-    val dups = source.groupBy(col(key)).count()
-      .filter(col("count") > 1).limit(1).collect()
-    require(dups.isEmpty,
-      s"merge: source carries duplicate $key = ${dups.headOption.map(_.get(0)).orNull} — " +
-        "a target row matching several source rows is ambiguous")
+    // The duplicate-key guard is an independent read of the source —
+    // launch it on a driver thread so it overlaps the discovery scan
+    // below (guide §2.6, round-15: the MERGE cascade's wall at small
+    // deltas is its count of SEQUENTIAL sub-second driver actions, not
+    // any one job). It is awaited (and enforced) before anything is
+    // staged or committed, so the failure mode is identical — only later
+    // by one overlapped job.
+    val dupsF = scala.concurrent.Future {
+      source.groupBy(col(key)).count()
+        .filter(col("count") > 1).limit(1).collect()
+    }(scala.concurrent.ExecutionContext.global)
+    def requireNoDups(): Unit = {
+      val dups = scala.concurrent.Await
+        .result(dupsF, scala.concurrent.duration.Duration.Inf)
+      require(dups.isEmpty,
+        s"merge: source carries duplicate $key = ${dups.headOption.map(_.get(0)).orNull} — " +
+          "a target row matching several source rows is ambiguous")
+    }
     val srcDf = source.select(source.columns.map(c =>
       col(c).as(SrcPrefix + c)) :+ lit(true).as(SrcPrefix): _*)
     val keys = source.select(col(key)).distinct()
@@ -1672,6 +1685,9 @@ object CommitLogIngest {
         fileCol = Some("_f"))
       val matchedFiles = withF.join(keys, Seq(key), "left_semi")
         .select("_f").distinct().collect().map(_.getString(0)).toSet
+      // enforce the (overlapped) duplicate-key guard before any further
+      // work can observe or stage an ambiguous merge
+      requireNoDups()
       // discovery pass 2 (only when NMBS clauses exist — they predicate
       // over the whole unmatched remainder by definition): files holding
       // unmatched rows some NMBS condition accepts
@@ -1762,17 +1778,14 @@ object CommitLogIngest {
         return (-1L, 0)
       val outDir =
         s"$tableDir/data/mg-${java.util.UUID.randomUUID().toString.take(12)}"
-      writePartitionLocal(survivors, partitionColsOf(tableDir), outDir,
-        tableDir)
-      val adds = LayoutDirs.dataFiles(outDir)
-      require(adds.nonEmpty || affected.size < live.size,
-        s"merge would leave $tableDir with no live files (the " +
-          "append-only read contract forbids an empty table) — use " +
-          "overwrite or drop the table instead")
       // CDF change rows (the Delta CDC contract): matched updates as
       // pre/post pairs, deletes as "delete", inserts as "insert" —
-      // computed from the SAME cascade the rewrite applies
-      val cdfStaged =
+      // computed from the SAME cascade the rewrite applies. Staged on a
+      // driver thread CONCURRENTLY with the survivor write below (guide
+      // §2.6): the two jobs read the same affected files and write to
+      // disjoint staging dirs, and both are awaited before anything is
+      // claimed — a retry cleans both up exactly as before.
+      val cdfStagedF = scala.concurrent.Future[Option[String]] {
         if (!cdfEnabled(tableDir)) None
         else Some {
           val ct = "_change_type"
@@ -1796,6 +1809,16 @@ object CommitLogIngest {
             ins.toSeq).reduce(_.unionByName(_))
           stageCdfRows(tableDir, changes)
         }
+      }(scala.concurrent.ExecutionContext.global)
+      writePartitionLocal(survivors, partitionColsOf(tableDir), outDir,
+        tableDir)
+      val adds = LayoutDirs.dataFiles(outDir)
+      val cdfStaged = scala.concurrent.Await
+        .result(cdfStagedF, scala.concurrent.duration.Duration.Inf)
+      require(adds.nonEmpty || affected.size < live.size,
+        s"merge would leave $tableDir with no live files (the " +
+          "append-only read contract forbids an empty table) — use " +
+          "overwrite or drop the table instead")
       val stage = stageActions(spark, tableDir, adds, affected,
         schemaOf = None, txn = txn)
       if (tryClaimVersion(tableDir, stage, latest + 1)) {
