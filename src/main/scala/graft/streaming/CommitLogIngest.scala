@@ -2074,7 +2074,18 @@ object CommitLogIngest {
       // correctness), keeping each group's file count
       val groups = affected
         .groupBy(graft.sources.PartitionPaths.segmentsOf).toSeq.sortBy(_._1)
-      groups.foreach { case (seg, paths) =>
+      // round-15 (guide §2.6 overlap-independent-jobs): the CDF staging
+      // reads the ORIGINAL affected files — independent of the rewrite
+      // output — so it runs on a driver thread concurrently with the
+      // group rewrites; and the per-partition-group rewrites write to
+      // DISJOINT dirs, so up to 4 run in flight instead of one write job
+      // per group sequentially. Everything is awaited before staging the
+      // claim; a lost race cleans up both, exactly as before.
+      val cdfStagedF = scala.concurrent.Future[Option[String]] {
+        if (!cdfEnabled(tableDir)) None
+        else Some(stageCdfRows(tableDir, changeRows(readLive(affected))))
+      }(scala.concurrent.ExecutionContext.global)
+      def writeGroup(seg: String, paths: Seq[String]): Unit = {
         val dst = if (seg.isEmpty) outDir else s"$outDir/$seg"
         val in = readLive(paths)
         val out = rewrite(in)
@@ -2096,17 +2107,26 @@ object CommitLogIngest {
         toPhysical(out, tableDir).coalesce(paths.size)
           .write.mode("overwrite").parquet(dst)
       }
+      if (groups.size <= 1) groups.foreach { case (s, p) => writeGroup(s, p) }
+      else {
+        val pool = java.util.concurrent.Executors
+          .newFixedThreadPool(math.min(4, groups.size))
+        val gec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        try {
+          val futs = groups.map { case (s, p) =>
+            scala.concurrent.Future(writeGroup(s, p))(gec)
+          }
+          futs.foreach(f => scala.concurrent.Await
+            .result(f, scala.concurrent.duration.Duration.Inf))
+        } finally pool.shutdown()
+      }
       val adds = LayoutDirs.dataFiles(outDir)
+      val cdfStaged = scala.concurrent.Await
+        .result(cdfStagedF, scala.concurrent.duration.Duration.Inf)
       require(adds.nonEmpty || affected.size < live.size,
         s"deleteWhere would leave $tableDir with no live files (the " +
           "append-only read contract forbids an empty table) — use " +
           "overwrite or drop the table instead")
-      // change rows, computed from the exact bytes this commit swaps —
-      // only when the table opted into stored CDF (default off: a DML on
-      // a plain table must not pay a second read+write of its change set)
-      val cdfStaged =
-        if (!cdfEnabled(tableDir)) None
-        else Some(stageCdfRows(tableDir, changeRows(readLive(affected))))
       val stage = stageActions(spark, tableDir, adds, affected,
         schemaOf = None, txn = None)
       if (tryClaimVersion(tableDir, stage, latest + 1)) {
