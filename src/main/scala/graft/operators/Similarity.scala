@@ -1417,9 +1417,14 @@ object Similarity {
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("vec_id"))
       .agg(round(sum(col("qd")), 6).as("adc"))
+    // top-5 via TopKPerKey (round 15): the window sorted the whole
+    // (q, vec) ADC table per query; the bounded-heap partial prunes each
+    // partition to <= 5 rows per query before the exchange. (adc, vec_id)
+    // is a total order within a query, so ranks are identical.
+    val top = graft.plans.TopK.perKey(adc, keyCols = Seq("q_id"),
+      orderSpec = Seq(("adc", true), ("vec_id", true)), k = 5)
     val w = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
-    adc.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 5)
+    top.withColumn("rk", row_number().over(w))
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("adc"),
         col("rk"))
   }
@@ -1674,9 +1679,12 @@ object Similarity {
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("vec_id"))
       .agg((sum(col("qd_pico")) / lit(1.0e12)).as("adc"))
+    // top-5 via TopKPerKey — same rationale and identical-rank argument
+    // as pqAdcTopK's
+    val top = graft.plans.TopK.perKey(adc, keyCols = Seq("q_id"),
+      orderSpec = Seq(("adc", true), ("vec_id", true)), k = 5)
     val w = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
-    adc.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 5)
+    top.withColumn("rk", row_number().over(w))
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("adc"),
         col("rk"))
   }

@@ -472,10 +472,21 @@ object TextAnalysis {
       .crossJoin(broadcast(nDocs)) // 1-row corpus count
       .withColumn("tfidf",
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+    // top-3 via TopKPerKey (round 15, boilerplate's shape): the window
+    // formulation sorted the whole (doc, term) table per doc — even with
+    // WindowGroupLimit's rank pushdown the pruned exchange output is
+    // re-sorted — while the bounded-heap partial prunes each scan task
+    // to ≤ 3 rows per doc BEFORE the exchange and sorts nothing. The
+    // rnk window then ranks ≤ 3 rows per doc; (tfidf, term) is a total
+    // order within a doc, so ranks are identical.
+    val top = graft.plans.TopK.perKey(
+      scored.select("doc_id", "term", "tfidf"),
+      keyCols = Seq("doc_id"),
+      orderSpec = Seq(("tfidf", false), ("term", true)),
+      k = 3)
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("term"))
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= 3)
+    top.withColumn("rnk", row_number().over(w).cast("long"))
       .select(col("doc_id"), col("term"), col("tfidf"), col("rnk"))
   }
 
