@@ -164,17 +164,47 @@ object Dedup {
         case Some((`fp`, df)) => df
         case stale =>
           stale.foreach { case (_, df) => unpersistQuiet(df) }
-          val (df, intermediates) = pairListCompute(spark, sfDir)
-          df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          // materialize eagerly so the build-only intermediates (hashed
-          // shingle sets, rare-shingle explode) can be freed immediately —
-          // they are several times larger than the pair list they produce
-          spark.sparkContext.setJobDescription("dedup_pairs: verify phase")
-          df.count()
-          spark.sparkContext.setJobDescription(null)
-          intermediates.foreach(unpersistQuiet)
-          pairCache.put((spark, sfDir), (fp, df))
-          df
+          // The stop-set aggregation (collect_set keyed by doc_id) plans
+          // to ObjectHashAggregate, which abandons its hash map for
+          // SORT-based aggregation after only 128 distinct keys (Spark's
+          // default) — i.e. a corpus-keyed groupBy degenerates to
+          // re-sorting its whole input. Scope a HEAP-AWARE key-count
+          // threshold for THIS build only: stop sets are small per doc,
+          // and EVERY concurrently running task keeps its own map, so
+          // the budget is a quarter of the heap divided across
+          // defaultParallelism tasks (a fixed 2M first try OOMed at sf10
+          // under 32 concurrent local-mode tasks). Past the threshold
+          // the sort fallback remains the correct at-scale posture.
+          // `graft.dedup.aggFallbackKeys` overrides (conf-not-constant,
+          // per the round rules).
+          val fbConf = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+          val prevFb = spark.conf.getOption(fbConf)
+          val heapKeys = {
+            val tasks = math.max(1, spark.sparkContext.defaultParallelism)
+            val perKeyBytes = 8L * (MaxShingleDf + 2) + 64L
+            math.max(128L,
+              Runtime.getRuntime.maxMemory / 4 / tasks / perKeyBytes)
+          }
+          spark.conf.set(fbConf, spark.conf.getOption(
+            "graft.dedup.aggFallbackKeys").getOrElse(heapKeys.toString))
+          try {
+            val (df, intermediates) = pairListCompute(spark, sfDir)
+            df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            // materialize eagerly so the build-only intermediates (hashed
+            // shingle sets, rare-shingle explode) can be freed immediately —
+            // they are several times larger than the pair list they produce
+            spark.sparkContext.setJobDescription("dedup_pairs: verify phase")
+            df.count()
+            spark.sparkContext.setJobDescription(null)
+            intermediates.foreach(unpersistQuiet)
+            pairCache.put((spark, sfDir), (fp, df))
+            df
+          } finally {
+            prevFb match {
+              case Some(v) => spark.conf.set(fbConf, v)
+              case None => spark.conf.unset(fbConf)
+            }
+          }
       }
     }
 
@@ -196,6 +226,96 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         round(col("jaccard"), 6).as("jaccard"),
         round(col("containment"), 6).as("containment"))
+
+  /** Streaming candidate/stop generator over the exploded shingle table,
+    * pre-partitioned and pre-sorted by (h, doc_id): one pass per
+    * partition with O(MaxShingleDf) state per group, no hash map of
+    * vocabulary-many buffers (the ObjectHashAggregate hazard the first
+    * round-15 formulation hit), no self-join. Emits tagged rows:
+    *
+    *   (0, doc_a, doc_b) — one row per rare shingle (occurrences ≤
+    *     MaxShingleDf) per ordered DISTINCT doc pair a < b (sortedness
+    *     makes adjacent-dedup exact, so a 60-bit md5 collision inside a
+    *     doc cannot double-count);
+    *   (1, doc_id, h)    — one row per DISTINCT (doc, stop shingle)
+    *     membership (occurrences > MaxShingleDf), the verify phase's
+    *     stop-set feed.
+    *
+    * The rare gate is the OCCURRENCE count of the group — identical to
+    * the round-14 `ex.groupBy(h).count() ≤ MaxShingleDf` filter.
+    * Deterministic under retry: the input is hash-partitioned by h and
+    * totally sorted within partitions. A deliberate exception to the
+    * "builtins over closures" rule, like unionFindLabels: this is the
+    * sort-aggregate execution shape fused with bounded pair expansion,
+    * which no built-in aggregate provides without holding per-key object
+    * buffers. StreamCandidatesSpec pins it against the self-join
+    * formulation. */
+  private[graft] def streamCandidates(
+      sorted: DataFrame): org.apache.spark.sql.Dataset[(Int, Long, Long)] = {
+    val spark = sorted.sparkSession
+    import spark.implicits._
+    sorted.as[(Long, Long)].mapPartitions { it =>
+      new scala.collection.AbstractIterator[(Int, Long, Long)] {
+        private val pending =
+          scala.collection.mutable.Queue.empty[(Int, Long, Long)]
+        private var started = false
+        private var curH = 0L
+        private var occ = 0L
+        private var prevDoc = 0L
+        private val docs = new Array[Long](MaxShingleDf)
+        private var nDocs = 0
+        private var flushedTail = false
+
+        private def emitPairs(): Unit =
+          if (occ <= MaxShingleDf) {
+            var i = 0
+            while (i < nDocs) {
+              var j = i + 1
+              while (j < nDocs) {
+                pending.enqueue((0, docs(i), docs(j))); j += 1
+              }
+              i += 1
+            }
+          }
+
+        private def feed(h: Long, d: Long): Unit = {
+          if (!started || h != curH) {
+            if (started) emitPairs()
+            started = true; curH = h; occ = 1L; prevDoc = d
+            nDocs = 1; docs(0) = d
+          } else {
+            occ += 1
+            if (occ <= MaxShingleDf) {
+              if (d != prevDoc) { docs(nDocs) = d; nDocs += 1 }
+            } else if (occ == MaxShingleDf + 1L) {
+              // the group just crossed into STOP: its buffered distinct
+              // docs become stop memberships, as does this row's doc if
+              // new
+              var i = 0
+              while (i < nDocs) {
+                pending.enqueue((1, docs(i), curH)); i += 1
+              }
+              if (d != prevDoc) pending.enqueue((1, d, curH))
+            } else if (d != prevDoc) {
+              pending.enqueue((1, d, curH))
+            }
+            prevDoc = d
+          }
+        }
+
+        override def hasNext: Boolean = {
+          while (pending.isEmpty && it.hasNext) {
+            val r = it.next(); feed(r._1, r._2)
+          }
+          if (pending.isEmpty && started && !flushedTail && !it.hasNext) {
+            emitPairs(); flushedTail = true
+          }
+          pending.nonEmpty
+        }
+        override def next(): (Int, Long, Long) = pending.dequeue()
+      }
+    }
+  }
 
   /** Builds the pair list; returns it UNpersisted plus the build-only
     * persisted intermediates the caller must unpersist once the result is
@@ -219,36 +339,33 @@ object Dedup {
     val shH = base.select(col("doc_id"), hashShingles.as("s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ex = shH.select(col("doc_id"), explode(col("s")).as("h"))
-    // ONE groupBy(h) yields both the shingle's occurrence count (the
-    // df ≤ MaxShingleDf rare gate, occurrence semantics identical to the
-    // old ex.groupBy(h).count()) and — capped at MaxShingleDf+1 — the
-    // distinct doc set carrying it. The cap keeps a stop shingle carried
-    // by millions of docs from accumulating an unbounded list (the
-    // collect_set hazard); capped sets are only READ where df ≤
-    // MaxShingleDf, where set size ≤ row count ≤ df makes them provably
-    // complete. Round-15 rewrite of the round-14 shape: the old path
-    // JOINED ex back to the df-filtered keys (a second full pass over the
-    // exploded table) and SELF-JOINED the result on h — the Σ df² fan-out
-    // exchange. Pairs now explode row-locally from each rare shingle's
-    // sorted doc set; the only exchanges left are the groupBy(h) the df
-    // census always paid and the (doc_a, doc_b) count.
-    val dfh = ex.groupBy(col("h"))
-      .agg(count(lit(1)).as("df"),
-        org.apache.spark.sql.graft.BoundedSetAgg(col("doc_id"),
-          MaxShingleDf + 1).as("docs"))
+    // Round-15 (second iteration; the first — a bounded-set
+    // TypedImperativeAggregate per h — kept vocabulary-many object
+    // buffers live per task inside ObjectHashAggregate and regressed
+    // sf10): ONE exchange of the exploded table, hash-partitioned and
+    // sorted by (h, doc_id), feeds a STREAMING group scan
+    // ([[streamCandidates]]) that emits candidate pairs for rare groups
+    // (occurrences ≤ MaxShingleDf — the same occurrence gate as the old
+    // ex.groupBy(h).count()) and distinct stop occurrences for hot
+    // groups, with O(MaxShingleDf) state per group. This replaces the
+    // round-14 shape's df-census exchange + ex⋈keys re-exchange +
+    // rare-self-join (Σ df² fan-out) with one exchange + one in-partition
+    // sort; the tagged output is bounded (≤ C(MaxShingleDf,2) pairs per
+    // rare shingle + distinct stop memberships) and persisted once for
+    // its two consumers.
+    val tagged = streamCandidates(
+        ex.select(col("h"), col("doc_id"))
+          .repartition(col("h"))
+          .sortWithinPartitions(col("h"), col("doc_id")))
+      .toDF("kind", "a", "b")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Candidate pairs WITH their common-RARE-shingle count: `docs` is a
-    // sorted SET (BoundedSetAgg dedupes — a 60-bit md5 collision inside
-    // one doc cannot double-count, same property the old
-    // countDistinct(a.h) enforced), so each rare shingle contributes each
-    // ordered pair exactly once and count(*) per pair IS the distinct
-    // common-rare-shingle count.
-    val cand = dfh.filter(col("df") <= MaxShingleDf)
-      .select(explode(expr(
-        "flatten(transform(docs, (a, i) -> " +
-          "transform(slice(docs, i + 2, size(docs)), " +
-          "b -> struct(a AS doc_a, b AS doc_b))))")).as("p"))
-      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+    // each rare shingle contributes each ordered pair exactly once (the
+    // scan dedupes adjacent doc_ids, so a 60-bit md5 collision inside
+    // one doc cannot double-count — the property the round-14
+    // countDistinct(a.h) enforced), so count(*) per pair IS the
+    // distinct common-rare-shingle count
+    val cand = tagged.filter(col("kind") === 0)
+      .groupBy(col("a").as("doc_a"), col("b").as("doc_b"))
       .agg(count(lit(1)).as("c_rare"))
     // verify phase: c = |A ∩ B| decomposes by GLOBAL shingle df into
     // |A ∩ B ∩ rare| (c_rare above, already paid for) + |A ∩ B ∩ stop|
@@ -263,17 +380,13 @@ object Dedup {
     // its shingles — so the verify payload per pair drops from
     // O(|doc|) to O(|doc ∩ stop|) + two ints (measured ratios in
     // OPTIMIZATION_r15.md).
-    // st = each doc's distinct STOP (df > MaxShingleDf) shingles. The old
-    // formulation collected every doc's RARE list (Σ rare-df rows — most
-    // of the corpus — through a doc_id exchange) just to array_except it
-    // away; joining the exploded table against the FEW stop keys instead
-    // sends only stop occurrences through that exchange (the same
-    // "bounded distinct stop values" fact the verify payload already
-    // rests on). collect_set dedupes like array_except did; downstream
-    // reads are order-insensitive (size(array_intersect), size(st)).
-    val stopSets = ex
-      .join(dfh.filter(col("df") > MaxShingleDf).select(col("h")), Seq("h"))
-      .groupBy(col("doc_id")).agg(collect_set(col("h")).as("sth"))
+    // st = each doc's distinct STOP (df > MaxShingleDf) shingles — the
+    // (kind=1) rows of the SAME streamed pass (already distinct per
+    // (doc, h)), so no second exchange of the exploded table is ever
+    // paid. collect_set dedupes defensively; downstream reads are
+    // order-insensitive (size(array_intersect), size(st)).
+    val stopSets = tagged.filter(col("kind") === 1)
+      .groupBy(col("a").as("doc_id")).agg(collect_set(col("b")).as("sth"))
     val vtab = shH.join(stopSets, Seq("doc_id"), "left")
       .select(col("doc_id"), size(col("s")).as("n"),
         coalesce(col("sth"), typedLit(Array.empty[Long])).as("st"))
@@ -321,7 +434,7 @@ object Dedup {
         (col("c") / (col("na") + col("nb") - col("c"))).as("jaccard"),
         (col("c") / least(col("na"), col("nb"))).as("containment"))
       .filter(col("jaccard") >= 0.1 || col("containment") >= 0.5)
-    (scored, Seq(shH, dfh, vtab))
+    (scored, Seq(shH, tagged, vtab))
   }
 
   /** Shared oracle CTE chain: shingles → rare-shingle candidate pairs →
@@ -1470,10 +1583,20 @@ object Dedup {
     // bounded by |sources|² per hash — identical (source_a, source_b,
     // n_shared) counts, pairs generated from the SAME sorted-distinct
     // source set the join's a.source < b.source condition walked.
+    // Round-15 sf10 finding: running collect_set over the WHOLE grams
+    // table planned to ObjectHashAggregate, whose 128-key sort fallback
+    // re-sorted every gram row (4.95 → 16.72 s at sf10). The count
+    // census is a codegen HashAggregate; only the multi-source SUBSET —
+    // the rows that can form pairs at all — reaches the set-collect, so
+    // the imperative aggregate's input is O(cross-source grams), not
+    // O(vocabulary). sh is distinct (source, h), so the semi-joined
+    // subset walks exactly the pairs the old formulations did.
     val sh = sourceGrams(spark, sfDir)
-    sh.groupBy(col("h"))
+    val multi = sh.groupBy(col("h")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).select("h")
+    sh.join(multi, Seq("h"))
+      .groupBy(col("h"))
       .agg(sort_array(collect_set(col("source"))).as("srcs"))
-      .filter(size(col("srcs")) > 1)
       .select(explode(expr(
         "flatten(transform(srcs, (a, i) -> transform(" +
           "slice(srcs, i + 2, size(srcs)), " +
@@ -1516,16 +1639,25 @@ object Dedup {
     // the per-hash source list carries each gram through one exchange
     // and derives n_sources = size(list) row-locally — identical counts
     // (sh is distinct (source, h), so list size IS the source count).
+    // Round-15 sf10 finding: the collect_list formulation hit the same
+    // ObjectHashAggregate sort fallback as crossContamination (6.9 →
+    // 17.0 s at sf10). Fully declarative now: a gram with global count 1
+    // belongs to exactly ONE source, so min(source) of its rows IS that
+    // source — one codegen groupBy(h) yields (count, owner), the novel
+    // counts roll up per owner, and per-source totals come from their
+    // own codegen aggregate. No collected lists anywhere; counts
+    // identical by the uniqueness argument.
     val sh = sourceGrams(spark, sfDir)
-    sh.groupBy(col("h"))
-      .agg(collect_list(col("source")).as("srcs"))
-      .select(explode(col("srcs")).as("source"),
-        (size(col("srcs")) === 1).as("novel"))
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_hashes"),
-        sum(when(col("novel"), 1L).otherwise(0L)).as("n_novel"),
-        round(sum(when(col("novel"), 1L).otherwise(0L))
-          .cast("double") / count(lit(1)), 4).as("novelty_ratio"))
+    val novel = sh.groupBy(col("h"))
+      .agg(count(lit(1)).as("n"), min(col("source")).as("source"))
+      .filter(col("n") === 1)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_novel"))
+    sh.groupBy(col("source")).agg(count(lit(1)).as("n_hashes"))
+      .join(novel, Seq("source"), "left_outer")
+      .select(col("source"), col("n_hashes"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        round(coalesce(col("n_novel"), lit(0L)).cast("double")
+          / col("n_hashes"), 4).as("novelty_ratio"))
   }
 
   val sourceNoveltySql: String = {
