@@ -140,7 +140,12 @@ class PlanQualitySpec extends SparkSuite {
       // root is its expected shape; the pruning behavior is gated by
       // runtimePruneCensus's own read-tracker require (which this test's
       // execution just exercised) plus RuntimeFilterSpec
-      val localAssembly = Set("t_cms_heavy", "src_runtime_prune")
+      // t_bpe_merges joined round 15: the merges table is assembled from
+      // the loop's collected single-row winners (a LocalTableScan); its
+      // corpus scan lives in the shared BPE build, whose consumers
+      // t_bpe_tokenize / t_vocab_coverage keep real scans under this gate
+      val localAssembly =
+        Set("t_cms_heavy", "src_runtime_prune", "t_bpe_merges")
       // DataSource V2 reads (the commit-log scans) plan BatchScanExec,
       // not FileSourceScanExec — a real scan for the vacuous-gate test,
       // with its own pruning gate: the V2 scan's readSchema must be the
