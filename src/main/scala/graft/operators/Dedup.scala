@@ -143,7 +143,7 @@ object Dedup {
       minsCache.clear()
     }
     sourceGramsCache.synchronized {
-      sourceGramsCache.values.foreach { case (_, df) => unpersistQuiet(df) }
+      sourceGramsCache.values.foreach { case (_, df, _) => unpersistQuiet(df) }
       sourceGramsCache.clear()
     }
     simSigCache.synchronized {
@@ -404,6 +404,14 @@ object Dedup {
     // coalesce: sum() over ZERO rows is NULL (an empty/all-empty-text
     // corpus) — getLong would NPE where the right answer is "nothing to
     // verify, don't broadcast"
+    // ROUND-16 MEASURED NON-CHANGE: replacing this persist+stats job with
+    // cheap counts over the persisted tagged table (kind=1 rows = Σ stop
+    // bytes exactly) and an UNpersisted broadcast child regressed the
+    // steady-state build 2.26 -> 2.83 s at sf0.1: the two BroadcastHashJoin
+    // build sides do NOT share one exchange at runtime (self-join attribute
+    // dedup defeats stage reuse), so each broadcast re-derived the verify
+    // table. The persist + single materializing stats action is
+    // load-bearing; kept.
     spark.sparkContext.setJobDescription("dedup_pairs: stats+persist phase")
     val vStats = vtab.agg(count(lit(1)),
       coalesce(sum(size(col("st"))), lit(0L))).head()
@@ -1539,23 +1547,34 @@ object Dedup {
     * size is Σ per-source vocabularies (corpus-sublinear), tiny. */
   // fingerprint-keyed like pairCache (same regeneration-staleness hazard)
   private val sourceGramsCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), (String, DataFrame)]
+    .empty[(SparkSession, String), (String, DataFrame, Array[String])]
 
   private def sourceGrams(spark: SparkSession, sfDir: String): DataFrame =
+    sourceGramsWithSrcs(spark, sfDir)._1
+
+  /** The shared grams table plus the corpus's sorted distinct source list
+    * (bounded dimension, a handful of names). The list is collected once
+    * as part of the shared build — paid by the build's timed entry,
+    * dropped with the cache — so bitmask consumers don't re-run the
+    * distinct job per invocation. */
+  private def sourceGramsWithSrcs(
+      spark: SparkSession, sfDir: String): (DataFrame, Array[String]) =
     sourceGramsCache.synchronized {
       val fp = docsFp(sfDir)
       sourceGramsCache.get((spark, sfDir)) match {
-        case Some((`fp`, df)) => df
+        case Some((`fp`, df, srcs)) => (df, srcs)
         case stale =>
-          stale.foreach { case (_, df) => unpersistQuiet(df) }
+          stale.foreach { case (_, df, _) => unpersistQuiet(df) }
           val hashed = expr(
             "transform(" + shinglesSql("t", ContamK) +
               ", x -> CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT))")
           val sh = spreadToks(spark, sfDir)
             .select(col("source"), explode(hashed).as("h")).distinct()
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          sourceGramsCache.put((spark, sfDir), (fp, sh))
-          sh
+          val srcs = sh.select(col("source")).distinct()
+            .orderBy(col("source")).collect().map(_.getString(0))
+          sourceGramsCache.put((spark, sfDir), (fp, sh, srcs))
+          (sh, srcs)
       }
     }
 
@@ -1573,37 +1592,63 @@ object Dedup {
     * and the output is |sources|² rows at most — safe at any corpus
     * size; the distinct-per-source reduction happens map-side first. */
   def crossContamination(spark: SparkSession, sfDir: String): DataFrame = {
-    // One aggregation pass instead of a hash self-join (round 15, guide
-    // §2.4): group the distinct (source, h) table by h once, emit the
-    // per-hash source set, and expand it to ordered pairs ROW-LOCALLY.
-    // The old a.h = b.h self-join shuffled the grams table twice (or
-    // broadcast a vocabulary-sized side — a driver hazard at corpus
-    // scale) and its fan-out was Σ df² rows through the join; here one
-    // exchange on h carries each gram once and the pair expansion is
-    // bounded by |sources|² per hash — identical (source_a, source_b,
-    // n_shared) counts, pairs generated from the SAME sorted-distinct
-    // source set the join's a.source < b.source condition walked.
-    // Round-15 sf10 finding: running collect_set over the WHOLE grams
-    // table planned to ObjectHashAggregate, whose 128-key sort fallback
-    // re-sorted every gram row (4.95 → 16.72 s at sf10). The count
-    // census is a codegen HashAggregate; only the multi-source SUBSET —
-    // the rows that can form pairs at all — reaches the set-collect, so
-    // the imperative aggregate's input is O(cross-source grams), not
-    // O(vocabulary). sh is distinct (source, h), so the semi-joined
-    // subset walks exactly the pairs the old formulations did.
-    val sh = sourceGrams(spark, sfDir)
-    val multi = sh.groupBy(col("h")).agg(count(lit(1)).as("n"))
-      .filter(col("n") > 1).select("h")
-    sh.join(multi, Seq("h"))
-      .groupBy(col("h"))
-      .agg(sort_array(collect_set(col("source"))).as("srcs"))
-      .select(explode(expr(
-        "flatten(transform(srcs, (a, i) -> transform(" +
-          "slice(srcs, i + 2, size(srcs)), " +
-          "b -> struct(a AS source_a, b AS source_b))))")).as("p"))
-      .groupBy(col("p.source_a").as("source_a"),
-        col("p.source_b").as("source_b"))
-      .agg(count(lit(1)).as("n_shared"))
+    // Round 16 (VERDICT Next #3): bitmask-per-source. The source dimension
+    // is bounded and tiny (a corpus has a handful of named sources), so the
+    // per-hash source SET fits in one long: assign each source a bit by
+    // sorted order (the |sources|-row collect below is bounded metadata,
+    // the same economics as the BPE winner collect), bit_or the masks in
+    // ONE codegen HashAggregate over ONE exchange of the grams table, and
+    // expand pairs from the ≤2^|sources| DISTINCT masks — a second tiny
+    // aggregate — never from per-hash rows. The round-15 shape paid two
+    // full exchanges of the grams table (count census + semi-join back +
+    // set-collect) plus an ObjectHashAggregate; this is one exchange of
+    // (h, 8-byte mask) and zero imperative aggregates (guide §2.3/§2.4).
+    // Equality: sh is distinct (source, h), bit order = sorted source
+    // order, so the (i < j) bit pairs of a mask are exactly the
+    // (source_a < source_b) pairs the old sorted-set expansion walked, and
+    // n_shared = Σ over masks containing both bits of that mask's hash
+    // count. Sources beyond 63 (never observed; corpus property, not an
+    // SF property) fall back to the round-15 set-collect shape.
+    val (sh, srcs) = sourceGramsWithSrcs(spark, sfDir)
+    if (srcs.length > 63) {
+      val multi = sh.groupBy(col("h")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).select("h")
+      sh.join(multi, Seq("h"))
+        .groupBy(col("h"))
+        .agg(sort_array(collect_set(col("source"))).as("srcs"))
+        .select(explode(expr(
+          "flatten(transform(srcs, (a, i) -> transform(" +
+            "slice(srcs, i + 2, size(srcs)), " +
+            "b -> struct(a AS source_a, b AS source_b))))")).as("p"))
+        .groupBy(col("p.source_a").as("source_a"),
+          col("p.source_b").as("source_b"))
+        .agg(count(lit(1)).as("n_shared"))
+    } else {
+      // source -> bit and bit -> source as literal when-chains: pure
+      // codegen, no map/array lookups, constant-folded per plan
+      val maskOf = srcs.zipWithIndex.tail.foldLeft(
+        when(col("source") === srcs(0), 1L)) { case (acc, (s, i)) =>
+          acc.when(col("source") === s, 1L << i)
+      }
+      def nameOf(bit: org.apache.spark.sql.Column) =
+        srcs.zipWithIndex.tail.foldLeft(
+          when(bit === 0, srcs(0))) { case (acc, (s, i)) =>
+            acc.when(bit === i, s)
+        }
+      sh.select(col("h"), maskOf.as("m"))
+        .groupBy(col("h")).agg(expr("bit_or(m)").as("m"))
+        .filter(expr("bit_count(m)") > 1)
+        .groupBy(col("m")).agg(count(lit(1)).as("n"))
+        .select(col("n"), expr(
+          "filter(sequence(0, 62), i -> ((m >> i) & 1) = 1)").as("bits"))
+        .select(col("n"), explode(expr(
+          "flatten(transform(bits, (a, ai) -> transform(" +
+            "slice(bits, ai + 2, size(bits)), " +
+            "b -> struct(a AS ia, b AS ib))))")).as("p"))
+        .groupBy(nameOf(col("p.ia")).as("source_a"),
+          nameOf(col("p.ib")).as("source_b"))
+        .agg(sum(col("n")).as("n_shared"))
+    }
   }
 
   val crossContaminationSql: String = {
