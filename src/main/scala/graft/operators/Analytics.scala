@@ -265,11 +265,20 @@ object Analytics {
   /** Orders left-joined to lineitem; histogram of items-per-order (0 kept —
     * that's the outer part). */
   def outerCount(spark: SparkSession, sfDir: String): DataFrame = {
+    // Round 16 (guide §2.3 aggregate-before-you-shuffle): count lineitem
+    // rows per key BEFORE the join, so the join's big side shrinks from
+    // every lineitem row to one (key, count) row per distinct order key —
+    // partial aggregation reduces map-side, the exchange carries ~6× fewer
+    // rows at any SF, and the post-join per-order aggregation (which
+    // consumed the whole join fan-out) disappears. COUNT(l_orderkey) over
+    // the left join counts exactly the matching lineitem rows (the join
+    // key is the counted column, never null on a match) and 0 on no
+    // match = coalesce(n, 0) after the pre-aggregation — identical rows.
     val o = Tables.orders(spark, sfDir).select("o_orderkey")
-    val l = Tables.lineitem(spark, sfDir).select("l_orderkey")
-    o.join(l, o("o_orderkey") === l("l_orderkey"), "left_outer")
-      .groupBy(col("o_orderkey"))
-      .agg(count(col("l_orderkey")).as("n_items"))
+    val perKey = Tables.lineitem(spark, sfDir).select("l_orderkey")
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("_n"))
+    o.join(perKey, o("o_orderkey") === perKey("l_orderkey"), "left_outer")
+      .select(coalesce(col("_n"), lit(0L)).as("n_items"))
       .groupBy(col("n_items")).agg(count(lit(1)).as("n_orders"))
   }
 
@@ -1337,18 +1346,110 @@ object Analytics {
     * ORDER BY would be at 100 TB). percent_rank is the same
     * (rank−1)/(n−1) double in both engines, so the floor is
     * deterministic cross-engine. */
+  /** Total bytes under a table directory — the scale proxy the
+    * equi-histogram gate keys on (guide §2.5: derive the regime from
+    * input size, not from a constant tuned to one SF). */
+  private def dirBytes(path: String): Long = {
+    val root = new java.io.File(path)
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+      else f.length()
+    walk(root)
+  }
+
   def equiHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    // Round 16 (guide §2.3 two-level aggregate / pre-bin, §2.5 right-size
+    // to the data): the 8 output buckets are defined entirely by the 7
+    // BOUNDARY rank positions, so at scale the per-row percent_rank — a
+    // full exchange + per-bucket sort of the whole table through
+    // distributedPercentRank — is never materialized. The edge shape:
+    //  1. fine range-bucket census (codegen agg) -> per-bucket exclusive
+    //     offsets + total n (window over <=1024 aggregate rows, the dPR
+    //     offsets pattern);
+    //  2. CANDIDATE fine buckets = those whose global index range crosses
+    //     an output-bucket boundary, decided per aggregate row with THE
+    //     SAME IEEE double chain the per-row formulation used
+    //     (least(floor(cast(i as double)/(n-1)*8), 7), monotone in i);
+    //  3. rows of candidate buckets only (a ~7/1024 fraction) get an
+    //     in-bucket row_number -> global index i; a row is a boundary
+    //     EDGE iff bucketOf(i) > bucketOf(i-1), with multiplicity
+    //     bucketOf(i)-bucketOf(i-1) (empty output buckets stack edges);
+    //  4. the <=7 edge (price, orderkey) values aggregate into ONE array
+    //     row, broadcast back, and every row's bucket = #edges <= row —
+    //     a codegen size(filter(...)) over <=7 literals, NO exchange and
+    //     NO sort of the table anywhere — then the 8-row min/max/count.
+    // Equality: the fine-bucket cast is order-preserving and o_orderkey
+    // is unique, so global index i = rank-1 in (price, orderkey) order
+    // exactly as distributedPercentRank assigned it, and
+    // |{b : idx_b <= i}| = least(floor(i/(n-1)*8), 7) by monotonicity.
+    // MEASURED both ways (steady pass2, this box): edge shape 1.61/1.53/
+    // 2.99 s vs dPR shape 1.12/1.60/5.04 s at sf0.1/sf1/sf10 — the edge
+    // shape's extra sequential broadcast rounds lose 0.5 s where the
+    // query is driver-round-bound, and win 1.7x (growing with SF: the
+    // removed exchange+sort is the table) where it is data-bound. Gate on
+    // input bytes (conf graft.equiHist.smallInputMaxBytes, default 8 MiB;
+    // sf0.1 orders = 2.7 MB, sf1 = 21.7 MB), the unionFindLabels
+    // discipline. EquiHistGateSpec pins both branches equal.
     val b = 8
     val priced = Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), col("o_totalprice"))
-    distributedPercentRank(priced, col("o_totalprice"), col("o_orderkey"),
-        "pct")
-      .withColumn("bucket",
-        least(floor(col("pct") * b), lit(b - 1L)).cast("int"))
-      .groupBy(col("bucket"))
-      .agg(round(min(col("o_totalprice")), 2).as("lo"),
-        round(max(col("o_totalprice")), 2).as("hi"),
-        count(lit(1)).as("n"))
+    val smallMax = spark.conf.getOption("graft.equiHist.smallInputMaxBytes")
+      .map(_.toLong).getOrElse(8L << 20)
+    if (dirBytes(s"$sfDir/orders.parquet") <= smallMax) {
+      distributedPercentRank(priced, col("o_totalprice"), col("o_orderkey"),
+          "pct")
+        .withColumn("bucket",
+          least(floor(col("pct") * b), lit(b - 1L)).cast("int"))
+        .groupBy(col("bucket"))
+        .agg(round(min(col("o_totalprice")), 2).as("lo"),
+          round(max(col("o_totalprice")), 2).as("hi"),
+          count(lit(1)).as("n"))
+    } else {
+      val fine = 1024
+      val vv = col("o_totalprice").cast("double")
+      val stats = priced.agg(min(vv).as("_mn"), max(vv).as("_mx"))
+      val bucketed = priced.crossJoin(broadcast(stats)) // 1-row stats: BNLJ
+        .withColumn("_bkt", least(greatest(
+          floor((vv - col("_mn")) /
+            ((col("_mx") - col("_mn") + lit(1e-9)) / fine)),
+          lit(0L)), lit(fine - 1L)))
+        .drop("_mn", "_mx")
+      val w = Window.orderBy(col("_bkt"))
+      val offsets = bucketed.groupBy(col("_bkt")).agg(count(lit(1)).as("_c"))
+        .select(col("_bkt"),
+          (sum(col("_c")).over(w) - col("_c")).as("_off"), col("_c"),
+          sum(col("_c")).over(Window.partitionBy()).as("_n"))
+      // bucketOf(i): EXACTLY the dPR pct + floor chain (cast-to-double
+      // division by the long (n-1), multiply by the int-literal bucket
+      // count, floor, clamp) so boundary decisions reproduce the per-row
+      // doubles bit-for-bit
+      def bOf(i: org.apache.spark.sql.Column,
+          n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        least(floor((i.cast("double") / (n - lit(1L))) * b), lit(b - 1L))
+      val cand = offsets.filter(col("_n") > 1 &&
+        bOf(col("_off") + col("_c") - 1, col("_n")) >
+          bOf(greatest(col("_off") - 1, lit(0L)), col("_n")))
+      val wB = Window.partitionBy(col("_bkt"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val edgeRows = bucketed.join(broadcast(cand), Seq("_bkt"))
+        .withColumn("_i", col("_off") + row_number().over(wB) - lit(1L))
+        .withColumn("_bhi", bOf(col("_i"), col("_n")))
+        .withColumn("_blo", bOf(greatest(col("_i") - 1, lit(0L)), col("_n")))
+        .filter(col("_i") > 0 && col("_bhi") > col("_blo"))
+      // collect_list over zero rows is [], so an empty corpus / n<=1
+      // yields zero edges and every row lands in bucket 0 (pct=0 behavior)
+      val edges = edgeRows.agg(flatten(collect_list(array_repeat(
+        struct(col("o_totalprice").as("p"), col("o_orderkey").as("k")),
+        (col("_bhi") - col("_blo")).cast("int")))).as("_earr"))
+      priced.crossJoin(broadcast(edges)) // 1-row edge array: BNLJ
+        .select(size(expr("filter(_earr, e -> e.p < o_totalprice or " +
+          "(e.p = o_totalprice and e.k <= o_orderkey))"))
+          .cast("int").as("bucket"), col("o_totalprice"))
+        .groupBy(col("bucket"))
+        .agg(round(min(col("o_totalprice")), 2).as("lo"),
+          round(max(col("o_totalprice")), 2).as("hi"),
+          count(lit(1)).as("n"))
+    }
   }
 
   val equiHistogramSql: String =

@@ -69,7 +69,9 @@ class PlanQualitySpec extends SparkSuite {
         "n", "r", // nation 25 / region 5 rows — fixed regardless of SF
         "stats", "offsets", "converted", // 1-row / K-bucket aggregates
         "dims", // rollup dimension literal fan-out
-        "hot", "custHot"), // limit(16) hot keys + ≤16-row dim slice
+        "hot", "custHot", // limit(16) hot keys + ≤16-row dim slice
+        "cand", // ≤fine(1024)-row slice of the bucket-count aggregate
+        "edges"), // 1-row array of the ≤7 histogram boundary values
       "Dedup.scala" -> Set("thr", // 4-threshold literal
         "vtab"), // verify-join side (doc, n, stop-shingles), gated on a
                  // MEASURED byte budget (VerifyBroadcastMaxBytes) with
