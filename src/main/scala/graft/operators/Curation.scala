@@ -193,9 +193,13 @@ object Curation {
     // over the corpus instead of the full tf → df → join → window
     // chain — the audit's dominant cost. Output identical; the oracle
     // still counts the real tfidf CTE's rows.
+    // coalesce (round-16 ADVICE): for a NULL text the tokenize chain is
+    // NULL and least() would SKIP the null, yielding k=3 where the real
+    // tfIdf chain emits 0 rows — null text must contribute 0
     val tfr = Tables.documents(spark, sfDir)
       .select(col("doc_id"),
-        least(size(array_distinct(tokens(col("text")))).cast("long"),
+        least(coalesce(
+          size(array_distinct(tokens(col("text")))).cast("long"), lit(0L)),
           lit(3L)).as("k"))
       .join(purged, Seq("doc_id"), "left_outer")
     val jp = Dedup.ngramJaccard(spark, sfDir)

@@ -181,10 +181,28 @@ object Dedup {
           val prevFb = spark.conf.getOption(fbConf)
           val heapKeys = {
             val tasks = math.max(1, spark.sparkContext.defaultParallelism)
-            val perKeyBytes = 8L * (MaxShingleDf + 2) + 64L
+            // Round-16 ADVICE: the aggregate this threshold governs is the
+            // stop-set collect_set keyed by doc_id, whose buffers hold a
+            // doc's DISTINCT stop shingles — unbounded per key, so the old
+            // candidate-buffer model (8·(MaxShingleDf+2)+64 ≈ 160 B/key)
+            // could under-budget stop-heavy corpora 50×. Budget a
+            // conservative 1024 stop shingles per doc instead; corpora
+            // beyond that fall back to sort-based aggregation — the safe
+            // at-scale posture. `graft.dedup.aggFallbackKeys` overrides.
+            val perKeyBytes = 8L * 1024 + 64L
             math.max(128L,
               Runtime.getRuntime.maxMemory / 4 / tasks / perKeyBytes)
           }
+          // Scope note (round-16 ADVICE): this session-wide set is visible
+          // to queries another driver thread might run during the build
+          // window. The build itself is serialized under
+          // pairCache.synchronized, and every harness in this repo (Bench,
+          // Verify, TimeQ, ScaleCheck) drives the session single-threaded;
+          // the restore in `finally` bounds the window. A concurrent-query
+          // deployment should route builds through its own session
+          // (spark.newSession()) — not done here because the persisted
+          // pair list is keyed by THIS session and the harnesses never
+          // overlap queries with the build.
           spark.conf.set(fbConf, spark.conf.getOption(
             "graft.dedup.aggFallbackKeys").getOrElse(heapKeys.toString))
           try {

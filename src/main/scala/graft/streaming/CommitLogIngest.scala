@@ -1810,15 +1810,31 @@ object CommitLogIngest {
           stageCdfRows(tableDir, changes)
         }
       }(scala.concurrent.ExecutionContext.global)
-      writePartitionLocal(survivors, partitionColsOf(tableDir), outDir,
-        tableDir)
-      val adds = LayoutDirs.dataFiles(outDir)
-      val cdfStaged = scala.concurrent.Await
-        .result(cdfStagedF, scala.concurrent.duration.Duration.Inf)
-      require(adds.nonEmpty || affected.size < live.size,
-        s"merge would leave $tableDir with no live files (the " +
-          "append-only read contract forbids an empty table) — use " +
-          "overwrite or drop the table instead")
+      // Round-16 ADVICE: a failure between CDF staging and the claim
+      // (survivor-write task failure, the empty-table require) must not
+      // leak the concurrently staged CDF dir or detached survivor files —
+      // drain the staging future and delete both before rethrowing.
+      def abortStaging(e: Throwable): Nothing = {
+        try scala.concurrent.Await
+          .result(cdfStagedF, scala.concurrent.duration.Duration.Inf)
+          .foreach(LayoutDirs.deleteQuiet)
+        catch { case _: Throwable => () }
+        LayoutDirs.deleteQuiet(outDir)
+        throw e
+      }
+      val (adds, cdfStaged) =
+        try {
+          writePartitionLocal(survivors, partitionColsOf(tableDir), outDir,
+            tableDir)
+          val a = LayoutDirs.dataFiles(outDir)
+          val c = scala.concurrent.Await
+            .result(cdfStagedF, scala.concurrent.duration.Duration.Inf)
+          require(a.nonEmpty || affected.size < live.size,
+            s"merge would leave $tableDir with no live files (the " +
+              "append-only read contract forbids an empty table) — use " +
+              "overwrite or drop the table instead")
+          (a, c)
+        } catch { case e: Throwable => abortStaging(e) }
       val stage = stageActions(spark, tableDir, adds, affected,
         schemaOf = None, txn = txn)
       if (tryClaimVersion(tableDir, stage, latest + 1)) {
@@ -2107,26 +2123,50 @@ object CommitLogIngest {
         toPhysical(out, tableDir).coalesce(paths.size)
           .write.mode("overwrite").parquet(dst)
       }
-      if (groups.size <= 1) groups.foreach { case (s, p) => writeGroup(s, p) }
-      else {
-        val pool = java.util.concurrent.Executors
-          .newFixedThreadPool(math.min(4, groups.size))
-        val gec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
-        try {
-          val futs = groups.map { case (s, p) =>
-            scala.concurrent.Future(writeGroup(s, p))(gec)
-          }
-          futs.foreach(f => scala.concurrent.Await
-            .result(f, scala.concurrent.duration.Duration.Inf))
-        } finally pool.shutdown()
+      // Round-16 ADVICE: a failed group write must stop the queued/running
+      // sibling writes (shutdownNow + drain, so no detached Spark job keeps
+      // writing into outDir), then drain the concurrent CDF staging and
+      // delete both staging dirs before rethrowing.
+      def abortStaging(e: Throwable): Nothing = {
+        try scala.concurrent.Await
+          .result(cdfStagedF, scala.concurrent.duration.Duration.Inf)
+          .foreach(LayoutDirs.deleteQuiet)
+        catch { case _: Throwable => () }
+        LayoutDirs.deleteQuiet(outDir)
+        throw e
       }
-      val adds = LayoutDirs.dataFiles(outDir)
-      val cdfStaged = scala.concurrent.Await
-        .result(cdfStagedF, scala.concurrent.duration.Duration.Inf)
-      require(adds.nonEmpty || affected.size < live.size,
-        s"deleteWhere would leave $tableDir with no live files (the " +
-          "append-only read contract forbids an empty table) — use " +
-          "overwrite or drop the table instead")
+      val (adds, cdfStaged) =
+        try {
+          if (groups.size <= 1)
+            groups.foreach { case (s, p) => writeGroup(s, p) }
+          else {
+            val pool = java.util.concurrent.Executors
+              .newFixedThreadPool(math.min(4, groups.size))
+            val gec =
+              scala.concurrent.ExecutionContext.fromExecutorService(pool)
+            try {
+              val futs = groups.map { case (s, p) =>
+                scala.concurrent.Future(writeGroup(s, p))(gec)
+              }
+              futs.foreach(f => scala.concurrent.Await
+                .result(f, scala.concurrent.duration.Duration.Inf))
+            } catch {
+              case e: Throwable =>
+                pool.shutdownNow()
+                pool.awaitTermination(60,
+                  java.util.concurrent.TimeUnit.SECONDS)
+                throw e
+            } finally pool.shutdown()
+          }
+          val a = LayoutDirs.dataFiles(outDir)
+          val c = scala.concurrent.Await
+            .result(cdfStagedF, scala.concurrent.duration.Duration.Inf)
+          require(a.nonEmpty || affected.size < live.size,
+            s"deleteWhere would leave $tableDir with no live files (the " +
+              "append-only read contract forbids an empty table) — use " +
+              "overwrite or drop the table instead")
+          (a, c)
+        } catch { case e: Throwable => abortStaging(e) }
       val stage = stageActions(spark, tableDir, adds, affected,
         schemaOf = None, txn = None)
       if (tryClaimVersion(tableDir, stage, latest + 1)) {
