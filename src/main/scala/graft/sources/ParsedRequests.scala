@@ -41,7 +41,15 @@ object ParsedRequests {
     * ParsedRequestsSpec — exploding a handful of giant concatenated
     * bodies would serialize the work onto one task per group. */
   def parsedTotals(spark: SparkSession, sfDir: String): DataFrame =
-    parse(ProxyQueries.requests(spark, sfDir).select("uri", "body"))
+    // Tables.spread (round 16): the events corpus is one 2 MB scan
+    // partition, so the regex piece-split + per-piece parse otherwise run
+    // on one core of 32 — the r15 spread rule's exact case (a sub-MB scan
+    // feeding per-row regex/serde work once). Scoped HERE, not inside
+    // requests(): the o_* consumers are scan-bound and must not pay an
+    // exchange.
+    parse(graft.model.Tables.spread(
+        ProxyQueries.requests(spark, sfDir).select("event_id", "uri", "body"),
+        "event_id").select("uri", "body"))
       .groupBy(col("tbl"))
       .agg(count(lit(1)).as("n_rows"),
         sum(col("v")).as("sum_v"),
@@ -66,7 +74,13 @@ object ParsedRequests {
     * expressions in one narrow projection — a JSONL corpus scan adds no
     * shuffle over the parquet path. */
   def jsonRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
-    val js = graft.model.Tables.events(spark, sfDir)
+    // Tables.spread (round 16): same single-partition-scan rationale as
+    // parsedTotals — to_json/from_json per row is the query's whole cost
+    val js = graft.model.Tables.spread(
+        graft.model.Tables.events(spark, sfDir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value")),
+        "event_id")
       .select(to_json(struct(
         col("event_id"), col("user_id"), col("event_type"), col("value")))
         .as("j"))
