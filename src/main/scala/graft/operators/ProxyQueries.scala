@@ -22,8 +22,14 @@ object ProxyQueries {
     * fmt rotates Values/TSV/CSV; Values bodies carry 1-3 tuples; every 5th
     * Values request carries a password query param (exercises O-17).
     */
-  def requests(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev  = Tables.events(spark, sfDir)
+  def requests(spark: SparkSession, sfDir: String): DataFrame =
+    requestsFrom(Tables.events(spark, sfDir))
+
+  /** [[requests]] over a caller-supplied events frame — lets a consumer
+    * spread the NARROW raw columns before the synthesis projection
+    * instead of exchanging the synthesized uri/body strings (round 16:
+    * src_parsed_roundtrip). */
+  def requestsFrom(ev: DataFrame): DataFrame = {
     val fmt = when(col("event_id") % 7 === 0, "TSV")
       .when(col("event_id") % 7 === 1, "CSV")
       .otherwise("Values")

@@ -41,15 +41,19 @@ object ParsedRequests {
     * ParsedRequestsSpec — exploding a handful of giant concatenated
     * bodies would serialize the work onto one task per group. */
   def parsedTotals(spark: SparkSession, sfDir: String): DataFrame =
-    // Tables.spread (round 16): the events corpus is one 2 MB scan
-    // partition, so the regex piece-split + per-piece parse otherwise run
-    // on one core of 32 — the r15 spread rule's exact case (a sub-MB scan
-    // feeding per-row regex/serde work once). Scoped HERE, not inside
+    // Tables.spread (round 16): the events corpus arrives in far fewer
+    // scan partitions than cores (one 2 MB file at sf0.1; two splits at
+    // sf10), so the regex piece-split + per-piece parse otherwise run on
+    // a core or two of 32 — the r15 spread rule's exact case. The spread
+    // ships the NARROW raw event columns and the uri/body synthesis runs
+    // post-exchange (an earlier shape that spread the synthesized
+    // strings regressed sf10 4.04 -> 5.01 s). Scoped HERE, not inside
     // requests(): the o_* consumers are scan-bound and must not pay an
     // exchange.
-    parse(graft.model.Tables.spread(
-        ProxyQueries.requests(spark, sfDir).select("event_id", "uri", "body"),
-        "event_id").select("uri", "body"))
+    parse(ProxyQueries.requestsFrom(graft.model.Tables.spread(
+        graft.model.Tables.events(spark, sfDir)
+          .select("event_id", "user_id", "event_type", "value"),
+        "event_id")).select("uri", "body"))
       .groupBy(col("tbl"))
       .agg(count(lit(1)).as("n_rows"),
         sum(col("v")).as("sum_v"),
