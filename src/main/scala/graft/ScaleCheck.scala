@@ -271,9 +271,13 @@ object ScaleCheck {
   def measure100(spark: SparkSession): Unit = {
     require(new java.io.File(s"$Sf100/documents.parquet").exists(),
       s"run `ScaleCheck sf100` first: $Sf100 missing")
+    // dedup_pairs LAST (round 16): its sf100 pass is the one family whose
+    // transient spill+shuffle+persist footprint can exhaust this box's
+    // disk — an ENOSPC there must not block the other five families'
+    // lines, which print as they complete
     val heavy = Seq(
-      "dedup_pairs", "kmeans_model", "tfidf", "boilerplate",
-      "simhash", "embed_families")
+      "kmeans_model", "tfidf", "boilerplate",
+      "simhash", "embed_families", "dedup_pairs")
     val fams = families.filter(f => heavy.contains(f._1))
     require(fams.size == heavy.size,
       s"missing heavy families: ${heavy.toSet -- fams.map(_._1).toSet}")

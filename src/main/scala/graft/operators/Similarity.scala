@@ -676,7 +676,20 @@ object Similarity {
       // and whose checkpoint blocks nothing frees (the PQ loop has the
       // same guard); skipping it changes no output
       if (iter < KmIters) {
-        cent = ex.join(asg.select("vec_id", "cell"), Seq("vec_id"))
+        // Round 16 (guide §3.3 "join first on the un-exploded key,
+        // explode after"): the update previously joined the EXPLODED
+        // (vec, dim) frame with the assignment — n·dim rows through a
+        // sort-merge join per round, which at the sf100 probe spilled
+        // the disk dry (75 GB transient for 320M-row sort sides).
+        // Joining the ARRAY-form vectors moves n rows (dim× fewer) and
+        // explodes after. Same (cell, i, x) multiset reaches the same
+        // grouped avg; the round(·, 6) swallows partial-sum order, the
+        // SAME argument this loop already documents for its cross-engine
+        // equality (ordered fold vs unordered sum drift ~1e-13).
+        cent = vecs.join(asg.select("vec_id", "cell"), Seq("vec_id"))
+          .select(col("cell"), posexplode(col("xs")))
+          .select(col("cell"), (col("pos") + 1).as("i"),
+            col("col").as("x"))
           .groupBy(col("cell"), col("i")).agg(round(avg(col("x")), 6).as("cx"))
           .coalesce(1)
           .truncateLineage(true)
@@ -1373,8 +1386,15 @@ object Similarity {
       // replaces is a plain plan (nothing to free) — no stale-checkpoint
       // bookkeeping like the 3-round kmeans loop needs
       if (k < PqIters) {
-        cent = exs
+        // array-form update join (round 16, guide §3.3 — see the kmeans
+        // loop): n·M rows instead of n·M·subDim through the per-round
+        // join. micro path unchanged in value (long sums are order-free
+        // exact); double path rides the documented round(·, 6) argument.
+        cent = sv
           .join(asg.select("vec_id", "sub", "cell"), Seq("vec_id", "sub"))
+          .select(col("sub"), col("cell"), posexplode(col("sxs")))
+          .select(col("sub"), col("cell"), (col("pos") + 1).as("j"),
+            col("col").as("x"))
           .groupBy(col("sub"), col("cell"), col("j"))
           .agg((if (micro)
               round(sum(col("x")) / count(lit(1)), 0).cast("long")
