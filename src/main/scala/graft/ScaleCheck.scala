@@ -278,7 +278,9 @@ object ScaleCheck {
     val heavy = Seq(
       "kmeans_model", "tfidf", "boilerplate",
       "simhash", "embed_families", "dedup_pairs")
-    val fams = families.filter(f => heavy.contains(f._1))
+    // resolve IN heavy's order — `families.filter` preserves the families
+    // Seq's order, which silently put dedup_pairs back first (round 16)
+    val fams = heavy.flatMap(h => families.find(_._1 == h))
     require(fams.size == heavy.size,
       s"missing heavy families: ${heavy.toSet -- fams.map(_._1).toSet}")
     fams.foreach { case (_, f) =>
